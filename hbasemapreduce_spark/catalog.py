@@ -1,0 +1,77 @@
+"""Table catalog: loaders for the driver-generated parquet tables.
+
+The HBase reference reads tables through ``TableInputFormat`` (one
+input split per region, server-side Scan filters); our storage is
+columnar parquet, so a "table" is ``spark.read.parquet`` and region
+pruning becomes Parquet row-group/partition pruning — see SURVEY.md §1.
+
+Scale note (100 TB): everything here returns an *unmaterialized*
+DataFrame; filters/projections applied by callers reach the parquet
+scan via Catalyst pushdown.  At cluster scale the same loaders work
+unchanged on a directory of many files; nothing assumes a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+_CONFIGURED_SESSIONS: set[int] = set()
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply session-level SQL confs every query relies on.
+
+    Idempotent and runtime-safe (all are dynamic SQL confs), so it works
+    inside the driver's own SparkSession too:
+
+    - ``nanosAsLong``: the ``events`` table stores ``ts`` as parquet
+      INT64 TIMESTAMP(NANOS) which Spark 4 refuses to read natively
+      (PARQUET_TYPE_ILLEGAL); we read raw int64 nanos and rebuild a
+      microsecond timestamp with integer math (no float precision loss).
+    - UTC session timezone: keeps Spark epoch functions byte-identical
+      with the DuckDB oracle's naive timestamps.
+    - Arrow: vectorized Python<->JVM transfer for the pandas-UDF paths.
+    """
+    key = id(spark)
+    if key in _CONFIGURED_SESSIONS:
+        return spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    _CONFIGURED_SESSIONS.add(key)
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events.ts`` arrives as int64 nanoseconds (see :func:`configure`)
+    and is rebuilt as a microsecond TIMESTAMP via integer division —
+    ``ts DIV 1000`` — because a double division would lose precision
+    above 2**53 (2024 epoch-nanos ≈ 1.7e18).
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)

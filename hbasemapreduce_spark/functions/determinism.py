@@ -1,0 +1,77 @@
+"""Cross-engine determinism helpers (SURVEY.md §2 determinism rules).
+
+Why: IEEE-754 addition is not associative, and Spark's partial
+aggregates sum partitions in nondeterministic order, so
+``SUM(double)`` is not bit-stable — it cannot hash-match a DuckDB
+oracle reliably.  The *decimal sandwich* fixes this:
+
+    CAST(SUM(CAST(x AS DECIMAL(18, s))) AS DOUBLE)
+
+Per-row double→decimal rounding is deterministic (a binary double is
+never exactly on a decimal .5 boundary for s>=1 unless dyadic, and both
+engines round the same true binary value), decimal summation is exact
+and order-independent, and the final decimal→double cast is
+deterministic.  Result: bit-identical doubles on both engines at any
+partition count — i.e., at 1000 executors as much as at local[32].
+
+Timestamps never appear raw in checked output (pandas dtype drift
+between engines); use :func:`fmt_date` / epoch-second bigints instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dec_sum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent SUM over a money-ish double column."""
+    return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent AVG: exact decimal sum / exact count."""
+    s = F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
+    return (s / F.count(_c(col))).alias(alias)
+
+
+def sql_dec_sum(expr: str, alias: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`dec_sum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_dec_avg(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def fmt_date(col: Column | str, alias: str) -> Column:
+    """Date-valued timestamp -> 'yyyy-MM-dd' string (dtype-stable)."""
+    return F.date_format(_c(col), "yyyy-MM-dd").alias(alias)
+
+
+SQL_FMT_DATE = "strftime({col}, '%Y-%m-%d') AS {alias}"
+
+
+def epoch_seconds(col: Column | str, alias: str) -> Column:
+    """Timestamp -> epoch seconds BIGINT (UTC session; floor).
+
+    DuckDB twin: ``CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)``.
+    """
+    return F.unix_timestamp(_c(col)).alias(alias)
+
+
+def epoch_micros(col: Column | str, alias: str) -> Column:
+    """Timestamp -> epoch microseconds BIGINT.
+
+    DuckDB twin: ``epoch_us(CAST(ts AS TIMESTAMP))``.
+    """
+    return F.unix_micros(_c(col).cast("timestamp")).alias(alias)

@@ -1,0 +1,142 @@
+"""§2.9 LLM-data-pipeline: deduplication over `documents`/`embeddings`.
+
+Variants (BASELINE.json:6 north-star set):
+- exact (hash-groupBy)           -> dedup_exact       (oracle: yes)
+- MinHash + LSH banding          -> dedup_minhash     (rows-only)
+- SimHash + pigeonhole banding   -> dedup_simhash     (rows-only)
+- n-gram Jaccard (blocked exact) -> dedup_ngram_jaccard (oracle: yes)
+- embedding cosine near-dup      -> dedup_embedding   (oracle: yes)
+
+Scale story: every variant is (a) a per-doc JVM-side signature, then
+(b) an equi-join on a banding/blocking key — never an unblocked O(n^2)
+comparison.  AQE handles hot buckets; thresholds bound output size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.minhash import minhash_pairs, simhash_pairs
+from ..functions.text import token_shingles, tokens
+from ..registry import query
+
+
+@query(
+    "dedup_exact",
+    category="llm_dedup",
+    oracle=(
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY lower(trim(text))"
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text; keep the smallest doc_id."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.lower(F.trim(F.col("text"))).alias("norm"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+@query("dedup_minhash", category="llm_dedup", oracle=None)  # rows-only: LSH banding
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH over 3-token shingles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_shingles().alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return minhash_pairs(
+        docs, id_col="doc_id", items_col="shingles", jaccard_threshold=0.5
+    )
+
+
+@query("dedup_simhash", category="llm_dedup", oracle=None)  # rows-only: banded fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash, hamming distance <= 3."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    return simhash_pairs(docs, id_col="doc_id", items_col="toks", max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    category="llm_dedup",
+    oracle=(
+        "WITH d AS (SELECT doc_id, lang, "
+        "           list_distinct(string_split(text, ' ')) AS toks, "
+        "           len(string_split(text, ' ')) AS n_toks "
+        "           FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard "
+        "FROM d a JOIN d b "
+        "ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8"
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.8 between docs blocked on
+    (lang, token count) — deterministic int/int division, so the oracle
+    hash-matches despite the float threshold."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(tokens()).alias("toks"),
+        F.size(tokens()).alias("n_toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_toks") == F.col("b.n_toks"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "dedup_embedding",
+    category="llm_dedup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.emb, b.emb), 6) AS sim "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8"
+    ),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on label (the coarse
+    cluster id), float64 math on both engines, sim rounded to 6 dp."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(F.col("a.emb"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("b.emb"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (na * nb)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("raw_sim"),
+        )
+        .filter(F.col("raw_sim") >= 0.8)
+        .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
+    )

@@ -1,0 +1,102 @@
+"""§2.9 LLM-data-pipeline: multimodal columns.
+
+Multimodal payloads are opaque ``binary`` columns with typed metadata
+(SURVEY.md / task brief).  The container has no image/audio libraries,
+so the *decode* step is a clearly-marked stub; everything Spark-side —
+binary schema, Arrow batch transfer, mapInPandas plumbing, partitioning
+— is real and oracle-checked where deterministic.
+
+- multimodal_join:          text table x vector table in one plan (oracle)
+- multimodal_binary_stats:  binary payloads through an Arrow-batched
+                            mapInPandas pipeline, per-payload metadata
+                            out (oracle — byte math is deterministic)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ..registry import query
+
+
+def decode_image(payload: bytes) -> dict:
+    """STUB: real image decoding needs PIL/libjpeg, absent from this
+    container.  The Spark-side plumbing (binary column -> Arrow batch ->
+    pandas -> typed metadata) is exercised by extract_binary_metadata.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; plug a real decoder into extract_binary_metadata"
+    )
+
+
+def extract_binary_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-payload metadata from binary blobs.
+
+    Stands in for decode/feature-extract/resize: identical batch shape,
+    schema, and Arrow path as a real decoder, with deterministic byte
+    math instead of libjpeg.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else 0).astype("int64"),
+                "byte_sum": payloads.map(lambda b: sum(b) % 1_000_000_007).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_join",
+    category="llm_multimodal",
+    oracle=(
+        "SELECT lang, label, COUNT(*) AS cnt "
+        "FROM documents JOIN embeddings ON doc_id = vec_id "
+        "GROUP BY lang, label"
+    ),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents x embeddings: label distribution per language — a text
+    column and a vector column flowing through one plan."""
+    docs, emb = load_tables(spark, sf_dir, "documents", "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "multimodal_binary_stats",
+    category="llm_multimodal",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, "
+        "CAST(ord(text[1]) AS BIGINT) AS first_byte "
+        "FROM documents"
+    ),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> binary payload -> Arrow-batched
+    mapInPandas -> typed metadata.
+
+    The payload here is utf-8 text (the corpus is ASCII tokens) so the
+    byte math is oracle-checkable; a real corpus would carry image/audio
+    bytes through the identical plan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = docs.mapInPandas(
+        extract_binary_metadata,
+        schema="doc_id long, n_bytes long, first_byte long, byte_sum long",
+    )
+    return out.select("doc_id", "n_bytes", "first_byte")

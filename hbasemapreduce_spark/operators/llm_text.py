@@ -1,0 +1,183 @@
+"""§2.9 LLM-data-pipeline: text analysis over `documents`.
+
+North-star operators (BASELINE.json:6): corpus statistics, term
+frequencies, token counting, quality scoring, language ID, document
+fingerprinting.  All JVM-side except nothing — no Python UDFs needed.
+
+Scale notes: every aggregation is partial+final hash agg; the langid
+profile join broadcasts a per-language top-terms table (constant size:
+n_langs x k terms) against the 100 TB document scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import STOPWORDS, stopword_ratio, tokens
+from ..registry import query
+
+
+@query(
+    "text_stats",
+    category="llm_text",
+    oracle=(
+        "WITH per AS (SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+        "             FROM documents GROUP BY 1, 2), "
+        "tok AS (SELECT lang, source, COUNT(DISTINCT token) AS n_distinct_tokens FROM "
+        "        (SELECT lang, source, unnest(string_split(text, ' ')) AS token FROM documents) "
+        "        GROUP BY 1, 2) "
+        "SELECT per.lang, per.source, n_docs, sum_chars, "
+        "CAST(sum_chars AS DOUBLE) / n_docs AS avg_chars, n_distinct_tokens "
+        "FROM per JOIN tok ON per.lang = tok.lang AND per.source = tok.source"
+    ),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source): doc count, char stats, distinct-token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    tok = (
+        docs.select("lang", "source", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    return per.join(tok, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        "sum_chars",
+        (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        "n_distinct_tokens",
+    )
+
+
+@query(
+    "text_tf_topterms",
+    category="llm_text",
+    oracle=(
+        "SELECT lang, token, cnt FROM ("
+        "  SELECT lang, token, cnt, "
+        "  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn "
+        "  FROM (SELECT lang, token, COUNT(*) AS cnt FROM "
+        "        (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) "
+        "        GROUP BY 1, 2)"
+        ") WHERE rn <= 10"
+    ),
+)
+def text_tf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 terms per language by frequency (tie-broken by term)."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= 10).drop("rn")
+
+
+@query(
+    "text_tokencount",
+    category="llm_text",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens "
+        "FROM documents"
+    ),
+)
+def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("long")
+        .alias("n_re_tokens"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "text_quality",
+    category="llm_text",
+    oracle=(
+        "SELECT doc_id, n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_filter(string_split(text, ' '), t -> list_contains("
+        + _STOP_SQL
+        + ", t))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio, "
+        "CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token "
+        "FROM documents"
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: length, stopword ratio, chars/token.
+
+    Integer/integer divisions of identical counts — deterministic
+    doubles on both engines.
+    """
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        stopword_ratio().alias("stop_ratio"),
+        (F.col("n_chars").cast("double") / F.size(tokens())).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    category="llm_text",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document fingerprint (md5 hex — identical across engines);
+    the shift-resistant rolling-hash variant lives in dedup_simhash."""
+    return load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+
+
+@query("text_langid", category="llm_text", oracle=None)  # rows-only: data-derived profiles
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID.
+
+    Profiles are learned from the corpus itself (top-20 discriminative
+    terms per language by frequency), broadcast, and each document is
+    scored by token overlap; prediction = argmax score with
+    deterministic tie-break on language code.  Output: doc_id, actual
+    lang, predicted lang.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    term_freq = (
+        docs.select("lang", F.explode(tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    profile = (
+        term_freq.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .groupBy(F.col("lang").alias("p_lang"))
+        .agg(F.collect_set("token").alias("p_terms"))
+    )
+    scored = (
+        docs.select("doc_id", "lang", tokens().alias("toks"))
+        .crossJoin(F.broadcast(profile))
+        .select(
+            "doc_id",
+            "lang",
+            "p_lang",
+            F.size(F.array_intersect(F.array_distinct("toks"), "p_terms")).alias("score"),
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
+    return (
+        scored.select("doc_id", "lang", "p_lang", F.row_number().over(pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
+    )

@@ -1,0 +1,122 @@
+"""§2.1 Scans / sources / sinks.
+
+Reference grounding (SURVEY.md §2.1, all `[public-api]` — the empty
+reference checkout's genre exercises these via
+org.apache.hadoop.hbase.mapreduce):
+- full/projected/range scans = ``Scan`` + ``TableInputFormat`` with
+  ``addColumn`` / ``withStartRow``/``withStopRow``;
+- partitioned sink = ``HFileOutputFormat2`` bulk load;
+- JSON-line parsing = ``ImportTsv``-style mapper parsing.
+
+Spark-first notes: projection/range predicates are expressed
+declaratively so Catalyst pushes them into the parquet scan
+(PushedFilters / ReadSchema — verified in tests/test_plans.py).  At
+100 TB the range scan prunes row groups by min/max stats exactly like
+HBase region pruning, with zero custom code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .common import LINEITEM_SQL, lineitem_select
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@query(
+    "scan_full",
+    category="scan",
+    oracle=f"SELECT {LINEITEM_SQL} FROM lineitem",
+)
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan of lineitem, all columns."""
+    return load_table(spark, sf_dir, "lineitem").select(*lineitem_select(None))
+
+
+@query(
+    "scan_project",
+    category="scan",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount "
+        "FROM lineitem"
+    ),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key + 3 value columns — column pruning reaches the parquet reader."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+
+@query(
+    "scan_range",
+    category="scan",
+    oracle=f"SELECT {LINEITEM_SQL} FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000",
+)
+def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range scan (HBase start/stopRow) -> parquet min/max pruning."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 2000)).select(
+        *lineitem_select(df)
+    )
+
+
+@query(
+    "scan_prefix",
+    category="scan",
+    oracle="SELECT * FROM part WHERE p_name LIKE 'small%'",
+)
+def scan_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixFilter equivalent; startswith pushes down as a parquet filter."""
+    return load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+
+
+@query(
+    "sink_partitioned",
+    category="scan",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write (bulk-load analog), then re-read + count.
+
+    Hive-style ``partitionBy('o_year')`` output is the columnar analog of
+    region-aligned HFiles: downstream year-predicates become partition
+    pruning (directory-level, no file reads at all).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_SCRATCH, f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "source_json_lines",
+    category="scan",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "FROM events"
+    ),
+)
+def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON-string props column into typed fields."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )

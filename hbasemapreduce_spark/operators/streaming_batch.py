@@ -1,0 +1,155 @@
+"""§2.8 Streaming-shaped queries — batch forms over `events`.
+
+HBase-MR is batch-only (SURVEY.md §2.8); these are the north-star
+streaming surface.  Per the design rule there, each key is implemented
+as a *batch* query (what the oracle checks); streaming/mirrors.py runs
+the same expressions through Structured Streaming (readStream +
+watermarks) to prove incremental execution.
+
+All event-time values in checked output are epoch bigints (seconds for
+window starts, microseconds for gaps/durations) — never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.sessionize import sessionize
+from ..registry import query
+
+
+def _ts():
+    return F.col("ts").cast("timestamp")
+
+
+@query(
+    "stream_tumbling",
+    category="stream",
+    oracle=(
+        "SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ws, "
+        "event_type, COUNT(*) AS cnt "
+        "FROM events GROUP BY 1, 2"
+    ),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per 1-hour tumbling window x event_type."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window(_ts(), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+@query(
+    "stream_sliding",
+    category="stream",
+    oracle=(
+        "SELECT ws, COUNT(*) AS cnt FROM ("
+        "  SELECT (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - k) * 900 AS ws "
+        "  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)"
+        ") GROUP BY ws"
+    ),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event count per 1-hour window sliding every 15 minutes (each
+    event lands in exactly 4 epoch-aligned windows)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window(_ts(), "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "cnt")
+    )
+
+
+@query(
+    "stream_session",
+    category="stream",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), "
+        "flags AS ("
+        "  SELECT user_id, event_id, ts_us, "
+        "  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 "
+        "       THEN 1 ELSE 0 END AS new_sess "
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "sess AS ("
+        "  SELECT user_id, ts_us, CAST(SUM(new_sess) OVER ("
+        "    PARTITION BY user_id ORDER BY ts_us, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id "
+        "  FROM flags) "
+        "SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts_us) AS start_us, "
+        "MAX(ts_us) AS end_us, MAX(ts_us) - MIN(ts_us) AS duration_us "
+        "FROM sess GROUP BY user_id, sess_id"
+    ),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute timeout) per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(_ts()).alias("ts_us")
+    )
+    sess = sessionize(ev, gap_us=1_800_000_000)
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@query(
+    "stream_late_data",
+    category="stream",
+    oracle=(
+        "WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mt FROM events) "
+        "SELECT event_type, COUNT(*) AS cnt FROM events, m "
+        "WHERE CAST(ts AS TIMESTAMP) >= mt - INTERVAL 1 HOUR "
+        "GROUP BY event_type"
+    ),
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark emulation: keep only events within 1h of max(ts), then
+    aggregate.  (Streaming twin: withWatermark('ts', '1 hour').)
+
+    The scalar max is computed as a 1-row DataFrame and broadcast-cross-
+    joined — no collect(), so the plan stays fully distributed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(_ts()).alias("mt"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(_ts() >= F.col("mt") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "stream_dedup",
+    category="stream",
+    oracle=(
+        "SELECT event_id, user_id, ts_us, event_type FROM ("
+        "  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, "
+        "  row_number() OVER (PARTITION BY event_id "
+        "    ORDER BY CAST(ts AS TIMESTAMP), user_id, event_type, value) AS rn "
+        "  FROM events) WHERE rn = 1"
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop duplicate event_ids keeping the earliest occurrence (total
+    tie-broken order).  Streaming twin: dropDuplicatesWithinWatermark."""
+    w = Window.partitionBy("event_id").orderBy(_ts(), "user_id", "event_type", "value")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(_ts()).alias("ts_us"),
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts_us", "event_type")
+    )
