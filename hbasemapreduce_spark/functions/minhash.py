@@ -37,60 +37,67 @@ def minhash_pairs(
     1 - (1 - j^rows_per_band)^n_bands.
     """
     rows_per_band = n_hashes // n_bands
-    base = df.select(
+    # Hash each item string ONCE (cost ∝ string length); the n_hashes
+    # permutations rehash the fixed-width 8-byte value — 64x cheaper than
+    # hashing the string per permutation.  The repartition is a
+    # deliberate optimizer barrier: without it CollapseProject inlines
+    # the hashing expression into the band-explode projection and
+    # re-evaluates it once PER BAND.
+    docs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.col(items_col)).alias("items"),
-    ).withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}), i -> "
-            "array_min(transform(items, x -> xxhash64(x, i))))"
-        ),
     )
-    banded = base.withColumn(
-        "bd",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
-                f"xxhash64(array_join(transform(slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band}), x -> CAST(x AS STRING)), ',')) AS bh))"
-            )
-        ),
-    ).select("id", "items", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
-
+    hashed = docs.select(
+        "id", F.expr("transform(items, x -> xxhash64(x))").alias("hs")
+    ).repartition("id")
+    # Each band's hash is derived from exactly its own rows_per_band
+    # permutations — every permutation is computed once per row.
+    bands = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
+        f"xxhash64(array_join(transform(sequence(0, {rows_per_band - 1}), r -> "
+        f"CAST(array_min(transform(hs, h -> xxhash64(h, b * {rows_per_band} + r))) AS STRING)), ',')) AS bh))"
+    )
+    # Banded rows are slim (id, band, bh) — the shuffle for the
+    # candidate self-join moves 3 longs per row, not the shingle arrays.
+    banded_slim = (
+        hashed.select("id", F.explode(bands).alias("bd"))
+        .select("id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    )
     cand = (
-        banded.alias("a")
+        banded_slim.alias("a")
         .join(
-            banded.alias("b"),
+            banded_slim.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.items").alias("items_a"),
-            F.col("b.items").alias("items_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # Verification joins the (small) candidate set back to the item sets.
+    pairs = (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("items").alias("items_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("items").alias("items_b")), "id_b")
     )
     inter = F.size(F.array_intersect("items_a", "items_b"))
     union = F.size("items_a") + F.size("items_b") - inter
-    return cand.select(
+    return pairs.select(
         "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
     ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
-def simhash_expr(items_col: str) -> Column:
-    """64-bit SimHash over a named array<string> column, as bigint.
+def simhash_from_hashes(hashes_col: str) -> Column:
+    """64-bit SimHash from a pre-hashed array<bigint> column.
 
-    bit j of the result = sign of sum over items of (+1/-1 from bit j of
-    xxhash64(item)).  Pure higher-order functions, JVM-side.
+    bit j of the result = sign of sum over hashes of (+1/-1 from bit j).
+    Takes already-hashed items so each string is hashed ONCE, not once
+    per bit — hash the items with ``transform(items, x -> xxhash64(x))``
+    in a prior projection.
     """
     return F.expr(
         "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc + CASE WHEN "
-        f"aggregate({items_col}, CAST(0 AS BIGINT), "
-        "(a, x) -> a + CASE WHEN (shiftright(xxhash64(x), j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"aggregate({hashes_col}, CAST(0 AS BIGINT), "
+        "(a, h) -> a + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
         "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
     )
 
@@ -109,7 +116,12 @@ def simhash_pairs(
     (band, chunk), then verify true hamming distance.
     """
     bits = 64 // n_bands
-    sigs = df.select(F.col(id_col).alias("id"), simhash_expr(items_col).alias("sh"))
+    # repartition = optimizer barrier (see minhash_pairs): keeps the
+    # string hashing out of the 64-iteration bit loop.
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"transform({items_col}, x -> xxhash64(x))").alias("hs"),
+    ).repartition("id").select("id", simhash_from_hashes("hs").alias("sh"))
     banded = sigs.withColumn(
         "bd",
         F.explode(

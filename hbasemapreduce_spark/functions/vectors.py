@@ -45,9 +45,14 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rnk, sim) with total tie-broken
     ordering (sim desc, neighbor_id asc).
     """
-    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    # Norms are per-vector, not per-pair: compute them once on each side
+    # before the join (at n vectors x q queries this saves 2/3 of the
+    # floating-point work versus a naive per-pair cosine).
+    vec = vectors.withColumn("_nrm", norm(F.col(vec_col)))
+    qs = queries.withColumn("_qnrm", norm(F.col(query_vec_col)))
+    sim = dot(F.col(query_vec_col), F.col(vec_col)) / (F.col("_qnrm") * F.col("_nrm"))
     scored = (
-        vectors.crossJoin(F.broadcast(queries))
+        vec.crossJoin(F.broadcast(qs))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col).alias("query_id"),

