@@ -1,0 +1,134 @@
+"""Structured Streaming mirrors of §2.8 (SURVEY.md design rule: batch
+form is oracle-checked; the streaming twin proves the same expression
+runs incrementally through the IncrementalExecution planner).
+
+Each mirror reads the same events parquet through ``readStream`` (file
+source, explicit schema — required for streaming sources) and applies
+the *same logical expression* as its batch twin:
+
+    batch  groupBy(window(ts, '1 hour'))         = stream_tumbling
+    batch  window(ts, '1 hour', '15 minutes')    = stream_sliding
+    batch  lag+cumsum sessionize                 = session_window(ts, '30 min')
+    batch  filter ts >= max(ts) - 1h             = withWatermark('ts', '1 hour')
+    batch  row_number over event_id = 1          = dropDuplicates after watermark
+
+State-store notes for a real cluster: watermarks bound state (eviction
+of closed windows / expired dedup keys); session_window merges adjacent
+state entries per key; shuffle partitioning of state is by group key —
+identical to the batch shuffle, so the scale story carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import configure, load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (schema from the batch
+    read; ts rebuilt from int64 nanos exactly as catalog.load_table).
+
+    The file source needs a *directory* (its drop-zone); the testdata
+    table is a single file, so it is staged into .scratch once — in
+    production this directory is where micro-batch files land.
+    """
+    configure(spark)
+    import os
+    import shutil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    stage = os.path.join(
+        repo_root, ".scratch", f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+    raw_schema = spark.read.parquet(staged).schema
+    df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "cnt")
+    )
+
+
+def session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias("start_us"),
+            "n_events",
+        )
+    )
+
+
+def late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+
+def dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_type")
+    )
+
+
+MIRRORS = {
+    "stream_tumbling": tumbling,
+    "stream_sliding": sliding,
+    "stream_session": session,
+    "stream_late_data": late_data,
+    "stream_dedup": dedup,
+}
+
+
+def run_mirror_to_memory(
+    spark: SparkSession, sf_dir: str, name: str, *, output_mode: str
+) -> DataFrame:
+    """Run one mirror to completion (availableNow) into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    sink = f"mirror_{name}"
+    spark.catalog.dropTempView(sink)  # allow re-runs within one session
+    q = (
+        MIRRORS[name](spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink)

@@ -1,0 +1,90 @@
+"""Physical-plan quality gates (SURVEY.md §4; the 100 TB story).
+
+Correctness tests prove the WHAT; these prove the HOW survives a
+100x scale-up: filters reach the parquet scan, projections prune
+columns, small dims broadcast, top-k uses per-partition heaps, the
+banded theta join never degenerates into a nested loop, and aggregates
+keep their map-side partial phase.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hbasemapreduce_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, key: str, mode: str = "formatted") -> str:
+    df = all_specs()[key].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_project_prunes_columns(spark):
+    plan = plan_of(spark, "scan_project")
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # untouched columns must NOT be read from parquet
+    assert "l_comment" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_scan_range_pushes_filters(spark):
+    plan = plan_of(spark, "scan_range")
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "GreaterThanOrEqual(l_orderkey,1000" in pushed
+    assert "LessThan(l_orderkey,2000" in pushed
+
+
+def test_filter_value_pushes_predicate(spark):
+    plan = plan_of(spark, "filter_value")
+    assert "GreaterThan(l_quantity,45" in plan
+
+
+def test_join_star_broadcasts_dims(spark):
+    plan = plan_of(spark, "join_star")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    # TakeOrderedAndProject = per-partition heap + merge: O(k) memory per
+    # task at any scale, never a global sort.
+    assert "TakeOrderedAndProject" in plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan_of(spark, "page_limit")
+
+
+def test_theta_range_is_equi_join(spark):
+    # The banded rewrite must plan as a hash/sort-merge EQUI join on the
+    # slot key; a nested-loop plan here would be O(n*m) at scale.
+    plan = plan_of(spark, "join_theta_range")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_sum_has_partial_aggregate(spark):
+    # partial+final HashAggregate = map-side combine (the Combiner the
+    # MR reference had to hand-write).
+    plan = plan_of(spark, "agg_group_sum")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_full_uses_columnar_scan(spark):
+    plan = plan_of(spark, "scan_full")
+    assert "Scan parquet" in plan
+
+
+@pytest.mark.parametrize("key", ["wordcount", "text_tf_topterms", "dedup_exact"])
+def test_text_paths_stay_jvm_side(spark, key):
+    # No Python evaluation in hot text paths — BatchEvalPython or
+    # ArrowEvalPython in these plans would mean a 10-100x slowdown.
+    plan = plan_of(spark, key)
+    assert "EvalPython" not in plan

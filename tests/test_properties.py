@@ -1,0 +1,93 @@
+"""Algebraic invariants (SURVEY.md §5.4) — cheap cross-checks that hold
+at ANY scale factor, complementing the value-exact oracle tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbasemapreduce_spark.catalog import load_table
+from hbasemapreduce_spark.registry import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def q(spark, key):
+    return SPECS[key].fn(spark, SF_DIR)
+
+
+def test_union_all_counts_add(spark):
+    urgent = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderpriority") == "1-URGENT").count()
+    high = load_table(spark, SF_DIR, "orders").filter(F.col("o_totalprice") > 100000).count()
+    assert q(spark, "set_union_all").count() == urgent + high
+
+
+def test_union_distinct_bounds(spark):
+    ua, ud = q(spark, "set_union_all").count(), q(spark, "set_union_distinct").count()
+    assert ud <= ua
+
+
+def test_intersect_subset_of_sides(spark):
+    inter = {r.custkey for r in q(spark, "set_intersect").collect()}
+    building = {
+        r.c_custkey
+        for r in load_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .collect()
+    }
+    assert inter <= building
+
+
+def test_semi_anti_partition_customers(spark):
+    total = load_table(spark, SF_DIR, "customer").count()
+    assert q(spark, "join_semi").count() + q(spark, "join_anti").count() == total
+
+
+def test_sessions_bounded_by_events(spark):
+    sessions = q(spark, "stream_session")
+    n_events_total = load_table(spark, SF_DIR, "events").count()
+    agg = sessions.agg(F.sum("n_events").alias("s"), F.count("*").alias("n")).collect()[0]
+    assert agg.s == n_events_total  # sessions partition the events
+    assert agg.n <= n_events_total
+    assert sessions.filter(F.col("duration_us") < 0).count() == 0
+
+
+def test_dedup_pairs_are_canonical(spark):
+    for key in ("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding"):
+        df = SPECS[key].fn(spark, SF_DIR)
+        assert df.filter(F.col("id_a") >= F.col("id_b")).count() == 0, key
+
+
+def test_topk_per_group_bounded(spark):
+    per_group = q(spark, "win_topk_per_group").groupBy("o_custkey").count()
+    assert per_group.filter(F.col("count") > 3).count() == 0
+
+
+def test_asof_matches_only_past_orders(spark):
+    # matched order must belong to the event's synthetic customer key
+    matched = q(spark, "join_asof").filter(F.col("matched_orderkey").isNotNull())
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", ((F.col("user_id") % 150) + 1).alias("expect_cust")
+    )
+    joined = matched.join(orders, matched.matched_orderkey == orders.o_orderkey).join(
+        events, "event_id"
+    )
+    assert joined.filter(F.col("o_custkey") != F.col("expect_cust")).count() == 0
+
+
+def test_wordcount_total_equals_token_count(spark):
+    total_tokens = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert q(spark, "wordcount").agg(F.sum("cnt")).collect()[0][0] == total_tokens
+
+
+def test_sim_topk_exactly_k(spark):
+    counts = q(spark, "sim_cosine_topk").groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
