@@ -37,31 +37,40 @@ def minhash_pairs(
     1 - (1 - j^rows_per_band)^n_bands.
     """
     rows_per_band = n_hashes // n_bands
-    # Hash each item string ONCE (cost ∝ string length); the n_hashes
-    # permutations rehash the fixed-width 8-byte value — 64x cheaper than
-    # hashing the string per permutation.  The repartition is a
-    # deliberate optimizer barrier: without it CollapseProject inlines
-    # the hashing expression into the band-explode projection and
-    # re-evaluates it once PER BAND.
     docs = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.col(items_col)).alias("items"),
     )
-    hashed = docs.select(
-        "id", F.expr("transform(items, x -> xxhash64(x))").alias("hs")
-    ).repartition("id")
-    # Each band's hash is derived from exactly its own rows_per_band
-    # permutations — every permutation is computed once per row.
-    bands = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
-        f"xxhash64(array_join(transform(sequence(0, {rows_per_band - 1}), r -> "
-        f"CAST(array_min(transform(hs, h -> xxhash64(h, b * {rows_per_band} + r))) AS STRING)), ',')) AS bh))"
+    # Signature computation stays inside whole-stage codegen: explode to
+    # (id, item_hash) rows, then ONE hash aggregate with n_hashes min()
+    # accumulators (perm i = xxhash64(item_hash, i) — the item string is
+    # hashed once; permutations rehash the fixed-width value).  Partial
+    # aggregation collapses each doc to one row map-side, so the shuffle
+    # carries n_docs rows of 64 longs — this is the formulation that
+    # scales, unlike interpreted higher-order lambdas over arrays
+    # (HigherOrderFunction expressions are not codegen'd in Spark).
+    exploded = docs.select("id", F.explode("items").alias("item")).select(
+        "id", F.xxhash64("item").alias("h")
     )
-    # Banded rows are slim (id, band, bh) — the shuffle for the
-    # candidate self-join moves 3 longs per row, not the shingle arrays.
-    banded_slim = (
-        hashed.select("id", F.explode(bands).alias("bd"))
-        .select("id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    sig = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
+    )
+    # Band hash b digests exactly its own rows_per_band permutations.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # Banded rows are slim (id, band, bh) — the candidate self-join
+    # shuffles 3 longs per row, not the shingle arrays.
+    banded_slim = sig.select("id", F.explode(bands).alias("bd")).select(
+        "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
     cand = (
         banded_slim.alias("a")

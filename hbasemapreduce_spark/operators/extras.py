@@ -1,0 +1,181 @@
+"""Extra coverage beyond the core §2 inventory.
+
+- source_csv: the ImportTsv pattern end-to-end (text staging -> typed
+  read with explicit schema -> aggregate), the genre's E2 entry point.
+- agg_grouping_sets: GROUPING SETS (the general form of rollup/cube).
+- tpch_q3 / tpch_q6: recognizable TPC-H workload shapes over the same
+  star schema (Q3 shipping-priority top-10, Q6 forecast revenue).
+- multimodal_frame_sample: frame-sampling plumbing for video-like
+  payloads via mapInPandas (every-10th-frame policy on deterministic
+  fake frame counts — the decode itself is the stubbed step).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.determinism import dec_sum
+from ..registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@query(
+    "source_csv",
+    category="scan",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImportTsv pattern: stage orders as headerless CSV text, re-read it
+    with an explicit schema (the Mapper's hand-written parse, done by the
+    CSV datasource), aggregate.  Round-trips through text exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_SCRATCH, f"source_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.format_number("o_totalprice", 2).alias("o_totalprice"),  # fixed 2dp text
+            "o_orderpriority",
+        )
+        .withColumn("o_totalprice", F.regexp_replace("o_totalprice", ",", ""))
+        .write.mode("overwrite")
+        .option("header", "false")
+        .csv(out)
+    )
+    typed = spark.read.schema(
+        "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, o_orderpriority STRING"
+    ).csv(out)
+    return typed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"), dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    category="agg",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "COUNT(*) AS cnt FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
+    ),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube desugar to."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "COUNT(*) AS cnt FROM _gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
+    )
+
+
+@query(
+    "tpch_q3",
+    category="join",
+    oracle=(
+        "SELECT l_orderkey, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority top-10 (no o_shippriority column
+    in this schema; grouped on (l_orderkey, o_orderdate))."""
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(dec_sum(revenue, "revenue", scale=6))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "tpch_q6",
+    category="agg",
+    oracle=(
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+    ),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast-revenue-change — filter-heavy single-table agg;
+    every predicate reaches the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", scale=6))
+    )
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: every-10th-frame sampling policy.
+
+    Frame count is derived deterministically from payload size (a real
+    video would get it from the container header — that decode is the
+    stubbed step, see llm_multimodal.decode_image)."""
+    for pdf in batches:
+        n_frames = (pdf["payload"].map(len) // 256).astype("int64")
+        out_ids, out_idx = [], []
+        for doc_id, n in zip(pdf["doc_id"], n_frames):
+            for i in range(0, int(n), 10):
+                out_ids.append(doc_id)
+                out_idx.append(i)
+        yield pd.DataFrame({"doc_id": pd.Series(out_ids, dtype="int64"),
+                            "frame_idx": pd.Series(out_idx, dtype="int64")})
+
+
+@query(
+    "multimodal_frame_sample",
+    category="llm_multimodal",
+    oracle=(
+        "SELECT doc_id, CAST(unnest(range(0, octet_length(CAST(text AS BLOB)) // 256, 10)) AS BIGINT) AS frame_idx "
+        "FROM documents WHERE octet_length(CAST(text AS BLOB)) // 256 > 0"
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: binary payload -> mapInPandas ->
+    one row per sampled frame (1-row -> N-rows through the Arrow path)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(_sample_frames, schema="doc_id long, frame_idx long")

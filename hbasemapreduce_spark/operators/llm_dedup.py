@@ -43,12 +43,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash", category="llm_dedup", oracle=None)  # rows-only: LSH banding
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via MinHash-LSH over 3-token shingles."""
+    """Near-dup pairs via MinHash-LSH over token sets.
+
+    Unit choice: this corpus's near-duplicates are token-SHUFFLED
+    (verified: pairs with token-set Jaccard 0.83-0.97 have 3-token
+    shingle Jaccard ~0), so order-sensitive shingles would miss them —
+    unigram sets are the right unit here.  For long natural text,
+    switch ``tokens()`` to ``token_shingles()`` (both supported by
+    functions/minhash.minhash_pairs)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_shingles().alias("shingles")
-    ).filter(F.size("shingles") > 0)
+        "doc_id", tokens().alias("toks")
+    ).filter(F.size("toks") > 0)
+    # 8 bands x 8 rows: S-curve midpoint (1/8)^(1/8) ~ 0.77, tuned to the
+    # 0.8 near-dup threshold — mid-similarity pairs (common here: tiny
+    # vocabulary) rarely become candidates, so the verify join stays
+    # small at scale.
     return minhash_pairs(
-        docs, id_col="doc_id", items_col="shingles", jaccard_threshold=0.5
+        docs, id_col="doc_id", items_col="toks",
+        n_hashes=64, n_bands=8, jaccard_threshold=0.8,
     )
 
 

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "hbasemapreduce_spark.operators.llm_similarity",
     "hbasemapreduce_spark.operators.llm_multimodal",
     "hbasemapreduce_spark.operators.udx",
+    "hbasemapreduce_spark.operators.extras",
 ]
 
 
