@@ -19,6 +19,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def expand_bag(
+    df: DataFrame, *, id_col: str, tokens_col: str, out_col: str = "items"
+) -> DataFrame:
+    """(id, array<token>) -> (id, array<'token#k'>): the k-th occurrence
+    of a token becomes the distinct element 'token#k', so SET operations
+    on the output (minhash, array_intersect) compute MULTISET (bag)
+    semantics on the input.  Bag Jaccard is the discriminating signal
+    when the vocabulary is small relative to document length — token
+    SETS saturate (every long doc contains most words) while counts
+    still separate shuffled near-duplicates from accidental overlap.
+
+    Formulation is explode -> count per (id, token) -> re-explode ->
+    collect_list: hash aggregates and generators only, all codegen'd —
+    no O(len^2) per-row interpreted prefix-count lambdas.
+    """
+    counts = (
+        df.select(F.col(id_col).alias(id_col), F.explode(tokens_col).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.select(
+            id_col,
+            F.explode(F.expr("transform(sequence(1, c), k -> concat(tok, '#', k))")).alias("it"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("it").alias(out_col))
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     *,
