@@ -1,0 +1,284 @@
+"""Training-data-pipeline operators beyond the §2.9 core: sampling,
+repetition/LM scoring, contamination checks, skew-safe aggregation,
+and extra sink formats.
+
+Design rules shared by every operator here:
+- deterministic at any partition count/cluster size (multiplicative
+  integer hashing instead of rand(); integer or decimal aggregates);
+- the only joins against "small" relations are broadcast
+  (benchmark-gram set, vocabulary frequency table — both bounded by
+  content, not corpus size);
+- no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens
+from ..registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
+)
+
+# Knuth multiplicative hash: deterministic, engine-portable (plain
+# bigint arithmetic — unlike rand(seed), identical in DuckDB), and
+# uncorrelated with key order, so samples are unbiased even on sorted
+# ids.  doc_id * K stays far below 2^63 at any realistic id range.
+_KNUTH = 2654435761
+
+
+@query(
+    "sample_stratified",
+    category="pipeline",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE (doc_id * {_KNUTH}) % 100 < "
+        "(CASE WHEN lang = 'en' THEN 10 ELSE 30 END)"
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: 10% of 'en' docs (the
+    majority class), 30% of everything else — the class-rebalancing
+    shape of training-data curation.  Hash-based membership means the
+    sample is reproducible across engines, runs, and cluster sizes,
+    and composes with incremental ingestion (a doc's membership never
+    changes when other docs arrive)."""
+    rate = F.when(F.col("lang") == "en", 10).otherwise(30)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id") * _KNUTH, F.lit(100)) < rate)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "text_repetition",
+    category="pipeline",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "per AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2) "
+        "SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS max_tok_cnt, "
+        "1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_ratio "
+        "FROM per GROUP BY doc_id"
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition features for quality filtering: token count, distinct
+    count, the most-repeated token's count, duplicate-token ratio.
+    One explode + one hash aggregate per level; int/int division only
+    at the end (deterministic)."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_tok_cnt"),
+        (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias("dup_ratio"),
+    )
+
+
+@query(
+    "text_unigram_lm",
+    category="pipeline",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "freq AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY 1) "
+        "SELECT tok.doc_id, SUM(freq.cf) AS sum_tok_freq, COUNT(*) AS n_tokens, "
+        "CAST(SUM(freq.cf) AS DOUBLE) / COUNT(*) AS avg_tok_freq "
+        "FROM tok JOIN freq USING (token) GROUP BY tok.doc_id"
+    ),
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM-style rarity scoring: corpus term frequencies joined
+    back onto every token occurrence, aggregated per doc.  The
+    frequency table is vocabulary-sized (content-bounded, not
+    corpus-bounded) -> broadcast; the 100 TB side is never shuffled.
+    Integer sums keep the oracle hash exact; the avg is one int/int
+    division at the end."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens()).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cf").alias("sum_tok_freq"),
+            F.count("*").alias("n_tokens"),
+            (F.sum("cf").cast("double") / F.count("*")).alias("avg_tok_freq"),
+        )
+    )
+
+
+@query(
+    "text_length_histogram",
+    category="pipeline",
+    oracle=(
+        "SELECT len(string_split(text, ' ')) // 10 AS bucket, COUNT(*) AS cnt, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents GROUP BY 1"
+    ),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length histogram (10-token buckets) — corpus shape at a
+    glance; integer bucketing, fully exact, one hash aggregate."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy((F.floor(F.size(tokens()) / 10)).alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_GRAM_N = 5
+
+
+def _grams(df: DataFrame) -> DataFrame:
+    """doc_id + exploded DISTINCT 5-gram strings per doc."""
+    g = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {_GRAM_N - 1}, 0)), "
+        f"i -> array_join(slice(split(text, ' '), i, {_GRAM_N}), ' '))"
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(g)).alias("gram"))
+
+
+@query(
+    "contamination_ngram",
+    category="pipeline",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), "
+        "grams AS (SELECT DISTINCT doc_id, source, "
+        "  unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS gram "
+        "  FROM toks), "
+        "bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'), "
+        "corpus AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0') "
+        "SELECT c.doc_id, COUNT(*) AS n_grams, "
+        "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit, "
+        "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
+        "AS containment "
+        "FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id"
+    ),
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: 5-gram containment of every
+    corpus doc (source != 'src0') against the benchmark set's (src0)
+    distinct 5-grams.  The benchmark gram set is bounded by benchmark
+    size, not corpus size -> broadcast; the corpus-side explode is
+    embarrassingly parallel and never shuffles the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        _grams(docs.filter(F.col("source") == "src0"))
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = _grams(docs.filter(F.col("source") != "src0"))
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*")
+            ).alias("containment"),
+        )
+    )
+
+
+@query(
+    "agg_salted_twophase",
+    category="pipeline",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT event_type) AS n_types "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: explicit salt -> partial agg on
+    (user_id, salt) -> final agg on user_id.  Result is identical to
+    the plain GROUP BY (the oracle proves it); the point is the shape:
+    when one user owns 10% of 100 TB of events, the salted first phase
+    spreads that key over 16 reducers instead of melting one.  (AQE
+    skew handling covers joins; aggregation skew still wants this.)
+    countDistinct survives salting because phase 1 keeps the distinct
+    sets disjoint per salt: distinct (event_type) collected per
+    (user_id, salt) never double-counts across salts for SUM of
+    per-salt distincts only if types don't repeat across salts — so
+    phase 1 dedups (user_id, event_type) pairs instead, which is the
+    standard exact-distinct rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("user_id", "salt").agg(F.count("*").alias("c"))
+    counts = phase1.groupBy("user_id").agg(F.sum("c").alias("n_events"))
+    # exact distinct under skew: dedup pairs first (spreads by type),
+    # then count per user
+    types = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_types"))
+    )
+    return counts.join(types, "user_id")
+
+
+@query(
+    "sink_orc",
+    category="scan",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: second columnar format, same
+    predicate-pushdown/column-pruning story as parquet."""
+    from ..functions.determinism import dec_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_SCRATCH, f"sink_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"), dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "sink_json_lines",
+    category="scan",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip with an explicit read schema
+    (schema-on-read, no inference pass — inference would re-scan 100 TB).
+    Timestamps are excluded from the payload by design: JSON round-trips
+    of timestamps are the classic cross-engine drift source."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_SCRATCH, f"sink_json_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").json(out)
+    typed = spark.read.schema("o_orderkey LONG, o_orderpriority STRING").json(out)
+    return typed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"), F.min("o_orderkey").alias("min_key")
+    )
