@@ -179,3 +179,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return docs.mapInPandas(_sample_frames, schema="doc_id long, frame_idx long")
+
+
+@query(
+    "join_bucketed",
+    category="join",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS cnt, "
+        "COUNT(DISTINCT c_nationkey) AS n_nations "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY o_orderstatus"
+    ),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides bucketBy(8) on
+    the join key -> the sort-merge join reads pre-bucketed files with
+    NO Exchange on either side (verified in tests/test_plans.py).
+
+    This is THE 100 TB pattern for a fact table joined repeatedly on
+    the same key: pay the bucketing shuffle once at ingest, then every
+    subsequent join (and groupBy on the key) is shuffle-free.  The
+    write-then-join here compresses ingest + query into one driver
+    call so the driver can check it end-to-end.
+    """
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    orders_t, cust_t = f"b_orders_{sfx}", f"b_customer_{sfx}"
+    # A managed table's directory outlives the in-memory catalog that
+    # knew about it (fresh session -> LOCATION_ALREADY_EXISTS): drop
+    # from the catalog AND clear the stale location before writing.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (orders_t, cust_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .format("parquet")
+        .saveAsTable(orders_t)
+    )
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .format("parquet")
+        .saveAsTable(cust_t)
+    )
+    o, c = spark.table(orders_t), spark.table(cust_t)
+    # MERGE hint: at toy scale Catalyst would broadcast the small side,
+    # hiding the thing this operator demonstrates — the bucketed
+    # sort-merge join that needs no Exchange (and at 100 TB neither
+    # side of a fact-fact join is broadcastable anyway).
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )

@@ -114,3 +114,40 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ng")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "udtf_python",
+    category="udx",
+    oracle=(
+        "SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, "
+        "unnest(string_split(text, ' ')) AS token FROM documents"
+    ),
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Spark 4 Python UDTF (table function class with eval()
+    yielding rows) — the escape hatch for one-row -> N-rows logic that
+    array expressions can't express.  Positional tokenization here so
+    the oracle stays SQL-checkable (DuckDB zips parallel unnests).
+
+    Scale note: Python UDTFs are row-at-a-time on the Python side —
+    correct tool for complex per-row expansion, wrong tool for a hot
+    path a builtin explode can serve (udtf_explode_like shows that
+    preferred form).  Defined lazily: udtf() needs an active session.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: long, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("pipeline_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM _udtf_docs d, "
+        "LATERAL pipeline_tokenize(d.text) t"
+    )
