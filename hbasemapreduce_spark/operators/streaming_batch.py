@@ -153,3 +153,31 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts_us", "event_type")
     )
+
+
+@query(
+    "stream_stateful",
+    category="stream",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "COUNT(DISTINCT event_type) AS n_types, "
+        "epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS last_ts_us "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile (count, distinct types, last-seen) —
+    the batch form of a CUSTOM STATEFUL streaming operator.  The
+    streaming twin (streaming/mirrors.py `stateful`) computes the same
+    aggregate with ``applyInPandasWithState``: explicit per-key state
+    carried across micro-batches, which is the escape hatch when the
+    built-in windowed aggregates can't express the state machine."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.unix_micros(F.max(_ts())).alias("last_ts_us"),
+        )
+    )

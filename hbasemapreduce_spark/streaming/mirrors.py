@@ -132,3 +132,58 @@ def run_mirror_to_memory(
     )
     q.awaitTermination(300)
     return spark.table(sink)
+
+
+def stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    (n_events, distinct types, last-seen micros) carried in explicit
+    state across micro-batches.
+
+    State schema holds the running count, the distinct-type set as a
+    sorted comma-joined string (state fields must be SQL types, not
+    Python sets), and the max event-time micros.  Watermark-less NoTimeout
+    state: the per-user profile is lifetime state by design; a
+    production deployment with unbounded keys would use TTL state
+    (``GroupStateTimeout.ProcessingTimeTimeout``) or event-time TTL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_profile(key, pdfs, state: GroupState):
+        if state.exists:
+            n, types_csv, last_us = state.get
+            types = set(types_csv.split(",")) if types_csv else set()
+        else:
+            n, types, last_us = 0, set(), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            types.update(pdf["event_type"].dropna().tolist())
+            if len(pdf):
+                # normalize to micros regardless of the pandas datetime
+                # unit Arrow hands over (ns here, us elsewhere)
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(ts_us.max()))
+        state.update((n, ",".join(sorted(types)), last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_types": [len(types)],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    return (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_profile,
+            outputStructType="user_id long, n_events long, n_types long, last_ts_us long",
+            stateStructType="n long, types_csv string, last_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MIRRORS["stream_stateful"] = stateful

@@ -31,3 +31,14 @@ def test_stream_dedup_append(spark):
     got = run_mirror_to_memory(spark, SF_DIR, "stream_dedup", output_mode="append")
     batch_n = all_specs()["stream_dedup"].fn(spark, SF_DIR).count()
     assert got.count() == batch_n
+
+
+def test_stream_stateful_matches_batch(spark):
+    # applyInPandasWithState profile must agree with the batch aggregate
+    # (single availableNow pass: every user's final update is its only
+    # update in the memory sink).
+    got = run_mirror_to_memory(spark, SF_DIR, "stream_stateful", output_mode="update")
+    batch = all_specs()["stream_stateful"].fn(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
