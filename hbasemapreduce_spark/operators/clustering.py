@@ -1,0 +1,91 @@
+"""Duplicate-cluster assignment: connected components over verified
+near-dup pairs — the step that turns pairwise dedup output into an
+actionable keep/drop decision (keep cluster_id = min doc_id, drop the
+rest).
+
+Algorithm: iterative min-label propagation to a fixpoint, the
+DataFrame-native core of the large-star/small-star method (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+literature).  Each round is one equi-join + one aggregate; rounds
+needed = component diameter (near-dup clusters are shallow — single
+digits).  ``localCheckpoint`` truncates lineage so plans don't grow
+across iterations; convergence is a driver-side count, the only
+driver round-trip per iteration.
+
+The edge set is the EXACT (oracle-checked) blocked-Jaccard pair list,
+so the DuckDB oracle can rebuild identical clusters with a recursive
+CTE over the same pairs — an iterative Spark algorithm with a full
+value-hash oracle, not just a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .llm_dedup import dedup_ngram_jaccard
+
+# the dedup_ngram_jaccard oracle, minus the projection — single source
+# for the edge set on the DuckDB side
+_PAIRS_SQL = (
+    "WITH d AS (SELECT doc_id, lang, "
+    "           list_distinct(string_split(text, ' ')) AS toks, "
+    "           len(string_split(text, ' ')) AS n_toks "
+    "           FROM documents), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM d a JOIN d b "
+    "ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+    "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8)"
+)
+
+
+@query(
+    "dedup_clusters",
+    category="llm_dedup",
+    oracle=(
+        "WITH RECURSIVE "
+        + _PAIRS_SQL[5:]  # strip the leading "WITH " (merged into RECURSIVE)
+        + ", e AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "          UNION ALL SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS id FROM e), "
+        "reach AS (SELECT id, id AS r FROM nodes "
+        "          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id) "
+        "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in a near-dup pair; cluster_id
+    = smallest doc_id in the connected component."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    for _ in range(20):  # diameter guard; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -244,3 +244,79 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_nationkey").alias("n_nations"),
         )
     )
+
+
+@query(
+    "tpch_q5",
+    category="join",
+    oracle=(
+        "SELECT n_name, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY n_name"
+    ),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue — the full 6-table star.
+    The fact table (lineitem) joins four broadcast dims plus orders;
+    the c_nationkey = s_nationkey constraint lands as a join filter,
+    not a cross product.  Decimal-sandwich revenue at scale 6 (exact
+    for products of 2-dp inputs)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            nation,
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue", scale=6))
+    )
+
+
+@query(
+    "agg_pivot",
+    category="agg",
+    oracle=(
+        "SELECT user_id, "
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type counts as columns per user.  The value list is
+    PINNED — without it Spark runs an extra distinct-collect job over
+    the full table just to discover the columns (and the output schema
+    becomes data-dependent, which no stable consumer wants).  Absent
+    (user, type) combos pivot to null -> filled to 0 to match the
+    conditional-sum semantics."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
