@@ -320,3 +320,52 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "purchase", "view"])
     )
+
+
+@query("agg_sketch_hll", category="agg", oracle=None)  # rows-only: sketch estimates
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches builtins): per-type
+    user-cardinality sketches unioned into a total — the 100 TB pattern
+    where per-partition/per-day sketches are stored once and merged at
+    query time instead of re-scanning raw data.  Estimates are
+    engine-specific -> rows-only; tests/test_properties.py bounds the
+    error against the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("approx_users"),
+        "exact_users",
+    ).unionByName(
+        per_type.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_users")
+        ).select(
+            F.lit("__all__").alias("event_type"),
+            "approx_users",
+            F.lit(None).cast("long").alias("exact_users"),
+        )
+    )
+
+
+@query(
+    "win_ntile",
+    category="window",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile "
+        "FROM orders"
+    ),
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per status group — ntile needs a TOTAL order
+    (tie-break on o_orderkey) or bucket boundaries are partition-order
+    dependent and no two engines agree."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile")
+    )

@@ -91,3 +91,13 @@ def test_wordcount_total_equals_token_count(spark):
 def test_sim_topk_exactly_k(spark):
     counts = q(spark, "sim_cosine_topk").groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_hll_sketch_error_bounded(spark):
+    rows = SPECS["agg_sketch_hll"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        if r.event_type == "__all__":
+            continue
+        # lgConfigK=12 default: relative error ~1.6% at 3 sigma; these
+        # cardinalities are small enough that estimates are near-exact
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users), r
