@@ -282,3 +282,107 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"), F.min("o_orderkey").alias("min_key")
     )
+
+
+@query(
+    "join_salted",
+    category="pipeline",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_events "
+        "FROM events JOIN customer ON (user_id % 150) + 1 = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN: the big (events) side gets a random-ish salt from
+    its row identity; the small (customer) side is replicated once per
+    salt value; the join key becomes (key, salt).  Result identical to
+    the plain join (the oracle proves it) — the point is that one hot
+    user's rows land on 16 reducers instead of one.  This is the
+    pre-AQE manual pattern; AQE's skew-join split covers sort-merge
+    joins, but salting still matters when the skew is in a
+    hash-partitioned stateful op or AQE can't see the stats.
+    (user_id % 150 + 1 = c_custkey is the testdata's synthetic
+    event->customer key, same as join_asof.)"""
+    n_salt = 16
+    ev = load_table(spark, sf_dir, "events").select(
+        ((F.col("user_id") % 150) + 1).alias("k"),
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).alias("salt"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"), "c_mktsegment")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    return (
+        ev.join(cust, ["k", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --- flagship composition: end-to-end corpus curation ----------------
+
+_CURATE_SQL = (
+    # quality gate: length in [20, 95] tokens, dup-token ratio <= 0.72
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+    "per AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+    "rep AS (SELECT doc_id, SUM(c) AS n_tokens, "
+    "        1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_ratio FROM per GROUP BY doc_id), "
+    "quality AS (SELECT doc_id FROM rep WHERE n_tokens BETWEEN 20 AND 95 AND dup_ratio <= 0.72), "
+    # dedup gate: exact blocked-Jaccard pairs -> connected components -> keep min id
+    "d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks, "
+    "      len(string_split(text, ' ')) AS n_toks FROM documents), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a JOIN d b "
+    "ON a.lang = b.lang AND a.n_toks = b.n_toks AND a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
+    "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8), "
+    "e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs), "
+    "nodes AS (SELECT DISTINCT a AS id FROM e), "
+    "reach AS (SELECT id, id AS r FROM nodes "
+    "          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id), "
+    "comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id), "
+    "dropped_dups AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id) "
+    # final: quality-passing, non-duplicate, hash-sampled 50%
+    "SELECT q.doc_id, docs.lang FROM quality q "
+    "JOIN documents docs USING (doc_id) "
+    "WHERE q.doc_id NOT IN (SELECT doc_id FROM dropped_dups) "
+    f"AND (q.doc_id * {_KNUTH}) % 100 < 50"
+)
+
+
+@query(
+    "pipeline_curate",
+    category="pipeline",
+    oracle="WITH RECURSIVE " + _CURATE_SQL[5:],
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation: quality gate (length + repetition)
+    -> near-dup removal (keep each cluster's min doc_id, via the
+    oracle-checked connected-components operator) -> deterministic 50%
+    hash sample.  Composed entirely from this package's operators, and
+    the WHOLE pipeline is still one oracle-checkable dataflow.
+
+    Scale shape: two explode+agg passes over the corpus (quality), the
+    blocked pair join (dedup), a broadcast-able drop-list anti-join,
+    and a stateless hash filter — no collects except the
+    connected-components convergence counts."""
+    from .clustering import dedup_clusters
+    from .llm_text import tokens as _  # noqa: F401  (doc pointer)
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text_repetition(spark, sf_dir)
+    quality = rep.filter(
+        (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 95) & (F.col("dup_ratio") <= 0.72)
+    ).select("doc_id")
+    dropped = (
+        dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        quality.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .filter(F.pmod(F.col("doc_id") * _KNUTH, F.lit(100)) < 50)
+        .select("doc_id", "lang")
+    )
