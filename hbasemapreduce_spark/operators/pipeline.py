@@ -368,7 +368,6 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a stateless hash filter — no collects except the
     connected-components convergence counts."""
     from .clustering import dedup_clusters
-    from .llm_text import tokens as _  # noqa: F401  (doc pointer)
 
     docs = load_table(spark, sf_dir, "documents")
     rep = text_repetition(spark, sf_dir)

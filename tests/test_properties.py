@@ -101,3 +101,17 @@ def test_hll_sketch_error_bounded(spark):
         # lgConfigK=12 default: relative error ~1.6% at 3 sigma; these
         # cardinalities are small enough that estimates are near-exact
         assert abs(r.approx_users - r.exact_users) <= max(3, 0.05 * r.exact_users), r
+
+
+def test_expand_bag_multiset_semantics(spark):
+    from hbasemapreduce_spark.functions.minhash import expand_bag
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a", "a"]), (3, ["a", "b", "b"])],
+        "id long, toks array<string>",
+    )
+    bags = {r.id: sorted(r.items) for r in expand_bag(df, id_col="id", tokens_col="toks").collect()}
+    # multiset identity is order-insensitive: 1 and 2 are the same bag
+    assert bags[1] == bags[2] == ["a#1", "a#2", "b#1"]
+    # different multiplicities -> different elements, same sizes
+    assert bags[3] == ["a#1", "b#1", "b#2"]
