@@ -111,3 +111,26 @@ def test_unigram_lm_broadcasts_vocabulary(spark):
 def test_contamination_broadcasts_benchmark(spark):
     plan = plan_of(spark, "contamination_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_eval_outside_udx_multimodal(spark):
+    # Python (even Arrow-batched) belongs only where semantics demand
+    # it; everywhere else the plan must stay inside the JVM.
+    allowed = {"udx", "llm_multimodal"}
+    offenders = []
+    for key, s in all_specs().items():
+        if s.category in allowed:
+            continue
+        if "EvalPython" in plan_of(spark, key):
+            offenders.append(key)
+    assert not offenders, f"Python in the hot path: {offenders}"
+
+
+def test_no_cartesian_product_anywhere(spark):
+    # A CartesianProduct node is O(n*m) with full materialization —
+    # never acceptable; even the brute-force cosine top-k must be a
+    # broadcast nested loop, not a shuffle cartesian.
+    offenders = [
+        key for key in all_specs() if "CartesianProduct" in plan_of(spark, key)
+    ]
+    assert not offenders, f"cartesian products: {offenders}"
