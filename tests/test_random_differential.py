@@ -106,3 +106,46 @@ def test_minhash_bag_pairs_precision_and_planted_recall(spark):
     for i in range(10):
         if _bag_jaccard(texts[i], texts[100 + i]) >= 0.8:
             assert (i, 100 + i) in found, i
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _GAP_US = 1_000_000  # 1s sessions keep generated examples interesting
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # user
+                st.integers(min_value=0, max_value=30_000_000),  # ts_us
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_sessionize_properties(spark, events):
+        from hbasemapreduce_spark.functions.sessionize import sessionize
+
+        rows = [(u, t, i) for i, (u, t) in enumerate(events)]
+        df = spark.createDataFrame(rows, "user_id long, ts_us long, event_id long")
+        out = sessionize(df, gap_us=_GAP_US).collect()
+        # reference: per-user sort by (ts, id), gap > threshold starts a session
+        by_user = {}
+        for r in sorted(out, key=lambda r: (r.user_id, r.ts_us, r.event_id)):
+            by_user.setdefault(r.user_id, []).append(r)
+        assert sum(len(v) for v in by_user.values()) == len(rows)  # partition
+        for rs in by_user.values():
+            expect = 0
+            prev_t = None
+            for r in rs:
+                if prev_t is None or r.ts_us - prev_t > _GAP_US:
+                    expect += 1
+                assert r.sess_id == expect, (r, expect)  # exact session numbering
+                prev_t = r.ts_us
