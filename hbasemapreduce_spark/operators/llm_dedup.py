@@ -59,7 +59,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     8 bands x 16 rows (128 perms): midpoint (1/8)^(1/16) ~ 0.88;
     background (J<=0.7) passes a band at <= 0.7^16 ~ 3e-3, planted
-    dups (J~0.99) at 0.99^16 ~ 0.85 per band -> recall ~100%."""
+    dups (J~0.99) at 0.99^16 ~ 0.85 per band -> recall ~100%.
+
+    Tuning note (measured at sf0.1): 64 perms x 4 bands is 2.7x faster
+    cold (the 128-accumulator aggregate's codegen compile dominates a
+    fresh session) but drops 1 of 256 boundary pairs.  Compile cost
+    amortizes to zero on a long-lived cluster job; recall doesn't —
+    so the wide signature is the default."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens().alias("toks")
     ).filter(F.size("toks") > 0)
