@@ -385,3 +385,96 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.pmod(F.col("doc_id") * _KNUTH, F.lit(100)) < 50)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "profile_table",
+    category="pipeline",
+    oracle=(
+        "SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n_nonnull, "
+        "COUNT(DISTINCT l_quantity) AS n_distinct, "
+        "CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v "
+        "FROM lineitem "
+        "UNION ALL SELECT 'l_extendedprice', COUNT(l_extendedprice), "
+        "COUNT(DISTINCT l_extendedprice), "
+        "CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT 'l_discount', COUNT(l_discount), COUNT(DISTINCT l_discount), "
+        "CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT 'l_tax', COUNT(l_tax), COUNT(DISTINCT l_tax), "
+        "CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE) FROM lineitem"
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the ANALYZE TABLE pattern): non-null
+    count, exact distinct, min, max for each numeric column — computed
+    in a SINGLE scan+aggregate (all accumulators side by side), then
+    unpivoted to one row per column.  The naive per-column loop would
+    scan the table N times; this shape is what table-stats collection
+    at 100 TB has to look like."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_nonnull, n_distinct, min_v, max_v)"
+        )
+    )
+
+
+@query(
+    "etl_upsert",
+    category="pipeline",
+    oracle=(
+        "WITH updates AS (SELECT o_orderkey, o_custkey, "
+        "  CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,6)) AS DOUBLE) AS o_totalprice "
+        "  FROM orders WHERE o_orderkey % 10 = 0), "
+        "inserts AS (SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_totalprice "
+        "  FROM orders WHERE o_orderkey % 100 = 0) "
+        "SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey, "
+        "COALESCE(u.o_custkey, b.o_custkey) AS o_custkey, "
+        "COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice "
+        "FROM orders b FULL OUTER JOIN "
+        "(SELECT * FROM updates UNION ALL SELECT * FROM inserts) u "
+        "USING (o_orderkey)"
+    ),
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse format: base FULL OUTER
+    JOIN changeset on the key, changeset wins per column.  Derived here
+    from the base table itself (10% price-bumped updates + synthetic
+    inserts) so the result is oracle-checkable.  One shuffle on the
+    merge key; at scale, partition/bucket both sides on the key so the
+    rewrite only touches affected partitions (the Hive/Iceberg
+    copy-on-write shape)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice",
+        # scale 6, not 2: 2-dp x 1.1 products land exactly on .5 at scale
+        # 2 (e.g. 264802.55 * 1.1 = 291282.805) where Spark rounds the
+        # shortest decimal repr and DuckDB the binary value — scale 6
+        # represents the product exactly on both engines
+        (F.col("o_totalprice") * 1.1).cast("decimal(18,6)").cast("double"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 1000000
+    )
+    chg = updates.unionByName(inserts).alias("u")
+    b = base.alias("b")
+    return b.join(chg, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+    )
