@@ -55,23 +55,25 @@ def main() -> None:
     for key, spec in specs.items():
         t = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t, 4)
+        timings[key] = round(time.perf_counter() - t, 3)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "n_queries": len(timings),
-                "startup_sec": round(startup, 2),
-            }
-        )
+    # One COMPACT line: the driver captures only a tail of stdout (r1 lost
+    # the head of a ~4 KB pretty line -> "parsed": null), so no spaces.
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf else None,
+            "n_queries": len(timings),
+            "startup_sec": round(startup, 2),
+        },
+        separators=(",", ":"),
     )
+    print(line)
     spark.stop()
 
 

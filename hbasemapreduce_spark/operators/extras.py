@@ -27,7 +27,7 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.
 
 
 @query(
-    "source_csv",
+    "x_source_csv",
     category="scan",
     oracle=(
         "SELECT o_orderpriority, COUNT(*) AS cnt, "
@@ -62,7 +62,7 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_grouping_sets",
+    "x_agg_grouping_sets",
     category="agg",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
@@ -83,7 +83,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "tpch_q3",
+    "x_tpch_q3",
     category="join",
     oracle=(
         "SELECT l_orderkey, "
@@ -121,7 +121,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "tpch_q6",
+    "x_tpch_q6",
     category="agg",
     oracle=(
         "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
@@ -165,7 +165,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 @query(
-    "multimodal_frame_sample",
+    "x_multimodal_frame_sample",
     category="llm_multimodal",
     oracle=(
         "SELECT doc_id, CAST(unnest(range(0, octet_length(CAST(text AS BLOB)) // 256, 10)) AS BIGINT) AS frame_idx "
@@ -182,7 +182,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_bucketed",
+    "x_join_bucketed",
     category="join",
     oracle=(
         "SELECT o_orderstatus, COUNT(*) AS cnt, "
@@ -247,7 +247,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "tpch_q5",
+    "x_tpch_q5",
     category="join",
     oracle=(
         "SELECT n_name, "
@@ -296,13 +296,13 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_pivot",
+    "x_agg_pivot",
     category="agg",
     oracle=(
         "SELECT user_id, "
-        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, "
-        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase, "
-        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view "
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, "
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view "
         "FROM events GROUP BY user_id"
     ),
 )
@@ -322,7 +322,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_sketch_hll", category="agg", oracle=None)  # rows-only: sketch estimates
+@query("x_agg_sketch_hll", category="agg", oracle=None)  # rows-only: sketch estimates
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches builtins): per-type
     user-cardinality sketches unioned into a total — the 100 TB pattern
@@ -351,7 +351,7 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "win_ntile",
+    "x_win_ntile",
     category="window",
     oracle=(
         "SELECT o_orderkey, o_orderstatus, "

@@ -76,7 +76,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", category="llm_dedup", oracle=None)  # rows-only: banded fingerprint
+@query("x_dedup_simhash", category="llm_dedup", oracle=None)  # rows-only: banded fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via 64-bit SimHash, hamming distance <= 3."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -86,7 +86,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_ngram_jaccard",
+    "x_dedup_ngram_jaccard",
     category="llm_dedup",
     oracle=(
         "WITH d AS (SELECT doc_id, lang, "
@@ -129,7 +129,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dedup_embedding",
+    "x_dedup_embedding",
     category="llm_dedup",
     oracle=(
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "

@@ -75,7 +75,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_binary_stats",
+    "x_multimodal_binary_stats",
     category="llm_multimodal",
     oracle=(
         "SELECT doc_id, "

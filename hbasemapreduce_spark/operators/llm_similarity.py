@@ -49,7 +49,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=_K)
 
 
-@query("sim_ann_lsh", category="llm_sim", oracle=None)  # rows-only: ANN is approximate
+@query("x_sim_ann_lsh", category="llm_sim", oracle=None)  # rows-only: ANN is approximate
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 8-plane LSH bucket join + exact rerank.
 

@@ -23,7 +23,7 @@ from ..registry import query
     "text_stats",
     category="llm_text",
     oracle=(
-        "WITH per AS (SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+        "WITH per AS (SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
         "             FROM documents GROUP BY 1, 2), "
         "tok AS (SELECT lang, source, COUNT(DISTINCT token) AS n_distinct_tokens FROM "
         "        (SELECT lang, source, unnest(string_split(text, ' ')) AS token FROM documents) "
@@ -80,7 +80,7 @@ def text_tf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_tokencount",
+    "x_text_tokencount",
     category="llm_text",
     oracle=(
         "SELECT doc_id, "
@@ -104,7 +104,7 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
 @query(
-    "text_quality",
+    "x_text_quality",
     category="llm_text",
     oracle=(
         "SELECT doc_id, n_chars, "
@@ -132,7 +132,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_fingerprint",
+    "x_text_fingerprint",
     category="llm_text",
     oracle="SELECT doc_id, md5(text) AS fp FROM documents",
 )
@@ -142,7 +142,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
 
 
-@query("text_langid", category="llm_text", oracle=None)  # rows-only: data-derived profiles
+@query("x_text_langid", category="llm_text", oracle=None)  # rows-only: data-derived profiles
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-profile language ID.
 

@@ -34,7 +34,7 @@ _KNUTH = 2654435761
 
 
 @query(
-    "sample_stratified",
+    "x_sample_stratified",
     category="pipeline",
     oracle=(
         "SELECT doc_id, lang FROM documents "
@@ -58,12 +58,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_repetition",
+    "x_text_repetition",
     category="pipeline",
     oracle=(
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
         "per AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2) "
-        "SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS max_tok_cnt, "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS max_tok_cnt, "
         "1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_ratio "
         "FROM per GROUP BY doc_id"
     ),
@@ -88,12 +88,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_unigram_lm",
+    "x_text_unigram_lm",
     category="pipeline",
     oracle=(
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
         "freq AS (SELECT token, COUNT(*) AS cf FROM tok GROUP BY 1) "
-        "SELECT tok.doc_id, SUM(freq.cf) AS sum_tok_freq, COUNT(*) AS n_tokens, "
+        "SELECT tok.doc_id, CAST(SUM(freq.cf) AS BIGINT) AS sum_tok_freq, COUNT(*) AS n_tokens, "
         "CAST(SUM(freq.cf) AS DOUBLE) / COUNT(*) AS avg_tok_freq "
         "FROM tok JOIN freq USING (token) GROUP BY tok.doc_id"
     ),
@@ -121,7 +121,7 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_length_histogram",
+    "x_text_length_histogram",
     category="pipeline",
     oracle=(
         "SELECT len(string_split(text, ' ')) // 10 AS bucket, COUNT(*) AS cnt, "
@@ -156,7 +156,7 @@ def _grams(df: DataFrame) -> DataFrame:
 
 
 @query(
-    "contamination_ngram",
+    "x_contamination_ngram",
     category="pipeline",
     oracle=(
         "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), "
@@ -166,7 +166,7 @@ def _grams(df: DataFrame) -> DataFrame:
         "bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'), "
         "corpus AS (SELECT doc_id, gram FROM grams WHERE source <> 'src0') "
         "SELECT c.doc_id, COUNT(*) AS n_grams, "
-        "SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit, "
+        "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, "
         "CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) "
         "AS containment "
         "FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id"
@@ -200,7 +200,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_salted_twophase",
+    "x_agg_salted_twophase",
     category="pipeline",
     oracle=(
         "SELECT user_id, COUNT(*) AS n_events, "
@@ -237,7 +237,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sink_orc",
+    "x_sink_orc",
     category="scan",
     oracle=(
         "SELECT o_orderstatus, COUNT(*) AS cnt, "
@@ -263,7 +263,7 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sink_json_lines",
+    "x_sink_json_lines",
     category="scan",
     oracle=(
         "SELECT o_orderpriority, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key "
@@ -285,7 +285,7 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_salted",
+    "x_join_salted",
     category="pipeline",
     oracle=(
         "SELECT c_mktsegment, COUNT(*) AS n_events "
@@ -327,7 +327,7 @@ _CURATE_SQL = (
     # quality gate: length in [20, 95] tokens, dup-token ratio <= 0.72
     "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
     "per AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
-    "rep AS (SELECT doc_id, SUM(c) AS n_tokens, "
+    "rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
     "        1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_ratio FROM per GROUP BY doc_id), "
     "quality AS (SELECT doc_id FROM rep WHERE n_tokens BETWEEN 20 AND 95 AND dup_ratio <= 0.72), "
     # dedup gate: exact blocked-Jaccard pairs -> connected components -> keep min id
@@ -352,7 +352,7 @@ _CURATE_SQL = (
 
 
 @query(
-    "pipeline_curate",
+    "x_pipeline_curate",
     category="pipeline",
     oracle="WITH RECURSIVE " + _CURATE_SQL[5:],
 )
@@ -388,7 +388,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "profile_table",
+    "x_profile_table",
     category="pipeline",
     oracle=(
         "SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n_nonnull, "
@@ -433,7 +433,7 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "etl_upsert",
+    "x_etl_upsert",
     category="pipeline",
     oracle=(
         "WITH updates AS (SELECT o_orderkey, o_custkey, "

@@ -156,7 +156,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_stateful",
+    "x_stream_stateful",
     category="stream",
     oracle=(
         "SELECT user_id, COUNT(*) AS n_events, "

@@ -117,7 +117,7 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "udtf_python",
+    "x_udtf_python",
     category="udx",
     oracle=(
         "SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS pos, "

@@ -186,4 +186,4 @@ def stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIRRORS["stream_stateful"] = stateful
+MIRRORS["x_stream_stateful"] = stateful

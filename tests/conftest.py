@@ -61,9 +61,26 @@ def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    value-hash distinguishes: pandas hashing folds integer widths
+    together (int32 == int64) but NOT numeric kind (int64 5 != float64
+    5.0 — exactly the DuckDB-HUGEINT→float64 failure seen in r1)."""
+    k = np.dtype(dtype).kind if not pd.api.types.is_extension_array_dtype(dtype) else dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime"}.get(k, "obj")
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{key}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    kind_mism = {
+        c: (str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if _dtype_kind(spark_pdf[c].dtype) != _dtype_kind(duck_pdf[c].dtype)
+    }
+    assert not kind_mism, (
+        f"{key}: dtype-kind drift (driver hash would fail): spark vs duck {kind_mism}"
     )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{key}: row count {len(spark_pdf)} vs {len(duck_pdf)}"

@@ -94,7 +94,7 @@ def test_bucketed_join_has_no_exchange(spark):
     # Both sides pre-bucketed on the join key: the sort-merge join must
     # read bucket files directly — an Exchange here would mean the
     # ingest-time bucketing shuffle is being paid again on every query.
-    plan = plan_of(spark, "join_bucketed")
+    plan = plan_of(spark, "x_join_bucketed")
     join_section = plan.split("HashAggregate")[0]  # up to the first agg
     assert "SortMergeJoin" in plan
     assert "Exchange" not in join_section
@@ -104,12 +104,12 @@ def test_unigram_lm_broadcasts_vocabulary(spark):
     # The vocabulary frequency table is content-bounded -> must
     # broadcast; shuffling the exploded token stream to a sort-merge
     # join would move the whole corpus.
-    plan = plan_of(spark, "text_unigram_lm")
+    plan = plan_of(spark, "x_text_unigram_lm")
     assert "BroadcastHashJoin" in plan
 
 
 def test_contamination_broadcasts_benchmark(spark):
-    plan = plan_of(spark, "contamination_ngram")
+    plan = plan_of(spark, "x_contamination_ngram")
     assert "BroadcastHashJoin" in plan
 
 

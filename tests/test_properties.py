@@ -55,7 +55,7 @@ def test_sessions_bounded_by_events(spark):
 
 
 def test_dedup_pairs_are_canonical(spark):
-    for key in ("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding"):
+    for key in ("dedup_minhash", "x_dedup_simhash", "x_dedup_ngram_jaccard", "x_dedup_embedding"):
         df = SPECS[key].fn(spark, SF_DIR)
         assert df.filter(F.col("id_a") >= F.col("id_b")).count() == 0, key
 
@@ -94,7 +94,7 @@ def test_sim_topk_exactly_k(spark):
 
 
 def test_hll_sketch_error_bounded(spark):
-    rows = SPECS["agg_sketch_hll"].fn(spark, SF_DIR).collect()
+    rows = SPECS["x_agg_sketch_hll"].fn(spark, SF_DIR).collect()
     for r in rows:
         if r.event_type == "__all__":
             continue

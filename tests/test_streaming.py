@@ -37,8 +37,8 @@ def test_stream_stateful_matches_batch(spark):
     # applyInPandasWithState profile must agree with the batch aggregate
     # (single availableNow pass: every user's final update is its only
     # update in the memory sink).
-    got = run_mirror_to_memory(spark, SF_DIR, "stream_stateful", output_mode="update")
-    batch = all_specs()["stream_stateful"].fn(spark, SF_DIR)
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_stateful", output_mode="update")
+    batch = all_specs()["x_stream_stateful"].fn(spark, SF_DIR)
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b
