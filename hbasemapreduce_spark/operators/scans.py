@@ -95,7 +95,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     out = os.path.join(_SCRATCH, f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}")
     (
+        # repartition on the partition column first: without it every
+        # write task emits a file into every year directory (tasks x
+        # years small files — the classic 100 TB sink failure); with it
+        # each year's rows land in one task -> one well-sized file.
         orders.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
         .write.mode("overwrite")
         .partitionBy("o_year")
         .parquet(out)
@@ -103,6 +108,39 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(out)
         .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "x_scan_partition_pruned",
+    category="scan",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "WHERE year(o_orderdate) = 1997 GROUP BY 1"
+    ),
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: year-predicate on a Hive-partitioned
+    layout touches ONE directory (PartitionFilters in the plan — gated by
+    tests/test_plans.py), no data files outside it are even listed.  This
+    is the read-side payoff of sink_partitioned's layout and the columnar
+    analog of HBase region pruning.  The staged copy is written once per
+    sf (idempotent) so the query times the pruned read, not the sink."""
+    out = os.path.join(_SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .repartition("o_year")
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(out)
+        )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"))
     )
 

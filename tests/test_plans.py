@@ -100,6 +100,23 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in join_section
 
 
+def test_partition_pruned_scan(spark):
+    # The year-predicate must become a PartitionFilter (directory-level
+    # pruning: files outside o_year=1997 are never listed or opened) —
+    # NOT a PushedFilter evaluated per row group.
+    plan = plan_of(spark, "x_scan_partition_pruned")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_year" in pf[0] and "1997" in pf[0]
+
+
+def test_ivf_probe_is_equi_join(spark):
+    # The inverted-list lookup (assigned ⋈ probes on cent_id) must be a
+    # broadcast EQUI join — candidate generation cost is nprobe/nlist of
+    # the corpus, never a pairwise comparison against all of it.
+    plan = plan_of(spark, "x_sim_ivf")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_unigram_lm_broadcasts_vocabulary(spark):
     # The vocabulary frequency table is content-bounded -> must
     # broadcast; shuffling the exploded token stream to a sort-merge

@@ -93,6 +93,25 @@ def test_sim_topk_exactly_k(spark):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    # IVF probes nprobe of nlist inverted lists; its top-k must overlap
+    # substantially with the exact brute-force top-k (and be exact on
+    # whatever it probed: every IVF hit must appear in the exact ranking
+    # or be a miss caused by an unprobed list, never a wrong similarity).
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in q(spark, "sim_cosine_topk").collect()
+    }
+    ivf_rows = SPECS["x_sim_ivf"].fn(spark, SF_DIR).collect()
+    n_queries = len({qid for qid, _ in exact})
+    hits = sum(1 for r in ivf_rows if (r.query_id, r.neighbor_id) in exact)
+    recall = hits / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} over {n_queries} queries"
+    for r in ivf_rows:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
 def test_hll_sketch_error_bounded(spark):
     rows = SPECS["x_agg_sketch_hll"].fn(spark, SF_DIR).collect()
     for r in rows:
