@@ -369,3 +369,62 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "x_agg_decile",
+    category="agg",
+    oracle=(
+        "WITH r AS (SELECT l_returnflag, l_quantity, "
+        "  row_number() OVER (PARTITION BY l_returnflag "
+        "    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt FROM lineitem) "
+        "SELECT l_returnflag, CAST(d AS BIGINT) AS decile, l_quantity AS boundary "
+        "FROM r, (SELECT unnest(range(1, 11)) AS d) "
+        "WHERE rn = CAST(ceil(cnt * d / 10.0) AS BIGINT)"
+    ),
+)
+def agg_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group deciles by rank arithmetic: decile d's boundary is
+    the value at row ceil(cnt*d/10) of the totally-ordered group (ties
+    broken on key columns so every engine agrees on THE boundary row).
+
+    Scale shape: one range-partitioned sort per group (the window), then
+    an equi-join against a 10-rows-per-group broadcast boundary table —
+    never a 10x explode of the fact table.  This is the exact twin that
+    bounds `percentile_approx` (the KLL/GK sketch is the 100 TB path;
+    tests/test_properties.py asserts the sketch lands within one decile
+    bin of these exact boundaries)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    targets = (
+        r.groupBy("l_returnflag")
+        .agg(F.max("cnt").alias("cnt"))
+        .select(
+            F.col("l_returnflag").alias("t_rf"),
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+            "cnt",
+        )
+        .select(
+            "t_rf",
+            F.col("d").cast("long").alias("decile"),
+            F.ceil(F.col("cnt") * F.col("d") / 10.0).alias("rn_t"),
+        )
+    )
+    return (
+        r.join(
+            F.broadcast(targets),
+            (F.col("l_returnflag") == F.col("t_rf")) & (F.col("rn") == F.col("rn_t")),
+        )
+        .select("l_returnflag", "decile", F.col("l_quantity").alias("boundary"))
+    )

@@ -112,6 +112,33 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_approx_percentile_within_exact_decile_bounds(spark):
+    # percentile_approx (KLL-style sketch, the 100 TB path) must land
+    # inside [previous, next] exact decile boundary from x_agg_decile —
+    # the sketch's rank error is far below one decile bin at accuracy
+    # 10000 on these group sizes.
+    exact = {
+        (r.l_returnflag, r.decile): r.boundary
+        for r in SPECS["x_agg_decile"].fn(spark, SF_DIR).collect()
+    }
+    approx = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_quantity", [i / 10.0 for i in range(1, 11)], 10000
+            ).alias("p")
+        )
+        .collect()
+    )
+    for row in approx:
+        for i, v in enumerate(row.p):
+            d = i + 1
+            lo = exact.get((row.l_returnflag, d - 1), float("-inf"))
+            hi = exact.get((row.l_returnflag, d + 1), float("inf"))
+            assert lo <= v <= hi, (row.l_returnflag, d, v, lo, hi)
+
+
 def test_hll_sketch_error_bounded(spark):
     rows = SPECS["x_agg_sketch_hll"].fn(spark, SF_DIR).collect()
     for r in rows:
