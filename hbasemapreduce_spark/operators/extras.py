@@ -405,11 +405,13 @@ def agg_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_quantity",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).alias("cnt"),
     )
+    # group sizes from a plain partial aggregate on the base table — NOT
+    # from the windowed frame, which would re-execute the per-group sort
+    # a second time just to read back a count
     targets = (
-        r.groupBy("l_returnflag")
-        .agg(F.max("cnt").alias("cnt"))
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
         .select(
             F.col("l_returnflag").alias("t_rf"),
             F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),

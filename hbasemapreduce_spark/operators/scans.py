@@ -17,6 +17,7 @@ HBase region pruning, with zero custom code.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,10 @@ from ..registry import query
 from .common import LINEITEM_SQL, lineitem_select
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+# files per Hive partition in partitioned writes: bounds the small-file
+# count AND the per-task write size (see sink_partitioned)
+_SINK_SALT = 4
 
 
 @query(
@@ -95,12 +100,14 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     out = os.path.join(_SCRATCH, f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}")
     (
-        # repartition on the partition column first: without it every
-        # write task emits a file into every year directory (tasks x
-        # years small files — the classic 100 TB sink failure); with it
-        # each year's rows land in one task -> one well-sized file.
+        # repartition on (partition column, bounded salt) first: without
+        # it every write task emits a file into every year directory
+        # (tasks x years small files — the classic sink failure); keying
+        # on the year ALONE would funnel each year through one task (a
+        # multi-TB single file at the 100 TB target).  The salt bounds
+        # both: <= _SINK_SALT files per year, each task one year slice.
         orders.withColumn("o_year", F.year("o_orderdate"))
-        .repartition("o_year")
+        .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
         .write.mode("overwrite")
         .partitionBy("o_year")
         .parquet(out)
@@ -125,14 +132,24 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout touches ONE directory (PartitionFilters in the plan — gated by
     tests/test_plans.py), no data files outside it are even listed.  This
     is the read-side payoff of sink_partitioned's layout and the columnar
-    analog of HBase region pruning.  The staged copy is written once per
-    sf (idempotent) so the query times the pruned read, not the sink."""
-    out = os.path.join(_SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}")
+    analog of HBase region pruning.  The staged copy is keyed on a
+    fingerprint of the source file (absolute path + mtime + size), so it
+    is written once per source version (the query times the pruned read,
+    not the sink) yet can never serve stale data after the source
+    changes, and distinct sf_dirs sharing a basename cannot collide."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(
+        _SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate"))
-            .repartition("o_year")
+            .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
             .write.mode("overwrite")
             .partitionBy("o_year")
             .parquet(out)

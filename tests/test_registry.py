@@ -35,6 +35,5 @@ def test_extras_sort_after_contract_even_if_driver_resorts():
     # Defense for an alphabetically-sorting driver: every beyond-contract
     # key carries the x_ prefix, which sorts after every contract key.
     keys = sorted(all_specs())
-    tail = keys[-(len(keys) - 60):]
-    assert all(k.startswith("x_") for k in tail)
+    assert all(k.startswith("x_") for k in keys[60:])
     assert not any(k.startswith("x_") for k in keys[:60])
