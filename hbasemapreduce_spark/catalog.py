@@ -54,6 +54,11 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # default-on under AQE, pinned here because the skew story depends on
+    # it: runtime-split of oversized shuffle partitions is the automatic
+    # complement to the manual salting patterns (x_join_salted,
+    # x_agg_salted_twophase)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     _CONFIGURED_SESSIONS.add(key)
     return spark
 

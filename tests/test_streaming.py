@@ -33,6 +33,34 @@ def test_stream_dedup_append(spark):
     assert got.count() == batch_n
 
 
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    # File sink + checkpoint: the first availableNow run drains the
+    # staged input; a RESTART against the same checkpoint must commit
+    # nothing new (source offsets are in the checkpoint — the
+    # exactly-once recovery contract a production pipeline relies on).
+    from hbasemapreduce_spark.streaming.mirrors import MIRRORS
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            MIRRORS["stream_dedup"](spark, SF_DIR)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1
+
+
 def test_stream_stateful_matches_batch(spark):
     # applyInPandasWithState profile must agree with the batch aggregate
     # (single availableNow pass: every user's final update is its only
