@@ -79,6 +79,13 @@ def minhash_pairs(
     # carries n_docs rows of 64 longs — this is the formulation that
     # scales, unlike interpreted higher-order lambdas over arrays
     # (HigherOrderFunction expressions are not codegen'd in Spark).
+    # Rejected alternative (measured r2): the Carter-Wegman affine family
+    # h1 + i*h2 needs wrapping long arithmetic, which Spark 4's
+    # default-on ANSI mode turns into ARITHMETIC_OVERFLOW errors; and
+    # since dedup_simhash (64 trivial sum accumulators over the same
+    # exploded rows) benches within ~25% of this query, the per-perm
+    # rehash is not the dominant cost anyway — the explode + aggregate +
+    # banding join is.
     exploded = docs.select("id", F.explode("items").alias("item")).select(
         "id", F.xxhash64("item").alias("h")
     )

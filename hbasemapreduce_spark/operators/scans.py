@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -142,10 +143,14 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
-    out = os.path.join(
-        _SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
-    )
+    prefix = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_"
+    out = os.path.join(_SCRATCH, f"{prefix}{fp}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # drop superseded copies of this table (older source versions)
+        if os.path.isdir(_SCRATCH):
+            for d in os.listdir(_SCRATCH):
+                if d.startswith(prefix) and d != f"{prefix}{fp}":
+                    shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
         (
             load_table(spark, sf_dir, "orders")
             .withColumn("o_year", F.year("o_orderdate"))
