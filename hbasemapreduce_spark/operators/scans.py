@@ -133,11 +133,25 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout touches ONE directory (PartitionFilters in the plan — gated by
     tests/test_plans.py), no data files outside it are even listed.  This
     is the read-side payoff of sink_partitioned's layout and the columnar
-    analog of HBase region pruning.  The staged copy is keyed on a
-    fingerprint of the source file (absolute path + mtime + size), so it
-    is written once per source version (the query times the pruned read,
-    not the sink) yet can never serve stale data after the source
-    changes, and distinct sf_dirs sharing a basename cannot collide."""
+    analog of HBase region pruning."""
+    out = _staged_partitioned_orders(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as a Hive-partitioned (by o_year) parquet layout.
+
+    The staged copy is keyed on a fingerprint of the source file
+    (absolute path + mtime + size), so it is written once per source
+    version (queries over it time the pruned read, not the sink) yet can
+    never serve stale data after the source changes, and distinct
+    sf_dirs sharing a basename cannot collide.  Superseded copies are
+    deleted so scratch space stays bounded."""
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     fp = hashlib.md5(
@@ -146,7 +160,6 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_"
     out = os.path.join(_SCRATCH, f"{prefix}{fp}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        # drop superseded copies of this table (older source versions)
         if os.path.isdir(_SCRATCH):
             for d in os.listdir(_SCRATCH):
                 if d.startswith(prefix) and d != f"{prefix}{fp}":
@@ -159,9 +172,42 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("o_year")
             .parquet(out)
         )
+    return out
+
+
+@query(
+    "x_join_dpp",
+    category="join",
+    oracle=(
+        "WITH dim AS (SELECT DISTINCT year(o_orderdate) AS o_year FROM orders "
+        "             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000) "
+        "SELECT o_orderpriority, COUNT(*) AS cnt FROM "
+        "(SELECT o_orderpriority, year(o_orderdate) AS o_year FROM orders) f "
+        "JOIN dim USING (o_year) GROUP BY 1"
+    ),
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact partitions selected at RUNTIME by
+    the broadcast dim side — 'years containing an urgent big-ticket
+    order' is only known after the dim subquery executes, so Catalyst
+    injects a dynamicpruningexpression into the fact scan's
+    PartitionFilters (gated by tests/test_plans.py) instead of scanning
+    every partition.  At 100 TB this is the difference between reading
+    the whole fact table and reading only the partitions the dim join
+    can reach — with zero hand-written pruning code.  (Design note: the
+    DPP rule requires a selective FILTER on the dim subtree; a dim
+    derived through an aggregate threshold — 'years with >= 15% of
+    orders' — does not qualify and silently falls back to a full scan,
+    measured while building this.)"""
+    fact = spark.read.parquet(_staged_partitioned_orders(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 450000))
+        .select(F.year("o_orderdate").alias("o_year"))
+        .distinct()
+    )
     return (
-        spark.read.parquet(out)
-        .filter(F.col("o_year") == 1997)
+        fact.join(F.broadcast(dim), "o_year")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("cnt"))
     )

@@ -109,6 +109,22 @@ def test_partition_pruned_scan(spark):
     assert pf and "o_year" in pf[0] and "1997" in pf[0]
 
 
+def test_dpp_join_prunes_dynamically(spark):
+    # The fact scan must carry a dynamicpruningexpression: the partition
+    # list comes from executing the dim subquery at runtime, not from a
+    # static predicate — Spark's mechanism for partition-wise fact
+    # pruning behind a join.
+    plan = plan_of(spark, "x_join_dpp")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_decile_targets_broadcast(spark):
+    # The 10-rows-per-group boundary table joins back via broadcast —
+    # the windowed frame must never be shuffled against it.
+    plan = plan_of(spark, "x_agg_decile")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_probe_is_equi_join(spark):
     # The inverted-list lookup (assigned ⋈ probes on cent_id) must be a
     # broadcast EQUI join — candidate generation cost is nprobe/nlist of
