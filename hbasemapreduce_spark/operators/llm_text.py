@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import STOPWORDS, stopword_ratio, tokens
+from ..functions.text import STOPWORDS, stopword_ratio, tokens, winnow_fingerprints
 from ..registry import query
 
 
@@ -180,4 +180,43 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "lang", "p_lang", F.row_number().over(pick).alias("rn"))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
+    )
+
+
+_WK = 8   # k-gram width (chars)
+_WW = 16  # winnow window (k-gram positions)
+
+
+@query(
+    "x_text_winnow",
+    category="llm_text",
+    oracle=(
+        # text[i:i+7] is 1-based inclusive slicing (8 chars); range(a, b)
+        # excludes b and is empty when b <= a — mirrors the Spark guards.
+        "WITH h AS (SELECT doc_id, list_transform("
+        f"  range(1, greatest(length(text) - {_WK - 1}, 0) + 1), "
+        f"  i -> md5(text[i:i+{_WK - 1}])) AS hs FROM documents) "
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        f"  range(1, greatest(len(hs) - {_WW - 1}, 0) + 1), "
+        f"  j -> list_min(hs[j:j+{_WW - 1}])))) AS fp FROM h"
+    ),
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    algorithm): hash every 8-char gram, keep the MINIMUM hash of each
+    16-gram window, emit the distinct survivors as (doc_id, fp) rows.
+    Any shared substring of >= k+w-1 = 23 chars between two documents
+    GUARANTEES a shared fingerprint — the shift-resistant rolling-hash
+    fingerprint the md5 whole-doc variant (x_text_fingerprint) is not.
+
+    Engine notes: the hash is md5 hex (bit-identical in Spark and
+    DuckDB, so the windowed MIN — a lexicographic string min — is too,
+    making this fully hash-checkable); a Rabin-Karp incremental hash
+    saves nothing here because a columnar engine evaluates the grams
+    data-parallel, not left-to-right.  Per-row compute only, zero
+    shuffle before the final distinct — embarrassingly parallel at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, "text", k=_WK, w=_WW).select(
+        "doc_id", F.explode("fps").alias("fp")
     )

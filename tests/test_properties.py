@@ -112,6 +112,27 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_winnow_shift_invariance(spark):
+    # The winnowing guarantee: two texts sharing a substring of
+    # >= k+w-1 = 23 chars MUST share a fingerprint, at any alignment —
+    # the property that makes it a rolling-hash fingerprint rather than
+    # a whole-document hash.
+    from hbasemapreduce_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, "PREFIX SHIFTS ALIGNMENT >> " + base),
+         (3, "utterly disjoint content sharing no twenty-three char windows")],
+        "id long, text string",
+    )
+    fps = {
+        r.id: set(r.fps)
+        for r in winnow_fingerprints(df, "text").select("id", "fps").collect()
+    }
+    assert fps[1] & fps[2], "shared 23+-char substring must share a fingerprint"
+    assert not fps[1] & fps[3], "disjoint texts must not collide"
+
+
 def test_approx_percentile_within_exact_decile_bounds(spark):
     # percentile_approx (KLL-style sketch, the 100 TB path) must land
     # inside [previous, next] exact decile boundary from x_agg_decile —
