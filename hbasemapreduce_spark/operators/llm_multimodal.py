@@ -100,3 +100,61 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_bytes long, first_byte long, byte_sum long",
     )
     return out.select("doc_id", "n_bytes", "first_byte")
+
+
+_RESIZE_BOX = 224  # target square, the standard vision-model input box
+
+
+def plan_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: letterbox-fit resize planning per payload.
+
+    Source dimensions come from deterministic byte math (a real pipeline
+    reads them from the image header — that decode is the stubbed step,
+    see decode_image); the aspect-preserving fit into the target box is
+    the REAL geometry every vision preprocessor runs.  Vectorized numpy
+    float64 so the arithmetic is bit-identical to the SQL oracle.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64").to_numpy()
+        src_w = 16 + n_bytes % 64
+        src_h = 16 + (n_bytes * 31 % 1009) % 48
+        scale = np.minimum(_RESIZE_BOX / src_w, _RESIZE_BOX / src_h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_w": src_w,
+                "src_h": src_h,
+                "out_w": np.floor(src_w * scale).astype("int64"),
+                "out_h": np.floor(src_h * scale).astype("int64"),
+            }
+        )
+
+
+@query(
+    "x_multimodal_resize",
+    category="llm_multimodal",
+    oracle=(
+        "WITH dims AS (SELECT doc_id, "
+        "  16 + octet_length(CAST(text AS BLOB)) % 64 AS src_w, "
+        "  16 + (octet_length(CAST(text AS BLOB)) * 31 % 1009) % 48 AS src_h "
+        "  FROM documents) "
+        "SELECT doc_id, CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h, "
+        f"CAST(floor(src_w * least({_RESIZE_BOX}.0 / src_w, {_RESIZE_BOX}.0 / src_h)) AS BIGINT) AS out_w, "
+        f"CAST(floor(src_h * least({_RESIZE_BOX}.0 / src_w, {_RESIZE_BOX}.0 / src_h)) AS BIGINT) AS out_h "
+        "FROM dims"
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload -> Arrow-batched mapInPandas ->
+    aspect-preserving letterbox plan (src dims, fitted dims) — the third
+    of the brief's decode/feature-extract/resize/frame-sample quartet,
+    same stubbed-decode discipline as the others."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        plan_resize,
+        schema="doc_id long, src_w long, src_h long, out_w long, out_h long",
+    )
