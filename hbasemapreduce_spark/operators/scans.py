@@ -100,19 +100,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     out = os.path.join(_SCRATCH, f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}")
-    (
-        # repartition on (partition column, bounded salt) first: without
-        # it every write task emits a file into every year directory
-        # (tasks x years small files — the classic sink failure); keying
-        # on the year ALONE would funnel each year through one task (a
-        # multi-TB single file at the 100 TB target).  The salt bounds
-        # both: <= _SINK_SALT files per year, each task one year slice.
-        orders.withColumn("o_year", F.year("o_orderdate"))
-        .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
-        .write.mode("overwrite")
-        .partitionBy("o_year")
-        .parquet(out)
-    )
+    _write_partitioned_orders(orders, out)
     return (
         spark.read.parquet(out)
         .groupBy(F.col("o_year").cast("long").alias("o_year"))
@@ -143,35 +131,47 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_partitioned_orders(orders: DataFrame, out: str) -> None:
+    """The one salted Hive-partitioned write both the sink operator and
+    the staging helper use — repartition on (partition column, bounded
+    salt) first: without it every write task emits a file into every
+    year directory (tasks x years small files — the classic sink
+    failure); keying on the year ALONE would funnel each year through
+    one task (a multi-TB single file at the 100 TB target).  The salt
+    bounds both: <= _SINK_SALT files per year, each task one year
+    slice."""
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+
+
 def _staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Stage orders as a Hive-partitioned (by o_year) parquet layout.
 
-    The staged copy is keyed on a fingerprint of the source file
-    (absolute path + mtime + size), so it is written once per source
-    version (queries over it time the pruned read, not the sink) yet can
-    never serve stale data after the source changes, and distinct
-    sf_dirs sharing a basename cannot collide.  Superseded copies are
-    deleted so scratch space stays bounded."""
+    The staged path embeds (a) a hash of the source's absolute PATH —
+    its identity, so distinct sf_dirs sharing a basename never touch
+    each other's copies — and (b) a fingerprint of mtime+size — its
+    version, so a changed source is re-staged and can never be served
+    stale.  Cleanup removes only superseded VERSIONS of this same
+    source (same path hash, different fingerprint), keeping scratch
+    space bounded without deleting directories other sf_dirs' pending
+    readers may hold open."""
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
-    fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:10]
-    prefix = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_"
+    ident = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    prefix = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{ident}_"
     out = os.path.join(_SCRATCH, f"{prefix}{fp}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         if os.path.isdir(_SCRATCH):
             for d in os.listdir(_SCRATCH):
                 if d.startswith(prefix) and d != f"{prefix}{fp}":
                     shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
-        (
-            load_table(spark, sf_dir, "orders")
-            .withColumn("o_year", F.year("o_orderdate"))
-            .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
-            .write.mode("overwrite")
-            .partitionBy("o_year")
-            .parquet(out)
-        )
+        _write_partitioned_orders(load_table(spark, sf_dir, "orders"), out)
     return out
 
 

@@ -52,7 +52,10 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        try:
+            assert q.awaitTermination(300), "stream did not drain within 300s"
+        finally:
+            q.stop()  # never leak an active stream into the shared session
 
     run_once()
     n1 = spark.read.parquet(out).count()
