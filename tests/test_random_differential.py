@@ -149,3 +149,64 @@ if _HAS_HYPOTHESIS:
                     expect += 1
                 assert r.sess_id == expect, (r, expect)  # exact session numbering
                 prev_t = r.ts_us
+
+
+if _HAS_HYPOTHESIS:
+    # --- random-predicate differential: hypothesis-generated boolean
+    # predicates over lineitem, Spark filter vs DuckDB WHERE.  Catches
+    # translation/pushdown bugs (comparison semantics, null handling,
+    # precedence) on inputs no hand-written query covers.  Shape is
+    # explicit — (a AND b AND c) OR (d AND e) — so grouping is identical
+    # in both engines by construction.
+    _OPS = ["<", "<=", ">", ">=", "=", "!="]
+    _ATOM = st.one_of(
+        st.tuples(st.just("l_orderkey"), st.sampled_from(_OPS), st.integers(0, 61000)),
+        st.tuples(st.just("l_linenumber"), st.sampled_from(_OPS), st.integers(1, 7)),
+        st.tuples(st.just("l_quantity"), st.sampled_from(_OPS), st.integers(1, 55)),
+        st.tuples(
+            st.just("l_returnflag"),
+            st.sampled_from(["=", "!="]),
+            st.sampled_from(["A", "N", "R"]),
+        ),
+    )
+
+    def _spark_atom(atom):
+        c, op, v = atom
+        col = F.col(c)
+        return {
+            "<": col < v, "<=": col <= v, ">": col > v,
+            ">=": col >= v, "=": col == v, "!=": col != v,
+        }[op]
+
+    def _sql_atom(atom):
+        c, op, v = atom
+        lit = f"'{v}'" if isinstance(v, str) else repr(v)
+        return f"{c} {'<>' if op == '!=' else op} {lit}"
+
+    @given(
+        conj_a=st.lists(_ATOM, min_size=1, max_size=3),
+        conj_b=st.lists(_ATOM, min_size=1, max_size=3),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_random_predicate_differential(spark, oracle, conj_a, conj_b):
+        import functools
+        import operator as op_
+
+        from hbasemapreduce_spark.catalog import load_table
+
+        from .conftest import SF_DIR
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        pred = functools.reduce(op_.and_, map(_spark_atom, conj_a)) | functools.reduce(
+            op_.and_, map(_spark_atom, conj_b)
+        )
+        n_spark = li.filter(pred).count()
+        sql = (
+            "SELECT COUNT(*) FROM lineitem WHERE ("
+            + " AND ".join(map(_sql_atom, conj_a))
+            + ") OR ("
+            + " AND ".join(map(_sql_atom, conj_b))
+            + ")"
+        )
+        n_duck = oracle.execute(sql).fetchone()[0]
+        assert n_spark == n_duck, (sql, n_spark, n_duck)
