@@ -112,6 +112,17 @@ def test_ivf_recall_vs_brute_force(spark):
             assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_approx_distinct_error_bounded(spark):
+    # agg_approx_distinct is rows-only at the driver (HLL++ != DuckDB's
+    # sketch bit-for-bit); this pins it to the exact answer locally.
+    # Default rsd = 0.05 -> generous 3x envelope, deterministic output.
+    approx = q(spark, "agg_approx_distinct").collect()[0][0]
+    exact = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert abs(approx - exact) <= max(3, 0.15 * exact), (approx, exact)
+
+
 def test_winnow_shift_invariance(spark):
     # The winnowing guarantee: two texts sharing a substring of
     # >= k+w-1 = 23 chars MUST share a fingerprint, at any alignment —
