@@ -151,27 +151,57 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_TABLES = 8  # hash tables (bands)
+_LSH_PLANES = 4  # hyperplanes per table -> 16 buckets per table
+
+
 @query("x_sim_ann_lsh", category="llm_sim", oracle=None)  # rows-only: ANN is approximate
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: 8-plane LSH bucket join + exact rerank.
+    """Approximate top-k: MULTI-TABLE hyperplane LSH + exact rerank.
 
-    Candidate generation is an equi-join on the 8-bit signature (256
-    buckets), so the plan is shuffle-bounded, not O(n*m) — at 100 TB
-    add more planes / multi-probe instead of widening the cross join.
+    One 32-plane signature per vector, banded into 8 tables of 4 planes
+    (the MinHash-banding S-curve applied to cosine LSH): a true neighbor
+    at plane-agreement probability p per plane is recalled with
+    1-(1-p^4)^8 — e.g. ~0.83 at 60° separation, where the original
+    single-table 8-plane variant recalled ~p^8 = 4% (measured 0% top-5
+    recall on this corpus; the multi-table form measures 0.74-0.76,
+    property-tested at >= 0.5).
+    Candidate generation stays an equi-join on (table, bucket); at
+    larger n, raise planes-per-table (~log2 n) to keep candidates
+    sub-linear and add tables to hold recall — the knobs move along the
+    S-curve, the plan shape never changes.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("sig", hyperplane_signature("emb"))
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+    ).withColumn("sig", hyperplane_signature("emb", n_planes=_LSH_TABLES * _LSH_PLANES))
+    # band the signature: table t owns plane bits [t*P, (t+1)*P)
+    bands = F.explode(
+        F.expr(
+            f"transform(sequence(0, {_LSH_TABLES - 1}), t -> "
+            f"struct(t AS tbl, shiftright(sig, t * {_LSH_PLANES}) & {2**_LSH_PLANES - 1} AS bkt))"
+        )
+    )
+    banded = e.select("vec_id", "emb", bands.alias("bd")).select(
+        "vec_id", "emb", F.col("bd.tbl").alias("tbl"), F.col("bd.bkt").alias("bkt")
+    )
+    q = banded.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
-        F.col("sig").alias("q_sig"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bkt").alias("q_bkt"),
     )
     cand = (
-        e.join(F.broadcast(q), (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("query_id")))
+        banded.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bkt") == F.col("q_bkt"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "q_emb", "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])  # hit in >1 table = one candidate
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             cosine(F.col("q_emb"), F.col("emb")).alias("raw_sim"),
         )
     )
