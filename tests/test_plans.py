@@ -159,6 +159,30 @@ def test_no_python_eval_outside_udx_multimodal(spark):
     assert not offenders, f"Python in the hot path: {offenders}"
 
 
+_BNLJ_WHITELIST = {
+    # broadcast-of-content-bounded-side cross joins, each deliberate:
+    "stream_late_data",   # 1-row max-ts scalar
+    "sim_cosine_topk",    # brute-force baseline: broadcast query set
+    "x_sim_ivf",          # nlist-bounded centroid table
+    "x_text_langid",      # n-languages-bounded profile table
+}
+
+
+def test_nested_loop_joins_only_where_whitelisted(spark):
+    # A BroadcastNestedLoopJoin is O(n*m) compute even when one side is
+    # small — acceptable ONLY when the broadcast side is bounded by
+    # CONTENT (a scalar, a query set, centroids, language profiles),
+    # never by corpus size.  Registry-wide audit, pinned to the known
+    # deliberate cases so a new operator cannot silently regress.
+    offenders = [
+        key
+        for key, s in all_specs().items()
+        if key not in _BNLJ_WHITELIST
+        and "BroadcastNestedLoopJoin" in plan_of(spark, key)
+    ]
+    assert not offenders, f"unexpected nested-loop joins: {offenders}"
+
+
 def test_no_cartesian_product_anywhere(spark):
     # A CartesianProduct node is O(n*m) with full materialization —
     # never acceptable; even the brute-force cosine top-k must be a
