@@ -29,9 +29,6 @@ TABLES = [
     "embeddings",
 ]
 
-_CONFIGURED_SESSIONS: set[int] = set()
-
-
 def configure(spark: SparkSession) -> SparkSession:
     """Apply session-level SQL confs every query relies on.
 
@@ -46,8 +43,11 @@ def configure(spark: SparkSession) -> SparkSession:
       with the DuckDB oracle's naive timestamps.
     - Arrow: vectorized Python<->JVM transfer for the pandas-UDF paths.
     """
-    key = id(spark)
-    if key in _CONFIGURED_SESSIONS:
+    # the already-configured marker lives IN the session's conf, not in a
+    # process-level id() cache: id(spark) can be reused by a new session
+    # after the old one is garbage-collected, which would silently skip
+    # the confs the loaders depend on
+    if spark.conf.get("spark.hbasemapreduce.configured", "false") == "true":
         return spark
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -59,7 +59,7 @@ def configure(spark: SparkSession) -> SparkSession:
     # complement to the manual salting patterns (x_join_salted,
     # x_agg_salted_twophase)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    _CONFIGURED_SESSIONS.add(key)
+    spark.conf.set("spark.hbasemapreduce.configured", "true")
     return spark
 
 

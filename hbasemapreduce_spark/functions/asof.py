@@ -45,11 +45,20 @@ def asof_join(
     right_tiebreak = right_tiebreak or []
     pay_names = list(payload)
 
+    # The carried payload is ONE STRUCT, not independent columns:
+    # last(col, ignorenulls) per column would (a) skip a right row whose
+    # payload value is legitimately NULL, resurrecting an older value,
+    # and (b) mix fields from DIFFERENT right rows when some are null.
+    # The struct is non-null exactly when a right row exists, so null
+    # fields ride through and all fields come from the same matched row.
+    pay_struct = F.struct(*[c.alias(n) for n, c in payload.items()])
+    pay_type = right.select(pay_struct.alias("_pay")).schema["_pay"].dataType
+
     l_tagged = left.select(
         left_key.cast("long").alias("_k"),
         left_time.cast("timestamp").alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.select(c).schema[0].dataType).alias(f"_p_{n}") for n, c in payload.items()],
+        F.lit(None).cast(pay_type).alias("_pay"),
         *[F.lit(None).cast(right.select(c).schema[0].dataType).alias(f"_tb_{i}") for i, c in enumerate(right_tiebreak)],
         F.struct(*left.columns).alias("_left"),
     )
@@ -57,7 +66,7 @@ def asof_join(
         right_key.cast("long").alias("_k"),
         right_time.cast("timestamp").alias("_t"),
         F.lit(0).alias("_side"),
-        *[c.alias(f"_p_{n}") for n, c in payload.items()],
+        pay_struct.alias("_pay"),
         *[c.alias(f"_tb_{i}") for i, c in enumerate(right_tiebreak)],
         F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
     )
@@ -71,10 +80,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[F.last(f"_p_{n}", ignorenulls=True).over(w).alias(f"_m_{n}") for n in pay_names],
+        "*", F.last("_pay", ignorenulls=True).over(w).alias("_m")
     )
     out = merged.filter(F.col("_side") == 1).select(
-        F.col("_left.*"), *[F.col(f"_m_{n}").alias(n) for n in pay_names]
+        F.col("_left.*"), *[F.col(f"_m.{n}").alias(n) for n in pay_names]
     )
     return out

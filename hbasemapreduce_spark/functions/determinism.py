@@ -58,20 +58,8 @@ def fmt_date(col: Column | str, alias: str) -> Column:
     return F.date_format(_c(col), "yyyy-MM-dd").alias(alias)
 
 
-SQL_FMT_DATE = "strftime({col}, '%Y-%m-%d') AS {alias}"
-
-
-def epoch_seconds(col: Column | str, alias: str) -> Column:
-    """Timestamp -> epoch seconds BIGINT (UTC session; floor).
-
-    DuckDB twin: ``CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)``.
-    """
-    return F.unix_timestamp(_c(col)).alias(alias)
-
-
-def epoch_micros(col: Column | str, alias: str) -> Column:
-    """Timestamp -> epoch microseconds BIGINT.
-
-    DuckDB twin: ``epoch_us(CAST(ts AS TIMESTAMP))``.
-    """
-    return F.unix_micros(_c(col).cast("timestamp")).alias(alias)
+# Epoch conversions are inlined at call sites as F.unix_timestamp /
+# F.unix_micros (DuckDB twins: CAST(floor(epoch(ts)) AS BIGINT) /
+# epoch_us(ts)) — helpers for them sat unused here and drifted from
+# practice, so they were removed rather than left as a second source
+# of truth.

@@ -19,15 +19,6 @@ def tokens(text: Column | str = "text") -> Column:
     return F.split(c, " ")
 
 
-def token_shingles(text: Column | str = "text", n: int = 3) -> Column:
-    """n-token shingles as strings (MinHash input units)."""
-    t = tokens(text)
-    return F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)), "
-        f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
-    )
-
-
 def stopword_ratio(text: Column | str = "text") -> Column:
     t = tokens(text)
     stops = F.array(*[F.lit(s) for s in STOPWORDS])

@@ -65,6 +65,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint()
+    converged = False
     for it in range(20):  # diameter guard; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -88,5 +89,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one possibly-redundant propagation round is cheaper than a
         # per-round count at cluster scale
         if (it % 2 == 1 or it >= 18) and new_labels.filter("chg").limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        # fail LOUDLY: truncated propagation would return intermediate
+        # labels as if they were component minima — a wrong answer, not
+        # an error.  A component diameter > 20 means this corpus needs
+        # the large-star/small-star contraction (halves diameter per
+        # round) instead of plain min-label propagation.
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge in 20 "
+            "rounds (component diameter > 20)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -16,7 +16,11 @@ from ..catalog import load_table
 from ..registry import query
 from .common import LINEITEM_SQL, ORDERS_SQL, lineitem_select, orders_select
 
-_REGEX = "(^| )spark( |$)"
+# \z (end of TEXT) instead of $: Java regex (Spark rlike) lets $ match
+# before a trailing newline while RE2 (DuckDB regexp_matches) does not —
+# \z means end-of-input in BOTH engines, so the oracle can never diverge
+# on newline-terminated text.
+_REGEX = r"(^| )spark( |\z)"
 
 
 @query(

@@ -17,14 +17,13 @@ HBase region pruning, with zero custom code.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.staging import fingerprinted_dir, source_ident
 from ..registry import query
 from .common import LINEITEM_SQL, lineitem_select
 
@@ -99,7 +98,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning (directory-level, no file reads at all).
     """
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(_SCRATCH, f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}")
+    # identity-keyed (path hash): two sf_dirs sharing a basename must not
+    # clobber each other's sink; no version key — overwritten every run
+    out = os.path.join(
+        _SCRATCH,
+        f"sink_partitioned_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{source_ident(os.path.join(sf_dir, 'orders.parquet'))}",
+    )
     _write_partitioned_orders(orders, out)
     return (
         spark.read.parquet(out)
@@ -152,25 +157,13 @@ def _write_partitioned_orders(orders: DataFrame, out: str) -> None:
 def _staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Stage orders as a Hive-partitioned (by o_year) parquet layout.
 
-    The staged path embeds (a) a hash of the source's absolute PATH —
-    its identity, so distinct sf_dirs sharing a basename never touch
-    each other's copies — and (b) a fingerprint of mtime+size — its
-    version, so a changed source is re-staged and can never be served
-    stale.  Cleanup removes only superseded VERSIONS of this same
-    source (same path hash, different fingerprint), keeping scratch
-    space bounded without deleting directories other sf_dirs' pending
-    readers may hold open."""
+    Identity + version keyed via functions/staging.py — see its module
+    docstring for the collision/staleness guarantees."""
     src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    ident = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
-    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
-    prefix = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}_{ident}_"
-    out = os.path.join(_SCRATCH, f"{prefix}{fp}")
+    out = fingerprinted_dir(
+        _SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}", src
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        if os.path.isdir(_SCRATCH):
-            for d in os.listdir(_SCRATCH):
-                if d.startswith(prefix) and d != f"{prefix}{fp}":
-                    shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
         _write_partitioned_orders(load_table(spark, sf_dir, "orders"), out)
     return out
 

@@ -38,14 +38,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from ..functions.staging import fingerprinted_dir
+
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    stage = os.path.join(
-        repo_root, ".scratch", f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    src = os.path.join(sf_dir, "events.parquet")
+    # identity+version keyed (see functions/staging.py): a regenerated
+    # source re-stages instead of being served stale
+    stage = fingerprinted_dir(
+        os.path.join(repo_root, ".scratch"),
+        f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
+        src,
     )
     staged = os.path.join(stage, "events.parquet")
     if not os.path.exists(staged):
         os.makedirs(stage, exist_ok=True)
-        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+        shutil.copyfile(src, staged)
     raw_schema = spark.read.parquet(staged).schema
     df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
     if dict(df.dtypes).get("ts") == "bigint":
@@ -130,7 +137,14 @@ def run_mirror_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout with the query STILL
+        # RUNNING — reading the sink then would return a partial result
+        # masquerading as the complete one
+        if not q.awaitTermination(300):
+            raise TimeoutError(f"{name} mirror did not drain within 300s")
+    finally:
+        q.stop()
     return spark.table(sink)
 
 
