@@ -1,20 +1,33 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {key: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output protocol (VERDICT r2, items 2 and 6): the grading driver captures
+only a ~2 KB TAIL of stdout, and r1/r2's single compact line with ~100
+per-query timings exceeded it (head — including the headline "value" —
+was cut off, "parsed": null both rounds).  So:
+
+- per-query timings go to an EARLIER stdout line (prefix "DETAIL ") and
+  to BENCH_DETAIL.json next to this script;
+- the FINAL stdout line is a tiny (<400 B) summary that always fits the
+  tail: {"metric","value","unit","sf","queries":{top-5 slowest},
+  "n_queries","startup_sec"}.
 
 Timing rules (SURVEY.md §5.5): one action per query via a noop-format
 write (full plan executes, nothing is collected to the driver — collect
 would measure Python serialization, not the engine), no caching, warm
-session (JVM startup excluded; it is reported separately as
-"startup_sec" inside the JSON for honesty).
+session (JVM startup excluded; reported separately as "startup_sec").
+Contention guard (VERDICT r2 item 6): queries whose first pass exceeds
+1 s get two more passes and report the MEDIAN of 3, so a single noisy
+neighbour on the box can't fabricate a 5x "regression" on an untouched
+file; sub-second queries keep the single-pass number to bound runtime.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hbasemapreduce_spark.catalog import configure  # noqa: E402
 from hbasemapreduce_spark.registry import all_specs  # noqa: E402
+
+RETIME_THRESHOLD_SEC = 1.0
+RETIME_PASSES = 3  # median-of-3 for queries over the threshold
 
 
 def main() -> None:
@@ -36,7 +52,7 @@ def main() -> None:
         .appName("hbasemapreduce_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")  # keep the JSON line clean
+        .config("spark.ui.showConsoleProgress", "false")  # keep stdout clean
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
@@ -51,28 +67,56 @@ def main() -> None:
     for wk in ("agg_rowcount", "scan_project", "udf_scalar_pandas"):
         specs[wk].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for key, spec in specs.items():
+    def run_once(key: str) -> float:
         t = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t, 3)
+        specs[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t
+
+    timings: dict[str, float] = {}
+    passes: dict[str, int] = {}
+    for key in specs:
+        first = run_once(key)
+        if first > RETIME_THRESHOLD_SEC:
+            samples = [first] + [run_once(key) for _ in range(RETIME_PASSES - 1)]
+            timings[key] = round(statistics.median(samples), 3)
+            passes[key] = len(samples)
+        else:
+            timings[key] = round(first, 3)
+            passes[key] = 1
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # One COMPACT line: the driver captures only a tail of stdout (r1 lost
-    # the head of a ~4 KB pretty line -> "parsed": null), so no spaces.
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf else None,
-            "n_queries": len(timings),
-            "startup_sec": round(startup, 2),
-        },
-        separators=(",", ":"),
-    )
+    sf_val = float(sf) if sf else None
+
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "passes": passes,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "startup_sec": round(startup, 2),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Earlier line: full per-query map for humans / logs that keep stdout.
+    print("DETAIL " + json.dumps(detail, separators=(",", ":")))
+
+    # FINAL line: tiny, always inside the driver's ~2 KB tail capture.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # top-5 slowest; full map in BENCH_DETAIL.json
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "startup_sec": round(startup, 2),
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1024, f"final bench line too long ({len(line)} B)"
     print(line)
     spark.stop()
 
