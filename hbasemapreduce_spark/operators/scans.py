@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.staging import fingerprinted_dir, source_ident
+from ..functions.staging import fingerprinted_dir, prune_superseded, source_ident
 from ..registry import query
 from .common import LINEITEM_SQL, lineitem_select
 
@@ -160,11 +160,13 @@ def _staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     Identity + version keyed via functions/staging.py — see its module
     docstring for the collision/staleness guarantees."""
     src = os.path.join(sf_dir, "orders.parquet")
-    out = fingerprinted_dir(
-        _SCRATCH, f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}", src
-    )
+    tag = f"part_pruned_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = fingerprinted_dir(_SCRATCH, tag, src)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         _write_partitioned_orders(load_table(spark, sf_dir, "orders"), out)
+    # prune AFTER the new version is fully staged (_SUCCESS above), and
+    # only past the grace window — see functions/staging.py
+    prune_superseded(_SCRATCH, tag, src)
     return out
 
 

@@ -38,21 +38,30 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..functions.staging import fingerprinted_dir
+    from ..functions.staging import fingerprinted_dir, prune_superseded
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     src = os.path.join(sf_dir, "events.parquet")
     # identity+version keyed (see functions/staging.py): a regenerated
     # source re-stages instead of being served stale
-    stage = fingerprinted_dir(
-        os.path.join(repo_root, ".scratch"),
-        f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}",
-        src,
-    )
+    scratch = os.path.join(repo_root, ".scratch")
+    tag = f"stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    stage = fingerprinted_dir(scratch, tag, src)
     staged = os.path.join(stage, "events.parquet")
     if not os.path.exists(staged):
         os.makedirs(stage, exist_ok=True)
-        shutil.copyfile(src, staged)
+        # Copy to a temp name in the same dir, then atomically rename:
+        # a crash mid-copy must never leave a truncated events.parquet
+        # at the completion-marker path (the version-keyed dir name would
+        # make every later run serve it as if complete).
+        tmp = f"{staged}.tmp.{os.getpid()}"
+        try:
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, staged)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+    prune_superseded(scratch, tag, src)
     raw_schema = spark.read.parquet(staged).schema
     df = spark.readStream.schema(raw_schema).format("parquet").load(stage)
     if dict(df.dtypes).get("ts") == "bigint":
