@@ -60,11 +60,16 @@ def brute_force_topk(
             sim.alias("raw_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    # Rank on the ROUNDED similarity (both engines): the raw float64 fold
+    # is not guaranteed bit-identical across engines, and a ULP gap at
+    # the rank-k boundary would flip row membership; at 6 dp the two
+    # evaluation orders agree, and neighbor_id breaks exact ties.
+    scored = scored.withColumn("sim", F.round("raw_sim", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("raw_sim", 6).alias("sim"))
+        .select("query_id", "neighbor_id", "rnk", "sim")
     )
 
 

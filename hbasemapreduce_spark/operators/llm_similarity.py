@@ -32,10 +32,10 @@ _K = 5
         "         list_cosine_similarity(q.q_emb, e.emb) AS raw_sim "
         "  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
         "ranked AS ("
-        "  SELECT query_id, neighbor_id, raw_sim, "
-        "  row_number() OVER (PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id) AS rnk "
+        "  SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, "
+        "  row_number() OVER (PARTITION BY query_id ORDER BY round(raw_sim, 6) DESC, neighbor_id) AS rnk "
         "  FROM scored) "
-        f"SELECT query_id, neighbor_id, rnk, round(raw_sim, 6) AS sim FROM ranked WHERE rnk <= {_K}"
+        f"SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {_K}"
     ),
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,22 +61,22 @@ _NPROBE = 4
         f"cent AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % {_IVF_STRIDE} = 0), "
         "asg AS ("
         "  SELECT vec_id, emb, cent_id, row_number() OVER ("
-        "    PARTITION BY vec_id ORDER BY list_cosine_similarity(emb, c_emb) DESC, cent_id) AS rn "
+        "    PARTITION BY vec_id ORDER BY round(list_cosine_similarity(emb, c_emb), 6) DESC, cent_id) AS rn "
         "  FROM e CROSS JOIN cent), "
         "assigned AS (SELECT vec_id, emb, cent_id FROM asg WHERE rn = 1), "
         f"q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {_N_QUERIES}), "
         "qp AS ("
         "  SELECT query_id, q_emb, cent_id, row_number() OVER ("
-        "    PARTITION BY query_id ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, cent_id) AS pr "
+        "    PARTITION BY query_id ORDER BY round(list_cosine_similarity(q_emb, c_emb), 6) DESC, cent_id) AS pr "
         "  FROM q CROSS JOIN cent), "
         f"probes AS (SELECT query_id, q_emb, cent_id FROM qp WHERE pr <= {_NPROBE}), "
         "cand AS ("
         "  SELECT p.query_id, a.vec_id AS neighbor_id, "
         "         list_cosine_similarity(p.q_emb, a.emb) AS raw_sim "
         "  FROM assigned a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.query_id), "
-        "ranked AS (SELECT query_id, neighbor_id, raw_sim, row_number() OVER ("
-        "  PARTITION BY query_id ORDER BY raw_sim DESC, neighbor_id) AS rnk FROM cand) "
-        f"SELECT query_id, neighbor_id, rnk, round(raw_sim, 6) AS sim FROM ranked WHERE rnk <= {_K}"
+        "ranked AS (SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY round(raw_sim, 6) DESC, neighbor_id) AS rnk FROM cand) "
+        f"SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {_K}"
     ),
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,11 +92,20 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable against the DuckDB twin; swap the centroid CTE for
     trained centroids in production without touching the dataflow.
 
-    Measured on this corpus (tests/test_properties.py): probing
-    nprobe/nlist = 4/20 = 20% of the lists yields 48% top-5 recall vs
-    exact brute force — stride centroids beat random probing even
-    untrained; k-means centroids would lift recall further at the same
-    probe cost."""
+    nlist is corpus-size-dependent: ceil(n / stride) = ceil(n / 25)
+    lists (20 at the 500-vector sf0.001 corpus, 80 at sf0.1's 2000).
+    Measured at the 500-vector corpus (tests/test_properties.py):
+    probing nprobe/nlist = 4/20 = 20% of the lists yields 48% top-5
+    recall vs exact brute force — stride centroids beat random probing
+    even untrained; k-means centroids would lift recall further at the
+    same probe cost.  At other scales the probed FRACTION shrinks as
+    nprobe/ceil(n/25), which is the point of IVF.
+
+    Rank-stability note (ADVICE r2): every ranking — centroid
+    assignment, probe selection, final top-k — orders on the 6-dp
+    ROUNDED similarity in BOTH engines, with cent_id/neighbor_id
+    tie-breaks, so a ULP difference between Spark's fold and DuckDB's
+    list_cosine_similarity at a rank boundary cannot flip membership."""
     # norms are per-vector: hoist them out of every pair loop (same float
     # expression tree as the oracle's list_cosine_similarity — dot /
     # (left norm * right norm) — so hashes still match bit-for-bit)
@@ -110,7 +119,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    csim = dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    csim = F.round(dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 6)
     pairs = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "emb", "nrm", "cent_id", csim.alias("csim")
     )
@@ -124,7 +133,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    qsim = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    qsim = F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6)
     qc = q.crossJoin(F.broadcast(cent)).select(
         "query_id", "q_emb", "q_nrm", "cent_id", qsim.alias("qsim")
     )
@@ -143,11 +152,12 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias("raw_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("raw_sim"), F.asc("neighbor_id"))
+    cand = cand.withColumn("sim", F.round("raw_sim", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         cand.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= _K)
-        .select("query_id", "neighbor_id", "rnk", F.round("raw_sim", 6).alias("sim"))
+        .select("query_id", "neighbor_id", "rnk", "sim")
     )
 
 
