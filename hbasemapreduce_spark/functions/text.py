@@ -1,9 +1,11 @@
 """Text-analysis building blocks for the LLM-data-pipeline operators
 (SURVEY.md §2.9, BASELINE.json:6 north-star).
 
-Everything here is pure pyspark.sql.functions (JVM-side, codegen'd) —
-no Python UDFs in any hot path.  Token streams are arrays; exploding is
-deferred to the aggregation that needs it.
+Everything here is pure pyspark.sql.functions (JVM-side, codegen'd),
+with ONE deliberate Arrow exception: winnow_fingerprint_rows (see its
+docstring — interpreted HOFs made the JVM form O(grams x w)).  Token
+streams are arrays; exploding is deferred to the aggregation that
+needs it.
 """
 
 from __future__ import annotations
@@ -54,3 +56,75 @@ def winnow_fingerprints(df, text_col: str = "text", out_col: str = "fps", *, k: 
         f"j -> array_min(slice(a, j, {w})))) END), 1)"
     )
     return df.withColumn(out_col, F.expr(wins))
+
+
+def winnow_fingerprint_rows(
+    df, id_col: str = "doc_id", text_col: str = "text", out_col: str = "fp", *, k: int = 8, w: int = 16
+):
+    """(id, fp) rows of winnowing fingerprints via Arrow ``mapInPandas``
+    — semantically identical to exploding :func:`winnow_fingerprints`
+    (equivalence is property-tested), but O(grams) instead of the HOF
+    form's O(grams x w): Spark's higher-order functions are interpreted
+    (never whole-stage-codegen'd), so the w=16 re-scan per window
+    dominated the whole bench (7 s of an ~80 s 100-query run at sf0.1).
+    Here the per-window min is a classic monotonic deque — each gram
+    enters and leaves the deque once — and the md5/deque loop runs in
+    CPython at Arrow batch granularity.
+
+    This is the one deliberate exception to the "no Python outside
+    udx/multimodal" plan gate (tests/test_plans.py pins it): the
+    semantics ARE expressible in JVM HOFs, but not at a tolerable
+    constant; a running-min ``aggregate()`` reformulation cannot beat
+    O(grams x w) either, because building prefix-min ARRAYS with
+    ``aggregate`` is quadratic in array-concat work.
+
+    Scale shape: per-row compute only — no shuffle introduced, no
+    state across rows; partitions stream through Arrow batches, so the
+    100 TB story is identical to the HOF form's.
+    """
+    from hashlib import md5 as _md5
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out_col, StringType(), False),
+        ]
+    )
+    min_len = k + w - 1
+
+    def emit(batches):
+        import pandas as pd
+
+        from collections import deque
+
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                if not isinstance(t, str) or len(t) < min_len:
+                    continue  # HOF form yields an empty array here
+                grams = [
+                    _md5(t[i : i + k].encode("utf-8")).hexdigest()
+                    for i in range(len(t) - k + 1)
+                ]
+                # monotonic deque: front index always holds the window
+                # min; ties keep the earliest index (same VALUE either
+                # way, and only the value is emitted)
+                dq: deque = deque()
+                seen: dict = {}  # insertion-ordered distinct
+                for j, g in enumerate(grams):
+                    while dq and grams[dq[-1]] > g:
+                        dq.pop()
+                    dq.append(j)
+                    if dq[0] <= j - w:
+                        dq.popleft()
+                    if j >= w - 1:
+                        seen[grams[dq[0]]] = None
+                ids.extend([doc_id] * len(seen))
+                fps.extend(seen)
+            yield pd.DataFrame({id_col: ids, out_col: fps})
+
+    return df.select(id_col, text_col).mapInPandas(emit, schema)

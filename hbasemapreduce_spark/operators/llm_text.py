@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import STOPWORDS, stopword_ratio, tokens, winnow_fingerprints
+from ..functions.text import (
+    STOPWORDS,
+    stopword_ratio,
+    tokens,
+    winnow_fingerprint_rows,
+)
 from ..registry import query
 
 
@@ -220,14 +225,17 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     GUARANTEES a shared fingerprint — the shift-resistant rolling-hash
     fingerprint the md5 whole-doc variant (x_text_fingerprint) is not.
 
-    Engine notes: the hash is md5 hex (bit-identical in Spark and
-    DuckDB, so the windowed MIN — a lexicographic string min — is too,
-    making this fully hash-checkable); a Rabin-Karp incremental hash
-    saves nothing here because a columnar engine evaluates the grams
-    data-parallel, not left-to-right.  Per-row compute only, zero
-    shuffle before the final distinct — embarrassingly parallel at any
-    scale."""
+    Engine notes: the hash is md5 hex (bit-identical in Spark, DuckDB
+    and CPython hashlib, so the windowed MIN — a lexicographic string
+    min — is too, making this fully hash-checkable).  Executed via the
+    Arrow monotonic-deque path (functions/text.py
+    winnow_fingerprint_rows — O(grams) vs the interpreted-HOF form's
+    O(grams x w); that JVM form is kept as the property-tested
+    reference implementation).  Per-row compute only — the one
+    repartition below exists because the TESTDATA table is a single
+    parquet file (one input split would serialize the whole corpus
+    through one Python worker); a 100 TB table already arrives as
+    thousands of splits and would skip it."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return winnow_fingerprints(docs, "text", k=_WK, w=_WW).select(
-        "doc_id", F.explode("fps").alias("fp")
-    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return winnow_fingerprint_rows(docs, "doc_id", "text", "fp", k=_WK, w=_WW)

@@ -148,13 +148,24 @@ def test_contamination_broadcasts_benchmark(spark):
 
 def test_no_python_eval_outside_udx_multimodal(spark):
     # Python (even Arrow-batched) belongs only where semantics demand
-    # it; everywhere else the plan must stay inside the JVM.
-    allowed = {"udx", "llm_multimodal"}
+    # it; everywhere else the plan must stay inside the JVM.  The scan
+    # covers every Python-exec node shape (row UDF = BatchEvalPython,
+    # pandas UDF = ArrowEvalPython, mapInPandas / applyInPandas =
+    # *InPandas), not just the EvalPython substring.
+    allowed_categories = {"udx", "llm_multimodal"}
+    # x_text_winnow is the ONE pinned per-key exception: its semantics
+    # are JVM-expressible but only at O(grams x w) in interpreted HOFs
+    # (measured 7 s at sf0.1, the slowest query of the whole bench);
+    # the Arrow monotonic-deque path is O(grams).  See
+    # functions/text.py winnow_fingerprint_rows.
+    allowed_keys = {"x_text_winnow"}
+    python_nodes = ("EvalPython", "InPandas")
     offenders = []
     for key, s in all_specs().items():
-        if s.category in allowed:
+        if s.category in allowed_categories or key in allowed_keys:
             continue
-        if "EvalPython" in plan_of(spark, key):
+        plan = plan_of(spark, key)
+        if any(n in plan for n in python_nodes):
             offenders.append(key)
     assert not offenders, f"Python in the hot path: {offenders}"
 

@@ -144,6 +144,49 @@ def test_winnow_shift_invariance(spark):
     assert not fps[1] & fps[3], "disjoint texts must not collide"
 
 
+def test_winnow_arrow_matches_hof_reference(spark):
+    # The Arrow monotonic-deque path (what x_text_winnow ships) must
+    # emit EXACTLY the fingerprint set of the interpreted-HOF reference
+    # form, per document — on real corpus rows AND the length/unicode
+    # edge cases (len < k, len = k+w-2 -> empty, len = k+w-1 -> one
+    # window, multi-byte chars where char-slicing != byte-slicing).
+    from hbasemapreduce_spark.functions.text import (
+        winnow_fingerprint_rows,
+        winnow_fingerprints,
+    )
+
+    corpus = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "short"),  # < k
+            (100003, "x" * 22),  # k+w-2: grams < w -> no output
+            (100004, "y" * 23),  # k+w-1: exactly one window
+            (100005, "héllo wörld ünïcode — πολύγλωττος текст 😀" * 3),
+            (100006, None),
+        ],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(edge)
+    arrow = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprint_rows(docs, "doc_id", "text", "fp").collect()
+    }
+    hof = {
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints(docs, "text")
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .collect()
+    }
+    assert arrow == hof
+    assert not any(d in (100001, 100002, 100003, 100006) for d, _ in arrow)
+    assert sum(1 for d, _ in arrow if d == 100004) == 1
+
+
 def test_approx_percentile_within_exact_decile_bounds(spark):
     # percentile_approx (KLL-style sketch, the 100 TB path) must land
     # inside [previous, next] exact decile boundary from x_agg_decile —
