@@ -1,0 +1,208 @@
+"""Beyond-contract event-analytics and training-data-prep operators.
+
+Four workload shapes a production analytics engine is asked for daily,
+each fully hash-checkable against a DuckDB twin (SURVEY.md §2.9
+extension table; no reference file:line can exist — the reference
+checkout is empty, SURVEY.md §0):
+
+- x_funnel_conversion: strict sequential funnel (view -> click ->
+  purchase), each stage anchored AFTER the previous stage's timestamp.
+- x_retention_cohort: weekly cohort retention triangle.
+- x_pack_chunks: concat-and-chunk sequence packing — the canonical LLM
+  pretraining step (concatenate a shard's token stream, split every
+  `_CHUNK_TOKENS` tokens) expressed as a window cumsum, emitting each
+  document's chunk span instead of materializing token arrays.
+- x_sample_split: deterministic train/val/test assignment by portable
+  integer hash (the split step every training-data pipeline ends with).
+
+Determinism: outputs are bigints/strings only (no raw timestamps, per
+the registry contract); the split hash is the same Knuth multiplicative
+hash the sampling operators use — plain bigint arithmetic, identical in
+both engines, uncorrelated with id order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_KNUTH = 2654435761  # engine-portable multiplicative hash (pipeline.py)
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+@query(
+    "x_funnel_conversion",
+    category="analytics",
+    oracle=(
+        "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        f"           WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        f"      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+        f"      WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        f"      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+        f"      WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY 1) "
+        "SELECT 1 AS stage, 'view' AS event_type, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
+        "UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
+        "UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3"
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel: how many users viewed, then clicked
+    AFTER their first view, then purchased AFTER that first qualifying
+    click.  Each stage is a (filter -> per-user min-ts aggregate ->
+    equi-join on user_id against the previous stage) — the textbook
+    iterated-anchor formulation, NOT a same-day approximation.
+
+    Scale shape: every stage is a hash aggregate on user_id followed by
+    an equi-join on user_id; stages only shrink, so AQE converts the
+    later joins to broadcasts for free.  No window over the raw event
+    stream, no per-user event sorting."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = ev.filter(F.col("event_type") == _FUNNEL[0]).groupBy("user_id").agg(
+        F.min("ts").alias("anchor")
+    )
+    stages = [stage]
+    for ev_type in _FUNNEL[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == ev_type)
+            .join(stage.select("user_id", "anchor"), "user_id")
+            .filter(F.col("ts") > F.col("anchor"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("anchor"))
+        )
+        stages.append(stage)
+    # one dataflow, one action: no driver-side per-stage counts
+    counted = [
+        s.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("stage"), F.lit(t).alias("event_type"), "n_users"
+        )
+        for i, (t, s) in enumerate(zip(_FUNNEL, stages))
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "x_retention_cohort",
+    category="analytics",
+    oracle=(
+        # NB: DuckDB's bare `/` is FLOAT division and its float->int CAST
+        # rounds half away instead of flooring, so `//` (floor division)
+        # is the only correct spelling of the week bucket here.
+        "WITH act AS (SELECT DISTINCT user_id, "
+        "  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week_num "
+        "  FROM events), "
+        "cohort AS (SELECT user_id, MIN(week_num) AS cohort_week FROM act GROUP BY 1) "
+        "SELECT c.cohort_week, a.week_num - c.cohort_week AS week_offset, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM act a JOIN cohort c USING (user_id) GROUP BY 1, 2"
+    ),
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-active
+    week, counted in each later week they return.  (cohort_week,
+    week_offset, n_users) — the matrix every growth dashboard renders.
+
+    Weeks are floor(days-since-epoch / 7) — pure bigint arithmetic,
+    identical in both engines (DuckDB's integer division on positive
+    BIGINTs floors exactly like Spark's FLOOR(a/7)).
+
+    Scale shape: distinct (user, week) first — collapses the raw stream
+    before any join; the cohort side is one row per user, broadcast-able
+    at any corpus size; one partial+final count at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) / 7
+        ).alias("week_num"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week_num").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week_num") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_CHUNK_TOKENS = 256  # training sequence length, in whitespace tokens
+
+
+@query(
+    "x_pack_chunks",
+    category="pipeline",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang, "
+        "  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), "
+        "offs AS (SELECT doc_id, lang, n_toks, "
+        "  CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+        "  FROM toks) "
+        "SELECT doc_id, lang, n_toks, tok_start, "
+        f"  tok_start // {_CHUNK_TOKENS} AS first_chunk, "
+        f"  (tok_start + n_toks - 1) // {_CHUNK_TOKENS} AS last_chunk "
+        "FROM offs"
+    ),
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate each language
+    shard's token stream in doc_id order and split it every 256 tokens
+    — the standard LLM pretraining packing step — but emit each
+    document's (tok_start, first_chunk, last_chunk) SPAN instead of
+    materializing packed token arrays.  Downstream, an equi-join on
+    (lang, chunk) regroups documents into training sequences; a doc
+    whose span crosses a boundary is the straddling case packing
+    deliberately allows.
+
+    Scale shape: ONE window cumsum partitioned by the shard key (lang
+    here; (lang, shard_id) at 100 TB keeps every partition bounded) —
+    no global ordering, no driver state.  All bigint arithmetic:
+    DuckDB's BIGINT/BIGINT division truncates exactly like Spark's DIV
+    on these non-negative offsets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    offs = docs.withColumn("tok_start", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    return offs.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "tok_start",
+        F.expr(f"tok_start DIV {_CHUNK_TOKENS}").alias("first_chunk"),
+        F.expr(f"(tok_start + n_toks - 1) DIV {_CHUNK_TOKENS}").alias("last_chunk"),
+    )
+
+
+@query(
+    "x_sample_split",
+    category="pipeline",
+    oracle=(
+        f"WITH b AS (SELECT doc_id, lang, (doc_id * {_KNUTH}) % 100 AS bucket FROM documents) "
+        "SELECT doc_id, lang, CASE WHEN bucket < 80 THEN 'train' "
+        "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b"
+    ),
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by portable
+    integer hash of the document id — every training-data pipeline's
+    final step.  Unlike x_sample_stratified (which FILTERS a sample),
+    this labels every row, so the split is stable across runs, engines,
+    and repartitioning, and a document can never migrate between
+    splits as the corpus grows (its bucket depends only on its id).
+
+    Scale shape: stateless per-row projection — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(100))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
