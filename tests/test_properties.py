@@ -264,3 +264,66 @@ def test_expand_bag_multiset_semantics(spark):
     assert bags[1] == bags[2] == ["a#1", "a#2", "b#1"]
     # different multiplicities -> different elements, same sizes
     assert bags[3] == ["a#1", "b#1", "b#2"]
+
+
+def test_funnel_stages_shrink(spark):
+    # A strict sequential funnel can only lose users stage to stage,
+    # and no stage can exceed the number of users with any events.
+    rows = {r.stage: r.n_users for r in q(spark, "x_funnel_conversion").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3] >= 0
+    total_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert rows[1] <= total_users
+
+
+def test_retention_cohort_accounting(spark):
+    # Offset 0 of each cohort counts exactly the users whose first week
+    # is that cohort (everyone is active in their own first week), and
+    # every later offset is bounded by its cohort's size.
+    rows = q(spark, "x_retention_cohort").collect()
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_users <= week0[r.cohort_week], r
+    assert sum(week0.values()) == (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+
+
+def test_pack_chunks_offsets_are_contiguous(spark):
+    # Within each language shard the token stream must be gapless:
+    # sorted by doc_id, every doc starts exactly where the previous one
+    # ended, chunk spans are consistent with the 256-token budget, and
+    # no two docs overlap.
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in q(spark, "x_pack_chunks").collect():
+        by_lang[r.lang].append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r.doc_id)
+        expect_start = 0
+        for r in rows:
+            assert r.tok_start == expect_start, (lang, r.doc_id)
+            assert r.first_chunk == r.tok_start // 256
+            assert r.last_chunk == (r.tok_start + r.n_toks - 1) // 256
+            assert r.first_chunk <= r.last_chunk
+            expect_start += r.n_toks
+
+
+def test_sample_split_is_total_and_stable(spark):
+    # Every document gets exactly one split label; proportions land
+    # near 80/10/10; and the assignment is a pure function of doc_id
+    # (re-running yields identical labels).
+    rows = {r.doc_id: r.split for r in q(spark, "x_sample_split").collect()}
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    from collections import Counter
+
+    frac = {k: v / n_docs for k, v in Counter(rows.values()).items()}
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert 0.04 <= frac.get("val", 0) <= 0.16
+    assert 0.04 <= frac.get("test", 0) <= 0.16
+    again = {r.doc_id: r.split for r in q(spark, "x_sample_split").collect()}
+    assert rows == again
