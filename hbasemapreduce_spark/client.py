@@ -1,0 +1,169 @@
+"""User-facing client API: the reference genre's Scan/job surface on
+DataFrames.
+
+The reference's users (SURVEY.md §3.1 — `[public-api]` HBase MapReduce
+genre; the checkout itself is empty, SURVEY.md §0) drive everything
+through a ``Scan`` builder — start/stop row, column projection, value
+filters, limits — handed to a table-input job.  This module gives a
+migrating user that same surface, compiled to a DECLARATIVE DataFrame
+so Catalyst sees every predicate and projection:
+
+    t = Table(spark, sf_dir, "orders", row_key="o_orderkey")
+    df = (t.scan()
+           .with_start_row(1000).with_stop_row(5000)
+           .add_columns("o_orderkey", "o_totalprice")
+           .with_filter(F.col("o_totalprice") > 1000.0)
+           .with_limit(100)
+           .to_df())
+
+Design rule: the builder NEVER executes anything and never touches
+RDDs — ``to_df()`` only composes ``filter``/``select``/``limit`` in
+the canonical order (range -> value filters -> projection -> limit),
+so predicate pushdown, column pruning and partition pruning fire
+exactly as if the user had written the DataFrame by hand
+(plan-asserted in tests/test_client.py).  The group_count/group_agg
+job helpers are the TableMapReduceUtil analog: a shuffle-once partial+
+final hash aggregate over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .registry import query
+
+
+class Scan:
+    """Immutable scan builder over one table; every ``with_*``/``add_*``
+    returns a NEW Scan, so partial scans can be shared and forked the
+    way reference users reuse Scan templates."""
+
+    def __init__(self, df: DataFrame, row_key: str):
+        self._df = df
+        self._row_key = row_key
+        self._start = None
+        self._stop = None
+        self._prefix: str | None = None
+        self._filters: tuple[Column, ...] = ()
+        self._columns: tuple[str, ...] = ()
+        self._limit: int | None = None
+
+    def _copy(self) -> "Scan":
+        s = Scan(self._df, self._row_key)
+        s._start, s._stop, s._prefix = self._start, self._stop, self._prefix
+        s._filters, s._columns, s._limit = self._filters, self._columns, self._limit
+        return s
+
+    def with_start_row(self, v) -> "Scan":
+        """Inclusive range start on the row key (HBase withStartRow)."""
+        s = self._copy()
+        s._start = v
+        return s
+
+    def with_stop_row(self, v) -> "Scan":
+        """EXCLUSIVE range stop on the row key (HBase withStopRow)."""
+        s = self._copy()
+        s._stop = v
+        return s
+
+    def with_prefix(self, prefix: str) -> "Scan":
+        """Row-key string prefix (HBase PrefixFilter)."""
+        s = self._copy()
+        s._prefix = prefix
+        return s
+
+    def add_columns(self, *cols: str) -> "Scan":
+        """Projection (HBase addColumn); empty = full row."""
+        s = self._copy()
+        s._columns = s._columns + cols
+        return s
+
+    def with_filter(self, cond: Column) -> "Scan":
+        """Value filter (HBase SingleColumnValueFilter and friends);
+        multiple calls AND together, like a FilterList(MUST_PASS_ALL)."""
+        s = self._copy()
+        s._filters = s._filters + (cond,)
+        return s
+
+    def with_limit(self, n: int) -> "Scan":
+        """Result cap (HBase setLimit); combined with a row-key sort so
+        the page is DETERMINISTIC, not scan-order-dependent."""
+        s = self._copy()
+        s._limit = n
+        return s
+
+    def to_df(self) -> DataFrame:
+        """Compile to a DataFrame — no execution, no RDDs: range and
+        value predicates become pushable filters, the projection prunes
+        the parquet ReadSchema, and a limited scan sorts on the row key
+        first (total order -> stable page)."""
+        df = self._df
+        key = F.col(self._row_key)
+        if self._start is not None:
+            df = df.filter(key >= self._start)
+        if self._stop is not None:
+            df = df.filter(key < self._stop)
+        if self._prefix is not None:
+            df = df.filter(key.startswith(self._prefix))
+        for cond in self._filters:
+            df = df.filter(cond)
+        if self._columns:
+            df = df.select(*self._columns)
+        if self._limit is not None:
+            df = df.orderBy(self._row_key).limit(self._limit)
+        return df
+
+    # -- job helpers: the TableMapReduceUtil analog ------------------
+
+    def group_count(self, *group_cols: str) -> DataFrame:
+        """RowCounter-per-group: scan -> partial+final count aggregate."""
+        return self.to_df().groupBy(*group_cols).agg(F.count("*").alias("cnt"))
+
+    def group_agg(self, group_cols: list[str], **aggs: Column) -> DataFrame:
+        """Named aggregates over the scan (aliased by kwarg name), e.g.
+        ``scan.group_agg(["lang"], n=F.count("*"), toks=F.sum("n"))``."""
+        return self.to_df().groupBy(*group_cols).agg(
+            *[c.alias(name) for name, c in aggs.items()]
+        )
+
+
+class Table:
+    """Entry point a reference user maps their table handle onto."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, name: str, *, row_key: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self.name = name
+        self.row_key = row_key
+
+    def scan(self) -> Scan:
+        return Scan(load_table(self._spark, self._sf_dir, self.name), self.row_key)
+
+
+@query(
+    "x_client_scan",
+    category="scan",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 20000 "
+        "AND o_totalprice > 150000.0 "
+        "ORDER BY o_orderkey LIMIT 200"
+    ),
+)
+def client_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The client surface end-to-end under the driver's oracle: a
+    range + value-filter + projection + limited scan built through the
+    fluent API compiles to the same pushed-down plan as hand-written
+    DataFrame code (plan equality asserted in tests/test_client.py)."""
+    return (
+        Table(spark, sf_dir, "orders", row_key="o_orderkey")
+        .scan()
+        .with_start_row(1000)
+        .with_stop_row(20000)
+        .with_filter(F.col("o_totalprice") > 150000.0)
+        .add_columns("o_orderkey", "o_orderpriority", "o_totalprice")
+        .with_limit(200)
+        .to_df()
+    )

