@@ -115,6 +115,32 @@ class Scan:
             df = df.orderBy(self._row_key).limit(self._limit)
         return df
 
+    def read_versions(
+        self,
+        n: int,
+        *,
+        ts_col: str,
+        qualifier_cols: list[str],
+        tiebreak_col: str,
+    ) -> DataFrame:
+        """HBase ``Scan.readVersions(n)``: the n NEWEST versions of each
+        cell, where a cell is (row key, qualifier) and versions order by
+        the timestamp column (ties broken by ``tiebreak_col`` so the
+        result is total-ordered and deterministic).  Emits the scan's
+        rows plus a ``version`` rank (1 = newest).
+
+        Spark shape (SURVEY.md §1.1): one window ``row_number`` over
+        (key, qualifiers) — a single shuffle on the cell identity; at
+        100 TB this is the same partitioning a later per-cell
+        aggregation would need anyway."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self._row_key, *qualifier_cols).orderBy(
+            F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+        )
+        df = self.to_df().withColumn("version", F.row_number().over(w))
+        return df.filter(F.col("version") <= n)
+
     # -- job helpers: the TableMapReduceUtil analog ------------------
 
     def group_count(self, *group_cols: str) -> DataFrame:
@@ -140,6 +166,51 @@ class Table:
 
     def scan(self) -> Scan:
         return Scan(load_table(self._spark, self._sf_dir, self.name), self.row_key)
+
+
+@query(
+    "x_cell_versions",
+    category="scan",
+    oracle=(
+        "WITH mx AS (SELECT MAX(ts) AS m FROM events), "
+        "live AS (SELECT e.user_id, e.event_type, e.ts, e.event_id, e.value "
+        "         FROM events e, mx WHERE e.ts >= mx.m - INTERVAL 7 DAY), "
+        "v AS (SELECT user_id, event_type, "
+        "      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, value, "
+        "      row_number() OVER (PARTITION BY user_id, event_type "
+        "                         ORDER BY ts DESC, event_id DESC) AS version "
+        "      FROM live) "
+        "SELECT user_id, event_type, version, ts_us, event_id, value "
+        "FROM v WHERE version <= 3"
+    ),
+)
+def cell_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase cell semantics end-to-end (SURVEY.md §1.1): cells are
+    (row key = user_id, qualifier = event_type, ts, value); a 7-day TTL
+    drops expired versions (cutoff anchored to MAX(ts), so the result
+    is deterministic on a static corpus — a live deployment anchors to
+    the wall clock exactly as HBase does); ``readVersions(3)`` keeps
+    the 3 newest surviving versions per cell, ranked.
+
+    The TTL cutoff is a 1-row broadcast scalar (same whitelisted
+    pattern as stream_late_data's watermark anchor); the version rank
+    is one window over the cell identity."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut"))
+    live = ev.crossJoin(F.broadcast(cutoff)).filter(F.col("ts") >= F.col("cut"))
+    return (
+        Scan(live, "user_id")
+        .add_columns("user_id", "event_type", "ts", "event_id", "value")
+        .read_versions(3, ts_col="ts", qualifier_cols=["event_type"], tiebreak_col="event_id")
+        .select(
+            "user_id",
+            "event_type",
+            "version",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
 
 
 @query(

@@ -99,3 +99,33 @@ def test_group_helpers_match_dataframe_agg(spark):
         ["o_orderpriority"], n=F.count("*"), max_price=F.max("o_totalprice")
     )
     assert set(named.columns) == {"o_orderpriority", "n", "max_price"}
+
+
+def test_read_versions_keeps_n_newest_per_cell(spark):
+    from hbasemapreduce_spark.client import Scan
+
+    events = load_table(spark, SF_DIR, "events")
+    got = (
+        Scan(events, "user_id")
+        .add_columns("user_id", "event_type", "ts", "event_id")
+        .read_versions(2, ts_col="ts", qualifier_cols=["event_type"], tiebreak_col="event_id")
+    )
+    rows = got.collect()
+    # at most n versions per (row, qualifier) cell, ranked from 1
+    from collections import Counter
+
+    per_cell = Counter((r.user_id, r.event_type) for r in rows)
+    assert max(per_cell.values()) <= 2
+    assert {r.version for r in rows} <= {1, 2}
+    # version 1 of a cell is its true max-ts event
+    import pyspark.sql.functions as F
+
+    true_max = {
+        (r.user_id, r.event_type): r.m
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        if r.version == 1:
+            assert r.ts == true_max[(r.user_id, r.event_type)]

@@ -225,6 +225,7 @@ _BNLJ_WHITELIST = {
     "sim_cosine_topk",    # brute-force baseline: broadcast query set
     "x_sim_ivf",          # nlist-bounded centroid table
     "x_text_langid",      # n-languages-bounded profile table
+    "x_cell_versions",    # 1-row TTL-cutoff scalar
 }
 
 
