@@ -167,6 +167,16 @@ class Table:
     def scan(self) -> Scan:
         return Scan(load_table(self._spark, self._sf_dir, self.name), self.row_key)
 
+    def get(self, *row_keys) -> Scan:
+        """Batch Get (HBase ``Table.get(List<Get>)``): N point lookups
+        compiled to ONE ``IN``-filtered scan — not N driver round trips.
+        The IN list reaches the parquet scan as a pushed filter, so
+        row-group min/max stats skip everything outside the requested
+        keys; on a sorted/bucketed 100 TB layout that reads a handful of
+        row groups instead of the table.  Returns a :class:`Scan` so
+        projection (``addColumn``) composes like any other scan."""
+        return self.scan().with_filter(F.col(self.row_key).isin(list(row_keys)))
+
 
 @query(
     "x_cell_versions",
@@ -236,5 +246,26 @@ def client_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .with_filter(F.col("o_totalprice") > 150000.0)
         .add_columns("o_orderkey", "o_orderpriority", "o_totalprice")
         .with_limit(200)
+        .to_df()
+    )
+
+
+@query(
+    "x_client_get",
+    category="scan",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice "
+        "FROM orders WHERE o_orderkey IN (1, 7, 500, 1000, 2500, 9999, 14999)"
+    ),
+)
+def client_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genre's other read path: batch point Gets.  Seven keys become
+    one IN-filtered, column-pruned scan (pushdown asserted in
+    tests/test_client.py) — the Spark analog of HBase's multiget RPC
+    batching, with row-group stats standing in for the block index."""
+    return (
+        Table(spark, sf_dir, "orders", row_key="o_orderkey")
+        .get(1, 7, 500, 1000, 2500, 9999, 14999)
+        .add_columns("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
         .to_df()
     )

@@ -430,3 +430,51 @@ def agg_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "decile", F.col("l_quantity").alias("boundary"))
     )
+
+
+@query(
+    "x_tpch_q18",
+    category="join",
+    oracle=(
+        "WITH osum AS ("
+        "  SELECT l_orderkey, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "  FROM lineitem GROUP BY l_orderkey "
+        "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) "
+        "SELECT c_name, c_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, sum_qty "
+        "FROM osum JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey"
+    ),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    workload.  Instead of the textbook IN-subquery + re-aggregation
+    (two passes over the fact table), the per-order quantity sum is
+    computed ONCE, filtered to >300, and only the surviving handful of
+    orders joins outward to orders/customer — at 100 TB that means one
+    shuffle aggregate on the fact table and two joins whose left side
+    AQE sees as tiny (sub-percent selectivity) and broadcasts, instead
+    of a second full fact-table pass."""
+    from ..functions.determinism import fmt_date
+
+    li = load_table(spark, sf_dir, "lineitem")
+    osum = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        osum.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            fmt_date("o_orderdate", "o_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
