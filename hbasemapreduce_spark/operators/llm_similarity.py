@@ -221,3 +221,66 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", "rnk", F.round("raw_sim", 6).alias("sim"))
     )
+
+
+@query(
+    "x_embedding_quantize",
+    category="llm_sim",
+    oracle=(
+        "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "sc AS (SELECT label, emb, "
+        "       list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS m FROM e), "
+        "qd AS (SELECT label, "
+        "       list_transform(emb, x -> CASE WHEN m = 0 THEN 0 "
+        "         ELSE CAST(round(x * 127.0 / m, 0) AS BIGINT) END) AS q "
+        "       FROM sc) "
+        "SELECT label, COUNT(*) AS n_vecs, "
+        "CAST(SUM(list_aggregate(list_transform(q, x -> abs(x)), 'sum')) AS BIGINT) AS sum_abs_q, "
+        "CAST(SUM(len(list_filter(q, x -> abs(x) = 127))) AS BIGINT) AS n_clip, "
+        "CAST(SUM(len(list_filter(q, x -> x = 0))) AS BIGINT) AS n_zero "
+        "FROM qd GROUP BY label"
+    ),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/shuffle diet
+    every 100 TB embedding pipeline runs before ANN): scale = max|x|/127
+    per vector, q_i = round(x_i/scale), checked via per-label integer
+    audit stats (vector count, sum of |q_i|, clipped and zeroed element
+    counts).
+
+    Scale story: quantized vectors cut ANN candidate-join shuffle bytes
+    4x (int8 vs float32) with recall loss bounded by the audit stats;
+    everything here is JVM codegen — array HOFs per row (no Python, no
+    shuffle) feeding one integer hash aggregate with map-side partials.
+    Checked output is INTEGER-EXACT by construction: max is order-
+    independent, round happens per element identically in both engines,
+    and all cross-row aggregates are bigint sums — no float-sum
+    determinism caveats at any partition count."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    q = F.transform(
+        "emb",
+        lambda x: F.when(F.col("m") == 0, F.lit(0).cast("long")).otherwise(
+            F.round(x * 127.0 / F.col("m"), 0).cast("long")
+        ),
+    )
+    rows = (
+        e.withColumn("m", m)
+        .withColumn("q", q)
+        .select(
+            "label",
+            F.aggregate(
+                F.transform("q", lambda x: F.abs(x)), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("row_abs"),
+            F.size(F.filter("q", lambda x: F.abs(x) == 127)).cast("long").alias("row_clip"),
+            F.size(F.filter("q", lambda x: x == 0)).cast("long").alias("row_zero"),
+        )
+    )
+    return rows.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("row_abs").alias("sum_abs_q"),
+        F.sum("row_clip").alias("n_clip"),
+        F.sum("row_zero").alias("n_zero"),
+    )

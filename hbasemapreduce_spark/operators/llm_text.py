@@ -239,3 +239,68 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return winnow_fingerprint_rows(docs, "doc_id", "text", "fp", k=_WK, w=_WW)
+
+
+@query(
+    "x_text_pii_mask",
+    category="llm_text",
+    oracle=(
+        "WITH synth AS ("
+        "  SELECT source, text || ' contact ' || split_part(text, ' ', 1) || "
+        "  '@example.com phone 555-' || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') "
+        "  AS text_pii FROM documents), "
+        "masked AS ("
+        "  SELECT source, text_pii, "
+        "  regexp_replace(regexp_replace(text_pii, '[a-z0-9]+@[a-z0-9]+\\.com', "
+        "    '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS clean "
+        "  FROM synth) "
+        "SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(regexp_extract_all(text_pii, '[a-z0-9]+@[a-z0-9]+\\.com'))) AS BIGINT) AS n_emails, "
+        "CAST(SUM(len(regexp_extract_all(text_pii, '555-[0-9]{4}'))) AS BIGINT) AS n_phones, "
+        "CAST(SUM(length(text_pii) - length(clean)) AS BIGINT) AS len_delta, "
+        "CAST(SUM(len(regexp_extract_all(clean, '<EMAIL>|<PHONE>'))) AS BIGINT) AS n_masked "
+        "FROM masked GROUP BY source"
+    ),
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction, the mandatory scrub pass before any corpus ships
+    to training: regex-mask emails and phone-shaped tokens, audited per
+    source (pattern counts pre-mask, masked-marker counts post-mask,
+    character delta).  The corpus is synthetic tokens with no real PII,
+    so deterministic PII-shaped strings are first WOVEN IN from the
+    row's own fields (first token -> an @example.com address, n_chars
+    -> a 555- phone) — the masking path then has real work whose
+    outcome the oracle checks exactly.
+
+    Scale story: pure per-row JVM regex (codegen, no shuffle) feeding
+    one integer hash aggregate; the regexes are RE2-safe subsets
+    (character classes + bounded quantifiers, no backtracking blowup)
+    so the same patterns run on any engine a 100 TB pipeline pairs
+    Spark with.  All checked metrics are bigint counts — no float
+    caveats."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_pat = "[a-z0-9]+@[a-z0-9]+\\.com"
+    phone_pat = "555-[0-9]{4}"
+    synth = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.element_at(F.split("text", " "), 1),
+            F.lit("@example.com phone 555-"),
+            F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
+        ).alias("text_pii"),
+    )
+    masked = synth.withColumn(
+        "clean",
+        F.regexp_replace(
+            F.regexp_replace("text_pii", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+        ),
+    )
+    return masked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.regexp_count("text_pii", F.lit(email_pat))).alias("n_emails"),
+        F.sum(F.regexp_count("text_pii", F.lit(phone_pat))).alias("n_phones"),
+        F.sum(F.length("text_pii") - F.length("clean")).alias("len_delta"),
+        F.sum(F.regexp_count("clean", F.lit("<EMAIL>|<PHONE>"))).alias("n_masked"),
+    )

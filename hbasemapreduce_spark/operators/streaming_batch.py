@@ -181,3 +181,54 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max(_ts())).alias("last_ts_us"),
         )
     )
+
+
+@query(
+    "x_stream_interval_join",
+    category="stream",
+    oracle=(
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, "
+        "epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS delta_us "
+        "FROM events v JOIN events p ON v.user_id = p.user_id "
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+        "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR"
+    ),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch form: each view pairs with the
+    same user's purchases within the following 6 hours (attribution
+    window).  The time bound is part of the JOIN condition, which is
+    what makes the streaming twin's state finite: with watermarks on
+    both sides Spark evicts view-state older than (watermark - 6h), so
+    state is bounded by rate x window, not by history.
+
+    Batch plan shape: an equi-join on user_id with the interval as a
+    post-join range condition — a plain shuffle-hash/sort-merge join on
+    the user key, NEVER a cross product; at 100 TB both sides shuffle
+    once on user_id and the range filter runs inside the join.  Checked
+    output is integer-exact (ids + microsecond delta)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        _ts().alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        _ts().alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+        )
+    )

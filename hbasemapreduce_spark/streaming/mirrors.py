@@ -210,3 +210,48 @@ def stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_stateful"] = stateful
+
+
+def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides and the
+    6-hour interval inside the join condition — the combination that
+    bounds join state (views evict once the purchase-side watermark
+    passes v_ts + 6h).  Inner-join matches emit eagerly per micro-batch,
+    so one availableNow pass yields exactly the batch twin's rows."""
+    v = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+        )
+    )
+
+
+MIRRORS["x_stream_interval_join"] = interval_join

@@ -73,3 +73,13 @@ def test_stream_stateful_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_interval_join_matches_batch(spark):
+    # Stream-stream inner join: eager per-batch emission means one
+    # availableNow pass must produce exactly the batch twin's pairs.
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_interval_join", output_mode="append")
+    batch = all_specs()["x_stream_interval_join"].fn(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
