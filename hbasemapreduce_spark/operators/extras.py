@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.determinism import dec_sum
+from ..functions.zorder import normalize, normalize_sql, z_value, z_value_sql
 from ..registry import query
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
@@ -476,5 +477,103 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_date("o_orderdate", "o_date"),
             "o_totalprice",
             "sum_qty",
+        )
+    )
+
+
+@query(
+    "x_tpch_q14",
+    category="agg",
+    oracle=(
+        "SELECT (100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)) / "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) "
+        "AS promo_share "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+        "AND l_shipdate < TIMESTAMP '1997-10-01'"
+    ),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): conditional aggregate
+    ratio over a fact-dim join.  The month filter prunes the fact scan
+    (pushed to parquet), part is a broadcast dim, and the two revenue
+    sums ride ONE aggregate pass (map-side partials).  Both sums use
+    the scale-6 decimal sandwich (exact for products of 2-dp inputs),
+    and the final ratio is (100 * a) / b in double on both engines —
+    deterministic at any partition count."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo.cast("decimal(18,6)")).cast("double").alias("a"),
+            F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("b"),
+        )
+        .select(((F.lit(100.0) * F.col("a")) / F.col("b")).alias("promo_share"))
+    )
+
+
+@query(
+    "x_layout_zorder",
+    category="sink",
+    oracle=(
+        "WITH b AS (SELECT MIN(l_orderkey) AS ok_mn, MAX(l_orderkey) AS ok_mx, "
+        "           MIN(l_partkey) AS pk_mn, MAX(l_partkey) AS pk_mx FROM lineitem), "
+        "n AS (SELECT l_orderkey, l_partkey, "
+        + normalize_sql("l_orderkey", "ok_mn", "ok_mx")
+        + " AS an, "
+        + normalize_sql("l_partkey", "pk_mn", "pk_mx")
+        + " AS bn FROM lineitem, b), "
+        "z AS (SELECT l_orderkey, l_partkey, "
+        + z_value_sql("an", "bn")
+        + " AS zv FROM n) "
+        "SELECT zv >> 24 AS z_bucket, COUNT(*) AS cnt, "
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok, "
+        "MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk "
+        "FROM z GROUP BY z_bucket"
+    ),
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout for two-key data skipping (see
+    functions/zorder.py): both keys are normalized to a shared 16-bit
+    space by exact integer arithmetic (min/max from a 1-row broadcast
+    aggregate -- raw-bit interleaving degenerates to a single-key sort
+    when key widths differ; measured in tests/test_plans.py), then
+    bit-interleaved so range-sorting by the z-value keeps every output
+    file tight in BOTH keys at once -- parquet min/max stats skip files
+    for predicates on either key (the Delta/Iceberg OPTIMIZE ZORDER
+    technique).  Checked output: per-z-bucket counts and key envelopes;
+    the Spark expression and the DuckDB oracle are GENERATED FROM THE
+    SAME bit loop, so the engines agree by construction.  The physical
+    write (repartitionByRange on z + sortWithinPartitions) and its
+    skipping payoff are asserted in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("ok_mn"),
+        F.max("l_orderkey").alias("ok_mx"),
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+    )
+    zed = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("an", normalize("l_orderkey", "ok_mn", "ok_mx"))
+        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx"))
+        .withColumn("zv", z_value(F.col("an"), F.col("bn")))
+    )
+    return (
+        zed.groupBy(F.shiftright("zv", 24).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
         )
     )

@@ -226,6 +226,7 @@ _BNLJ_WHITELIST = {
     "x_sim_ivf",          # nlist-bounded centroid table
     "x_text_langid",      # n-languages-bounded profile table
     "x_cell_versions",    # 1-row TTL-cutoff scalar
+    "x_layout_zorder",    # 1-row key-bounds scalar for z normalization
 }
 
 
@@ -252,3 +253,61 @@ def test_no_cartesian_product_anywhere(spark):
         key for key in all_specs() if "CartesianProduct" in plan_of(spark, key)
     ]
     assert not offenders, f"cartesian products: {offenders}"
+
+
+def test_zorder_layout_tightens_both_key_spans(spark, tmp_path):
+    # Z-order's payoff is physical: after repartitionByRange on the
+    # normalized interleaved z-value, a typical output file covers only
+    # a small fraction of the key range in BOTH dimensions, so parquet
+    # min/max stats can skip files for predicates on either key.  A
+    # single-key sort scores ~1.0 on the metric below (every file spans
+    # the full second dimension); z-order must land far under it.  The
+    # metric is a MEAN because a file straddling a z-quadrant boundary
+    # legitimately covers a wide range — straddlers are a bounded
+    # fraction of files, which is exactly what the mean captures.
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.functions.zorder import normalize, z_value
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("ok_mn"),
+        F.max("l_orderkey").alias("ok_mx"),
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+    )
+    zed = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("an", normalize("l_orderkey", "ok_mn", "ok_mx"))
+        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx"))
+        .withColumn("zv", z_value(F.col("an"), F.col("bn")))
+        .select("l_orderkey", "l_partkey", "zv")
+    )
+    out = str(tmp_path / "zorder")
+    zed.repartitionByRange(16, "zv").sortWithinPartitions("zv").write.parquet(out)
+
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    ok_span, pk_span = b[1] - b[0], b[3] - b[2]
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 16
+    import pyarrow.parquet as pq
+
+    fracs = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey", "l_partkey"])
+        ok = t.column("l_orderkey").to_pylist()
+        pk = t.column("l_partkey").to_pylist()
+        fracs.append(
+            max((max(ok) - min(ok)) / ok_span, (max(pk) - min(pk)) / pk_span)
+        )
+    mean_frac = sum(fracs) / len(fracs)
+    # 16 z-range files over a 4x4 grid -> typical max-dimension fraction
+    # ~0.25-0.3 plus a few straddlers; a single-key sort scores ~1.0
+    assert mean_frac <= 0.6, f"z-order not tightening both keys: {mean_frac:.2f} {fracs}"
