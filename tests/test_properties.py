@@ -327,3 +327,64 @@ def test_sample_split_is_total_and_stable(spark):
     assert 0.04 <= frac.get("test", 0) <= 0.16
     again = {r.doc_id: r.split for r in q(spark, "x_sample_split").collect()}
     assert rows == again
+
+
+def test_quantize_audit_bounds(spark):
+    # int8 invariants: every |q_i| <= 127 means sum_abs_q <= 127 * 64 *
+    # n_vecs; at least one element per vector quantizes to exactly +-127
+    # (the max-|x| element by construction), so n_clip >= n_vecs; and
+    # vector counts reconcile with the raw table.
+    rows = q(spark, "x_embedding_quantize").collect()
+    total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total
+    for r in rows:
+        assert r.sum_abs_q <= 127 * 64 * r.n_vecs
+        assert r.n_clip >= r.n_vecs
+        assert 0 <= r.n_zero <= 64 * r.n_vecs
+
+
+def test_pii_mask_is_idempotent_and_reconciles(spark):
+    # Masking already-masked text is a no-op ('<EMAIL>'/'<PHONE>' match
+    # neither pattern), every doc gains exactly one synthetic email and
+    # one synthetic phone, and post-mask marker count equals pre-mask
+    # pattern count.
+    rows = q(spark, "x_text_pii_mask").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_emails >= r.n_docs  # the woven-in one, plus any collisions
+        assert r.n_phones >= r.n_docs
+        assert r.n_masked == r.n_emails + r.n_phones
+        assert r.len_delta > 0  # '<EMAIL>'/'<PHONE>' are shorter than the PII
+
+
+def test_interval_join_within_window(spark):
+    # every attributed pair respects the 6-hour window and pairs a view
+    # with a strictly-later-or-equal purchase
+    rows = q(spark, "x_stream_interval_join").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.delta_us <= 6 * 3600 * 1_000_000
+
+
+def test_zvalue_interleave_roundtrip(spark):
+    # the interleave is a bijection: de-interleaving the z-value must
+    # recover both normalized keys exactly (checked distributed, not in
+    # the driver)
+    from hbasemapreduce_spark.functions.zorder import ZBITS, z_value
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") * 7919 % 65536).alias("a"), (F.col("id") * 104729 % 65536).alias("b")
+    )
+    z = df.withColumn("zv", z_value(F.col("a"), F.col("b")))
+    back_a = F.lit(0).cast("long")
+    back_b = F.lit(0).cast("long")
+    for i in range(ZBITS):
+        back_a = back_a.bitwiseOR(
+            F.shiftleft(F.shiftright("zv", 2 * i).bitwiseAND(F.lit(1)), i)
+        )
+        back_b = back_b.bitwiseOR(
+            F.shiftleft(F.shiftright("zv", 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        )
+    bad = z.filter((back_a != F.col("a")) | (back_b != F.col("b"))).count()
+    assert bad == 0
