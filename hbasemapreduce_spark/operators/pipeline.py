@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -477,4 +477,53 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
         F.coalesce(F.col("u.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
         F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+    )
+
+
+@query(
+    "x_etl_scd2",
+    category="pipeline",
+    oracle=(
+        "WITH chg AS ("
+        "  SELECT user_id, value, event_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us "
+        "  FROM events WHERE event_type IN ('signup', 'purchase')) "
+        "SELECT user_id, value, "
+        "row_number() OVER w AS version, "
+        "ts_us AS valid_from_us, "
+        "COALESCE(lead(ts_us) OVER w, 9223372036854775807) AS valid_to_us "
+        "FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"
+    ),
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: turn a change-event log into versioned
+    dimension rows with [valid_from, valid_to) intervals — the standard
+    warehouse shape for 'what was this attribute worth at time T'
+    (an as-of join against it answers that with a range predicate).
+
+    Spark shape: ONE window over (user, ts) — a single shuffle on the
+    dimension key; lead() closes each interval, the open-ended current
+    row gets a +inf sentinel (NULL would be hash-unstable across
+    engines' NaN/None handling; Long.MAX_VALUE compares correctly in
+    range predicates).  At 100 TB the shuffle is partitioned by the
+    same key every downstream as-of lookup needs — the sort amortizes."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "value",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return chg.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("version"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("ts_us").over(w), F.lit(9223372036854775807).cast("long")
+        ).alias("valid_to_us"),
     )

@@ -388,3 +388,24 @@ def test_zvalue_interleave_roundtrip(spark):
         )
     bad = z.filter((back_a != F.col("a")) | (back_b != F.col("b"))).count()
     assert bad == 0
+
+
+def test_scd2_intervals_partition_history(spark):
+    # per user: versions are 1..n, intervals are non-overlapping and
+    # CONTIGUOUS (valid_to of version k == valid_from of k+1), and
+    # exactly one open-ended current row exists
+    import itertools
+
+    rows = q(spark, "x_etl_scd2").collect()
+    assert rows
+    INF = 9223372036854775807
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1)), uid
+        for a, b in itertools.pairwise(rs):
+            assert a.valid_to_us == b.valid_from_us, uid
+            assert a.valid_from_us < a.valid_to_us, uid
+        assert rs[-1].valid_to_us == INF, uid
