@@ -15,7 +15,7 @@ cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
@@ -189,4 +189,47 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "x_agg_mode",
+    category="agg",
+    oracle=(
+        "WITH cnt AS ("
+        "  SELECT l_returnflag, l_shipmode_proxy, COUNT(*) AS c FROM ("
+        "    SELECT l_returnflag, l_linestatus || '-' || CAST(l_linenumber % 3 AS VARCHAR) "
+        "    AS l_shipmode_proxy FROM lineitem) GROUP BY 1, 2), "
+        "rk AS ("
+        "  SELECT l_returnflag, l_shipmode_proxy, c, "
+        "  row_number() OVER (PARTITION BY l_returnflag "
+        "                     ORDER BY c DESC, l_shipmode_proxy) AS rn FROM cnt) "
+        "SELECT l_returnflag, l_shipmode_proxy AS mode_value, c AS mode_count "
+        "FROM rk WHERE rn = 1"
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical MODE with a deterministic tie-break (count
+    desc, then value asc) — the argmax-of-counts pattern.  Two-level
+    shape: a partial+final count aggregate (map-side combine shrinks
+    the shuffle to distinct (group, value) pairs), then a row_number
+    window over the already-tiny count table.  Never a collect, never a
+    re-scan; at 100 TB the window input is |groups| x |values|, not
+    |rows|."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.concat(
+            F.col("l_linestatus"), F.lit("-"), (F.col("l_linenumber") % 3).cast("string")
+        ).alias("l_shipmode_proxy"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_shipmode_proxy").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_shipmode_proxy"))
+    return (
+        cnt.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_shipmode_proxy").alias("mode_value"),
+            F.col("c").alias("mode_count"),
+        )
     )

@@ -171,3 +171,67 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_sim") >= 0.4)
         .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
     )
+
+
+@query(
+    "x_dedup_url",
+    category="llm_dedup",
+    oracle=(
+        "WITH synth AS ("
+        "  SELECT doc_id, 'https://' || "
+        "  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || "
+        "  '.example.com/' || split_part(text, ' ', 1) || "
+        "  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+        "  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x' "
+        "       WHEN doc_id % 4 = 1 THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR) "
+        "       ELSE '' END || "
+        "  CASE WHEN doc_id % 5 = 0 THEN '#section-' || CAST(doc_id % 3 AS VARCHAR) "
+        "       ELSE '' END AS url FROM documents), "
+        "canon AS ("
+        "  SELECT doc_id, "
+        "  rtrim(regexp_replace(regexp_replace(lower(url), "
+        "    '#.*$', ''), '\\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$', ''), '/') "
+        "  AS curl FROM synth) "
+        "SELECT curl, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, "
+        "COUNT(*) AS n_dups FROM canon GROUP BY curl"
+    ),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-side dedup every corpus
+    pipeline runs before any content dedup: lowercase the URL, drop the
+    fragment, strip tracking (utm_*) query params, trim the trailing
+    slash, then keep one doc per canonical URL.  The corpus has no URL
+    column, so deterministic URLs are WOVEN from row fields first
+    (host-case, trailing-slash, utm, ref and fragment variants keyed on
+    doc_id residues) — the canonicalizer then has real collisions to
+    collapse, which the oracle checks exactly.
+
+    Scale story: per-row JVM regex/string ops (codegen, no Python) into
+    one hash aggregate on the canonical key — identical shape to
+    dedup_exact, the trivially scale-safe groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/"),
+        F.element_at(F.split("text", " "), 1),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?ref="), (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("#section-"), (F.col("doc_id") % 3).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    canon = F.rtrim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "#.*$", ""),
+            "\\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$",
+            "",
+        ),
+        F.lit("/"),
+    )
+    return (
+        docs.select(F.col("doc_id"), canon.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").cast("long").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )

@@ -232,3 +232,37 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delta_us"),
         )
     )
+
+
+@query(
+    "x_stream_hourly_top",
+    category="stream",
+    oracle=(
+        "WITH hourly AS ("
+        "  SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ws, "
+        "  event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), "
+        "rk AS ("
+        "  SELECT ws, event_type, cnt, row_number() OVER ("
+        "    PARTITION BY ws ORDER BY cnt DESC, event_type) AS rnk FROM hourly) "
+        "SELECT ws, event_type, cnt, rnk FROM rk WHERE rnk <= 2"
+    ),
+)
+def stream_hourly_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per tumbling hour: a rank over a windowed
+    aggregate.  Structured Streaming cannot put a window function on a
+    streaming aggregate natively — the streaming twin
+    (streaming/mirrors.py hourly_top via ``foreachBatch``) applies the
+    rank per micro-batch on the aggregate's update stream, the standard
+    escape hatch for post-aggregation logic.  The rank input here is
+    |hours| x |types| rows regardless of corpus size — scale-free."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window(_ts(), "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+    w = Window.partitionBy("ws").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        hourly.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 2)
+    )

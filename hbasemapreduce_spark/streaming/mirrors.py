@@ -255,3 +255,51 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_interval_join"] = interval_join
+
+
+def run_hourly_top_foreachbatch(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_hourly_top via ``foreachBatch`` — the
+    escape hatch for logic Structured Streaming can't express on an
+    aggregate stream (here: a rank window).  Each micro-batch delivers
+    the hourly-count updates; the callback ranks WITHIN the batch
+    dataframe (plain batch Catalyst plan) and overwrites the sink.
+    With one availableNow pass the single batch holds every hour's
+    final count, so the sink equals the batch twin exactly; in a live
+    run each trigger refreshes the leaderboard with current counts —
+    idempotent by construction (overwrite, not append)."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "cnt")
+    )
+
+    def rank_and_write(batch_df: DataFrame, batch_id: int) -> None:
+        # availableNow may fire a trailing WATERMARK-ADVANCE batch with
+        # zero update rows; overwriting the leaderboard with it would
+        # erase the final state
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("ws").orderBy(F.desc("cnt"), F.asc("event_type"))
+        (
+            batch_df.select("*", F.row_number().over(w).alias("rnk"))
+            .filter(F.col("rnk") <= 2)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    q = (
+        hourly.writeStream.foreachBatch(rank_and_write)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("hourly_top foreachBatch did not drain within 300s")
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)

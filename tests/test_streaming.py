@@ -83,3 +83,15 @@ def test_stream_interval_join_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_hourly_top_foreachbatch_matches_batch(spark, tmp_path):
+    # foreachBatch rank-on-aggregate: one availableNow pass must equal
+    # the batch twin exactly
+    from hbasemapreduce_spark.streaming.mirrors import run_hourly_top_foreachbatch
+
+    got = run_hourly_top_foreachbatch(spark, SF_DIR, str(tmp_path / "top"))
+    batch = all_specs()["x_stream_hourly_top"].fn(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
