@@ -577,3 +577,81 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").alias("max_pk"),
         )
     )
+
+
+@query(
+    "x_unpivot",
+    category="agg",
+    oracle=(
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        "t AS (SELECT unnest(['click', 'purchase', 'view']) AS event_type), "
+        "c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+        "      WHERE event_type IN ('click', 'purchase', 'view') GROUP BY 1, 2) "
+        "SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt "
+        "FROM u CROSS JOIN t LEFT JOIN c USING (user_id, event_type)"
+    ),
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the inverse of x_agg_pivot — wide per-user count
+    columns back to long (user_id, event_type, cnt) rows, absent combos
+    materialized as explicit zeros (round-tripping the pivot's fill).
+    Spark's native ``unpivot`` is a zero-shuffle projection: the only
+    shuffle in this plan is the pivot aggregate that builds the wide
+    input.  Wide->long is how 100 TB feature matrices re-enter
+    key-value processing without writing N per-column jobs."""
+    wide = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click", "purchase", "view"],
+        variableColumnName="event_type",
+        valueColumnName="cnt",
+    )
+
+
+@query(
+    "x_stats_corr",
+    category="agg",
+    oracle=(
+        "WITH m AS ("
+        "  SELECT l_returnflag, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+        "  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
+        "  CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy, "
+        "  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx, "
+        "  CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy "
+        "  FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) "
+        "AS corr_qty_disc FROM m"
+    ),
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation done ORDER-INDEPENDENTLY: the
+    built-in ``corr()`` accumulates running float moments whose value
+    depends on partition merge order — fine for exploration, not for a
+    deterministic pipeline.  Here the five moment sums are exact
+    decimals (2-dp inputs -> products exact at scale 4), so the final
+    double arithmetic starts from IDENTICAL inputs on every engine and
+    partition count; one aggregate pass, map-side partials, no second
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(18,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(18,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(18,4)")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
