@@ -206,3 +206,35 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "x_sample_balanced",
+    category="analytics",
+    oracle=(
+        f"WITH h AS (SELECT doc_id, lang, (doc_id * {_KNUTH}) % 1000000 AS hk "
+        "FROM documents), "
+        "rk AS (SELECT doc_id, lang, "
+        "  row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn FROM h) "
+        "SELECT doc_id, lang, rn AS pick_rank FROM rk WHERE rn <= 50"
+    ),
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every language at 50 docs,
+    chosen by portable hash order (NOT id order — low ids would bias
+    toward whatever was crawled first; the Knuth hash decorrelates pick
+    order from insertion order while staying deterministic across
+    engines and runs).  The majority-class cap is how training
+    pipelines stop a 100 TB corpus's dominant class from drowning the
+    gradient signal.
+
+    Scale shape: one window per class over (class, hash) — the same
+    single shuffle a per-class aggregation needs; no sampling collect,
+    no two-pass count-then-filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hk = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(1_000_000))
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 50)
+    )

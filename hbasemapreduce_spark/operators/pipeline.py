@@ -527,3 +527,86 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("ts_us").over(w), F.lit(9223372036854775807).cast("long")
         ).alias("valid_to_us"),
     )
+
+
+@query(
+    "x_etl_snapshot_diff",
+    category="pipeline",
+    oracle=(
+        "WITH v2 AS ("
+        "  SELECT o_orderkey, o_custkey, "
+        "  CASE WHEN o_orderkey % 7 = 0 THEN "
+        "  CAST(CAST(o_totalprice * 1.05 AS DECIMAL(18,6)) AS DOUBLE) "
+        "  ELSE o_totalprice END AS o_totalprice "
+        "  FROM orders WHERE o_orderkey % 11 <> 0 "
+        "  UNION ALL "
+        "  SELECT o_orderkey + 2000000, o_custkey, o_totalprice "
+        "  FROM orders WHERE o_orderkey % 13 = 0) "
+        "SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, "
+        "CASE WHEN a.o_orderkey IS NULL THEN 'added' "
+        "     WHEN b.o_orderkey IS NULL THEN 'removed' "
+        "     ELSE 'changed' END AS change_type, "
+        "a.o_totalprice AS old_price, b.o_totalprice AS new_price "
+        "FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey "
+        "WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL "
+        "OR a.o_totalprice <> b.o_totalprice"
+    ),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions into
+    added / removed / changed rows — the audit step between any two
+    loads of the same 100 TB table (and the input to an incremental
+    downstream refresh, which then touches only the diff).  Version 2
+    is derived deterministically from orders (drops every 11th key,
+    reprices every 7th, appends shifted copies of every 13th).
+
+    Spark shape: ONE full-outer shuffle join on the key — both sides
+    hash-partition once; the unchanged-row filter runs inside the join
+    output before anything materializes.  At equal-snapshot scale AQE
+    handles the skew; there is no driver-side comparison loop."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                (F.col("o_totalprice") * 1.05).cast("decimal(18,6)").cast("double"),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            base.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+            )
+        )
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("old_price")
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("new_price")
+    )
+    return (
+        a.join(b, F.col("a_key") == F.col("b_key"), "full_outer")
+        .filter(
+            F.col("a_key").isNull()
+            | F.col("b_key").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce("a_key", "b_key").alias("o_orderkey"),
+            F.when(F.col("a_key").isNull(), "added")
+            .when(F.col("b_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )
