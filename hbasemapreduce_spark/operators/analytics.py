@@ -238,3 +238,65 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
         .filter(F.col("pick_rank") <= 50)
     )
+
+
+@query(
+    "x_session_paths",
+    category="analytics",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, event_type, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), "
+        "flags AS ("
+        "  SELECT user_id, event_id, event_type, ts_us, "
+        "  CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 "
+        "       THEN 1 ELSE 0 END AS new_sess "
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "sess AS ("
+        "  SELECT user_id, event_type, ts_us, event_id, CAST(SUM(new_sess) OVER ("
+        "    PARTITION BY user_id ORDER BY ts_us, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id "
+        "  FROM flags), "
+        "paths AS ("
+        "  SELECT user_id, sess_id, "
+        "  string_agg(event_type, '>' ORDER BY ts_us, event_id) AS full_path "
+        "  FROM sess GROUP BY user_id, sess_id) "
+        "SELECT path3, COUNT(*) AS n_sessions FROM ("
+        "  SELECT array_to_string((string_split(full_path, '>'))[1:3], '>') AS path3 "
+        "  FROM paths) GROUP BY path3"
+    ),
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the most common first-3-event journeys per
+    session (the product-analytics 'what do users do first' query).
+    Built on the SAME sessionizer as stream_session, then per-session
+    paths via sort_array(collect_list(struct(ts, id, type))) — the
+    struct sort makes collect_list's arrival order irrelevant, so the
+    path string is deterministic under any partitioning; the heavy
+    shuffle is the one sessionize already paid on user_id.
+
+    Scale note: paths are truncated to 3 steps BEFORE the final count
+    aggregate, so the group domain is |event_types|^3-bounded, not
+    session-count-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    from ..functions.sessionize import sessionize
+
+    sess = sessionize(ev, gap_us=1_800_000_000)
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("evs", lambda e: e.event_type), 1, 3), ">"
+            ).alias("path3")
+        )
+    )
+    return paths.groupBy("path3").agg(F.count("*").alias("n_sessions"))

@@ -610,3 +610,46 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+@query(
+    "x_incremental_agg",
+    category="pipeline",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base snapshot's aggregate
+    state and a delta batch's aggregate state are MERGED (sum+sum,
+    count+count, min/min, max/max) instead of rescanning the base — the
+    foundation of every incremental-refresh pipeline (only the delta is
+    scanned on refresh; the 100 TB base is touched once, ever).
+
+    The oracle is the PLAIN full-table aggregate: the checked result
+    proves merge(base_state, delta_state) == agg(base ∪ delta), i.e.
+    that every statistic here is algebraically mergeable and the merge
+    implementation honors it (avg would need sum/count carried
+    separately — which is exactly how dec_avg works).  Spark shape: two
+    partial aggregates + one tiny merge aggregate on |groups| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 11 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 11 == 0)
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_dec"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    merged = state(base).unionAll(state(delta))
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_dec").cast("double").alias("sum_price"),
+        F.min("min_key").alias("min_key"),
+        F.max("max_key").alias("max_key"),
+    )
