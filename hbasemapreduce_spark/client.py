@@ -269,3 +269,71 @@ def client_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         .add_columns("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
         .to_df()
     )
+
+
+class Mutation:
+    """The genre's write path on the same declarative footing: HBase
+    ``checkAndPut`` (per-row conditional update) and ``Delete`` are
+    per-row decisions, so they compile to ``when``/``filter`` —
+    a projection, not a join, and never a driver round trip."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def delete_where(self, cond: Column) -> "Mutation":
+        """HBase Delete-by-filter: rows matching cond disappear from
+        the post-mutation snapshot."""
+        return Mutation(self._df.filter(~cond))
+
+    def check_and_put(self, check: Column, **sets: Column) -> "Mutation":
+        """HBase checkAndPut: where `check` holds, apply the column
+        assignments; elsewhere the row is untouched.  Multiple calls
+        chain like a batched RPC."""
+        df = self._df
+        for col, val in sets.items():
+            df = df.withColumn(col, F.when(check, val).otherwise(F.col(col)))
+        return Mutation(df)
+
+    def snapshot(self) -> DataFrame:
+        return self._df
+
+
+@query(
+    "x_client_mutate",
+    category="scan",
+    oracle=(
+        "WITH m AS ("
+        "  SELECT o_orderkey, o_orderstatus, "
+        "  CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000.0 "
+        "       THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority, "
+        "  CASE WHEN o_orderstatus = 'O' AND o_totalprice > 200000.0 "
+        "       THEN CAST(CAST(o_totalprice * 1.02 AS DECIMAL(18,6)) AS DOUBLE) "
+        "       ELSE o_totalprice END AS o_totalprice "
+        "  FROM orders WHERE NOT o_orderstatus = 'P') "
+        "SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price "
+        "FROM m GROUP BY o_orderpriority"
+    ),
+)
+def client_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write path end-to-end: Delete-by-filter drops 'P' orders,
+    checkAndPut escalates big open orders (priority + a 2% surcharge),
+    and the post-mutation snapshot is aggregated — all one declarative
+    plan (filter + conditional projection + hash aggregate); HBase does
+    N conditional RPCs, Spark does zero."""
+    base = Table(spark, sf_dir, "orders", row_key="o_orderkey").scan().to_df()
+    check = (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0)
+    snap = (
+        Mutation(base)
+        .delete_where(F.col("o_orderstatus") == "P")
+        .check_and_put(
+            check,
+            o_orderpriority=F.lit("1-URGENT"),
+            o_totalprice=(F.col("o_totalprice") * 1.02).cast("decimal(18,6)").cast("double"),
+        )
+        .snapshot()
+    )
+    return snap.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )

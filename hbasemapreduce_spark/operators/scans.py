@@ -282,3 +282,51 @@ def source_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
     )
+
+
+def bulkload_ranged(df: DataFrame, out_dir: str, row_key: str, n_regions: int) -> str:
+    """The genre's E2 bulk-load pattern (HFileOutputFormat2 +
+    LoadIncrementalHFiles) re-expressed: a total-order repartition on
+    the row key (Spark's RangePartitioner = the TotalOrderPartitioner
+    the MR job needed) + an in-partition sort, written as one file per
+    'region'.  Files have DISJOINT key ranges and are internally
+    sorted — exactly the property that lets HBase adopt HFiles without
+    compaction, and that gives parquet readers perfect min/max pruning
+    on the key (asserted in tests/test_plans.py)."""
+    (
+        df.repartitionByRange(n_regions, F.col(row_key))
+        .sortWithinPartitions(row_key)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+@query(
+    "x_bulkload_ranged",
+    category="sink",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS cnt, MIN(o_orderkey) AS min_key, "
+        "MAX(o_orderkey) AS max_key FROM orders GROUP BY o_orderpriority"
+    ),
+)
+def bulkload_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk load end-to-end: range-partition orders into 8 sorted
+    'region files' (bulkload_ranged above), read the staged layout
+    back, aggregate — proving the rewrite is lossless.  The oracle sees
+    the same rows as the source table; the physical guarantees
+    (disjoint per-file ranges, in-file sort) are layout properties the
+    SQL oracle cannot see and are asserted in tests/test_plans.py."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        _SCRATCH, f"bulkload_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    bulkload_ranged(orders, out, "o_orderkey", 8)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

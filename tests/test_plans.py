@@ -311,3 +311,33 @@ def test_zorder_layout_tightens_both_key_spans(spark, tmp_path):
     # 16 z-range files over a 4x4 grid -> typical max-dimension fraction
     # ~0.25-0.3 plus a few straddlers; a single-key sort scores ~1.0
     assert mean_frac <= 0.6, f"z-order not tightening both keys: {mean_frac:.2f} {fracs}"
+
+
+def test_bulkload_files_are_disjoint_and_sorted(spark, tmp_path):
+    # The bulk-load contract: one file per region, each internally
+    # sorted on the row key, ranges pairwise disjoint — the property
+    # that lets HBase adopt HFiles without compaction (and parquet
+    # readers prune perfectly on the key).
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.operators.scans import bulkload_ranged
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = bulkload_ranged(orders, str(tmp_path / "bulk"), "o_orderkey", 8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    total = 0
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"]).column("o_orderkey").to_pylist()
+        assert keys == sorted(keys), f"file not sorted: {f}"
+        ranges.append((keys[0], keys[-1]))
+        total += len(keys)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping region ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    assert total == orders.count()
