@@ -300,3 +300,155 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return paths.groupBy("path3").agg(F.count("*").alias("n_sessions"))
+
+
+@query(
+    "x_time_gapfill",
+    category="analytics",
+    oracle=(
+        "WITH ev AS (SELECT event_type, "
+        "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ws "
+        "  FROM events), "
+        "b AS (SELECT MIN(ws) AS lo, MAX(ws) AS hi FROM ev), "
+        "hrs AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), 3600)) AS ws), "
+        "types AS (SELECT DISTINCT event_type FROM ev), "
+        "counts AS (SELECT event_type, ws, COUNT(*) AS n FROM ev GROUP BY 1, 2) "
+        "SELECT t.event_type, h.ws, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events "
+        "FROM types t CROSS JOIN hrs h "
+        "LEFT JOIN counts c ON c.event_type = t.event_type AND c.ws = h.ws"
+    ),
+)
+def time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type with ZERO-FILLED gaps — the
+    hypertable-rollup / time-series spine every monitoring dashboard
+    needs (a plain groupBy silently drops empty hours, so downstream
+    moving averages and anomaly detectors see a shorter, gapless-looking
+    series).
+
+    Scale shape: the only big job is the (event_type, hour) count
+    aggregate over the fact stream (map-side partials).  The spine is
+    synthesized, not scanned: one 1-row min/max aggregate -> an exploded
+    ``sequence()`` of hour starts (span-bounded, ~9k rows/year), crossed
+    with the distinct type list (a broadcast of two content-bounded
+    sides — whitelisted in test_plans, like the other deliberate
+    scalar/dimension crosses), then a left join against the
+    pre-aggregated counts — at 100 TB the spine side stays
+    broadcast-size because its cardinality is hours x types,
+    independent of row count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("ws"),
+    )
+    counts = ev.groupBy("event_type", "ws").agg(F.count("*").alias("n"))
+    hours = (
+        ev.agg(F.min("ws").alias("lo"), F.max("ws").alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))).alias("ws"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    return spine.join(F.broadcast(counts), ["event_type", "ws"], "left").select(
+        "event_type",
+        "ws",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "x_stats_outliers",
+    category="agg",
+    oracle=(
+        "WITH m AS ("
+        "  SELECT event_type, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx, "
+        "  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sxx "
+        "  FROM events GROUP BY 1), "
+        "z AS ("
+        "  SELECT e.event_id, e.event_type, e.value, "
+        "         (e.value - m.sx / m.n) "
+        "           / sqrt(m.sxx / m.n - (m.sx / m.n) * (m.sx / m.n)) AS zr "
+        "  FROM events e JOIN m USING (event_type)) "
+        "SELECT event_id, event_type, value, round(zr, 4) AS z_score "
+        "FROM z WHERE abs(zr) > 2.0"
+    ),
+)
+def stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging, ORDER-INDEPENDENTLY: the
+    population moments come from exact decimal sums (2-dp inputs, so
+    decimal(18,2) / products at scale 4 are exact), so mean and sigma
+    are bit-identical on both engines at any partition count, and the
+    |z| > 2 cut falls on identical doubles — no boundary flakiness.
+
+    Scale shape: one moment aggregate per group (map-side partials,
+    groups = event types, tiny), broadcast back onto the fact stream —
+    the same two-pass shape as mean-centering features at 100 TB; the
+    second pass is a broadcast hash join plus a codegen filter, no
+    shuffle of the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(18,4)")).cast("double").alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    z = (v - mu) / F.sqrt(F.col("sxx") / F.col("n") - mu * mu)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z_score"))
+    )
+
+
+@query(
+    "x_join_fuzzy",
+    category="join",
+    oracle=(
+        "WITH names AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts "
+        "               FROM part GROUP BY 1), "
+        "tok AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS t FROM names), "
+        "pairs AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b "
+        "          FROM tok a JOIN tok b ON a.t = b.t AND a.p_name < b.p_name), "
+        "close AS (SELECT name_a, name_b, "
+        "          CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist "
+        "          FROM pairs WHERE levenshtein(name_a, name_b) <= 3) "
+        "SELECT c.name_a, c.name_b, c.dist, x.n_parts AS n_a, y.n_parts AS n_b "
+        "FROM close c JOIN names x ON c.name_a = x.p_name "
+        "JOIN names y ON c.name_b = y.p_name"
+    ),
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (entity-resolution) join: near-duplicate part names
+    within Levenshtein distance 3, candidate pairs generated by TOKEN
+    BLOCKING — only names sharing at least one whitespace token are ever
+    compared, so the edit-distance work is an equi-join on token, never
+    an all-pairs pass.
+
+    Scale shape: the quadratic risk is confined to the DISTINCT-name
+    level (names first collapse to one row each with their part count),
+    and within that to per-token blocks — the standard blocking shape
+    for record linkage at 100 TB, where raw rows are billions but
+    distinct join keys are orders of magnitude fewer.  The count-back
+    joins broadcast the (small) name-level aggregate."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    tok = names.select("p_name", F.explode(F.split("p_name", " ")).alias("t"))
+    pairs = (
+        tok.select(F.col("p_name").alias("name_a"), "t")
+        .join(tok.select(F.col("p_name").alias("name_b"), "t"), "t")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    close = pairs.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 3)
+    na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"))
+    nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"))
+    return (
+        close.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

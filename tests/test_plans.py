@@ -227,6 +227,7 @@ _BNLJ_WHITELIST = {
     "x_text_langid",      # n-languages-bounded profile table
     "x_cell_versions",    # 1-row TTL-cutoff scalar
     "x_layout_zorder",    # 1-row key-bounds scalar for z normalization
+    "x_time_gapfill",     # spine synthesis: distinct types x hour sequence
 }
 
 
