@@ -452,3 +452,108 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+@query(
+    "x_time_ohlc",
+    category="analytics",
+    oracle=(
+        "WITH ev AS ("
+        "  SELECT event_type, event_id, value, "
+        "    CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) "
+        "      // 21600 * 21600 AS ws, "
+        "    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us "
+        "  FROM events), "
+        "r AS ("
+        "  SELECT *, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type, ws ORDER BY ts_us, event_id) AS rn_a, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type, ws ORDER BY ts_us DESC, event_id DESC) AS rn_z "
+        "  FROM ev) "
+        "SELECT event_type, ws, "
+        "  CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open, "
+        "  MAX(value) AS high, MIN(value) AS low, "
+        "  CAST(MAX(CASE WHEN rn_z = 1 THEN value END) AS DOUBLE) AS close, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM r GROUP BY 1, 2"
+    ),
+)
+def time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate downsampling: 6-hour OHLC (open / high /
+    low / close) bars per event type — the hypertable-rollup shape that
+    turns a raw tick stream into a chartable series.
+
+    open/close are min_by/max_by over a (ts, event_id) struct — total,
+    tie-broken orderings, so the bars are deterministic even with
+    duplicate timestamps (the oracle spells the same selection as
+    tie-broken ROW_NUMBERs).  high/low/count are plain min/max/count —
+    no float summation anywhere, so no decimal sandwich is needed.
+
+    Scale shape: ONE hash aggregate on (event_type, bucket) with
+    map-side partials; min_by/max_by carry a single (ord, value)
+    accumulator per group, so state per group is O(1) regardless of
+    bucket population — the plan a 100 TB tick store wants."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+                / 21600
+            )
+            * 21600
+        ).alias("ws"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    ord_asc = F.struct("ts_us", "event_id")
+    return ev.groupBy("event_type", "ws").agg(
+        F.min_by("value", ord_asc).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_asc).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "x_win_distinct_rolling",
+    category="analytics",
+    oracle=(
+        "WITH uh AS (SELECT DISTINCT user_id, "
+        "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr "
+        "  FROM events), "
+        "b AS (SELECT MAX(hr) AS hi FROM uh), "
+        "ex AS (SELECT user_id, unnest(generate_series(hr, hr + 82800, 3600)) AS t FROM uh) "
+        "SELECT t AS ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_24h "
+        "FROM ex WHERE t <= (SELECT hi FROM b) GROUP BY 1"
+    ),
+)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-hour distinct users, evaluated each hour — the
+    sliding DISTINCT that plain window frames cannot express (COUNT
+    (DISTINCT) over a RANGE frame is unsupported in both engines).
+
+    Implemented by CONTRIBUTION EXPANSION instead of an inequality
+    join: each distinct (user, hour) pair is exploded to the 24 bar
+    hours it contributes to, then one count-distinct per bar.  That
+    turns an O(rows x window) range join into a constant 24x expansion
+    of the ALREADY-DEDUPLICATED pair set, all equi-shuffles — at 100 TB
+    the expansion happens after the dedup collapse, and the per-bar
+    distinct is a two-level hash aggregate.  The end-of-series cutoff
+    is a 1-row scalar broadcast (whitelisted BNLJ, content-bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("hr"),
+    ).distinct()
+    hi = uh.agg(F.max("hr").alias("hi"))
+    ex = uh.select(
+        "user_id",
+        F.explode(F.sequence(F.col("hr"), F.col("hr") + 82800, F.lit(3600))).alias("t"),
+    )
+    return (
+        ex.crossJoin(F.broadcast(hi))
+        .filter(F.col("t") <= F.col("hi"))
+        .groupBy(F.col("t").alias("ws"))
+        .agg(F.count_distinct("user_id").alias("n_users_24h"))
+    )

@@ -655,3 +655,46 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("l_returnflag", "n", corr.alias("corr_qty_disc"))
+
+
+_IDX_BRANDS = ["Brand#3", "Brand#17", "Brand#25"]
+
+
+@query(
+    "x_index_inverted",
+    category="scan",
+    oracle=(
+        "WITH idx AS (SELECT p_brand, list_sort(list(p_partkey)) AS keys FROM part "
+        "             WHERE p_brand IN ('Brand#3','Brand#17','Brand#25') GROUP BY 1), "
+        "hits AS (SELECT p_brand, unnest(keys) AS p_partkey FROM idx) "
+        "SELECT h.p_brand, h.p_partkey, p.p_name, p.p_retailprice "
+        "FROM hits h JOIN part p USING (p_partkey)"
+    ),
+)
+def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index round trip — the big-table genre's answer to
+    "query by a non-rowkey column": build an inverted index (indexed
+    value -> sorted posting list of row keys), serve the lookup through
+    it, then fetch the full rows by key.  The oracle is the DuckDB
+    mirror of the same index path; tests/test_oracle.py's differential
+    against it proves the index round trip loses and invents nothing
+    versus a direct value filter.
+
+    Scale shape: the index build is one hash aggregate on the indexed
+    column (map-side partials; posting lists sorted per-group, not
+    globally); the query path explodes only the REQUESTED postings —
+    cardinality = matching keys, not table size — and the key-fetch is
+    a broadcast hash join of that small hit set against the base table,
+    i.e., point-gets batched into one scan, never a second full pass."""
+    part = load_table(spark, sf_dir, "part")
+    idx = (
+        part.filter(F.col("p_brand").isin(_IDX_BRANDS))
+        .groupBy("p_brand")
+        .agg(F.sort_array(F.collect_list("p_partkey")).alias("keys"))
+    )
+    hits = idx.select("p_brand", F.explode("keys").alias("p_partkey"))
+    return (
+        part.drop("p_brand")  # fetch side; the index supplies the indexed value
+        .join(F.broadcast(hits), "p_partkey")
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
