@@ -557,3 +557,44 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("t").alias("ws"))
         .agg(F.count_distinct("user_id").alias("n_users_24h"))
     )
+
+
+@query(
+    "x_basket_pairs",
+    category="analytics",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "          AND a.l_partkey < b.l_partkey) "
+        "SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support "
+        "FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3"
+    ),
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order, with their support count, min-support 3 — the candidate
+    -pair half of Apriori, and the shape behind "customers also
+    bought".
+
+    Scale shape: collapse to DISTINCT (order, item) first, then a SELF
+    EQUI-JOIN on the order key — the quadratic blowup is bounded by
+    basket size (max 13 items/order here, so <=78 pairs per order),
+    never by table size; the pair count is a hash aggregate with
+    map-side partials, and min-support prunes the long tail before it
+    reaches the driver.  Skewed mega-baskets at 100 TB would cap or
+    salt the basket size — the standard Apriori mitigation."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )

@@ -304,3 +304,83 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text_pii") - F.length("clean")).alias("len_delta"),
         F.sum(F.regexp_count("clean", F.lit("<EMAIL>|<PHONE>"))).alias("n_masked"),
     )
+
+
+_BM25_TERMS = ["scan", "join", "filter"]
+
+
+@query(
+    "x_rank_bm25",
+    category="llm_text",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1), "
+        "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+        "       WHERE term IN ('scan','join','filter') GROUP BY 1, 2), "
+        "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+        "scored AS ("
+        "  SELECT tf.doc_id, "
+        "    CAST((CAST(s.n_docs AS DOUBLE) - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) "
+        "      * (tf.tf * 2.2::DOUBLE) "
+        "      / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl)) "
+        "      AS DECIMAL(18,6)) AS term_score "
+        "  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s), "
+        "agg AS (SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score "
+        "        FROM scored GROUP BY 1) "
+        "SELECT doc_id, score, rnk FROM ("
+        "  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg) "
+        "WHERE rnk <= 20"
+    ),
+)
+def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the documents table (k1=1.2, b=0.75) with a
+    RATIONAL idf — (N - df + 0.5)/(df + 0.5) without the log.  The log
+    is monotone, so per-term ranking is unchanged, and dropping it
+    keeps every operation in IEEE +,-,*,/ (this package admits sqrt,
+    which IEEE rounds correctly, but no transcendentals — Java's
+    Math.log and C libm disagree in the last ulp, which is exactly the
+    cross-engine rank-boundary flake ADVICE r2 warned about).  The <=3
+    per-doc term scores are summed through a decimal(18,6) sandwich, so
+    the total is order-independent; ranking then runs on bit-identical
+    doubles with a doc_id tie-break.
+
+    Scale shape: tokenize-explode -> (doc, term) tf aggregate filtered
+    to the query terms (term dictionary pushdown: the IN filter prunes
+    before the shuffle), df and corpus stats are content-bounded
+    broadcasts (|terms| rows and 1 row), and the final top-k is a
+    single-column rank over docs that matched at least one term — at
+    100 TB the only corpus-sized jobs are the two token aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ridf = (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    den = F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (ridf * (F.col("tf") * 2.2) / den).cast("decimal(18,6)").alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.select("doc_id", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+    )

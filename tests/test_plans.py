@@ -229,6 +229,7 @@ _BNLJ_WHITELIST = {
     "x_layout_zorder",    # 1-row key-bounds scalar for z normalization
     "x_time_gapfill",     # spine synthesis: distinct types x hour sequence
     "x_win_distinct_rolling",  # 1-row end-of-series cutoff scalar
+    "x_rank_bm25",        # 1-row corpus-stats scalar (n_docs, avgdl)
 }
 
 
