@@ -409,3 +409,108 @@ def test_scd2_intervals_partition_history(spark):
             assert a.valid_to_us == b.valid_from_us, uid
             assert a.valid_from_us < a.valid_to_us, uid
         assert rs[-1].valid_to_us == INF, uid
+
+
+def test_gapfill_conserves_counts_and_covers_spine(spark):
+    # Zero-filling must neither invent nor lose events, and the spine
+    # must be a complete hour x type grid over the observed span.
+    out = q(spark, "x_time_gapfill").cache()
+    ev = load_table(spark, SF_DIR, "events")
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    lo, hi = out.agg(F.min("ws"), F.max("ws")).first()
+    assert out.count() == n_types * ((hi - lo) // 3600 + 1)
+    out.unpersist()
+
+
+def test_ohlc_bar_invariants(spark):
+    # low <= open/close <= high, and bars partition the event stream.
+    out = q(spark, "x_time_ohlc").cache()
+    bad = out.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low")) | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low")) | (F.col("close") > F.col("high"))
+    ).count()
+    assert bad == 0
+    assert out.agg(F.sum("n_events")).first()[0] == load_table(spark, SF_DIR, "events").count()
+    out.unpersist()
+
+
+def test_rolling_distinct_dominates_hourly(spark):
+    # A trailing-24h distinct count can never be smaller than the
+    # single-hour distinct count at the same bar.
+    hourly = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("ws"),
+            "user_id",
+        )
+        .groupBy("ws")
+        .agg(F.count_distinct("user_id").alias("h"))
+    )
+    joined = q(spark, "x_win_distinct_rolling").join(hourly, "ws", "left")
+    assert joined.filter(F.col("h") > F.col("n_users_24h")).count() == 0
+
+
+def test_outliers_rare_and_extreme(spark):
+    # Chebyshev: at most 1/4 of any distribution sits beyond 2 sigma;
+    # and every flagged row must be strictly outside +-2 sigma (|z|>2).
+    out = q(spark, "x_stats_outliers").cache()
+    n_all = load_table(spark, SF_DIR, "events").count()
+    assert 0 < out.count() <= n_all / 4
+    assert out.filter(F.abs(F.col("z_score")) <= 2.0).count() == 0
+    out.unpersist()
+
+
+def test_fuzzy_join_pairs_canonical_and_blocked(spark):
+    # Pairs are canonical (a<b), within the distance cutoff, and every
+    # pair genuinely shares a blocking token.
+    out = q(spark, "x_join_fuzzy").cache()
+    assert out.filter(F.col("name_a") >= F.col("name_b")).count() == 0
+    assert out.filter(F.col("dist") > 3).count() == 0
+    shares = F.arrays_overlap(
+        F.split(F.col("name_a"), " "), F.split(F.col("name_b"), " ")
+    )
+    assert out.filter(~shares).count() == 0
+    out.unpersist()
+
+
+def test_index_inverted_equals_direct_filter(spark):
+    # The secondary-index round trip must return exactly the rows a
+    # direct value filter returns (count + anti-join emptiness).
+    from hbasemapreduce_spark.operators.extras import _IDX_BRANDS
+
+    out = q(spark, "x_index_inverted")
+    direct = (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_brand").isin(_IDX_BRANDS))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+    assert out.count() == direct.count()
+    assert out.join(direct, ["p_brand", "p_partkey"], "left_anti").count() == 0
+
+
+def test_bm25_rank_is_dense_and_scores_positive(spark):
+    # Ranks are 1..k with no gaps, scores non-increasing and positive
+    # (rational idf is >= 1 whenever df <= N/2, and tf term is > 0).
+    rows = q(spark, "x_rank_bm25").orderBy("rnk").collect()
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score for r in rows]
+    assert all(s > 0 for s in scores)
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_basket_pairs_support_bounded_by_item_frequency(spark):
+    # A pair's support cannot exceed either item's own order frequency.
+    freq = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    out = q(spark, "x_basket_pairs")
+    ja = out.join(freq.withColumnRenamed("l_partkey", "part_a"), "part_a")
+    assert ja.filter(F.col("support") > F.col("n_orders")).count() == 0
+    jb = out.join(freq.withColumnRenamed("l_partkey", "part_b"), "part_b")
+    assert jb.filter(F.col("support") > F.col("n_orders")).count() == 0
