@@ -122,12 +122,43 @@ def dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_time_ohlc: the same 6-hour OHLC bars as an
+    incremental windowed aggregate.  min_by/max_by keep one (ord,
+    value) accumulator per open window, so state is O(windows x types)
+    — bars finalize as the watermark passes, exactly the continuous
+    -aggregate maintenance a hypertable does on ingest."""
+    ev = events_stream(spark, sf_dir)
+    ord_asc = F.struct(F.unix_micros(F.col("ts")).alias("ts_us"), F.col("event_id"))
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", ord_asc).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_asc).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("ws"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 MIRRORS = {
     "stream_tumbling": tumbling,
     "stream_sliding": sliding,
     "stream_session": session,
     "stream_late_data": late_data,
     "stream_dedup": dedup,
+    "x_time_ohlc": ohlc,
 }
 
 

@@ -95,3 +95,15 @@ def test_stream_hourly_top_foreachbatch_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_ohlc_matches_batch(spark):
+    # The incremental 6-hour OHLC bars must equal the batch operator's
+    # bars exactly (complete mode exposes the full aggregate view).
+    got = run_mirror_to_memory(spark, SF_DIR, "x_time_ohlc", output_mode="complete")
+    batch = all_specs()["x_time_ohlc"].fn(spark, SF_DIR).select(
+        "event_type", "ws", "open", "high", "low", "close", "n_events"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
