@@ -698,3 +698,51 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(hits), "p_partkey")
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+@query(
+    "x_tpch_q10",
+    category="join",
+    oracle=(
+        "SELECT c_custkey, c_name, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, "
+        "c_acctbal, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter.  The quarter filter prunes
+    the orders scan (pushed to parquet) BEFORE the fact join, so the
+    lineitem side only meets the ~1/28th of orders that survive;
+    l_returnflag = 'R' prunes the fact scan the same way.  nation is a
+    broadcast dim; the group-by keys ride the customer row (no second
+    customer pass), and the top-20 is a TakeOrderedAndProject with a
+    total tie-broken ordering (revenue desc, c_custkey) — no global
+    sort at any scale.  Revenue uses the scale-6 decimal sandwich
+    (exact for products of 2-dp inputs, order-independent)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(revenue, "revenue", scale=6))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )

@@ -284,3 +284,49 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_clip").alias("n_clip"),
         F.sum("row_zero").alias("n_zero"),
     )
+
+
+@query(
+    "x_emb_gram",
+    category="agg",
+    oracle=(
+        "SELECT i, j, "
+        "CAST(SUM(CAST(round("
+        "CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE), 6) "
+        "AS DECIMAL(28,8))) AS DOUBLE) AS g "
+        "FROM embeddings, generate_series(0, 63) AS ii(i), generate_series(0, 63) AS jj(j) "
+        "WHERE j >= i GROUP BY i, j"
+    ),
+)
+def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix G = X^T X over the embedding corpus (upper triangle)
+    — the distributed linear-algebra primitive behind PCA whitening,
+    covariance estimation, and the normal equations of a linear probe.
+
+    Spark shape: two codegen `posexplode`s fan each row out to its
+    d(d+1)/2 = 2080 upper-triangle element products, and ONE hash
+    aggregate folds them down.  The key insight for 100 TB: the group
+    domain is d^2-bounded (2080 keys, independent of row count), so
+    map-side partial aggregation collapses every partition to <= 2080
+    rows before the only shuffle — the network moves O(d^2 x
+    partitions), never O(n).  At larger d, the same pass runs as a
+    numpy partial-GEMM per partition (`mapInPandas`, one d x d
+    accumulator) with an identical final reduce; d = 64 stays cheaper
+    JVM-side.
+
+    Determinism: element products are per-row float64 math rounded to
+    6 dp (identical in both engines), and the cross-row sum rides a
+    DECIMAL(28,8) sandwich — exact and order-independent at any
+    partition count.  i/j are bigint to match DuckDB generate_series."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (
+        emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+        .select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+    )
+    term = F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6).cast(
+        "decimal(28,8)"
+    )
+    return pairs.groupBy(
+        F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j")
+    ).agg(F.sum(term).cast("double").alias("g"))
