@@ -746,3 +746,172 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@query(
+    "x_tpch_q19",
+    category="agg",
+    oracle=(
+        "SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) "
+        "AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"
+    ),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR of three brand/size/quantity conjunctions across both join
+    sides.  Catalyst can't push the whole disjunction below the join,
+    but it CAN derive and push the per-side implied filters — p_brand
+    IN (...) onto the broadcast part scan and l_quantity BETWEEN
+    1 AND 30 onto the fact scan — so the join sees only candidate rows
+    and the residual OR evaluates inside whole-stage codegen, never in
+    Python.  One aggregate, map-side partials, decimal-sandwich sum."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(dec_sum(revenue, "revenue", scale=6))
+    )
+
+
+@query(
+    "x_tpch_q21",
+    category="join",
+    oracle=(
+        # Textbook double-correlated EXISTS / NOT EXISTS formulation —
+        # deliberately DIFFERENT from the Spark plan (one aggregate +
+        # two joins) so the differential also proves the rewrite.
+        "WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem), "
+        "base AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F') "
+        "SELECT s_name, COUNT(*) AS numwait "
+        "FROM base JOIN l l1 ON l1.l_orderkey = o_orderkey "
+        "  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY "
+        "JOIN supplier ON l1.l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "              AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "                AND l3.l_suppkey <> l1.l_suppkey "
+        "                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25"
+    ),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): late =
+    shipped more than 90 days after the order date; report suppliers
+    that were the ONLY late shipper on a multi-supplier finalized
+    order.
+
+    The textbook form is a doubly-correlated EXISTS + NOT EXISTS — two
+    extra passes over the fact table at 100 TB.  Here both collapse
+    into ONE per-order aggregate: n_supp = distinct suppliers on the
+    order ("some other supplier exists" = n_supp >= 2) and n_late =
+    distinct LATE suppliers ("no other late supplier" = n_late = 1,
+    and that one is necessarily l1's own).  The qualifying-order set is
+    tiny, so AQE broadcasts it back onto the late rows; supplier is a
+    broadcast dim; the top-25 is a TakeOrderedAndProject with a total
+    tie-broken ordering.  The oracle keeps the EXISTS formulation, so
+    the differential test also proves the rewrite is semantics-
+    preserving."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    l = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    qual = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        l.filter(F.col("late"))
+        .join(qual, F.col("l_orderkey") == F.col("q_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
+@query(
+    "x_tpch_q2",
+    category="join",
+    oracle=(
+        # Join-back argmin (the textbook correlated-MIN subquery,
+        # decorrelated) — deliberately different from the Spark plan's
+        # single min(struct) aggregate.
+        "WITH up AS ("
+        "  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 6) AS unit "
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  JOIN region ON n_regionkey = r_regionkey "
+        "  WHERE r_name = 'EUROPE' AND l_quantity > 0), "
+        "mn AS (SELECT l_partkey, MIN(unit) AS best_unit FROM up GROUP BY l_partkey), "
+        "pick AS ("
+        "  SELECT u.l_partkey, MIN(u.l_suppkey) AS best_suppkey, mn.best_unit "
+        "  FROM up u JOIN mn ON u.l_partkey = mn.l_partkey AND u.unit = mn.best_unit "
+        "  GROUP BY u.l_partkey, mn.best_unit) "
+        "SELECT p_partkey, p_name, s_name, best_unit "
+        "FROM pick JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON best_suppkey = s_suppkey "
+        "WHERE p_retailprice > 990"
+    ),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each expensive part,
+    the EUROPE supplier offering the best unit price.
+
+    The textbook form is a correlated MIN subquery re-scanning the
+    supply table per part.  The oracle keeps that (decorrelated into a
+    min + join-back — TWO passes over the supply stream); the Spark
+    plan instead folds argmin into ONE aggregate — min(struct(unit,
+    suppkey)) — whose struct ordering delivers both the minimum price
+    and the deterministic supplier tie-break (smallest suppkey at equal
+    price) in a single map-side-partial pass, no join-back.  Unit price
+    is per-row float division rounded to 6 dp (identical both engines);
+    min is order-independent, so no float-sum caveats anywhere."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    eur_supp = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = li.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit"),
+    )
+    best = (
+        up.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit", "l_suppkey")).alias("b"))
+        .select("l_partkey", F.col("b.unit").alias("best_unit"), F.col("b.l_suppkey").alias("best_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 990)
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("best_suppkey") == F.col("s_suppkey"),
+        )
+        .select("p_partkey", "p_name", "s_name", "best_unit")
+    )
