@@ -40,6 +40,43 @@ RETIME_THRESHOLD_SEC = 1.0
 RETIME_PASSES = 3  # median-of-3 for queries over the threshold
 
 
+def time_queries(
+    spark, specs, sf_dir: str
+) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
+    """Time every spec with per-query fault isolation.
+
+    Fault isolation (VERDICT r3 item 2): in round 3 a single plan-time
+    AnalysisException aborted the whole bench (BENCH_r03 rc=1, zero
+    timings).  One broken query must cost exactly one entry in `errors`,
+    never the other timings — every pass is wrapped, errors recorded
+    per-key.  Unit-tested with a deliberately-broken spec in
+    tests/test_bench.py.
+    """
+
+    def run_once(key: str) -> float:
+        t = time.perf_counter()
+        specs[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t
+
+    timings: dict[str, float] = {}
+    passes: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    for key in specs:
+        try:
+            first = run_once(key)
+            if first > RETIME_THRESHOLD_SEC:
+                samples = [first] + [run_once(key) for _ in range(RETIME_PASSES - 1)]
+                timings[key] = round(statistics.median(samples), 3)
+                passes[key] = len(samples)
+            else:
+                timings[key] = round(first, 3)
+                passes[key] = 1
+        except Exception as e:  # noqa: BLE001 — isolate ANY per-query failure
+            errors[key] = f"{type(e).__name__}: {e}"[:300]
+            print(f"ERROR {key}: {errors[key]}", file=sys.stderr)
+    return timings, passes, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,24 +102,12 @@ def main() -> None:
     # codegen and the Python-worker pool so the first timed query isn't
     # charged for one-time session costs.
     for wk in ("agg_rowcount", "scan_project", "udf_scalar_pandas"):
-        specs[wk].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            specs[wk].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — warm-up must never abort the run
+            print(f"WARMUP ERROR {wk}: {e}", file=sys.stderr)
 
-    def run_once(key: str) -> float:
-        t = time.perf_counter()
-        specs[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t
-
-    timings: dict[str, float] = {}
-    passes: dict[str, int] = {}
-    for key in specs:
-        first = run_once(key)
-        if first > RETIME_THRESHOLD_SEC:
-            samples = [first] + [run_once(key) for _ in range(RETIME_PASSES - 1)]
-            timings[key] = round(statistics.median(samples), 3)
-            passes[key] = len(samples)
-        else:
-            timings[key] = round(first, 3)
-            passes[key] = 1
+    timings, passes, errors = time_queries(spark, specs, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -94,8 +119,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "passes": passes,
+        "errors": errors,
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "startup_sec": round(startup, 2),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -113,6 +140,7 @@ def main() -> None:
         "queries": slowest,  # top-5 slowest; full map in BENCH_DETAIL.json
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "startup_sec": round(startup, 2),
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -64,17 +64,25 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame.
+    """Load one testdata table as a DataFrame, with ``ts`` normalized.
 
-    ``events.ts`` arrives as int64 nanoseconds (see :func:`configure`)
-    and is rebuilt as a microsecond TIMESTAMP via integer division —
-    ``ts DIV 1000`` — because a double division would lose precision
-    above 2**53 (2024 epoch-nanos ≈ 1.7e18).
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: int64 TIMESTAMP(NANOS) (read as raw nanos via
+    ``nanosAsLong`` and rebuilt with integer division — a double division
+    would lose precision above 2**53) and ``timestamp[us]`` (which Spark 4
+    reads as TIMESTAMP_NTZ).  Both are normalized HERE to session-local
+    TIMESTAMP so downstream epoch functions (``unix_micros`` etc.) accept
+    the column without per-call-site defensive casts.  The session
+    timezone is pinned to UTC in :func:`configure`, so the NTZ→TIMESTAMP
+    cast is value-preserving.
     """
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

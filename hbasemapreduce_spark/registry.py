@@ -163,11 +163,75 @@ _CONTRACT_PRIORITY = [
 
 CONTRACT_KEYS = frozenset(_CONTRACT_PRIORITY)
 
-# Beyond-contract keys spliced into the driver window at emission
-# positions 11-12 for ONE round (VERDICT r2, item 3): both hash-failed in
-# r1 on oracle dtype (DuckDB HUGEINT sums), were fixed with BIGINT casts,
-# and need a driver hash-pass to confirm.  Rotate back out next round.
+# Beyond-contract keys spliced into the r3 driver window at emission
+# positions 11-12 (VERDICT r2, item 3).  Both hash-passed in r3; kept as
+# a name only because tests pin the historical layout.
 _WINDOW_EXTRAS = ["x_agg_pivot", "x_contamination_ngram"]
+
+# Round-4 driver window (VERDICT r3, item 6).  Cumulative driver evidence
+# after r3: all 60 contract keys green (48 in r3's window, 12 with r2
+# evidence), plus x_agg_pivot / x_contamination_ngram — and 77 x_ keys
+# with only local pytest evidence.  The r4 window therefore leads with
+# the 12 contract keys whose freshest driver evidence is r2 (the r3
+# leave-outs), then spends all 38 remaining slots on never-driver-checked
+# x_ keys — newest-r3 analytics first (the judge's named list), then the
+# LLM-pipeline family, then the TPC-H ports.
+_R4_WINDOW = [
+    # -- contract keys rotated back in (freshest evidence: r2) --
+    "join_anti",
+    "join_star",
+    "join_theta_range",
+    "join_asof",
+    "agg_rowcount",
+    "agg_cellcount",
+    "agg_group_sum",
+    "agg_multi",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    # -- never-driver-checked x_ keys (newest r3 additions first) --
+    "x_cell_versions",  # the r3 defect — driver must see it green
+    "x_tpch_q2",
+    "x_tpch_q10",
+    "x_tpch_q19",
+    "x_tpch_q21",
+    "x_emb_gram",
+    "x_rank_bm25",
+    "x_basket_pairs",
+    "x_time_gapfill",
+    "x_time_ohlc",
+    "x_win_distinct_rolling",
+    "x_stats_corr",
+    "x_stats_outliers",
+    "x_client_mutate",
+    "x_index_inverted",
+    "x_session_paths",
+    "x_agg_mode",
+    "x_join_fuzzy",
+    # -- LLM-pipeline family --
+    "x_dedup_clusters",
+    "x_dedup_embedding",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_url",
+    "x_sim_ivf",
+    "x_embedding_quantize",
+    "x_text_winnow",
+    "x_text_pii_mask",
+    "x_pipeline_curate",
+    "x_sample_stratified",
+    "x_sample_split",
+    "x_sample_balanced",
+    "x_pack_chunks",
+    # -- TPC-H ports + ETL --
+    "x_tpch_q3",
+    "x_tpch_q5",
+    "x_tpch_q6",
+    "x_tpch_q14",
+    "x_tpch_q18",
+    "x_etl_scd2",
+    "x_etl_upsert",
+]
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -180,12 +244,10 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    extras = sorted(
-        k
-        for k in _REGISTRY
-        if k not in CONTRACT_KEYS and k not in _WINDOW_EXTRAS
-    )
-    order = [*_CONTRACT_PRIORITY[:10], *_WINDOW_EXTRAS, *_CONTRACT_PRIORITY[10:], *extras]
+    window = set(_R4_WINDOW)
+    rest_contract = [k for k in _CONTRACT_PRIORITY if k not in window]
+    extras = sorted(k for k in _REGISTRY if k not in CONTRACT_KEYS and k not in window)
+    order = [*_R4_WINDOW, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

@@ -1,35 +1,45 @@
-"""Registry ordering guards (VERDICT r1 item 7, r2 items 1/3/7).
+"""Registry ordering guards (VERDICT r1 item 7, r2 items 1/3/7, r3 item 6).
 
 The driver's CORRECTNESS check covers exactly the FIRST 50 keys of
 ``queries()`` in emission order (proven in r2: CORRECTNESS_r02's key set
 equals the r2 registry's first 50).  Emission order is therefore part of
-the contract surface, and the intended r3 window is pinned here exactly
+the contract surface, and the intended r4 window is pinned here exactly
 so no future registration can reshuffle it.
+
+Also hosts the all-keys plan-analysis smoke gate (VERDICT r3 item 3):
+round 3 shipped a plan-time AnalysisException (`x_cell_versions`) that
+the ~9-minute oracle suite would have caught but a quick pre-commit run
+did not.  ``test_every_registered_key_analyzes`` forces Catalyst analysis
+of every registered DataFrame at sf0.001 in seconds — no execution — so
+any plan-time failure in ANY key fails fast and locally.
 """
 
 from __future__ import annotations
 
 from hbasemapreduce_spark.registry import (
     _CONTRACT_PRIORITY,
-    _WINDOW_EXTRAS,
+    _R4_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
 
 DRIVER_WINDOW = 50
 
-# §2 keys with no CORRECTNESS_r02 entry — must lead the r3 window.
-R2_UNTESTED = [
-    "distinct_rows",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array",
-    "scalar_map",
-    "dedup_exact",
-    "dedup_minhash",
-    "multimodal_join",
+# The 12 contract keys outside r3's window (freshest driver evidence: r2)
+# — VERDICT r3 item 6 says they lead the r4 window.
+R3_LEAVE_OUTS = [
+    "join_anti",
+    "join_star",
+    "join_theta_range",
+    "join_asof",
+    "agg_rowcount",
+    "agg_cellcount",
+    "agg_group_sum",
+    "agg_multi",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
 ]
 
 
@@ -42,43 +52,33 @@ def test_all_contract_keys_registered():
     assert CONTRACT_KEYS <= set(all_specs())
 
 
-def test_r3_window_is_pinned_exactly():
-    # 10 rotated keys + 2 one-round window extras + the next 38 contract
-    # keys.  The 12 contract keys past position 50 are all doubly
-    # driver-verified (r1 AND r2) — the safest to leave out.
-    expected = [*R2_UNTESTED, *_WINDOW_EXTRAS, *_CONTRACT_PRIORITY[10:48]]
-    assert len(expected) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == expected
+def test_r4_window_is_pinned_exactly():
+    # 12 rotated-back contract keys + 38 never-driver-checked x_ keys.
+    assert len(_R4_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R4_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R4_WINDOW
 
 
-def test_window_extras_limited_to_dtype_fix_confirmations():
-    # Only the two r1-hash-fail dtype fixes may ride inside the window;
-    # any other beyond-contract key must stay behind all 60 contract keys.
-    assert _WINDOW_EXTRAS == ["x_agg_pivot", "x_contamination_ngram"]
-    window = list(all_specs())[:DRIVER_WINDOW]
-    assert set(window) - CONTRACT_KEYS == set(_WINDOW_EXTRAS)
+def test_r4_window_leads_with_stale_contract_keys():
+    assert _R4_WINDOW[:12] == R3_LEAVE_OUTS
 
 
-def test_out_of_window_contract_keys_are_doubly_verified():
-    # The contract keys that fall outside the r3 window must be exactly
-    # the r1+r2 doubly-verified tail — never a key with stale evidence.
+def test_r4_window_x_keys_never_driver_checked():
+    # Every x_ slot must be spent on a key with NO prior driver evidence:
+    # the only x_ keys ever inside a driver window were the r3 extras.
+    r3_checked = {"x_agg_pivot", "x_contamination_ngram"}
+    x_slots = [k for k in _R4_WINDOW if k.startswith("x_")]
+    assert len(x_slots) == 38
+    assert not (set(x_slots) & r3_checked)
+
+
+def test_out_of_window_contract_keys_are_triply_verified():
+    # The contract keys that fall outside the r4 window all hash-passed
+    # in r3 (and many in r1/r2 too) — never a key with stale evidence.
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
-    assert out == _CONTRACT_PRIORITY[48:]
-    assert set(out) <= {
-        "join_anti",
-        "join_star",
-        "join_theta_range",
-        "join_asof",
-        "agg_rowcount",
-        "agg_cellcount",
-        "agg_group_sum",
-        "agg_multi",
-        "agg_distinct",
-        "agg_approx_distinct",
-        "agg_rollup",
-        "agg_cube",
-    }
+    assert len(out) == 48
+    assert not (set(out) & set(R3_LEAVE_OUTS))
 
 
 def test_extras_sort_after_contract_even_if_driver_resorts():
@@ -87,3 +87,23 @@ def test_extras_sort_after_contract_even_if_driver_resorts():
     keys = sorted(all_specs())
     assert all(k.startswith("x_") for k in keys[60:])
     assert not any(k.startswith("x_") for k in keys[:60])
+
+
+def test_every_registered_key_analyzes(spark):
+    """Plan-analysis smoke gate: force Catalyst analysis (schema
+    resolution) of every registered key at sf0.001.  Catches any
+    plan-time AnalysisException — like r3's `x_cell_versions`
+    unix_micros-on-NTZ crash — in seconds, without executing a single
+    job.  Schemas must also be non-empty: a query that resolves to zero
+    columns is a registration bug."""
+    import tests.conftest as c
+
+    failures = []
+    for key, spec in all_specs().items():
+        try:
+            schema = spec.fn(spark, c.SF_DIR).schema
+            if len(schema.fields) == 0:
+                failures.append(f"{key}: empty schema")
+        except Exception as e:  # noqa: BLE001 — collect all, report together
+            failures.append(f"{key}: {type(e).__name__}: {e}")
+    assert not failures, "plan-analysis failures:\n" + "\n".join(failures)
