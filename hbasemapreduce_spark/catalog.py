@@ -59,6 +59,10 @@ def configure(spark: SparkSession) -> SparkSession:
     # complement to the manual salting patterns (x_join_salted,
     # x_agg_salted_twophase)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # wide-signature aggregates (MinHash 128 perms -> 129-column plans)
+    # fall out of whole-stage codegen at the default maxFields=100 and
+    # run interpreted; 256 keeps them codegen'd
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     spark.conf.set("spark.hbasemapreduce.configured", "true")
     return spark
 

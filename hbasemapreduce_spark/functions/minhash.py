@@ -66,30 +66,62 @@ def minhash_pairs(
     least one band — the standard S-curve: P(candidate) =
     1 - (1 - j^rows_per_band)^n_bands.
     """
-    rows_per_band = n_hashes // n_bands
-    docs = df.select(
+    occ = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.col(items_col)).alias("items"),
+        F.explode(F.array_distinct(F.col(items_col))).alias("item"),
+    ).select("id", F.xxhash64("item").alias("h"))
+    return minhash_pairs_from_occurrences(
+        occ, n_hashes=n_hashes, n_bands=n_bands, jaccard_threshold=jaccard_threshold
     )
-    # Signature computation stays inside whole-stage codegen: explode to
-    # (id, item_hash) rows, then ONE hash aggregate with n_hashes min()
-    # accumulators (perm i = xxhash64(item_hash, i) — the item string is
-    # hashed once; permutations rehash the fixed-width value).  Partial
-    # aggregation collapses each doc to one row map-side, so the shuffle
-    # carries n_docs rows of 64 longs — this is the formulation that
-    # scales, unlike interpreted higher-order lambdas over arrays
-    # (HigherOrderFunction expressions are not codegen'd in Spark).
-    # Rejected alternative (measured r2): the Carter-Wegman affine family
-    # h1 + i*h2 needs wrapping long arithmetic, which Spark 4's
-    # default-on ANSI mode turns into ARITHMETIC_OVERFLOW errors; and
-    # since dedup_simhash (64 trivial sum accumulators over the same
-    # exploded rows) benches within ~25% of this query, the per-perm
-    # rehash is not the dominant cost anyway — the explode + aggregate +
-    # banding join is.
-    exploded = docs.select("id", F.explode("items").alias("item")).select(
-        "id", F.xxhash64("item").alias("h")
-    )
-    sig = exploded.groupBy("id").agg(
+
+
+def minhash_pairs_from_occurrences(
+    occ: DataFrame,
+    *,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs from (id, h) occurrence rows, where ``h`` is
+    a 64-bit hash unique per distinct set element within a document.
+
+    The row-based core behind :func:`minhash_pairs`: callers that can
+    produce occurrence rows directly (e.g. from a (doc, token, count)
+    aggregate) skip building per-doc item ARRAYS for the whole corpus —
+    the collect_list ObjectHashAggregate is the single most expensive
+    stage of the array formulation, and its output is only ever needed
+    for the tiny candidate set.  Here full-corpus work is limited to two
+    codegen'd hash aggregates (signature mins + candidate-side multiset
+    rebuild), and the multiset rebuild runs AFTER a semi-join on
+    candidate ids, so its collect_list touches O(candidates) docs.
+
+    Set/multiset semantics live in the caller's choice of ``h``:
+    ``xxhash64(item)`` over distinct items = set Jaccard;
+    ``xxhash64(token, k)`` for the k-th occurrence = bag Jaccard.
+    Verification intersects 64-bit hash multisets, exact modulo hash
+    collisions (~n²/2⁶⁴ — negligible and deterministic).
+
+    Signature computation stays inside whole-stage codegen: ONE hash
+    aggregate with n_hashes min() accumulators (perm i = xxhash64(h, i)
+    — the element is hashed once; permutations rehash the fixed-width
+    value).  Partial aggregation collapses each doc to one row map-side,
+    so the shuffle carries n_docs rows of n_hashes longs — this is the
+    formulation that scales, unlike interpreted higher-order lambdas
+    over arrays (HigherOrderFunction expressions are not codegen'd).
+    Rejected alternative (measured r2): the Carter-Wegman affine family
+    h1 + i*h2 needs wrapping long arithmetic, which Spark 4's default-on
+    ANSI mode turns into ARITHMETIC_OVERFLOW errors.
+    """
+    rows_per_band = n_hashes // n_bands
+    # Lazy localCheckpoint: this relation feeds the signature aggregate
+    # AND the candidate-verification rebuild, and Spark does not share
+    # common subplans across join branches — without materialization the
+    # upstream pipeline executes once per branch.  Lazy mode materializes
+    # on the first action, so plan-analysis stays free; on a cluster the
+    # checkpoint lives in executor block storage, sized O(corpus tokens)
+    # — the same bytes a shuffle stage would spill.
+    occ = occ.localCheckpoint(eager=False)
+    sig = occ.groupBy("id").agg(
         *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
     )
     # Band hash b digests exactly its own rows_per_band permutations.
@@ -105,9 +137,14 @@ def minhash_pairs(
         ]
     )
     # Banded rows are slim (id, band, bh) — the candidate self-join
-    # shuffles 3 longs per row, not the shingle arrays.
-    banded_slim = sig.select("id", F.explode(bands).alias("bd")).select(
-        "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    # shuffles 3 longs per row, not the element arrays.  Checkpointed for
+    # the same branch-sharing reason as `occ`: both sides of the
+    # candidate self-join would otherwise recompute the n_hashes-
+    # accumulator signature aggregate from scratch.
+    banded_slim = (
+        sig.select("id", F.explode(bands).alias("bd"))
+        .select("id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+        .localCheckpoint(eager=False)
     )
     cand = (
         banded_slim.alias("a")
@@ -119,14 +156,30 @@ def minhash_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # tiny relation, but referenced by cand_ids AND the final pairs
+        # join — checkpointing stops the band self-join recomputing
+        .localCheckpoint(eager=False)
     )
-    # Verification joins the (small) candidate set back to the item sets.
+    # Multiset rebuild for verification: semi-join FIRST so collect_list
+    # only aggregates candidate docs (tiny), never the full corpus.
+    # explode (not a two-branch union) keeps cand referenced once here.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    cand_sets = (
+        occ.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("h").alias("hs"))
+        # referenced by both the id_a and id_b joins below; without the
+        # checkpoint each side re-scans the corpus-sized occ relation
+        .localCheckpoint(eager=False)
+    )
     pairs = (
-        cand.join(docs.select(F.col("id").alias("id_a"), F.col("items").alias("items_a")), "id_a")
-        .join(docs.select(F.col("id").alias("id_b"), F.col("items").alias("items_b")), "id_b")
+        cand.join(cand_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(cand_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("items_a", "items_b"))
-    union = F.size("items_a") + F.size("items_b") - inter
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return pairs.select(
         "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
     ).filter(F.col("jaccard") >= jaccard_threshold)

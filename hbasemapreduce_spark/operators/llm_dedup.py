@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.minhash import expand_bag, minhash_pairs, simhash_pairs
+from ..functions.minhash import (
+    expand_bag,
+    minhash_pairs,
+    minhash_pairs_from_occurrences,
+    simhash_pairs,
+)
 from ..functions.text import tokens
 from ..registry import query
 
@@ -65,14 +70,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold (the 128-accumulator aggregate's codegen compile dominates a
     fresh session) but drops 1 of 256 boundary pairs.  Compile cost
     amortizes to zero on a long-lived cluster job; recall doesn't —
-    so the wide signature is the default."""
+    so the wide signature is the default.
+
+    Bag expansion feeds the ROW-based core directly: the k-th
+    occurrence of a token becomes the 64-bit element xxhash64(tok, k),
+    produced straight from the (doc, token, count) aggregate — no
+    per-doc item arrays are ever built for the full corpus (the
+    collect_list stage the array formulation pays is deferred to the
+    candidate set inside minhash_pairs_from_occurrences)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens().alias("toks")
     ).filter(F.size("toks") > 0)
-    bags = expand_bag(docs, id_col="doc_id", tokens_col="toks")
-    return minhash_pairs(
-        bags, id_col="doc_id", items_col="items",
-        n_hashes=128, n_bands=8, jaccard_threshold=0.8,
+    counts = (
+        docs.select(F.col("doc_id").alias("id"), F.explode("toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    occ = counts.select(
+        "id", "tok", F.explode(F.expr("sequence(1, c)")).alias("k")
+    ).select("id", F.xxhash64("tok", "k").alias("h"))
+    return minhash_pairs_from_occurrences(
+        occ, n_hashes=128, n_bands=8, jaccard_threshold=0.8
     )
 
 
