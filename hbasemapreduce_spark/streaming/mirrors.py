@@ -288,6 +288,101 @@ def interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIRRORS["x_stream_interval_join"] = interval_join
 
 
+def session_paths_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_session_paths: first-3-event journey per
+    session, maintained incrementally.  ``session_window(ts, '30 min')``
+    per user partitions events exactly like the batch gap-sessionizer
+    (merge events closer than the gap), and
+    sort_array(collect_list(struct(...))) inside the session aggregate
+    makes arrival order irrelevant — the same determinism trick the
+    batch twin uses, now applied to session-window state merges.
+
+    Emits one (path3) row per finalized session; the per-path COUNT
+    lives downstream of the sink (a second unbounded stateful aggregate
+    can't share the pipeline in one pass — the equality test aggregates
+    the sink, which is what a dashboard on this sink would do)."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("event_id"),
+                        F.col("event_type"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("evs", lambda e: e.event_type), 1, 3), ">"
+            ).alias("path3")
+        )
+    )
+
+
+MIRRORS["x_session_paths"] = session_paths_stream
+
+
+def funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_funnel_conversion: per-user strict funnel
+    anchors (first view, first click AFTER it, first purchase after
+    THAT) carried as explicit state in applyInPandasWithState.
+
+    Within each micro-batch events are sorted by event time and played
+    through the anchor automaton; anchors only ever move from unset to
+    set, so the per-user stage is monotone.  Exactness caveat (inherent
+    to one-pass funnels, not this implementation): if a batch delivers
+    an event EARLIER than an anchor already set from a previous batch,
+    a retraction would be needed — exact when per-key event-time order
+    across micro-batches is non-decreasing, which the file source's
+    single availableNow batch satisfies.  Output is one (user_id,
+    stage) update per user; stage-k user counts = rows with stage >= k
+    (the equality test folds this against the batch twin's counts)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_funnel(key, pdfs, state: GroupState):
+        if state.exists:
+            t1, t2, t3 = state.get
+        else:
+            t1, t2, t3 = 0, 0, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames, ignore_index=True)
+            ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+            ev = ev.sort_values(["ts_us", "event_id"], ignore_index=True)
+            for ts_us, etype in zip(ev["ts_us"], ev["event_type"]):
+                if t1 == 0 and etype == "view":
+                    t1 = ts_us
+                elif t2 == 0 and t1 > 0 and etype == "click" and ts_us > t1:
+                    t2 = ts_us
+                elif t3 == 0 and t2 > 0 and etype == "purchase" and ts_us > t2:
+                    t3 = ts_us
+        state.update((t1, t2, t3))
+        stage = 3 if t3 else (2 if t2 else (1 if t1 else 0))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_funnel,
+            outputStructType="user_id long, stage long",
+            stateStructType="t1 long, t2 long, t3 long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MIRRORS["x_funnel_conversion"] = funnel_stream
+
+
 def run_hourly_top_foreachbatch(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     """Streaming twin of x_stream_hourly_top via ``foreachBatch`` — the
     escape hatch for logic Structured Streaming can't express on an

@@ -107,3 +107,28 @@ def test_stream_ohlc_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b
+
+
+def test_stream_session_paths_matches_batch(spark):
+    # Session-window path extraction must reproduce the batch twin's
+    # per-path session counts exactly: aggregate the per-session sink
+    # rows (one path3 per finalized session) and compare.
+    import pyspark.sql.functions as F
+
+    got = run_mirror_to_memory(spark, SF_DIR, "x_session_paths", output_mode="complete")
+    g = {tuple(r) for r in got.groupBy("path3").agg(F.count("*").alias("n_sessions")).collect()}
+    b = {tuple(r) for r in all_specs()["x_session_paths"].fn(spark, SF_DIR).collect()}
+    assert g == b and len(g) > 0
+
+
+def test_stream_funnel_matches_batch(spark):
+    # Per-user funnel state: stage-k count = users whose final update
+    # reached stage >= k; must equal the batch funnel's n_users column.
+    got = run_mirror_to_memory(spark, SF_DIR, "x_funnel_conversion", output_mode="update")
+    stages = [r.stage for r in got.collect()]
+    batch = {
+        r.stage: r.n_users
+        for r in all_specs()["x_funnel_conversion"].fn(spark, SF_DIR).collect()
+    }
+    for k in (1, 2, 3):
+        assert sum(1 for s in stages if s >= k) == batch[k], f"stage {k}"
