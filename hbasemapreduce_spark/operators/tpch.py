@@ -1,0 +1,591 @@
+"""The remaining TPC-H query shapes (q4, q7-q9, q11-q13, q15-q17, q20,
+q22), completing the 22-query suite together with agg_multi (= q1) and
+the q2/q3/q5/q6/q10/q14/q18/q19/q21 ports in extras.py.
+
+Adaptation notes (the testdata star schema is TPC-H-ish, not TPC-H):
+there is no ``partsupp`` table and ``lineitem`` carries no
+commitdate/receiptdate/shipmode, so the queries that depend on those
+(q4, q9, q11, q12, q16, q20) keep their SHAPE — the decorrelated
+EXISTS, the scalar-subquery threshold, the distinct-count-with-
+exclusions — re-anchored on columns that exist.  Each docstring states
+the substitution.  q1 is not re-registered: ``agg_multi`` already IS
+the q1 pricing summary, driver-verified since round 1.
+
+Determinism rules as everywhere in this repo: money sums go through
+the decimal sandwich (exact, order-independent; scale 6 for products
+of 2-dp inputs), ratios divide the exact sums as doubles (same IEEE
+operands -> same double in both engines), counts are exact, and no
+query emits a raw timestamp or relies on row order.
+
+Scale shapes: every dimension side that survives its filter is
+broadcast; every aggregate is a map-side-partial hash aggregate keyed
+on bounded domains (priority, nation, year, brand/size buckets); the
+only corpus-sized shuffles are the fact-fact equi-joins on orderkey
+(q4, q13), which is the join key the fact tables would be bucketed on
+in a production layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.determinism import dec_sum
+from ..registry import query
+
+
+@query(
+    "x_tpch_q4",
+    category="join",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "            AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking).  Substitution: the schema has
+    no commitdate/receiptdate, so "late lineitem" = shipped more than
+    90 days after the order date; the shape — quarter of orders,
+    EXISTS-decorrelated to a LEFT SEMI join with the correlated
+    predicate inside the join condition, priority histogram — is Q4's.
+
+    The semi-join carries the o_orderdate comparison INTO the join, so
+    no lineitem survives past its first qualifying match (no post-join
+    dedup), and the orders side is pre-filtered to one quarter before
+    the shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "x_tpch_q7",
+    category="join",
+    oracle=(
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY 1, 2, 3"
+    ),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by ship year.  The two nation dimensions are broadcast with their
+    filters applied pre-join (each keeps ~1/n of suppliers/customers);
+    the cross-pair predicate collapses to an OR of two equality pairs —
+    no inequality join anywhere."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", scale=6))
+    )
+
+
+@query(
+    "x_tpch_q8",
+    category="agg",
+    oracle=(
+        "WITH m AS ("
+        "  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "         n1.n_name AS supp_nation, "
+        "         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol "
+        "  FROM lineitem "
+        "  JOIN part ON l_partkey = p_partkey "
+        "  JOIN orders ON l_orderkey = o_orderkey "
+        "  JOIN customer ON o_custkey = c_custkey "
+        "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "  JOIN region ON n2.n_regionkey = r_regionkey "
+        "  JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "  WHERE r_name = 'AMERICA' AND p_type = 'PROMO' "
+        "  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "SELECT o_year, "
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) "
+        " / CAST(SUM(vol) AS DOUBLE) AS mkt_share "
+        "FROM m GROUP BY o_year"
+    ),
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of AMERICA's
+    PROMO-part market by order year.  The share is a conditional
+    decimal sum over a total decimal sum, divided as doubles — both
+    sums are exact and order-independent, so the quotient is the same
+    double everywhere."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust_am = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    m = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            vol.cast("decimal(18,6)").alias("vol"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return m.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(zero)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "x_tpch_q9",
+    category="agg",
+    oracle=(
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE p_name LIKE '%gear%' "
+        "GROUP BY 1, 2"
+    ),
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit).  Substitution: no partsupp means
+    no ps_supplycost, so profit degrades to discounted revenue — the
+    five-way join shape and (nation, year) rollup are Q9's."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit", scale=6))
+    )
+
+
+@query(
+    "x_tpch_q11",
+    category="agg",
+    oracle=(
+        "WITH v AS ("
+        "  SELECT l_partkey, "
+        "         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS val "
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "  JOIN nation ON s_nationkey = n_nationkey "
+        "  WHERE n_name = 'NATION_5' GROUP BY 1), "
+        "t AS (SELECT SUM(val) AS tot FROM v) "
+        "SELECT l_partkey, CAST(val AS DOUBLE) AS value "
+        "FROM v, t WHERE val > CAST(0.001 AS DECIMAL(6,3)) * tot"
+    ),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock).  Substitution: no partsupp, so
+    "stock value" per part = sum of extendedprice*quantity shipped by
+    NATION_5 suppliers; the signature scalar-subquery threshold (keep
+    parts worth > 0.1% of the national total) is intact.
+
+    The total is a 1-row broadcast scalar (the whitelisted crossJoin
+    pattern); the threshold comparison stays in EXACT decimal on both
+    engines, so no float boundary can flip membership."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)")
+            ).alias("val")
+        )
+    )
+    tot = v.agg(F.sum("val").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.lit("0.001").cast("decimal(6,3)") * F.col("tot"))
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@query(
+    "x_tpch_q12",
+    category="agg",
+    oracle=(
+        "SELECT l_returnflag, "
+        # BIGINT casts: DuckDB integer SUM is HUGEINT, which lands in
+        # pandas as float64 and hash-mismatches Spark's int64
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l_returnflag"
+    ),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and priority).  Substitution: no
+    shipmode/commitdate columns, so the year of shipments is bucketed
+    by returnflag instead of shipmode — the CASE-pivot on order
+    priority (urgent+high vs rest) is Q12's signature."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q13",
+    category="agg",
+    oracle=(
+        "WITH c AS ("
+        "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "  GROUP BY c_custkey) "
+        "SELECT c_count, COUNT(*) AS custdist FROM c GROUP BY c_count"
+    ),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): orders-per-customer
+    histogram, KEEPING zero-order customers (the LEFT join + COUNT of
+    the nullable key is the point of the query).
+
+    Scale shape: the first aggregate shuffles on custkey — same key as
+    the join, so Catalyst reuses one exchange; the histogram aggregate's
+    domain is tiny.  Customer is NOT broadcast: it is the probe side
+    being counted, and at warehouse scale it outgrows any broadcast
+    threshold."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "x_tpch_q15",
+    category="agg",
+    oracle=(
+        "WITH rev AS ("
+        "  SELECT l_suppkey, "
+        "         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_rev "
+        "  FROM lineitem "
+        "  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' "
+        "  GROUP BY l_suppkey), "
+        "mx AS (SELECT MAX(total_rev) AS m FROM rev) "
+        "SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx "
+        "WHERE total_rev = mx.m"
+    ),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    revenue — the standard view + scalar-MAX + equality-join-back.  The
+    max and the equality test stay in exact decimal, so "ties with the
+    max" is well-defined (a double comparison could drop a tied
+    supplier on one engine and keep it on the other)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@query(
+    "x_tpch_q16",
+    category="agg",
+    oracle=(
+        "SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY 1, 2"
+    ),
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship).  Substitution: the
+    part-supplier pairs come from lineitem (no partsupp), and the
+    "customer complaints" NOT IN exclusion becomes suppliers with a
+    negative account balance — the exclusion stays an anti-join shape.
+
+    The distinct count shuffles (brand, size, suppkey) once for the
+    dedup and once for the count — both on bounded domains."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "x_tpch_q17",
+    category="agg",
+    oracle=(
+        "WITH pa AS ("
+        "  SELECT l_partkey AS pk, "
+        "         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty "
+        "  FROM lineitem GROUP BY 1) "
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pa ON l_partkey = pk "
+        "WHERE p_brand = 'Brand#2' AND p_type = 'SMALL' "
+        "AND l_quantity < 0.2 * avg_qty"
+    ),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
+    their part's average quantity, for one brand/type.  The correlated
+    AVG subquery is decorrelated into a per-part aggregate joined back
+    on partkey.  avg_qty is exact-sum / count — the identical double on
+    both engines — so the 0.2× threshold comparison cannot diverge.
+
+    Scale note: the per-part average is computed over the FULL lineitem
+    (as the spec's correlated subquery demands) but it collapses to one
+    row per part before the join-back; the brand/type filter then
+    shrinks the probe side to a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("avg_qty")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "x_tpch_q20",
+    category="join",
+    oracle=(
+        "SELECT s_suppkey, s_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_7' AND s_suppkey IN ("
+        "  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "  WHERE p_name LIKE 'small%' "
+        "  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "  GROUP BY l_suppkey "
+        "  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(100 AS DECIMAL(18,2)))"
+    ),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion).  Substitution: no partsupp
+    availability to halve, so the inner threshold is a flat 100 units
+    of 'small%' parts shipped in 1997; the shape — nation-filtered
+    suppliers semi-joined against a HAVING-filtered aggregate over the
+    part-filtered fact — is Q20's.  The quantity threshold stays in
+    exact decimal."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > F.lit(100).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_7")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "x_tpch_q22",
+    category="agg",
+    oracle=(
+        "WITH pool AS ("
+        "  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal "
+        "  FROM customer WHERE c_nationkey IN (1, 3, 5, 7)), "
+        "threshold AS ("
+        "  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS avg_bal "
+        "  FROM pool WHERE bal > 0), "
+        "sleepers AS ("
+        "  SELECT c_nationkey, bal FROM pool, threshold "
+        "  WHERE CAST(bal AS DOUBLE) > avg_bal "
+        "  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) "
+        "SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, "
+        "CAST(SUM(bal) AS DOUBLE) AS totacctbal "
+        "FROM sleepers GROUP BY 1"
+    ),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity).  Substitution: no c_phone,
+    so the "country code" is the nation key itself, and — because this
+    testdata gives every customer at least one order — "has not
+    ordered" becomes "has not ordered since 2000" (the anti-join gains
+    a date predicate but keeps its shape and stays non-degenerate).
+
+    The average is exact-decimal-sum / count (same double both
+    engines); the threshold comparison is double-vs-double on identical
+    operands.  The anti-join shuffles on custkey — at scale this is the
+    bucketing key, so it co-locates for free."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    threshold = pool.filter(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count("*")).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    sleepers = (
+        pool.crossJoin(F.broadcast(threshold))
+        .filter(F.col("bal").cast("double") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return sleepers.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )

@@ -45,6 +45,7 @@ _OPERATOR_MODULES = [
     "hbasemapreduce_spark.operators.llm_multimodal",
     "hbasemapreduce_spark.operators.udx",
     "hbasemapreduce_spark.operators.extras",
+    "hbasemapreduce_spark.operators.tpch",
     "hbasemapreduce_spark.operators.analytics",
     "hbasemapreduce_spark.operators.pipeline",
     "hbasemapreduce_spark.operators.clustering",

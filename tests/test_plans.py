@@ -230,6 +230,9 @@ _BNLJ_WHITELIST = {
     "x_time_gapfill",     # spine synthesis: distinct types x hour sequence
     "x_win_distinct_rolling",  # 1-row end-of-series cutoff scalar
     "x_rank_bm25",        # 1-row corpus-stats scalar (n_docs, avgdl)
+    "x_tpch_q11",         # 1-row national-total scalar threshold
+    "x_tpch_q15",         # 1-row max-revenue scalar
+    "x_tpch_q22",         # 1-row avg-positive-balance scalar threshold
 }
 
 
