@@ -235,15 +235,22 @@ def simhash_pairs(
     """
     bits = 64 // n_bands
     sigs = simhash_signatures(df, id_col=id_col, items_col=items_col)
-    banded = sigs.withColumn(
-        "bd",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> "
-                f"struct(b AS band, shiftright(sh, b * {bits}) & {2**bits - 1} AS chunk))"
-            )
-        ),
-    ).select("id", "sh", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk"))
+    banded = (
+        sigs.withColumn(
+            "bd",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> "
+                    f"struct(b AS band, shiftright(sh, b * {bits}) & {2**bits - 1} AS chunk))"
+                )
+            ),
+        )
+        .select("id", "sh", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk"))
+        # both sides of the candidate self-join read this relation; the
+        # lazy checkpoint stops the tokenize + 64-accumulator signature
+        # pipeline from executing twice (same fix as minhash_pairs)
+        .localCheckpoint(eager=False)
+    )
     cand = (
         banded.alias("a")
         .join(

@@ -304,29 +304,50 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     covariance estimation, and the normal equations of a linear probe.
 
     Spark shape: two codegen `posexplode`s fan each row out to its
-    d(d+1)/2 = 2080 upper-triangle element products, and ONE hash
-    aggregate folds them down.  The key insight for 100 TB: the group
-    domain is d^2-bounded (2080 keys, independent of row count), so
-    map-side partial aggregation collapses every partition to <= 2080
-    rows before the only shuffle — the network moves O(d^2 x
-    partitions), never O(n).  At larger d, the same pass runs as a
-    numpy partial-GEMM per partition (`mapInPandas`, one d x d
-    accumulator) with an identical final reduce; d = 64 stays cheaper
-    JVM-side.
+    d(d+1)/2 = 2080 upper-triangle element products — the second
+    explode runs over `slice(embedding, i+1, ...)`, so only the upper
+    triangle is ever GENERATED (half the rows and much smaller array
+    copies than explode-then-filter) — and ONE hash aggregate folds
+    them down.  The key insight for 100 TB: the group domain is
+    d^2-bounded (2080 keys, independent of row count), so map-side
+    partial aggregation collapses every partition to <= 2080 rows
+    before the only shuffle — the network moves O(d^2 x partitions),
+    never O(n).  The explicit repartition fans a narrow source out
+    BEFORE the d²-fold expansion (the testdata ships this table as one
+    row group, which would otherwise serialize the whole expansion on
+    one core; on a cluster the same move balances whatever skew the
+    file layout has).  At larger d, the same pass runs as a numpy
+    partial-GEMM per partition (`mapInPandas`, one d x d accumulator)
+    with an identical final reduce; d = 64 stays cheaper JVM-side.
 
     Determinism: element products are per-row float64 math rounded to
-    6 dp (identical in both engines), and the cross-row sum rides a
-    DECIMAL(28,8) sandwich — exact and order-independent at any
-    partition count.  i/j are bigint to match DuckDB generate_series."""
+    6 dp (identical in both engines), then scaled to exact integer
+    micros and summed as LONGS — exact, order-independent at any
+    partition count, and several times faster than a decimal-sandwich
+    aggregate over the d²-fold stream.  The double-round through 1e6
+    recovers the integer exactly (no double equals an exact 6-dp tie,
+    so nearest-double(k*1e-6)*1e6 rounds to precisely k).  The final
+    g = sum/1e6 double division has exact operands (sums stay under
+    2^53 up to ~10^9 rows x unit-scale products; past that, swap the
+    final cast for the decimal sandwich).  i/j are bigint to match
+    DuckDB generate_series."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
-        emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
-        .select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
-        .filter(F.col("j") >= F.col("i"))
+        emb.repartition(n_part)
+        .select("embedding", F.posexplode("embedding").alias("i", "xi"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode(F.expr("slice(embedding, i+1, size(embedding)-i)")).alias(
+                "dj", "xj"
+            ),
+        )
     )
-    term = F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6).cast(
-        "decimal(28,8)"
-    )
+    term = F.round(
+        F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6) * 1e6, 0
+    ).cast("long")
     return pairs.groupBy(
-        F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j")
-    ).agg(F.sum(term).cast("double").alias("g"))
+        F.col("i").cast("long").alias("i"),
+        (F.col("i") + F.col("dj")).cast("long").alias("j"),
+    ).agg((F.sum(term).cast("double") / F.lit(1e6)).alias("g"))
