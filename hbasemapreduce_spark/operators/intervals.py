@@ -1,0 +1,185 @@
+"""Interval and event-spacing operators over the event stream.
+
+- x_join_asof_tolerance: as-of join with a staleness bound (the
+  pandas ``merge_asof(tolerance=...)`` semantics) — a match older
+  than the tolerance is discarded, not carried.
+- x_time_gap_histogram: log2-bucketed histogram of per-user
+  inter-event gaps — the event-spacing profile behind session-gap
+  tuning (the 30-minute sessionizer threshold is readable straight
+  off this histogram's knee).
+- x_win_overlap_concurrency: sweep-line maximum concurrency of
+  5-minute event intervals per type — "how many were active at once",
+  the classic interval-analytics aggregate.
+
+Determinism: gaps and buckets are pure bigint arithmetic (the log2
+bucket is ``length(bin(g))`` — the binary-string length, an exact
+integer in both engines, never a float log); the sweep-line running
+sum is an integer window over a totally-ordered boundary stream;
+as-of matching reuses the union+window asof machinery with its total
+tiebreak ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.asof import asof_join
+from ..registry import query
+
+
+@query(
+    "x_join_asof_tolerance",
+    category="join",
+    oracle=(
+        "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT event_id AS view_id, user_id, ts AS v_ts FROM events "
+        "      WHERE event_type = 'view'), "
+        "ranked AS ("
+        "  SELECT p.event_id, v.view_id, "
+        "  row_number() OVER (PARTITION BY p.event_id "
+        "                     ORDER BY v.v_ts DESC, v.view_id DESC) AS rn "
+        "  FROM p JOIN v ON v.user_id = p.user_id AND v.v_ts <= p.ts "
+        "  AND v.v_ts >= p.ts - INTERVAL 1 HOUR) "
+        "SELECT p.event_id, r.view_id AS matched_view_id "
+        "FROM p LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1"
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance: each purchase matched to the user's
+    latest PRIOR view, but only if that view is at most 1 hour old —
+    older matches are dropped (null), exactly pandas
+    ``merge_asof(..., tolerance=...)``.
+
+    Built on the same single-shuffle union+window asof machinery as
+    join_asof: the payload carries the matched view's timestamp, and
+    the tolerance is applied as a post-filter on the carried value —
+    no second join, no inequality-join blowup.  The oracle applies the
+    bound inside its ranked join instead; both must agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        left_key=F.col("user_id"),
+        right_key=F.col("user_id"),
+        left_time=F.col("ts"),
+        right_time=F.col("v_ts"),
+        payload={"view_id": F.col("view_id"), "matched_ts": F.col("v_ts")},
+        right_tiebreak=[F.col("view_id")],
+    )
+    within = F.col("matched_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id",
+        F.when(within, F.col("view_id")).alias("matched_view_id"),
+    )
+
+
+@query(
+    "x_time_gap_histogram",
+    category="analytics",
+    oracle=(
+        "WITH e AS ("
+        "  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id "
+        "  FROM events), "
+        "g AS ("
+        "  SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id "
+        "                                  ORDER BY ts_us, event_id) AS gap_us "
+        "  FROM e), "
+        "b AS ("
+        "  SELECT CASE WHEN gap_us < 1000000 THEN 0 "
+        "         ELSE length(bin(gap_us // 1000000)) END AS bucket "
+        "  FROM g WHERE gap_us IS NOT NULL) "
+        "SELECT bucket, COUNT(*) AS n_gaps FROM b GROUP BY bucket"
+    ),
+)
+def time_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-user inter-event gaps in log2 seconds buckets
+    (bucket k covers [2^(k-1), 2^k) seconds; bucket 0 is sub-second).
+    The session-gap threshold every sessionizer hardcodes is readable
+    off this histogram's bimodal knee.
+
+    The bucket is ``length(bin(seconds))`` — the bit-length of the
+    integer second count — so the 'log2' is exact bigint arithmetic in
+    both engines (a float log2 at a power-of-2 boundary could round to
+    either side and shift histogram mass).  One lag window per user
+    (the sessionizer's shuffle), then a tiny-domain count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") < 1_000_000, F.lit(0)).otherwise(
+        F.length(F.expr("bin(gap_us DIV 1000000)"))
+    )
+    return gaps.select(bucket.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_gaps")
+    )
+
+
+@query(
+    "x_win_overlap_concurrency",
+    category="window",
+    oracle=(
+        "WITH b AS ("
+        # kind orders END (-1) before START (+1) at equal t: touching
+        # intervals do not overlap
+        "  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS delta, "
+        "         event_id, 1 AS kind FROM events "
+        "  UNION ALL "
+        "  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) + 300000000, -1, "
+        "         event_id, 0 FROM events), "
+        "r AS ("
+        "  SELECT event_type, "
+        "  SUM(delta) OVER (PARTITION BY event_type "
+        "                   ORDER BY t, kind, event_id "
+        "                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live "
+        "  FROM b) "
+        "SELECT event_type, CAST(MAX(live) AS BIGINT) AS max_concurrent FROM r "
+        "GROUP BY event_type"
+    ),
+)
+def win_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency: treat each event as a 5-minute
+    interval and report, per type, the largest number simultaneously
+    active.  The standard O(n log n) boundary-stream formulation: +1 at
+    each start, -1 at each end, running sum, max.
+
+    Boundary ordering is total — (time, end-before-start at equal time,
+    event_id) — so concurrency at touching endpoints is well-defined
+    (an interval ending exactly when another starts does NOT overlap
+    it) and the running sum is identical under any partitioning.
+
+    Scale shape: one window per event_type partition.  For a skewed
+    type, the same sweep runs hierarchically (per-bucket sums +
+    prefix-sum of bucket totals); at this corpus the flat window is
+    the right plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts")).alias("t0"), "event_id"
+    )
+    starts = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"),
+        "event_id", F.lit(1).alias("kind"),
+    )
+    ends = ev.select(
+        "event_type", (F.col("t0") + 300_000_000).alias("t"), F.lit(-1).alias("delta"),
+        "event_id", F.lit(0).alias("kind"),
+    )
+    b = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = b.select("event_type", F.sum("delta").over(w).alias("live"))
+    return live.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("max_concurrent")
+    )

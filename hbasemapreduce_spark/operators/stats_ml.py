@@ -1,0 +1,235 @@
+"""Experiment analysis and training-data logistics operators.
+
+- x_stats_abtest: Welch two-sample t-statistic per event type — the
+  A/B experiment readout, with hash-assigned variants and
+  order-independent moment sums.
+- x_stats_linreg: per-group OLS slope/intercept (value vs. event day)
+  from exact decimal moments — trend detection over a time series.
+- x_shard_manifest: deterministic shard assignment + per-shard
+  manifest (doc/token/char totals) — the bookkeeping step before a
+  training corpus ships to the trainer fleet.
+- x_etl_cdc_apply: last-writer-wins change-log application with
+  delete markers — MERGE of an ordered CDC stream collapsed to one
+  argmax aggregate.
+
+Determinism: all float outputs start from EXACT decimal moment sums
+(events.value is 2-dp, so products are exact at scale 4; day indexes
+are bigints) and finish with identical IEEE double arithmetic in both
+engines — sqrt included, which IEEE 754 requires correctly rounded.
+Variant/shard assignment uses the same Knuth multiplicative hash as
+the sampling operators: plain bigint arithmetic, portable across
+engines, uncorrelated with id order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_KNUTH = 2654435761  # engine-portable multiplicative hash (pipeline.py)
+
+
+@query(
+    "x_stats_abtest",
+    category="agg",
+    oracle=(
+        f"WITH e AS (SELECT event_type, value, (user_id * {_KNUTH}) % 2 AS variant "
+        "           FROM events), "
+        "m AS ("
+        "  SELECT event_type, variant, COUNT(*) AS n, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+        "  CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS ss "
+        "  FROM e GROUP BY 1, 2), "
+        "w AS ("
+        "  SELECT a.event_type, a.n AS n_a, b.n AS n_b, "
+        "  a.s / a.n AS mean_a, b.s / b.n AS mean_b, "
+        "  (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a, "
+        "  (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b "
+        "  FROM m a JOIN m b ON a.event_type = b.event_type "
+        "  AND a.variant = 0 AND b.variant = 1) "
+        "SELECT event_type, n_a, n_b, mean_a, mean_b, "
+        "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat "
+        "FROM w"
+    ),
+)
+def stats_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic per event type between two hash-assigned
+    user variants — the standard A/B readout (unequal variances, no
+    pooling).  Users are split by the portable Knuth hash, so the
+    assignment is reproducible on any engine and uncorrelated with id
+    order.
+
+    Scale shape: ONE aggregate pass over the fact stream (count + two
+    exact decimal moment sums per (event_type, variant)), then the
+    t-statistic is computed on the handful of aggregate rows via a
+    self-join on event_type — the post-aggregate join touches
+    |event_types| rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.pmod(F.col("user_id") * _KNUTH, F.lit(2))).alias("variant"),
+    )
+    v = F.col("value")
+    m = ev.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(18,4)")).cast("double").alias("ss"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        (F.col("s") / F.col("n")).alias("mean_a"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var_a"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        (F.col("s") / F.col("n")).alias("mean_b"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var_b"),
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.join(b, "event_type").select(
+        "event_type", "n_a", "n_b", "mean_a", "mean_b", t.alias("t_stat")
+    )
+
+
+@query(
+    "x_stats_linreg",
+    category="agg",
+    oracle=(
+        "WITH e AS ("
+        "  SELECT event_type, "
+        "  CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', "
+        "       date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x, "
+        "  value AS y FROM events), "
+        "m AS ("
+        "  SELECT event_type, COUNT(*) AS n, "
+        "  CAST(SUM(x) AS DOUBLE) AS sx, "
+        "  CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
+        "  CAST(SUM(CAST(x * y AS DECIMAL(24,2))) AS DOUBLE) AS sxy, "
+        "  CAST(SUM(x * x) AS DOUBLE) AS sxx "
+        "  FROM e GROUP BY 1) "
+        "SELECT event_type, n, "
+        "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
+        "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept "
+        "FROM m"
+    ),
+)
+def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression of event value against event DAY — the
+    trend line behind every 'metric drifting up?' panel, computed
+    order-independently (the built-in regr_* aggregates accumulate
+    float moments in partition order).
+
+    x is the integer epoch-day (exact bigint), y is the 2-dp value, so
+    every moment sum is exact: Sx/Sxx in plain bigint, Sy/Sxy through
+    the decimal sandwich (day * 2-dp value is exact at scale 2; 24
+    digits of headroom for the day magnitude).  The closed-form
+    slope/intercept doubles then start from identical inputs in both
+    engines.  One aggregate pass, map-side partials, |event_types|
+    output rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000)
+         ).cast("long").alias("x"),
+        F.col("value").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(24,2)")).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+@query(
+    "x_shard_manifest",
+    category="pipeline",
+    oracle=(
+        f"WITH s AS (SELECT doc_id, n_chars, (doc_id * {_KNUTH}) % 16 AS shard, "
+        "            length(string_split(text, ' ')) AS n_toks FROM documents) "
+        "SELECT shard, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(n_chars) AS BIGINT) AS n_bytes, "
+        "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id "
+        "FROM s GROUP BY shard"
+    ),
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way shard assignment plus the per-shard
+    manifest (doc/token/byte totals, key range) — the bookkeeping a
+    training-data export runs last, so the trainer fleet can verify
+    every shard it pulls.  Hash sharding (not range) keeps shard sizes
+    balanced under any doc_id distribution; the manifest is one
+    aggregate pass with map-side partials, 16 output rows at any
+    corpus size.  In production the same dataflow feeds
+    ``.write.partitionBy('shard')`` — sink_partitioned covers that
+    path; this key oracle-checks the manifest numbers themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(F.col("doc_id") * _KNUTH, F.lit(16)).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+@query(
+    "x_etl_cdc_apply",
+    category="etl",
+    oracle=(
+        "WITH ranked AS ("
+        "  SELECT user_id, event_type, value, event_id, "
+        "  row_number() OVER (PARTITION BY user_id "
+        "                     ORDER BY ts DESC, event_id DESC) AS rn "
+        "  FROM events) "
+        "SELECT user_id, event_type AS last_type, value AS last_value, "
+        "event_id AS last_event_id "
+        "FROM ranked WHERE rn = 1 AND event_type <> 'error'"
+    ),
+)
+def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse an ordered change log to
+    final per-key state with last-writer-wins, honoring delete markers
+    — a key whose LAST change is an 'error' row is tombstoned out of
+    the result entirely.  MERGE semantics for a CDC stream, done as
+    ONE argmax aggregate instead of the textbook row_number window
+    (the oracle keeps the window form; both engines must agree
+    exactly).
+
+    max_by on the (ts, event_id) struct is a hash aggregate with
+    map-side partials — no per-key sort, no full-partition window
+    buffering, and the shuffle moves one row per key, not the change
+    log.  The tiebreak on event_id makes the winner total, so the
+    result is identical under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    last = ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.max_by("value", ordk).alias("last_value"),
+        F.max_by("event_id", ordk).alias("last_event_id"),
+    )
+    return last.filter(F.col("last_type") != "error").select(
+        "user_id", "last_type", "last_value", "last_event_id"
+    )

@@ -46,6 +46,8 @@ _OPERATOR_MODULES = [
     "hbasemapreduce_spark.operators.udx",
     "hbasemapreduce_spark.operators.extras",
     "hbasemapreduce_spark.operators.tpch",
+    "hbasemapreduce_spark.operators.stats_ml",
+    "hbasemapreduce_spark.operators.intervals",
     "hbasemapreduce_spark.operators.analytics",
     "hbasemapreduce_spark.operators.pipeline",
     "hbasemapreduce_spark.operators.clustering",
