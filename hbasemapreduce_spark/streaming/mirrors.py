@@ -383,6 +383,63 @@ def funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIRRORS["x_funnel_conversion"] = funnel_stream
 
 
+def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_etl_cdc_apply: per-key last-writer-wins
+    state maintained incrementally — the CDC-consumer service every
+    batch MERGE approximates.  State per user is the (ts_us, event_id,
+    event_type, value) of the current winner; each micro-batch's rows
+    challenge it under the same total (ts, event_id) order the batch
+    argmax uses, so after draining the log the state equals the batch
+    aggregate exactly (update-mode sink keeps each key's LAST update).
+    Tombstoned keys ('error' wins) emit stage NULLs downstream of the
+    sink rather than being dropped here: update mode has no
+    retractions, so the consumer applies the tombstone (the equality
+    test does exactly that)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_lww(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_us, eid, etype, val = state.get
+        else:
+            ts_us, eid, etype, val = -1, -1, "", 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            c = pdf.assign(_us=pdf["ts"].astype("datetime64[us]").astype("int64"))
+            w = c.sort_values(["_us", "event_id"]).iloc[-1]
+            if (int(w["_us"]), int(w["event_id"])) > (ts_us, eid):
+                ts_us, eid = int(w["_us"]), int(w["event_id"])
+                etype, val = str(w["event_type"]), float(w["value"])
+        state.update((ts_us, eid, etype, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_type": [etype],
+                "last_value": [val],
+                "last_event_id": [eid],
+            }
+        )
+
+    return (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_lww,
+            outputStructType=(
+                "user_id long, last_type string, last_value double, last_event_id long"
+            ),
+            stateStructType="ts_us long, eid long, etype string, val double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MIRRORS["x_etl_cdc_apply"] = cdc_apply_stream
+
+
 def run_hourly_top_foreachbatch(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     """Streaming twin of x_stream_hourly_top via ``foreachBatch`` — the
     escape hatch for logic Structured Streaming can't express on an

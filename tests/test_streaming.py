@@ -132,3 +132,17 @@ def test_stream_funnel_matches_batch(spark):
     }
     for k in (1, 2, 3):
         assert sum(1 for s in stages if s >= k) == batch[k], f"stage {k}"
+
+
+def test_stream_cdc_apply_matches_batch(spark):
+    # Per-key LWW state after draining the log must equal the batch
+    # argmax aggregate; tombstoned keys (last event 'error') are
+    # dropped sink-side, mirroring the batch filter.
+    got = run_mirror_to_memory(spark, SF_DIR, "x_etl_cdc_apply", output_mode="update")
+    g = {
+        (r.user_id, r.last_type, r.last_value, r.last_event_id)
+        for r in got.collect()
+        if r.last_type != "error"
+    }
+    b = {tuple(r) for r in all_specs()["x_etl_cdc_apply"].fn(spark, SF_DIR).collect()}
+    assert g == b and len(g) > 0
