@@ -253,3 +253,37 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("curl")
         .agg(F.min("doc_id").cast("long").alias("keep_doc_id"), F.count("*").alias("n_dups"))
     )
+
+
+@query(
+    "x_dedup_prefix",
+    category="llm_dedup",
+    oracle=(
+        "WITH p AS (SELECT doc_id, "
+        "  array_to_string((string_split(text, ' '))[1:16], ' ') AS prefix16 "
+        "  FROM documents) "
+        "SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs "
+        "FROM p GROUP BY prefix16 HAVING COUNT(*) > 1"
+    ),
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: documents sharing their first 16
+    tokens — the boilerplate-header signal crawl pipelines use to
+    catch template pages and truncation variants that full-document
+    hashing misses (the bodies differ, the opening never does).
+
+    Scale shape: per-row slice+join of the token array (all codegen),
+    one hash aggregate on the prefix key with map-side partials, then
+    the HAVING filter — dedup_exact's trivially scale-safe shape with
+    a prefix key instead of the full text.  At Common-Crawl scale the
+    prefix key is hashed (xxhash64) before the shuffle; the string key
+    keeps the DuckDB oracle exact here."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 16), " ")
+    return (
+        docs.select("doc_id", prefix.alias("prefix16"))
+        .groupBy("prefix16")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("keep_doc_id", "n_docs")
+    )

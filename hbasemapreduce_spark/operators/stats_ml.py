@@ -62,39 +62,45 @@ def stats_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is reproducible on any engine and uncorrelated with id
     order.
 
-    Scale shape: ONE aggregate pass over the fact stream (count + two
-    exact decimal moment sums per (event_type, variant)), then the
-    t-statistic is computed on the handful of aggregate rows via a
-    self-join on event_type — the post-aggregate join touches
-    |event_types| rows regardless of corpus size."""
+    Scale shape: ONE aggregate pass over the fact stream — both
+    variants' count and exact decimal moment sums are conditional
+    aggregates in the same groupBy(event_type), so the fact table is
+    scanned exactly once (plan-gated in tests/test_plans.py) and no
+    post-aggregate join exists at all."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
         (F.pmod(F.col("user_id") * _KNUTH, F.lit(2))).alias("variant"),
     )
     v = F.col("value")
-    m = ev.groupBy("event_type", "variant").agg(
-        F.count("*").alias("n"),
-        F.sum(v.cast("decimal(18,2)")).cast("double").alias("s"),
-        F.sum((v * v).cast("decimal(18,4)")).cast("double").alias("ss"),
+
+    def side(tag: int, suffix: str) -> list:
+        cond = F.col("variant") == tag
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{suffix}"),
+            F.sum(F.when(cond, v.cast("decimal(18,2)"))).cast("double").alias(f"s_{suffix}"),
+            F.sum(F.when(cond, (v * v).cast("decimal(18,4)"))).cast("double").alias(f"ss_{suffix}"),
+        ]
+
+    m = ev.groupBy("event_type").agg(*side(0, "a"), *side(1, "b"))
+
+    def mean(sfx: str):
+        return F.col(f"s_{sfx}") / F.col(f"n_{sfx}")
+
+    def var(sfx: str):
+        s, ss, n = F.col(f"s_{sfx}"), F.col(f"ss_{sfx}"), F.col(f"n_{sfx}")
+        return (ss - s * s / n) / (n - 1)
+
+    t = (mean("a") - mean("b")) / F.sqrt(
+        var("a") / F.col("n_a") + var("b") / F.col("n_b")
     )
-    a = m.filter(F.col("variant") == 0).select(
+    return m.select(
         "event_type",
-        F.col("n").alias("n_a"),
-        (F.col("s") / F.col("n")).alias("mean_a"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var_a"),
-    )
-    b = m.filter(F.col("variant") == 1).select(
-        "event_type",
-        F.col("n").alias("n_b"),
-        (F.col("s") / F.col("n")).alias("mean_b"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var_b"),
-    )
-    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
-        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
-    )
-    return a.join(b, "event_type").select(
-        "event_type", "n_a", "n_b", "mean_a", "mean_b", t.alias("t_stat")
+        "n_a",
+        "n_b",
+        mean("a").alias("mean_a"),
+        mean("b").alias("mean_b"),
+        t.alias("t_stat"),
     )
 
 

@@ -347,3 +347,34 @@ def test_bulkload_files_are_disjoint_and_sorted(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"overlapping region ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
     assert total == orders.count()
+
+
+def test_tpch_q13_prunes_to_key_columns(spark):
+    # The order-distribution query needs exactly two columns per side;
+    # a scan reading more pays corpus-sized IO for nothing at 100 TB.
+    plan = plan_of(spark, "x_tpch_q13")
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert len(reads) == 2
+    cust = [r for r in reads if "c_custkey" in r][0]
+    orders = [r for r in reads if "o_custkey" in r][0]
+    assert "c_name" not in cust and "c_acctbal" not in cust
+    assert "o_totalprice" not in orders and "o_orderdate" not in orders
+
+
+def test_tpch_q4_pushes_quarter_filter(spark):
+    # The one-quarter orders filter must reach the parquet scan, not
+    # run post-read — partition pruning depends on it at scale.
+    plan = plan_of(spark, "x_tpch_q4")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed)
+
+
+def test_stats_abtest_single_fact_pass(spark):
+    # The A/B readout must aggregate the fact stream ONCE; the variant
+    # self-comparison happens on the tiny post-aggregate rows.
+    plan = plan_of(spark, "x_stats_abtest")
+    fact_scans = [
+        ln for ln in plan.splitlines()
+        if "Location" in ln and "events.parquet" in ln
+    ]
+    assert len(fact_scans) == 1, f"expected 1 events scan, saw {len(fact_scans)}"
