@@ -351,3 +351,71 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("i"),
         (F.col("i") + F.col("dj")).cast("long").alias("j"),
     ).agg((F.sum(term).cast("double") / F.lit(1e6)).alias("g"))
+
+
+@query(
+    "x_sim_knn_graph",
+    category="llm_similarity",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        "           FROM embeddings), "
+        "p AS ("
+        "  SELECT a.vec_id AS src, b.vec_id AS dst, "
+        "  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim "
+        "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), "
+        "r AS ("
+        "  SELECT src, dst, sim, "
+        "  row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk "
+        "  FROM p) "
+        "SELECT src, dst, sim, rk FROM r WHERE rk <= 3"
+    ),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph build: each vector's 3 nearest neighbours by cosine —
+    the graph behind diversity sampling, semantic dedup clustering, and
+    label propagation over a training corpus.  Differs from the
+    threshold-pair operator (x_dedup_embedding): every node gets edges
+    here, ranked, not just the near-dup outliers.
+
+    Candidate generation is blocked on the coarse label (the IVF-list
+    discipline: compare within a bucket, never all-pairs); ranking is a
+    per-src window over the block-bounded candidate rows, which Spark
+    plans as WindowGroupLimit — the per-partition top-k that never
+    materializes the full sorted neighbour list.  Determinism: sim is
+    rounded to 6 dp BEFORE ranking (identical doubles both engines) and
+    ties break on dst id, so rank is total.
+
+    At 100 TB the only change is the blocking key: label -> IVF
+    centroid assignment (x_sim_ivf's path) or LSH band (x_sim_ann_lsh's
+    path); the join-window shape is identical."""
+    from ..functions.vectors import norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", "sim", F.col("rk").cast("long").alias("rk"))
+    )
