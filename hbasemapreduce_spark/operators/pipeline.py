@@ -653,3 +653,83 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_key").alias("min_key"),
         F.max("max_key").alias("max_key"),
     )
+
+
+@query(
+    "x_pipeline_pretrain_export",
+    category="pipeline",
+    oracle=(
+        "WITH corpus AS ("
+        "  SELECT doc_id, text, len(string_split(text, ' ')) AS n_toks "
+        "  FROM documents WHERE source <> 'src0'), "
+        "q AS (SELECT * FROM corpus WHERE n_toks BETWEEN 20 AND 95), "
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY lower(trim(text))), "
+        "d AS (SELECT q.* FROM q JOIN k USING (doc_id)), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d), "
+        "grams AS (SELECT DISTINCT doc_id, "
+        "  unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS gram "
+        "  FROM toks), "
+        "btoks AS (SELECT string_split(text, ' ') AS t FROM documents WHERE source = 'src0'), "
+        "bgrams AS (SELECT DISTINCT "
+        "  unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS gram "
+        "  FROM btoks), "
+        "cont AS (SELECT g.doc_id, "
+        "  CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS c "
+        "  FROM grams g LEFT JOIN bgrams b USING (gram) GROUP BY g.doc_id), "
+        "clean AS (SELECT d.doc_id, d.n_toks FROM d "
+        "  LEFT JOIN cont USING (doc_id) WHERE COALESCE(cont.c, 0) <= 0.1), "
+        f"train AS (SELECT * FROM clean WHERE (doc_id * {_KNUTH}) % 100 < 80) "
+        f"SELECT (doc_id * {_KNUTH}) % 16 AS shard, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM train GROUP BY 1"
+    ),
+)
+def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training export, end to end in ONE dataflow:
+    quality gate (20-95 tokens) -> exact-dedup keep-first ->
+    benchmark decontamination (drop docs with >10% 4-gram containment
+    against the src0 benchmark) -> 80% train split by portable hash ->
+    16-way shard manifest.  Every stage is an operator this package
+    ships standalone (text_stats, dedup_exact, x_contamination_ngram,
+    x_sample_split, x_shard_manifest); the composition proves they
+    chain without a driver round-trip, and the whole chain is still
+    one oracle-checkable query.
+
+    Scale shape: two corpus passes (tokenize/quality + gram explode),
+    one hash-agg dedup, a broadcast decontamination join (the
+    benchmark gram set is bounded by benchmark size, not corpus size),
+    then stateless hash filters and a 16-row manifest aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    q = corpus.filter((F.col("n_toks") >= 20) & (F.col("n_toks") <= 95))
+    keep = q.groupBy(F.lower(F.trim(F.col("text"))).alias("norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    bench = (
+        _grams(docs.filter(F.col("source") == "src0"))
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cont = (
+        _grams(d)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double") / F.count("*")
+            ).alias("c")
+        )
+    )
+    clean = d.join(cont, "doc_id", "left").filter(
+        F.coalesce(F.col("c"), F.lit(0.0)) <= 0.1
+    )
+    train = clean.filter(F.pmod(F.col("doc_id") * _KNUTH, F.lit(100)) < 80)
+    return train.groupBy(
+        F.pmod(F.col("doc_id") * _KNUTH, F.lit(16)).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
