@@ -514,3 +514,139 @@ def test_basket_pairs_support_bounded_by_item_frequency(spark):
     assert ja.filter(F.col("support") > F.col("n_orders")).count() == 0
     jb = out.join(freq.withColumnRenamed("l_partkey", "part_b"), "part_b")
     assert jb.filter(F.col("support") > F.col("n_orders")).count() == 0
+
+
+def test_abtest_tstat_antisymmetric_under_variant_swap(spark):
+    # Swapping variant labels must exactly negate every t-statistic and
+    # swap the per-variant columns — checked by recomputing with the
+    # hash parity flipped.
+    import hbasemapreduce_spark.operators.stats_ml as sm
+
+    base = {r.event_type: r for r in q(spark, "x_stats_abtest").collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value",
+        (1 - F.pmod(F.col("user_id") * sm._KNUTH, F.lit(2))).alias("variant"),
+    )
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, v.cast("decimal(18,2)"))).cast("double").alias("s_a"),
+        F.sum(F.when(F.col("variant") == 0, (v * v).cast("decimal(18,4)"))).cast("double").alias("ss_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, v.cast("decimal(18,2)"))).cast("double").alias("s_b"),
+        F.sum(F.when(F.col("variant") == 1, (v * v).cast("decimal(18,4)"))).cast("double").alias("ss_b"),
+    )
+    swapped = {r.event_type: r for r in m.collect()}
+    for et, r in base.items():
+        s = swapped[et]
+        assert (r.n_a, r.n_b) == (s.n_b, s.n_a), et
+        assert r.mean_a == s.s_b / s.n_b and r.mean_b == s.s_a / s.n_a, et
+
+
+def test_linreg_constant_series_has_zero_slope(spark):
+    # A synthesized constant-valued series must regress to slope 0 and
+    # intercept equal to the constant.
+    import hbasemapreduce_spark.operators.stats_ml as sm
+
+    rows = spark.range(100).select(
+        F.lit("c").alias("event_type"),
+        (F.col("id") % 30).cast("long").alias("x"),
+        F.lit(7.25).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = rows.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(24,2)")).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    r = m.select(
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("slope"),
+    ).first()
+    assert r.slope == 0.0
+
+
+def test_shard_manifest_conserves_totals(spark):
+    # Shard totals must add up to the whole corpus — no doc lost or
+    # double-counted by the hash assignment.
+    man = q(spark, "x_shard_manifest")
+    agg = man.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_bytes").alias("b")
+    ).first()
+    docs = load_table(spark, SF_DIR, "documents")
+    tot = docs.agg(F.count("*").alias("d"), F.sum("n_chars").alias("b")).first()
+    assert (agg.d, agg.b) == (tot.d, tot.b)
+
+
+def test_cdc_apply_at_most_one_row_per_user(spark):
+    out = q(spark, "x_etl_cdc_apply")
+    assert out.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+    # tombstoned keys are really gone
+    assert out.filter(F.col("last_type") == "error").count() == 0
+
+
+def test_asof_tolerance_is_subset_of_plain_asof_semantics(spark):
+    # Every non-null tolerance match must be a view at most 1h before
+    # the purchase (recheck against the raw tables).
+    out = q(spark, "x_join_asof_tolerance").filter(F.col("matched_view_id").isNotNull())
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.select(F.col("event_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    vw = ev.select(F.col("event_id").alias("matched_view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
+    j = out.join(p, "event_id").join(vw, "matched_view_id")
+    bad = j.filter(
+        (F.col("vu") != F.col("pu"))
+        | (F.col("vts") > F.col("pts"))
+        | (F.col("vts") < F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    assert out.count() > 0 and bad.count() == 0
+
+
+def test_gap_histogram_counts_every_consecutive_pair(spark):
+    # #gaps = #events - #users-with-events (one lag-null per user)
+    hist = q(spark, "x_time_gap_histogram")
+    total = hist.agg(F.sum("n_gaps").alias("s")).first().s
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_overlap_concurrency_bounds(spark):
+    # 1 <= max_concurrent <= events of that type (an event always
+    # overlaps itself; concurrency can never exceed the type's count)
+    rows = q(spark, "x_win_overlap_concurrency").collect()
+    counts = {
+        r.event_type: r.c
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type").agg(F.count("*").alias("c")).collect()
+    }
+    assert rows
+    for r in rows:
+        assert 1 <= r.max_concurrent <= counts[r.event_type], r
+
+
+def test_knn_graph_degree_and_sim_bounds(spark):
+    g = q(spark, "x_sim_knn_graph")
+    # every src has at most 3 edges, ranks are 1..k dense, sims in [-1,1]
+    bad_deg = g.groupBy("src").count().filter(F.col("count") > 3).count()
+    assert bad_deg == 0
+    assert g.filter((F.col("sim") < -1) | (F.col("sim") > 1)).count() == 0
+    ranks = g.groupBy("src").agg(
+        F.count("*").alias("n"), F.max("rk").alias("mx"), F.min("rk").alias("mn")
+    )
+    assert ranks.filter((F.col("mn") != 1) | (F.col("mx") != F.col("n"))).count() == 0
+
+
+def test_pretrain_export_bounded_by_corpus(spark):
+    # Export totals can never exceed the quality-passing corpus side.
+    man = q(spark, "x_pipeline_pretrain_export")
+    exported = man.agg(F.sum("n_docs").alias("d")).first().d
+    docs = load_table(spark, SF_DIR, "documents")
+    eligible = (
+        docs.filter(F.col("source") != "src0")
+        .filter(F.size(F.split("text", " ")).between(20, 95))
+        .count()
+    )
+    assert 0 < exported <= eligible
