@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import sys
 import time
@@ -38,6 +39,87 @@ from hbasemapreduce_spark.registry import all_specs  # noqa: E402
 
 RETIME_THRESHOLD_SEC = 1.0
 RETIME_PASSES = 3  # median-of-3 for queries over the threshold
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+
+
+def io_probe(scratch: str = _SCRATCH, probe_mib: int = 16) -> dict:
+    """Box-environment probe (VERDICT r4 item 2): BENCH_r04 measured
+    sink_partitioned at 6.01 s driver-run vs 0.85 s builder-run on an
+    unchanged plan — a 7x gap that can only be environmental.  This
+    records, in BENCH_DETAIL.json and the summary line, everything
+    needed to attribute such a gap: the .scratch census (stale staged
+    dirs would inflate overwrite-mode deletes), a raw fsync'd
+    write + read throughput probe on the same filesystem the sink keys
+    write to, and the 1-min load average (a busy box was already shown
+    to inflate the whole bench 1.5x — see memory: idle-box benching)."""
+    n_files = 0
+    n_bytes = 0
+    for root, _dirs, files in os.walk(scratch):
+        for fn in files:
+            try:
+                n_bytes += os.path.getsize(os.path.join(root, fn))
+                n_files += 1
+            except OSError:
+                pass
+    os.makedirs(scratch, exist_ok=True)
+    probe_path = os.path.join(scratch, "_io_probe.bin")
+    blob = b"\xa5" * (1 << 20)
+    t = time.perf_counter()
+    with open(probe_path, "wb") as f:
+        for _ in range(probe_mib):
+            f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    w_sec = time.perf_counter() - t
+    t = time.perf_counter()
+    with open(probe_path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+    r_sec = time.perf_counter() - t
+    os.remove(probe_path)
+    return {
+        "scratch_files": n_files,
+        "scratch_mb": round(n_bytes / 1e6, 1),
+        "write_mbps": round(probe_mib / max(w_sec, 1e-9), 1),
+        "read_mbps": round(probe_mib / max(r_sec, 1e-9), 1),
+        "load1": round(os.getloadavg()[0], 1),
+    }
+
+
+def sink_split_probe(spark, sf_dir: str) -> dict:
+    """Write-vs-read split for the sink_partitioned shape (VERDICT r4
+    item 2): times the salted partitionBy WRITE and the re-read+agg
+    READ separately, on a throwaway directory, so the slow half of a
+    driver-run regression is identifiable from BENCH_DETAIL alone."""
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.operators.scans import _write_partitioned_orders
+
+    out = os.path.join(
+        _SCRATCH, f"sink_split_probe_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        t = time.perf_counter()
+        _write_partitioned_orders(orders, out)
+        w_sec = time.perf_counter() - t
+        t = time.perf_counter()
+        (
+            spark.read.parquet(out)
+            .groupBy("o_year")
+            .agg(F.count("*").alias("cnt"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        r_sec = time.perf_counter() - t
+        return {"write_sec": round(w_sec, 3), "read_agg_sec": round(r_sec, 3)}
+    except Exception as e:  # noqa: BLE001 — a probe must never void the bench
+        return {"error": f"{type(e).__name__}: {e}"[:200]}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def time_queries(
@@ -107,7 +189,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — warm-up must never abort the run
             print(f"WARMUP ERROR {wk}: {e}", file=sys.stderr)
 
+    probe_pre = io_probe()
     timings, passes, errors = time_queries(spark, specs, sf_dir)
+    probe_post = io_probe()
+    sink_split = sink_split_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -124,6 +209,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "startup_sec": round(startup, 2),
+        "io_probe_pre": probe_pre,
+        "io_probe_post": probe_post,
+        "sink_split": sink_split,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -142,6 +230,12 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "startup_sec": round(startup, 2),
+        # environment attribution for I/O-bound keys (VERDICT r4 item 2):
+        # raw fsync'd write MB/s and 1-min load, before and after timing,
+        # plus the sink write-vs-read split — full probes in BENCH_DETAIL.
+        "io_w_mbps": [probe_pre["write_mbps"], probe_post["write_mbps"]],
+        "load1": [probe_pre["load1"], probe_post["load1"]],
+        "sink_split": sink_split,
     }
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1024, f"final bench line too long ({len(line)} B)"

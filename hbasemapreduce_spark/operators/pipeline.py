@@ -686,7 +686,7 @@ def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pre-training export, end to end in ONE dataflow:
     quality gate (20-95 tokens) -> exact-dedup keep-first ->
-    benchmark decontamination (drop docs with >10% 4-gram containment
+    benchmark decontamination (drop docs with >10% 5-gram containment
     against the src0 benchmark) -> 80% train split by portable hash ->
     16-way shard manifest.  Every stage is an operator this package
     ships standalone (text_stats, dedup_exact, x_contamination_ngram,

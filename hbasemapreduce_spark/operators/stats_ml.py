@@ -49,7 +49,8 @@ _KNUTH = 2654435761  # engine-portable multiplicative hash (pipeline.py)
         "  (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a, "
         "  (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b "
         "  FROM m a JOIN m b ON a.event_type = b.event_type "
-        "  AND a.variant = 0 AND b.variant = 1) "
+        "  AND a.variant = 0 AND b.variant = 1 "
+        "  AND a.n >= 2 AND b.n >= 2) "
         "SELECT event_type, n_a, n_b, mean_a, mean_b, "
         "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat "
         "FROM w"
@@ -94,6 +95,11 @@ def stats_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (mean("a") - mean("b")) / F.sqrt(
         var("a") / F.col("n_a") + var("b") / F.col("n_b")
     )
+    # Degenerate-group guard (ADVICE r4): a variant that is empty or has a
+    # single user would make the oracle's inner self-join drop the group
+    # while the single-pass aggregate emits null/NaN moments — filter both
+    # engines identically so sparse corpora agree.
+    m = m.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
     return m.select(
         "event_type",
         "n_a",

@@ -89,8 +89,8 @@ def _load_all() -> None:
 #      freshest driver evidence is one round old) lead;
 #   2. two beyond-contract keys whose r1 hash-fail dtype fixes still
 #      need driver confirmation slot in at emission positions 11-12
-#      (see _WINDOW_EXTRAS) — they can never re-enter the window from
-#      behind 60 contract keys otherwise;
+#      (x_agg_pivot / x_contamination_ngram, both r3-green) — they can
+#      never re-enter the window from behind 60 contract keys otherwise;
 #   3. the 27 contract keys whose only driver evidence is r2;
 #   4. the 23 contract keys verified in BOTH r1 and r2 — the 12 that
 #      fall past position 50 all have double evidence, the best keys to
@@ -109,7 +109,7 @@ _CONTRACT_PRIORITY = [
     "dedup_exact",
     "dedup_minhash",
     "multimodal_join",
-    # (emission positions 11-12 are _WINDOW_EXTRAS, spliced in all_specs)
+    # (r3's emission positions 11-12 were x_agg_pivot/x_contamination_ngram)
     # -- verified in r2 only --
     "scan_project",
     "scan_range",
@@ -166,74 +166,94 @@ _CONTRACT_PRIORITY = [
 
 CONTRACT_KEYS = frozenset(_CONTRACT_PRIORITY)
 
-# Beyond-contract keys spliced into the r3 driver window at emission
-# positions 11-12 (VERDICT r2, item 3).  Both hash-passed in r3; kept as
-# a name only because tests pin the historical layout.
-_WINDOW_EXTRAS = ["x_agg_pivot", "x_contamination_ngram"]
+# Round-5 driver window (VERDICT r4, item 1).  Cumulative driver
+# evidence after r4: ALL 60 contract keys hash-green with r3-or-r4
+# evidence, plus 42 x_ keys — leaving 61 registered keys that have never
+# been inside a driver window.  A 50-key window cannot hold 61, so r5
+# spends EVERY slot on first-timers (r4 proved the rotation mechanics:
+# 38/38 first-timers green) and defers the 12 keys listed in
+# _R6_BACKLOG, chosen because each is either rows-only by design (the
+# driver check would be weakest there) or a small single-shape
+# projection/aggregate with multi-round local oracle evidence.
+# Priority inside the window follows the verdict: the 12 TPC-H ports,
+# then the 10 r4 operators, then the displaced r2-era keys, then the
+# remaining never-checked keys.  x_sim_knn_graph_ivf is the r5-built
+# scale variant (VERDICT r4 item 4) — new code, but its local oracle
+# check is the exact driver protocol.
+_R5_WINDOW = [
+    # -- 12 TPC-H ports (operators/tpch.py, added r4) --
+    "x_tpch_q4",
+    "x_tpch_q7",
+    "x_tpch_q8",
+    "x_tpch_q9",
+    "x_tpch_q11",
+    "x_tpch_q12",
+    "x_tpch_q13",
+    "x_tpch_q15",
+    "x_tpch_q16",
+    "x_tpch_q17",
+    "x_tpch_q20",
+    "x_tpch_q22",
+    # -- 10 operators added in r4 --
+    "x_stats_abtest",
+    "x_stats_linreg",
+    "x_shard_manifest",
+    "x_etl_cdc_apply",
+    "x_join_asof_tolerance",
+    "x_time_gap_histogram",
+    "x_win_overlap_concurrency",
+    "x_dedup_prefix",
+    "x_sim_knn_graph",
+    "x_pipeline_pretrain_export",
+    # -- displaced r2-era keys the r4 verdict names --
+    "x_sim_ann_lsh",
+    "x_agg_decile",
+    "x_join_dpp",
+    "x_layout_zorder",
+    "x_stream_stateful",
+    "x_sink_orc",
+    "x_sink_json_lines",
+    "x_source_csv",
+    "x_scan_partition_pruned",
+    # -- remaining never-driver-checked keys --
+    "x_agg_grouping_sets",
+    "x_agg_salted_twophase",
+    "x_bulkload_ranged",
+    "x_client_get",
+    "x_client_scan",
+    "x_etl_compact",
+    "x_etl_snapshot_diff",
+    "x_funnel_conversion",
+    "x_incremental_agg",
+    "x_join_bucketed",
+    "x_join_salted",
+    "x_multimodal_binary_stats",
+    "x_profile_table",
+    "x_retention_cohort",
+    "x_stream_hourly_top",
+    "x_stream_interval_join",
+    "x_text_unigram_lm",
+    "x_udtf_python",
+    # -- r5-built scale variant (VERDICT r4 item 4) --
+    "x_sim_knn_graph_ivf",
+]
 
-# Round-4 driver window (VERDICT r3, item 6).  Cumulative driver evidence
-# after r3: all 60 contract keys green (48 in r3's window, 12 with r2
-# evidence), plus x_agg_pivot / x_contamination_ngram — and 77 x_ keys
-# with only local pytest evidence.  The r4 window therefore leads with
-# the 12 contract keys whose freshest driver evidence is r2 (the r3
-# leave-outs), then spends all 38 remaining slots on never-driver-checked
-# x_ keys — newest-r3 analytics first (the judge's named list), then the
-# LLM-pipeline family, then the TPC-H ports.
-_R4_WINDOW = [
-    # -- contract keys rotated back in (freshest evidence: r2) --
-    "join_anti",
-    "join_star",
-    "join_theta_range",
-    "join_asof",
-    "agg_rowcount",
-    "agg_cellcount",
-    "agg_group_sum",
-    "agg_multi",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-    # -- never-driver-checked x_ keys (newest r3 additions first) --
-    "x_cell_versions",  # the r3 defect — driver must see it green
-    "x_tpch_q2",
-    "x_tpch_q10",
-    "x_tpch_q19",
-    "x_tpch_q21",
-    "x_emb_gram",
-    "x_rank_bm25",
-    "x_basket_pairs",
-    "x_time_gapfill",
-    "x_time_ohlc",
-    "x_win_distinct_rolling",
-    "x_stats_corr",
-    "x_stats_outliers",
-    "x_client_mutate",
-    "x_index_inverted",
-    "x_session_paths",
-    "x_agg_mode",
-    "x_join_fuzzy",
-    # -- LLM-pipeline family --
-    "x_dedup_clusters",
-    "x_dedup_embedding",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_url",
-    "x_sim_ivf",
-    "x_embedding_quantize",
-    "x_text_winnow",
-    "x_text_pii_mask",
-    "x_pipeline_curate",
-    "x_sample_stratified",
-    "x_sample_split",
-    "x_sample_balanced",
-    "x_pack_chunks",
-    # -- TPC-H ports + ETL --
-    "x_tpch_q3",
-    "x_tpch_q5",
-    "x_tpch_q6",
-    "x_tpch_q14",
-    "x_tpch_q18",
-    "x_etl_scd2",
-    "x_etl_upsert",
+# Never-driver-checked keys deliberately deferred to the round-6 window
+# (see _R5_WINDOW comment for the selection rationale).  Listed so the
+# next rotation starts from a committed plan, not git archaeology.
+_R6_BACKLOG = [
+    "x_agg_sketch_hll",  # rows-only by design
+    "x_text_langid",  # rows-only by design
+    "x_dedup_simhash",  # rows-only by design
+    "x_multimodal_frame_sample",
+    "x_multimodal_resize",
+    "x_text_fingerprint",
+    "x_text_repetition",
+    "x_text_tokencount",
+    "x_text_length_histogram",
+    "x_text_quality",
+    "x_win_ntile",
+    "x_unpivot",
 ]
 
 
@@ -247,10 +267,10 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R4_WINDOW)
+    window = set(_R5_WINDOW)
     rest_contract = [k for k in _CONTRACT_PRIORITY if k not in window]
     extras = sorted(k for k in _REGISTRY if k not in CONTRACT_KEYS and k not in window)
-    order = [*_R4_WINDOW, *rest_contract, *extras]
+    order = [*_R5_WINDOW, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

@@ -182,6 +182,26 @@ def test_ivf_probe_is_equi_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_knn_graph_ivf_candidates_are_equi_join(spark):
+    # VERDICT r4 item 4: the kNN-graph scale variant's candidate join
+    # (probes ⋈ assigned on cent_id) must be an EQUI join — both sides
+    # are corpus-sized, so the per-pair work is bounded by list size.
+    # The only nested-loop node allowed is the 1-row centroid-array
+    # broadcast used for zero-shuffle probe selection.
+    plan = plan_of(spark, "x_sim_knn_graph_ivf")
+    assert any(
+        n in plan for n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), "candidate generation lost its equi-join"
+    # The 1-row centroid-array broadcast appears once per branch (probes
+    # and assigned both derive from it) — 2 BNLJ nodes, never more.
+    # ") BroadcastNestedLoopJoin" matches the per-node detail header of
+    # the formatted plan exactly once per node (the tree section renders
+    # the same node again with a "+-"/":-" prefix, so a raw substring
+    # count would double it).
+    assert plan.count(") BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_lm_broadcasts_vocabulary(spark):
     # The vocabulary frequency table is content-bounded -> must
     # broadcast; shuffling the exploded token stream to a sort-merge
@@ -224,6 +244,7 @@ _BNLJ_WHITELIST = {
     "stream_late_data",   # 1-row max-ts scalar
     "sim_cosine_topk",    # brute-force baseline: broadcast query set
     "x_sim_ivf",          # nlist-bounded centroid table
+    "x_sim_knn_graph_ivf",  # 1-row centroid-ARRAY scalar (probe selection)
     "x_text_langid",      # n-languages-bounded profile table
     "x_cell_versions",    # 1-row TTL-cutoff scalar
     "x_layout_zorder",    # 1-row key-bounds scalar for z normalization

@@ -1,9 +1,10 @@
-"""Registry ordering guards (VERDICT r1 item 7, r2 items 1/3/7, r3 item 6).
+"""Registry ordering guards (VERDICT r1 item 7, r2 items 1/3/7, r3 item
+6, r4 item 1).
 
 The driver's CORRECTNESS check covers exactly the FIRST 50 keys of
 ``queries()`` in emission order (proven in r2: CORRECTNESS_r02's key set
 equals the r2 registry's first 50).  Emission order is therefore part of
-the contract surface, and the intended r4 window is pinned here exactly
+the contract surface, and the intended r5 window is pinned here exactly
 so no future registration can reshuffle it.
 
 Also hosts the all-keys plan-analysis smoke gate (VERDICT r3 item 3):
@@ -16,31 +17,29 @@ any plan-time failure in ANY key fails fast and locally.
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from hbasemapreduce_spark.registry import (
     _CONTRACT_PRIORITY,
-    _R4_WINDOW,
+    _R5_WINDOW,
+    _R6_BACKLOG,
     CONTRACT_KEYS,
     all_specs,
 )
 
 DRIVER_WINDOW = 50
 
-# The 12 contract keys outside r3's window (freshest driver evidence: r2)
-# — VERDICT r3 item 6 says they lead the r4 window.
-R3_LEAVE_OUTS = [
-    "join_anti",
-    "join_star",
-    "join_theta_range",
-    "join_asof",
-    "agg_rowcount",
-    "agg_cellcount",
-    "agg_group_sum",
-    "agg_multi",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_cube",
-]
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _driver_checked_keys() -> set[str]:
+    """Union of keys with driver correctness evidence, rounds 1-4."""
+    keys: set[str] = set()
+    for r in (1, 2, 3, 4):
+        p = _REPO / f"CORRECTNESS_r0{r}.json"
+        keys |= set(json.loads(p.read_text()).keys())
+    return keys
 
 
 def test_contract_is_60_keys():
@@ -52,33 +51,37 @@ def test_all_contract_keys_registered():
     assert CONTRACT_KEYS <= set(all_specs())
 
 
-def test_r4_window_is_pinned_exactly():
-    # 12 rotated-back contract keys + 38 never-driver-checked x_ keys.
-    assert len(_R4_WINDOW) == DRIVER_WINDOW
-    assert len(set(_R4_WINDOW)) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == _R4_WINDOW
+def test_r5_window_is_pinned_exactly():
+    assert len(_R5_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R5_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R5_WINDOW
 
 
-def test_r4_window_leads_with_stale_contract_keys():
-    assert _R4_WINDOW[:12] == R3_LEAVE_OUTS
+def test_r5_window_keys_never_driver_checked():
+    # VERDICT r4 item 1: every r5 slot is spent on a key with NO prior
+    # driver evidence (all 60 contract keys are r3/r4-green, so none
+    # need a slot).  x_sim_knn_graph_ivf is the r5-built scale variant.
+    assert not (set(_R5_WINDOW) & _driver_checked_keys())
 
 
-def test_r4_window_x_keys_never_driver_checked():
-    # Every x_ slot must be spent on a key with NO prior driver evidence:
-    # the only x_ keys ever inside a driver window were the r3 extras.
-    r3_checked = {"x_agg_pivot", "x_contamination_ngram"}
-    x_slots = [k for k in _R4_WINDOW if k.startswith("x_")]
-    assert len(x_slots) == 38
-    assert not (set(x_slots) & r3_checked)
+def test_r5_window_plus_backlog_covers_all_unchecked():
+    # Window ∪ backlog must equal the full never-driver-checked set —
+    # nothing silently dropped from the rotation plan.  New keys added
+    # during round 5 (beyond x_sim_knn_graph_ivf) must be appended to
+    # _R6_BACKLOG to keep this invariant.
+    unchecked = set(all_specs()) - _driver_checked_keys()
+    assert unchecked == set(_R5_WINDOW) | set(_R6_BACKLOG)
+    assert not (set(_R5_WINDOW) & set(_R6_BACKLOG))
 
 
-def test_out_of_window_contract_keys_are_triply_verified():
-    # The contract keys that fall outside the r4 window all hash-passed
-    # in r3 (and many in r1/r2 too) — never a key with stale evidence.
+def test_out_of_window_contract_keys_are_fresh():
+    # All 60 contract keys sit outside the r5 window; each must carry
+    # r3-or-r4 driver evidence (they do — that's why they rotated out).
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
-    assert len(out) == 48
-    assert not (set(out) & set(R3_LEAVE_OUTS))
+    assert len(out) == 60
+    checked = _driver_checked_keys()
+    assert all(k in checked for k in out)
 
 
 def test_extras_sort_after_contract_even_if_driver_resorts():
