@@ -209,6 +209,36 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_sample_importance",
+    category="analytics",
+    oracle=(
+        f"SELECT doc_id, lang, n_chars FROM documents "
+        f"WHERE (doc_id * {_KNUTH}) % 4000 < least(n_chars, 2000)"
+    ),
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling WITHOUT a random number generator:
+    document d is kept iff hash_bucket(d) < min(weight_d, cap), giving
+    inclusion probability proportional to its size weight (n_chars,
+    capped at 2000 of the 4000 bucket space).  The pipeline use case:
+    oversample long/high-quality documents into a curation subset while
+    keeping the draw exactly reproducible — on any engine, any
+    partitioning, any corpus growth (a doc's fate depends only on its
+    own id and weight, so adding data never flips earlier decisions,
+    unlike RNG-stream or reservoir approaches).
+
+    Scale shape: a stateless per-row predicate — filter pushdown
+    territory, zero shuffle, embarrassingly parallel.  All arithmetic
+    is bigint (the portable Knuth hash), so the sampled SET itself is
+    hash-checked against the DuckDB twin, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(4000))
+        < F.least(F.col("n_chars"), F.lit(2000))
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "x_sample_balanced",
     category="analytics",
     oracle=(

@@ -1,0 +1,211 @@
+"""Graph analytics over the co-purchase graph (beyond-contract, r5).
+
+The graph: nodes are parts, undirected edges are part pairs co-occurring
+in >= 3 orders — exactly x_basket_pairs' output (analytics.py), so these
+operators demonstrate graph algorithms composing on top of a shipped
+relational operator, the way a 100 TB pipeline would chain them.
+
+- x_graph_pagerank: 3 power iterations of PageRank in EXACT INTEGER
+  arithmetic — every rank is a bigint, so the result is bit-identical
+  at any partition count and fully hash-checkable against a DuckDB twin
+  (the float formulation would accumulate in partition order).
+- x_graph_triangles: triangle / wedge census via the node-iterator
+  join, plus node and edge counts — the clustering-coefficient inputs.
+
+Scale shapes documented per operator; iteration count is FIXED (3), so
+the unrolled plan is static — no driver-side convergence loop at all
+(contrast x_dedup_clusters, which needs one because component diameter
+is data-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_SUPPORT = 3  # min co-purchase support, mirrors x_basket_pairs
+_SCALE = 10**12  # integer rank scale: total initial mass = _SCALE
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+_EDGE_SQL = (
+    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "und AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+    "        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+    "        AND a.l_partkey < b.l_partkey "
+    f"       GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}), "
+    "edges AS (SELECT part_a AS src, part_b AS dst FROM und "
+    "          UNION ALL SELECT part_b, part_a FROM und) "
+)
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) both directions of the support-thresholded co-purchase
+    pairs; every node therefore has outdegree >= 1 (no dangling mass)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _SUPPORT)
+        .select("part_a", "part_b")
+    )
+    return und.selectExpr("part_a AS src", "part_b AS dst").unionByName(
+        und.selectExpr("part_b AS src", "part_a AS dst")
+    )
+
+
+@query(
+    "x_graph_pagerank",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        "WITH deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1), "
+        f"base AS (SELECT CAST({_SCALE} AS BIGINT) // COUNT(*) AS b FROM deg), "
+        "r0 AS (SELECT node, outdeg, (SELECT b FROM base) AS pr FROM deg), "
+        "s1 AS (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s "
+        "       FROM r0 r JOIN edges e ON r.node = e.src GROUP BY 1), "
+        f"r1 AS (SELECT d.node, d.outdeg, ({_DAMP_DEN - _DAMP_NUM} * (SELECT b FROM base)) // {_DAMP_DEN} "
+        f"       + ({_DAMP_NUM} * COALESCE(s1.s, 0)) // {_DAMP_DEN} AS pr "
+        "       FROM deg d LEFT JOIN s1 ON d.node = s1.node), "
+        "s2 AS (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s "
+        "       FROM r1 r JOIN edges e ON r.node = e.src GROUP BY 1), "
+        f"r2 AS (SELECT d.node, d.outdeg, ({_DAMP_DEN - _DAMP_NUM} * (SELECT b FROM base)) // {_DAMP_DEN} "
+        f"       + ({_DAMP_NUM} * COALESCE(s2.s, 0)) // {_DAMP_DEN} AS pr "
+        "       FROM deg d LEFT JOIN s2 ON d.node = s2.node), "
+        "s3 AS (SELECT e.dst AS node, CAST(SUM(r.pr // r.outdeg) AS BIGINT) AS s "
+        "       FROM r2 r JOIN edges e ON r.node = e.src GROUP BY 1), "
+        f"r3 AS (SELECT d.node, ({_DAMP_DEN - _DAMP_NUM} * (SELECT b FROM base)) // {_DAMP_DEN} "
+        f"       + ({_DAMP_NUM} * COALESCE(s3.s, 0)) // {_DAMP_DEN} AS pr "
+        "       FROM deg d LEFT JOIN s3 ON d.node = s3.node) "
+        "SELECT node, pr FROM r3)"
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 power iterations) over the co-purchase
+    graph, in EXACT integer arithmetic: ranks are bigints scaled so the
+    initial total mass is 10^12, damping is the rational 85/100 applied
+    with integer div, and per-edge shares are rank DIV outdegree.
+    Every operation is exact and order-independent, so the result is
+    bit-identical at any partition count AND hash-identical to the
+    DuckDB twin — the float formulation would be neither (its partial
+    sums accumulate in partition order).
+
+    Scale shape: the classic dataflow PageRank — shares = one
+    projection per node, contributions = EQUI-join of ranks with the
+    edge list on src followed by a hash aggregate on dst (map-side
+    partials; the shuffle carries one row per in-edge, coalesced to
+    one per (partition, dst) by partial aggregation).  The edge list
+    is read by all three iterations: localCheckpoint stops the
+    distinct + self-join basket derivation re-executing per iteration
+    (Spark shares no common subplans across branches).  Hot dst nodes
+    (graph celebrities) are ordinary aggregate skew — AQE handles
+    them; at web scale the standard mitigation is splitting
+    high-degree nodes, which changes this plan nowhere.
+
+    Fixed iteration count keeps the unrolled plan static; dangling
+    nodes cannot exist (edges are symmetrized, outdeg >= 1), so no
+    mass-redistribution term is needed.  Truncation drift from DIV is
+    deterministic and identical in both engines."""
+    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    # integer base rank via DIV (cast-of-true-division would ROUND;
+    # the oracle's `//` floors) — 1-row scalar, broadcast per iteration
+    base = deg.agg(F.expr(f"CAST({_SCALE} AS BIGINT) DIV COUNT(*)").alias("b"))
+    teleport = F.expr(f"({_DAMP_DEN - _DAMP_NUM} * b) DIV {_DAMP_DEN}")
+    ranks = deg.crossJoin(F.broadcast(base)).select(
+        "node", "outdeg", F.col("b").alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            ranks.select("node", F.expr("pr DIV outdeg").alias("share"))
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(base))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                (
+                    teleport
+                    + F.expr(
+                        f"({_DAMP_NUM} * COALESCE(s, CAST(0 AS BIGINT))) DIV {_DAMP_DEN}"
+                    )
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", "pr")
+
+
+@query(
+    "x_graph_triangles",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        "WITH und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst), "
+        "wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "          FROM und e1 JOIN und e2 ON e1.b = e2.a), "
+        "tri AS (SELECT w.a FROM wedge w JOIN und e3 ON w.a = e3.a AND w.c = e3.b) "
+        "SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges, "
+        "CAST((SELECT COUNT(DISTINCT a) FROM (SELECT a FROM und UNION ALL SELECT b FROM und)) AS BIGINT) AS n_nodes, "
+        "CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges, "
+        "CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles)"
+    ),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle and wedge census of the co-purchase graph (node/edge
+    counts included) — the global clustering coefficient's inputs, and
+    the standard probe for community structure in a co-occurrence
+    graph.
+
+    Scale shape: the node-iterator algorithm as TWO equi-joins on
+    oriented edges (a < b < c ordering counts each wedge and triangle
+    exactly once): wedges = edges ⋈ edges on the middle vertex,
+    triangles = wedges semi-joined against the closing edge.  Work is
+    sum-of-squared-degrees bounded — the orientation makes the middle
+    vertex the SMALLER id, the cheap deterministic stand-in for the
+    degree-ordering heuristic production systems use (orient toward
+    lower degree; same plan, different orientation key).  All three
+    relations are counted in one pass each; nothing is ever collected.
+    """
+    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint(eager=False)  # read by 4 census branches below
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = und.join(e2, "b").select("a", "b", "c")
+    closing = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedge.join(closing, ["a", "c"], "left_semi")
+    # the census stays ONE declarative plan: each relation collapses to
+    # a 1-row aggregate and the four scalars cross-join (broadcast) —
+    # no driver-side .count() actions anywhere
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    n_wedges = wedge.agg(F.count("*").alias("n_wedges"))
+    n_triangles = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_triangles))
+        .select("n_edges", "n_nodes", "n_wedges", "n_triangles")
+    )

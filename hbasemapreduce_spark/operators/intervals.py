@@ -183,3 +183,53 @@ def win_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.groupBy("event_type").agg(
         F.max("live").cast("long").alias("max_concurrent")
     )
+
+
+@query(
+    "x_time_fill_forward",
+    category="window",
+    oracle=(
+        "WITH e AS ("
+        "  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, "
+        "  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "  FROM events) "
+        "SELECT user_id, event_id, k, "
+        "last_value(k IGNORE NULLS) OVER ("
+        "  PARTITION BY user_id ORDER BY tss, event_id "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_filled "
+        "FROM e"
+    ),
+)
+def time_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) of the sparse
+    ``props.k`` attribute per user — the canonical time-series gap
+    repair before feature extraction: a row whose observation is NULL
+    inherits the latest earlier non-null one; rows before the first
+    observation stay NULL.
+
+    One window per user over the TOTAL order (ts, event_id), evaluated
+    with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+    row frame — a single shuffle on the fill key, O(1) state per row,
+    no self-join and no driver loop.  At 100 TB this is the plan you
+    want: partition by entity, sort within partition, one linear pass.
+    The event_id tiebreak makes the carried value deterministic even
+    for same-timestamp rows, so the result is identical at any
+    partition count and hash-matches the DuckDB twin (IGNORE NULLS is
+    spelled `F.last(ignorenulls=True)` on the Spark side)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("tss"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tss", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "k",
+        F.last("k", ignorenulls=True).over(w).alias("k_filled"),
+    )

@@ -478,8 +478,14 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py.  Determinism: every ranking orders on the
     6-dp ROUNDED similarity with id tie-breaks in both engines, so the
     graph is total and hash-checkable."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition BEFORE the per-row centroid scoring: the testdata ships
+    # embeddings as one row group, and the nlist x d higher-order-function
+    # scoring below is interpreted (HOFs are not codegen'd) — without the
+    # fan-out it serializes on one core (the x_emb_gram lesson)
     e = (
         load_table(spark, sf_dir, "embeddings")
+        .repartition(n_part)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
     )
@@ -499,11 +505,18 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         csim = F.round(dot(F.col("emb"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"]), 6)
         return F.struct(csim.alias("csim"), (-c["cent_id"]).alias("neg_cent"))
 
-    base = e.crossJoin(F.broadcast(cent_arr)).select(
-        "vec_id",
-        "emb",
-        "nrm",
-        F.reverse(F.array_sort(F.transform(F.col("cents"), scored))).alias("sc"),
+    # lazy localCheckpoint: `base` feeds BOTH the assigned and probes
+    # branches, and Spark shares no common subplans across join branches
+    # — without it the nlist-way scoring pass executes twice
+    base = (
+        e.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "emb",
+            "nrm",
+            F.reverse(F.array_sort(F.transform(F.col("cents"), scored))).alias("sc"),
+        )
+        .localCheckpoint(eager=False)
     )
     assigned = base.select(
         F.col("vec_id").alias("dst"),

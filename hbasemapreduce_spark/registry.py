@@ -51,6 +51,7 @@ _OPERATOR_MODULES = [
     "hbasemapreduce_spark.operators.analytics",
     "hbasemapreduce_spark.operators.pipeline",
     "hbasemapreduce_spark.operators.clustering",
+    "hbasemapreduce_spark.operators.graphs",
     "hbasemapreduce_spark.client",
 ]
 
@@ -254,6 +255,11 @@ _R6_BACKLOG = [
     "x_text_quality",
     "x_win_ntile",
     "x_unpivot",
+    # new in r5 (after the window was frozen) — first-eligible in r6:
+    "x_graph_pagerank",
+    "x_graph_triangles",
+    "x_time_fill_forward",
+    "x_sample_importance",
 ]
 
 

@@ -254,6 +254,8 @@ _BNLJ_WHITELIST = {
     "x_tpch_q11",         # 1-row national-total scalar threshold
     "x_tpch_q15",         # 1-row max-revenue scalar
     "x_tpch_q22",         # 1-row avg-positive-balance scalar threshold
+    "x_graph_pagerank",   # 1-row base-rank scalar (10^12 DIV n_nodes)
+    "x_graph_triangles",  # 4x 1-row census scalars cross-joined
 }
 
 
