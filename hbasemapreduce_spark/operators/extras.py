@@ -323,6 +323,80 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+_HEAVY_DIV = 50  # heavy-hitter threshold: est >= total_tokens DIV 50 (2%)
+
+
+@query("x_agg_sketch_cms", category="agg", oracle=None)  # rows-only: sketch path
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters over the document token stream —
+    the OTHER mergeable sketch every 100 TB pipeline keeps next to HLL
+    (x_agg_sketch_hll below): frequency estimation in d x w = 4 x 1024
+    bounded counters regardless of vocabulary size, built in ONE pass
+    and mergeable by cell-wise addition across partitions, days, or
+    shards.
+
+    Build: each token occurrence increments d counters (row r, bucket
+    xxhash64(token, r) mod w) — a single hash aggregate over the
+    exploded (r, bucket) stream, map-side partials, d*w output rows at
+    ANY corpus size.  Query: est(t) = min over rows of its d counters;
+    the counter table is broadcast (fixed-size by construction) and
+    candidates equi-join it.  Reported: every candidate whose estimate
+    clears total DIV 50, ranked (est desc, token asc — total order, so
+    the global row_number window runs over a threshold-pruned relation).
+
+    Determinism: counters are exact bigint sums and xxhash64 is
+    partition-invariant, so the sketch and every estimate are
+    bit-identical on any cluster — rows-only here only because DuckDB
+    has no xxhash64 to rebuild the same sketch.  The CMS one-sided
+    guarantee (est >= true count, always) is asserted differentially
+    against the exact wordcount in tests/test_properties.py, including
+    that every truly-heavy token is reported (overestimation can only
+    ADD rows, never hide one).  Candidate set = distinct corpus tokens
+    (this corpus's vocabulary is ~31 words, each ~3% of the stream, so the bar sits at 2%); in
+    production the candidate stream is whatever suspects you track —
+    the sketch itself never stores keys, which is its point at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    buckets = F.explode(
+        F.expr(
+            f"transform(sequence(0, {_CMS_D - 1}), r -> "
+            f"struct(r AS r, pmod(xxhash64(tok, r), {_CMS_W}) AS bkt))"
+        )
+    ).alias("rb")
+    sketch = (
+        toks.select(buckets)
+        .select(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    cand = (
+        toks.select("tok")
+        .distinct()
+        .select("tok", buckets)
+        .select("tok", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "bkt"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+    )
+    w = Window.orderBy(F.desc("est"), F.asc("tok"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.expr(f"n DIV {_HEAVY_DIV}"))
+        .select("tok", "est", F.row_number().over(w).cast("long").alias("rk"))
+    )
+
+
 @query("x_agg_sketch_hll", category="agg", oracle=None)  # rows-only: sketch estimates
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches builtins): per-type

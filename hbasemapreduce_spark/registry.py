@@ -260,6 +260,7 @@ _R6_BACKLOG = [
     "x_graph_triangles",
     "x_time_fill_forward",
     "x_sample_importance",
+    "x_agg_sketch_cms",
 ]
 
 

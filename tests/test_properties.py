@@ -491,6 +491,29 @@ def test_importance_sampling_rate_tracks_weight(spark):
     assert abs(len(sampled) - expected) <= 5 * sd + 1
 
 
+def test_cms_never_underestimates_and_reports_all_heavy(spark):
+    # Count-Min guarantees, checked against the exact wordcount:
+    #  - est(t) >= true count for EVERY reported token (one-sided,
+    #    deterministic — not probabilistic);
+    #  - every truly-heavy token (true count >= total DIV 50) MUST be
+    #    reported: overestimation can only add rows, never hide one;
+    #  - overestimate bounded by eps*N with eps = e/w (loose check at
+    #    3x slack — collisions on this vocab are rare-to-none).
+    true = {r.token: r.cnt for r in q(spark, "wordcount").collect()}
+    total = sum(true.values())
+    rows = SPECS["x_agg_sketch_cms"].fn(spark, SF_DIR).collect()
+    assert rows
+    est = {r.tok: r.est for r in rows}
+    for t, e in est.items():
+        assert e >= true[t], f"CMS underestimated {t}"
+        assert e <= true[t] + 3 * (2.718 * total / 1024) + 1, f"CMS blew up on {t}"
+    heavy = {t for t, c in true.items() if c >= total // 50}
+    assert heavy <= set(est), f"missing heavy hitters: {heavy - set(est)}"
+    ranks = sorted(rows, key=lambda r: r.rk)
+    assert [r.rk for r in ranks] == list(range(1, len(ranks) + 1))
+    assert ranks == sorted(rows, key=lambda r: (-r.est, r.tok))
+
+
 def test_hll_sketch_error_bounded(spark):
     rows = SPECS["x_agg_sketch_hll"].fn(spark, SF_DIR).collect()
     for r in rows:
