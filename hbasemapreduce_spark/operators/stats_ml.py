@@ -245,3 +245,99 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.filter(F.col("last_type") != "error").select(
         "user_id", "last_type", "last_value", "last_event_id"
     )
+
+
+@query(
+    "x_ml_centroid_classify",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        "           FROM embeddings), "
+        "el AS (SELECT label, i, "
+        "       CAST(round(round(emb[i],6) * 1000000, 0) AS BIGINT) AS micros "
+        "       FROM e, unnest(range(1, len(emb) + 1)) AS t(i)), "
+        "cm AS (SELECT label, i, CAST(SUM(micros) AS BIGINT) AS s, COUNT(*) AS n "
+        "       FROM el GROUP BY 1, 2), "
+        "cent AS (SELECT label AS c_label, "
+        "         list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS c_emb "
+        "         FROM cm GROUP BY 1), "
+        "scored AS ("
+        "  SELECT e.vec_id, e.label, c.c_label, "
+        "  round(list_cosine_similarity(e.emb, c.c_emb), 6) AS sim "
+        "  FROM e CROSS JOIN cent c), "
+        "ranked AS ("
+        "  SELECT vec_id, label, c_label, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM scored) "
+        "SELECT label, c_label AS predicted, COUNT(*) AS cnt "
+        "FROM ranked WHERE rn = 1 GROUP BY 1, 2"
+    ),
+)
+def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    per-label mean vectors, reported as the confusion matrix (true
+    label x predicted label x count) — the shape of every 'apply the
+    trained quality/topic classifier to the corpus' pass in a
+    training-data pipeline (swap the data-derived centroids for
+    trained probe weights; the dataflow is identical).
+
+    Scale shape: centroids are a per-(label, dim) hash aggregate
+    (posexplode -> sum, |labels| x d output rows at any corpus size),
+    collapsed to |labels| centroid ARRAYS and broadcast; per-vector
+    scoring is then |labels| higher-order-function cosines per row with
+    the argmax taken by the array_sort(struct) trick — ZERO shuffle
+    beyond the centroid aggregate, and the confusion matrix is one
+    |labels|^2-bounded hash aggregate.  The corpus streams through
+    once for centroids and once for scoring.
+
+    Determinism: centroid elements start from 6-dp-rounded integer
+    micros (exact bigint sums at any partition count — the x_emb_gram
+    trick) and become doubles via ONE division with exact operands, so
+    both engines hold bit-identical centroids; scoring rounds to 6 dp
+    with a label tie-break before the argmax, the proven IVF ranking
+    discipline.  Output is integer counts — fully hash-checkable."""
+    from ..functions.vectors import dot, norm
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    micros = F.round(F.round(F.col("x"), 6) * 1_000_000, 0).cast("long")
+    cm = (
+        e.select("label", F.posexplode("emb").alias("i", "x"))
+        .select("label", "i", micros.alias("micros"))
+        .groupBy("label", "i")
+        .agg(F.sum("micros").alias("s"), F.count("*").alias("n"))
+    )
+    cent_val = F.col("s").cast("double") / (F.lit(1_000_000.0) * F.col("n"))
+    cent = (
+        cm.select("label", F.struct(F.col("i"), cent_val.alias("v")).alias("iv"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
+        .select(
+            "c_label", F.transform("ivs", lambda s: s["v"]).alias("c_emb")
+        )
+        .withColumn("c_nrm", norm(F.col("c_emb")))
+        .select(F.struct("c_label", "c_emb", "c_nrm").alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+    def scored(c):
+        sim = F.round(
+            dot(F.col("emb"), c["c_emb"]) / (F.col("nrm") * c["c_nrm"]), 6
+        )
+        return F.struct(sim.alias("sim"), (-c["c_label"]).alias("neg_label"))
+
+    pred = (
+        e.withColumn("nrm", norm(F.col("emb")))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "label",
+            (-F.reverse(F.array_sort(F.transform(F.col("cents"), scored)))[0][
+                "neg_label"
+            ]).alias("predicted"),
+        )
+    )
+    return pred.groupBy("label", "predicted").agg(F.count("*").alias("cnt"))

@@ -261,6 +261,7 @@ _R6_BACKLOG = [
     "x_time_fill_forward",
     "x_sample_importance",
     "x_agg_sketch_cms",
+    "x_ml_centroid_classify",
 ]
 
 

@@ -514,6 +514,22 @@ def test_cms_never_underestimates_and_reports_all_heavy(spark):
     assert ranks == sorted(rows, key=lambda r: (-r.est, r.tok))
 
 
+def test_centroid_classifier_partitions_corpus(spark):
+    # The confusion matrix must partition the corpus: counts sum to the
+    # vector count, labels/predictions stay in the label domain, and a
+    # self-consistency check — every label's centroid must classify at
+    # least ITS OWN members somewhere (no label vanishes from the true
+    # axis).
+    rows = SPECS["x_ml_centroid_classify"].fn(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.cnt for r in rows) == n
+    assert {r.label for r in rows} == labels
+    assert {r.predicted for r in rows} <= labels
+    assert all(r.cnt > 0 for r in rows)
+
+
 def test_hll_sketch_error_bounded(spark):
     rows = SPECS["x_agg_sketch_hll"].fn(spark, SF_DIR).collect()
     for r in rows:
