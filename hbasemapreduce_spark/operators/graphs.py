@@ -209,3 +209,61 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_triangles))
         .select("n_edges", "n_nodes", "n_wedges", "n_triangles")
     )
+
+
+@query(
+    "x_graph_label_prop",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        "WITH l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), "
+        "c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
+        "       FROM l0 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
+        "l1 AS (SELECT node, lbl FROM ("
+        "  SELECT node, lbl, row_number() OVER ("
+        "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1), "
+        "c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
+        "       FROM l1 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
+        "l2 AS (SELECT node, lbl FROM ("
+        "  SELECT node, lbl, row_number() OVER ("
+        "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) "
+        "SELECT node, lbl AS community FROM l2)"
+    ),
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (2 synchronous rounds) over the co-purchase
+    graph — the classic near-linear community detection: every node
+    starts as its own community and repeatedly adopts the most common
+    label among its neighbours.  Complements x_dedup_clusters'
+    connected components (which merge everything reachable) by finding
+    DENSE communities inside one component.
+
+    Determinism: synchronous rounds (all updates from the previous
+    round's labels) with a TOTAL argmax — neighbour-label count desc,
+    then smallest label — via ``max_by(lbl, struct(cnt, -lbl))``, a
+    hash aggregate with map-side partials; asynchronous/randomized LPA
+    variants converge faster but are irreproducible, the wrong trade
+    for a pipeline whose outputs must be auditable.  Fixed round count
+    keeps the plan static (the fixpoint variant would add
+    x_dedup_clusters' driver-side convergence check).
+
+    Scale shape per round: one equi-join of the label table with the
+    edge list on src + two bounded hash aggregates ((node, lbl) counts,
+    then the per-node argmax) — the same join-aggregate skeleton as
+    PageRank, so the same skew/AQE story applies."""
+    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        nbr = labels.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        counts = nbr.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        labels = counts.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
+                "lbl"
+            )
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

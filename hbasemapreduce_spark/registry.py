@@ -262,6 +262,7 @@ _R6_BACKLOG = [
     "x_sample_importance",
     "x_agg_sketch_cms",
     "x_ml_centroid_classify",
+    "x_graph_label_prop",
 ]
 
 

@@ -514,6 +514,36 @@ def test_cms_never_underestimates_and_reports_all_heavy(spark):
     assert ranks == sorted(rows, key=lambda r: (-r.est, r.tok))
 
 
+def test_label_prop_covers_graph_nodes(spark):
+    # LPA must label EVERY graph node exactly once, with a community id
+    # drawn from the node domain; communities cannot cross connected
+    # components (a label can only propagate along edges).
+    rows = SPECS["x_graph_label_prop"].fn(spark, SF_DIR).collect()
+    edges = {
+        (r.part_a, r.part_b)
+        for r in SPECS["x_basket_pairs"].fn(spark, SF_DIR).collect()
+    }
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    got = {r.node: r.community for r in rows}
+    assert set(got) == nodes
+    assert set(got.values()) <= nodes
+    # union-find the components, then check no community spans two
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_of_community: dict[int, int] = {}
+    for n, c in got.items():
+        comp = find(n)
+        assert comp_of_community.setdefault(c, comp) == comp, (n, c)
+
+
 def test_centroid_classifier_partitions_corpus(spark):
     # The confusion matrix must partition the corpus: counts sum to the
     # vector count, labels/predictions stay in the label domain, and a
