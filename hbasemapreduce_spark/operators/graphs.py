@@ -118,6 +118,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass-redistribution term is needed.  Truncation drift from DIV is
     deterministic and identical in both engines."""
     edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    return pagerank_integer(edges)
+
+
+def pagerank_integer(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
+    """Integer PageRank core over a symmetric (src, dst) edge list —
+    see x_graph_pagerank for semantics.  Exposed separately so the
+    randomized differential test (tests/test_random_differential.py)
+    can drive it with arbitrary seeded graphs against a pure-Python
+    reimplementation of the same integer recurrence."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
@@ -128,7 +137,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.crossJoin(F.broadcast(base)).select(
         "node", "outdeg", F.col("b").alias("pr")
     )
-    for _ in range(3):
+    for _ in range(rounds):
         contrib = (
             ranks.select("node", F.expr("pr DIV outdeg").alias("share"))
             .join(edges, F.col("node") == F.col("src"))

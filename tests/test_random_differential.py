@@ -210,3 +210,34 @@ if _HAS_HYPOTHESIS:
         )
         n_duck = oracle.execute(sql).fetchone()[0]
         assert n_spark == n_duck, (sql, n_spark, n_duck)
+
+
+def test_integer_pagerank_matches_pure_python(spark):
+    # The exact integer PageRank recurrence, reimplemented in pure
+    # Python over a seeded random graph, must match the Spark dataflow
+    # BIT-FOR-BIT — integer arithmetic leaves no tolerance to hide
+    # behind (a misplaced DIV or a float sneaking in fails exactly).
+    from hbasemapreduce_spark.operators.graphs import pagerank_integer
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 40, 120
+    und = {
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in rng.integers(0, n_nodes, (n_edges, 2))
+        if a != b
+    }
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank_integer(sdf).collect()}
+
+    # pure-Python twin of the same integer recurrence
+    outdeg = Counter(s for s, _ in edges)
+    nodes = sorted(outdeg)
+    base = 10**12 // len(nodes)
+    pr = {n: base for n in nodes}
+    for _ in range(3):
+        s = Counter()
+        for a, b in edges:
+            s[b] += pr[a] // outdeg[a]
+        pr = {n: (15 * base) // 100 + (85 * s[n]) // 100 for n in nodes}
+    assert got == pr
