@@ -546,3 +546,76 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("src", "dst", "sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "x_emb_gram_gemm",
+    category="agg",
+    oracle=(
+        "SELECT i, j, "
+        "CAST(SUM(CAST(round("
+        "CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[j + 1] AS DOUBLE), 6) "
+        "AS DECIMAL(28,8))) AS DOUBLE) AS g "
+        "FROM embeddings, generate_series(0, 63) AS ii(i), generate_series(0, 63) AS jj(j) "
+        "WHERE j >= i GROUP BY i, j"
+    ),
+)
+def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-d scale path x_emb_gram's docstring promises, SHIPPED:
+    the same Gram matrix G = X^T X as a numpy partial-GEMM per
+    partition (Arrow ``mapInPandas``, one d x d int64 accumulator)
+    merged by a d²-bounded final aggregate — versus the posexplode
+    formulation's d² rows per input row.  At d = 64 the JVM path wins
+    (this variant exists to prove the switch, and to BE the switch at
+    d = 1024+ where exploding 1M cells per row is absurd); the output
+    is identical, checked against the SAME DuckDB oracle.
+
+    Exactness discipline is x_emb_gram's, replicated in numpy: each
+    element product is rounded to 6 dp (no float product is ever an
+    exact 6-dp tie, so numpy's HALF_EVEN and Spark's HALF_UP agree),
+    scaled to integer micros (the double is within ULPs of the integer,
+    so rint is exact), and accumulated in int64 — order-independent at
+    any partition count and batch size.  Each Arrow batch is processed
+    in 256-row chunks so the B x d x d product tensor stays ~16 MB.
+
+    Scale shape: ONE pass over the corpus, all flops vectorized in
+    numpy, shuffle carries only n_partitions x d(d+1)/2 partial rows.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(n_part)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+    )
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            for lo in range(0, arr.shape[0], 256):
+                chunk = arr[lo : lo + 256]
+                prod = chunk[:, :, None] * chunk[:, None, :]
+                m = np.rint(np.round(prod, 6) * 1e6).astype(np.int64).sum(axis=0)
+                acc = m if acc is None else acc + m
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu.astype("int64"),
+                "j": ju.astype("int64"),
+                "micros": acc[iu, ju],
+            }
+        )
+
+    partials = emb.mapInPandas(partial_gram, schema="i long, j long, micros long")
+    return partials.groupBy("i", "j").agg(
+        (F.sum("micros").cast("double") / F.lit(1e6)).alias("g")
+    )

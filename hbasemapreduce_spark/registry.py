@@ -263,6 +263,7 @@ _R6_BACKLOG = [
     "x_agg_sketch_cms",
     "x_ml_centroid_classify",
     "x_graph_label_prop",
+    "x_emb_gram_gemm",
 ]
 
 

@@ -222,12 +222,14 @@ def test_no_python_eval_outside_udx_multimodal(spark):
     # pandas UDF = ArrowEvalPython, mapInPandas / applyInPandas =
     # *InPandas), not just the EvalPython substring.
     allowed_categories = {"udx", "llm_multimodal"}
-    # x_text_winnow is the ONE pinned per-key exception: its semantics
-    # are JVM-expressible but only at O(grams x w) in interpreted HOFs
-    # (measured 7 s at sf0.1, the slowest query of the whole bench);
-    # the Arrow monotonic-deque path is O(grams).  See
-    # functions/text.py winnow_fingerprint_rows.
-    allowed_keys = {"x_text_winnow"}
+    # Pinned per-key exceptions:
+    # - x_text_winnow: semantics are JVM-expressible but only at
+    #   O(grams x w) in interpreted HOFs (measured 7 s at sf0.1); the
+    #   Arrow monotonic-deque path is O(grams).  See functions/text.py.
+    # - x_emb_gram_gemm: IS the documented numpy-GEMM scale path of
+    #   x_emb_gram (mapInPandas partial GEMM per partition) — Python by
+    #   design, oracle-identical to the JVM formulation.
+    allowed_keys = {"x_text_winnow", "x_emb_gram_gemm"}
     python_nodes = ("EvalPython", "InPandas")
     offenders = []
     for key, s in all_specs().items():

@@ -241,3 +241,43 @@ def test_integer_pagerank_matches_pure_python(spark):
             s[b] += pr[a] // outdeg[a]
         pr = {n: (15 * base) // 100 + (85 * s[n]) // 100 for n in nodes}
     assert got == pr
+
+
+def test_simhash_signatures_match_pure_python(spark):
+    # Third opinion for the rows-only SimHash path: seeded random token
+    # bags -> simhash_signatures must equal a pure-Python frequency-
+    # weighted SimHash bit-for-bit.  Spark supplies only the xxhash64
+    # primitive (dumped once); the bit-vote/sign/multiplicity algorithm
+    # is reimplemented independently here.
+    from hbasemapreduce_spark.functions.minhash import simhash_signatures
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, [vocab[j] for j in rng.integers(0, 30, int(rng.integers(5, 40)))])
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "id long, toks array<string>")
+    got = {
+        r.id: r.sh
+        for r in simhash_signatures(df, id_col="id", items_col="toks").collect()
+    }
+    hmap = {
+        r.item: r.h
+        for r in spark.createDataFrame([(w,) for w in vocab], "item string")
+        .select("item", F.xxhash64("item").alias("h"))
+        .collect()
+    }
+    for i, toks in docs:
+        sums = [0] * 64
+        for t in toks:
+            h = hmap[t]
+            for j in range(64):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        sh = 0
+        for j in range(64):
+            if sums[j] > 0:
+                sh |= 1 << j
+        if sh >= 1 << 63:  # python int -> signed 64-bit long
+            sh -= 1 << 64
+        assert got[i] == sh, i
