@@ -486,3 +486,63 @@ def run_hourly_top_foreachbatch(spark: SparkSession, sf_dir: str, out_dir: str) 
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+def fill_forward_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_time_fill_forward: per-user last-observation-
+    carried-forward via ``applyInPandasWithState`` — the carried
+    (value, seen-anything) pair IS the state, so the fill survives
+    micro-batch boundaries with O(1) state per user.
+
+    Rows inside each delivered batch are sorted by (ts, event_id)
+    before filling, matching the batch twin's total order; ordering
+    ACROSS batches relies on the source delivering each user's data
+    in event-time order (true here: the staged table arrives as one
+    availableNow batch).  A production deployment with out-of-order
+    arrivals would buffer rows in state until the watermark passes
+    them — the standard stream-sorting pattern — without changing the
+    fill logic below."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+    def fill(key, pdfs, state: GroupState):
+        if state.exists:
+            carry_k, has_carry = state.get
+        else:
+            carry_k, has_carry = 0, False
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            pdf = pdf.assign(_us=us).sort_values(["_us", "event_id"])
+            filled = []
+            for v in pdf["k"]:
+                if not pd.isna(v):
+                    carry_k, has_carry = int(v), True
+                filled.append(carry_k if has_carry else None)
+            state.update((carry_k, has_carry))
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].astype("int64"),
+                    "event_id": pdf["event_id"].astype("int64"),
+                    "k": pdf["k"].astype("Int32"),
+                    "k_filled": pd.Series(filled, dtype="Int32"),
+                }
+            )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fill,
+        outputStructType="user_id long, event_id long, k int, k_filled int",
+        stateStructType="carry_k int, has_carry boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MIRRORS["x_time_fill_forward"] = fill_forward_stream

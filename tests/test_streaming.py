@@ -146,3 +146,20 @@ def test_stream_cdc_apply_matches_batch(spark):
     }
     b = {tuple(r) for r in all_specs()["x_etl_cdc_apply"].fn(spark, SF_DIR).collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_fill_forward_matches_batch(spark):
+    # Stateful LOCF: the streaming fill (carried value in explicit
+    # per-user state) must reproduce the batch window's k_filled for
+    # every single row.
+    got = run_mirror_to_memory(
+        spark, SF_DIR, "x_time_fill_forward", output_mode="update"
+    )
+    g = {
+        (r.user_id, r.event_id, r.k_filled) for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.event_id, r.k_filled)
+        for r in all_specs()["x_time_fill_forward"].fn(spark, SF_DIR).collect()
+    }
+    assert g == b and len(g) > 0
