@@ -11,6 +11,10 @@
 - x_etl_cdc_apply: last-writer-wins change-log application with
   delete markers — MERGE of an ordered CDC stream collapsed to one
   argmax aggregate.
+- x_ml_kmeans: two unrolled Lloyd iterations of k-means over the
+  embedding corpus in EXACT integer arithmetic — the cluster
+  assignment behind corpus bucketing, IVF list training, and
+  diversity sampling.
 
 Determinism: all float outputs start from EXACT decimal moment sums
 (events.value is 2-dp, so products are exact at scale 4; day indexes
@@ -341,3 +345,127 @@ def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pred.groupBy("label", "predicted").agg(F.count("*").alias("cnt"))
+
+
+_KM_K = 8  # clusters; init = the k lowest vec_ids (deterministic seed)
+
+
+@query(
+    "x_ml_kmeans",
+    category="stats_ml",
+    oracle=(
+        # Offset-micros trick: adding a constant to every coordinate
+        # changes no Euclidean distance but makes every integer
+        # non-negative, so DuckDB's floor-div `//` and Spark's
+        # truncating DIV agree on the centroid means.
+        "WITH e AS (SELECT vec_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), "
+        "    x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
+        "  FROM embeddings), "
+        f"c0 AS (SELECT vec_id AS cid, m AS cm FROM e WHERE vec_id < {_KM_K}), "
+        "d1 AS (SELECT e.vec_id, c.cid, "
+        "  CAST(list_sum(list_transform(list_zip(e.m, c.cm), "
+        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        "  FROM e CROSS JOIN c0 c), "
+        "a1 AS (SELECT vec_id, cid FROM ("
+        "  SELECT vec_id, cid, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1), "
+        "mem AS (SELECT a1.cid, e.m FROM a1 JOIN e USING (vec_id)), "
+        "dim AS (SELECT cid, i, m[i] AS v "
+        "        FROM mem, unnest(range(1, len(m) + 1)) AS t(i)), "
+        "cs AS (SELECT cid, i, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c "
+        "       FROM dim GROUP BY 1, 2), "
+        "c1 AS (SELECT cid, list(c ORDER BY i) AS cm FROM cs GROUP BY cid), "
+        "dd AS (SELECT e.vec_id, c.cid, "
+        "  CAST(list_sum(list_transform(list_zip(e.m, c.cm), "
+        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        "  FROM e CROSS JOIN c1 c) "
+        "SELECT vec_id, cid AS cluster, d2 FROM ("
+        "  SELECT vec_id, cid, d2, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) WHERE rn = 1"
+    ),
+)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (Lloyd), TWO unrolled iterations, k=8, over the embedding
+    corpus — assignment + squared distance per vector, in EXACT integer
+    arithmetic end to end, so the clustering is bit-identical at any
+    partition count and fully hash-checkable against the DuckDB twin.
+    This is the trainer for the IVF list structure the ANN operators
+    probe (x_sim_ivf's stride centroids are the untrained stand-in).
+
+    Number tricks: coordinates become OFFSET MICROS — round to 6 dp,
+    add 1 (embeddings live in [-0.58, 0.52]), scale to integer
+    micro-units.  The constant offset changes no squared distance, but
+    keeps every integer non-negative so the centroid mean's floor
+    division is identical in both engines (Spark's DIV truncates toward
+    zero, DuckDB's // floors — they differ only below zero).  Squared
+    distances are then exact bigints (64 dims x ~(1.1e6)^2 ~ 7.7e13,
+    far inside bigint), and argmin ties break on centroid id.
+
+    Scale shape per iteration — the canonical distributed k-means:
+    (1) assignment is ZERO-shuffle: the k centroid arrays collapse to a
+    1-row array-of-structs scalar, broadcast; each vector scores k
+    centroids with JVM higher-order functions and takes argmin via
+    array_sort(struct(d2, cid))[0] — no n x k pair stream, no window;
+    (2) the update is one hash aggregate on (cluster, dim) — k*d output
+    rows at ANY corpus size, map-side partials do the heavy lifting.
+    Fixed iteration count keeps the plan static (production runs this
+    loop to convergence with a driver-side delta check, the
+    x_dedup_clusters pattern).  Init = the k lowest vec_ids, the
+    deterministic stand-in for k-means|| sampling."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round((F.round(x, 6) + 1) * 1_000_000, 0).cast("long"),
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=False)  # read by init + both assignment passes
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        def scored(c):
+            d2 = F.aggregate(
+                F.zip_with(F.col("m"), c["cm"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+        best = F.array_sort(F.transform(F.col("cents"), scored))[0]
+        return (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                "m",
+                F.col("best.cid").alias("cluster"),
+                F.col("best.d2").alias("d2"),
+            )
+        )
+
+    c0 = (
+        e.filter(F.col("vec_id") < _KM_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("m").alias("cm")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    a1 = assign(c0)
+    c1 = (
+        a1.select("cluster", F.posexplode("m").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .select("cluster", F.struct("i", F.expr("s DIV n").alias("c")).alias("iv"))
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
+        .select(
+            F.struct(
+                F.col("cluster").alias("cid"),
+                F.transform("ivs", lambda s: s["c"]).alias("cm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    return assign(c1).select("vec_id", "cluster", "d2")

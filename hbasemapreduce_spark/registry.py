@@ -264,6 +264,7 @@ _R6_BACKLOG = [
     "x_ml_centroid_classify",
     "x_graph_label_prop",
     "x_emb_gram_gemm",
+    "x_ml_kmeans",
 ]
 
 

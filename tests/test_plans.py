@@ -260,6 +260,7 @@ _BNLJ_WHITELIST = {
     "x_graph_triangles",  # 4x 1-row census scalars cross-joined
     "x_agg_sketch_cms",   # 1-row total-tokens scalar threshold
     "x_ml_centroid_classify",  # 1-row centroid-ARRAY scalar (|labels|-bounded)
+    "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
 }
 
 
