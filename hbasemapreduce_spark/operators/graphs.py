@@ -11,6 +11,8 @@ relational operator, the way a 100 TB pipeline would chain them.
   (the float formulation would accumulate in partition order).
 - x_graph_triangles: triangle / wedge census via the node-iterator
   join, plus node and edge counts — the clustering-coefficient inputs.
+- x_graph_bfs: multi-source BFS (3 unrolled relaxation rounds) — hop
+  distance from a seed set, the frontier-expansion building block.
 
 Scale shapes documented per operator; iteration count is FIXED (3), so
 the unrolled plan is static — no driver-side convergence loop at all
@@ -30,18 +32,24 @@ _SUPPORT = 3  # min co-purchase support, mirrors x_basket_pairs
 _SCALE = 10**12  # integer rank scale: total initial mass = _SCALE
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
-_EDGE_SQL = (
-    "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
-    "und AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
-    "        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
-    "        AND a.l_partkey < b.l_partkey "
-    f"       GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}), "
-    "edges AS (SELECT part_a AS src, part_b AS dst FROM und "
-    "          UNION ALL SELECT part_b, part_a FROM und) "
-)
+def _edge_sql(support: int = _SUPPORT) -> str:
+    return (
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "und AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "        AND a.l_partkey < b.l_partkey "
+        f"       GROUP BY 1, 2 HAVING COUNT(*) >= {support}), "
+        "edges AS (SELECT part_a AS src, part_b AS dst FROM und "
+        "          UNION ALL SELECT part_b, part_a FROM und) "
+    )
 
 
-def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+_EDGE_SQL = _edge_sql()
+
+
+def _undirected_edges(
+    spark: SparkSession, sf_dir: str, support: int = _SUPPORT
+) -> DataFrame:
     """(src, dst) both directions of the support-thresholded co-purchase
     pairs; every node therefore has outdegree >= 1 (no dangling mass)."""
     items = (
@@ -56,7 +64,7 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= _SUPPORT)
+        .filter(F.col("support") >= support)
         .select("part_a", "part_b")
     )
     return und.selectExpr("part_a AS src", "part_b AS dst").unionByName(
@@ -276,3 +284,75 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+_BFS_SUPPORT = 2  # the sparser threshold keeps the graph populated at every sf
+_BFS_SEED_MOD = 20  # seeds: part ids divisible by 20 (~5% of nodes)
+_BFS_HOPS = 3
+
+
+@query(
+    "x_graph_bfs",
+    category="graph",
+    oracle=(
+        _edge_sql(_BFS_SUPPORT)
+        + "SELECT * FROM ("
+        "WITH nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        f"d0 AS (SELECT node, 0 AS hops FROM nodes WHERE node % {_BFS_SEED_MOD} = 0), "
+        "e1 AS (SELECT e.dst AS node, d.hops + 1 AS hops "
+        "       FROM d0 d JOIN edges e ON d.node = e.src), "
+        "d1 AS (SELECT node, MIN(hops) AS hops FROM "
+        "       (SELECT * FROM d0 UNION ALL SELECT * FROM e1) GROUP BY node), "
+        "e2 AS (SELECT e.dst AS node, d.hops + 1 AS hops "
+        "       FROM d1 d JOIN edges e ON d.node = e.src), "
+        "d2 AS (SELECT node, MIN(hops) AS hops FROM "
+        "       (SELECT * FROM d1 UNION ALL SELECT * FROM e2) GROUP BY node), "
+        "e3 AS (SELECT e.dst AS node, d.hops + 1 AS hops "
+        "       FROM d2 d JOIN edges e ON d.node = e.src), "
+        "d3 AS (SELECT node, MIN(hops) AS hops FROM "
+        "       (SELECT * FROM d2 UNION ALL SELECT * FROM e3) GROUP BY node) "
+        "SELECT node, CAST(hops AS BIGINT) AS hops FROM d3)"
+    ),
+)
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance (<= 3) from the seed set to every
+    reachable node of the co-purchase graph — the reachability query
+    behind blast-radius analysis ('which parts are within 3 links of a
+    recalled part?') and the frontier-expansion building block of every
+    distributed graph traversal.  Seeds are the part ids divisible by
+    20; the graph uses support >= 2 (sparser than the census operators'
+    >= 3, which collapses to a handful of nodes at larger sf).
+
+    Scale shape per round — frontier relaxation as dataflow: one
+    EQUI-join of the current distance table with the edge list on src
+    (candidate distances = hops+1), then a min-aggregate unioned with
+    the previous distances.  This is the Bellman-Ford relaxation
+    specialized to unit weights; the shuffle each round carries one row
+    per (reached-node, in-edge), coalesced by map-side partial MIN.
+    Unlike the textbook frontier formulation (delta = newly-reached
+    only), re-relaxing the full reached set costs at most a constant
+    factor with 3 rounds and keeps every round's plan IDENTICAL — no
+    driver-side frontier-size check, fully static plan (contrast
+    x_dedup_clusters, which needs the convergence loop).  Rounds are
+    bounded (3), so the unrolled plan is static; unreached nodes simply
+    never appear, no infinity sentinel needed.  MIN is idempotent and
+    order-independent — bit-identical at any partition count."""
+    edges = _undirected_edges(spark, sf_dir, _BFS_SUPPORT).localCheckpoint(
+        eager=False
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+    for _ in range(_BFS_HOPS):
+        relaxed = dist.join(edges, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.select("node", "hops")

@@ -265,6 +265,7 @@ _R6_BACKLOG = [
     "x_graph_label_prop",
     "x_emb_gram_gemm",
     "x_ml_kmeans",
+    "x_graph_bfs",
 ]
 
 
