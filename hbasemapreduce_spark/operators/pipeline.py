@@ -733,3 +733,97 @@ def pipeline_pretrain_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "x_quality_rules",
+    category="pipeline",
+    oracle=(
+        "WITH li AS (SELECT COUNT(*) AS n, "
+        "  CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 45, FALSE) "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty, "
+        "  CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.08, FALSE) "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc, "
+        "  CAST(SUM(CASE WHEN NOT COALESCE(l_tax >= 0, FALSE) "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS v_tax "
+        "  FROM lineitem), "
+        "o AS (SELECT COUNT(*) AS n, "
+        "  CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F', 'O'), FALSE) "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS v_status, "
+        "  CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) "
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS v_price "
+        "  FROM orders), "
+        "ref AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_ref FROM lineitem l "
+        "  WHERE NOT EXISTS (SELECT 1 FROM orders oo "
+        "                    WHERE oo.o_orderkey = l.l_orderkey)) "
+        "SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM ("
+        "  SELECT 'lineitem.l_quantity_in_1_45' AS rule, li.n AS n_rows, "
+        "         li.v_qty AS n_violations FROM li "
+        "  UNION ALL SELECT 'lineitem.l_discount_in_0_0.08', li.n, li.v_disc FROM li "
+        "  UNION ALL SELECT 'lineitem.l_tax_nonnegative', li.n, li.v_tax FROM li "
+        "  UNION ALL SELECT 'orders.o_orderstatus_in_F_O', o.n, o.v_status FROM o "
+        "  UNION ALL SELECT 'orders.o_totalprice_positive', o.n, o.v_price FROM o "
+        "  UNION ALL SELECT 'lineitem.l_orderkey_ref_orders', li.n, ref.v_ref "
+        "            FROM li, ref)"
+    ),
+)
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/Great-Expectations
+    pattern): a rule set — range, domain-membership, non-negativity,
+    referential integrity — evaluated over the fact tables and reported
+    as one summary row per rule (rows checked, violations, pass flag).
+    The gate a production pipeline runs BEFORE publishing a snapshot.
+
+    Scale shape: all scalar rules per table collapse into ONE aggregate
+    pass (conditional sums side by side — the x_profile_table
+    discipline: never one scan per rule), the referential rule is a
+    single LEFT ANTI join counted (at 100 TB both sides shuffle on the
+    key — or prune with a broadcast bloom of orderkeys first), and the
+    three 1-row aggregates broadcast-cross-join into the 6-row summary.
+    NULL semantics are pinned identically in both engines: a row where
+    the predicate evaluates to NULL counts as a VIOLATION
+    (NOT COALESCE(pred, FALSE)) — completeness and conformance in one
+    rule, the Deequ convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def viol(pred) -> F.Column:
+        return F.sum(
+            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        ).cast("long")
+
+    li_agg = li.agg(
+        F.count("*").alias("li_n"),
+        viol(F.col("l_quantity").between(1, 45)).alias("v_qty"),
+        viol(F.col("l_discount").between(0, 0.08)).alias("v_disc"),
+        viol(F.col("l_tax") >= 0).alias("v_tax"),
+    )
+    o_agg = orders.agg(
+        F.count("*").alias("o_n"),
+        viol(F.col("o_orderstatus").isin("F", "O")).alias("v_status"),
+        viol(F.col("o_totalprice") > 0).alias("v_price"),
+    )
+    ref_agg = (
+        li.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("v_ref"))
+    )
+    wide = li_agg.crossJoin(F.broadcast(o_agg)).crossJoin(F.broadcast(ref_agg))
+    rules = wide.select(
+        F.expr(
+            "stack(6, "
+            "'lineitem.l_quantity_in_1_45', li_n, v_qty, "
+            "'lineitem.l_discount_in_0_0.08', li_n, v_disc, "
+            "'lineitem.l_tax_nonnegative', li_n, v_tax, "
+            "'orders.o_orderstatus_in_F_O', o_n, v_status, "
+            "'orders.o_totalprice_positive', o_n, v_price, "
+            "'lineitem.l_orderkey_ref_orders', li_n, v_ref"
+            ") AS (rule, n_rows, n_violations)"
+        )
+    )
+    return rules.select(
+        "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    )

@@ -266,6 +266,7 @@ _R6_BACKLOG = [
     "x_emb_gram_gemm",
     "x_ml_kmeans",
     "x_graph_bfs",
+    "x_quality_rules",
 ]
 
 

@@ -261,6 +261,7 @@ _BNLJ_WHITELIST = {
     "x_agg_sketch_cms",   # 1-row total-tokens scalar threshold
     "x_ml_centroid_classify",  # 1-row centroid-ARRAY scalar (|labels|-bounded)
     "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
+    "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
 }
 
 
