@@ -619,3 +619,74 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("i", "j").agg(
         (F.sum("micros").cast("double") / F.lit(1e6)).alias("g")
     )
+
+
+_MAXSIM_Q = 4  # query "tokens": the 4 lowest vec_ids form one multi-vector query
+
+
+@query(
+    "x_sim_maxsim",
+    category="llm_sim",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        "           FROM embeddings), "
+        f"q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < {_MAXSIM_Q}), "
+        "sims AS (SELECT e.label, q.q_id, "
+        "  round(list_cosine_similarity(q.q_emb, e.emb), 6) AS sim "
+        "  FROM e CROSS JOIN q), "
+        "mx AS (SELECT label, q_id, MAX(sim) AS msim FROM sims GROUP BY 1, 2), "
+        "agg AS (SELECT label, CAST(SUM(CAST(msim AS DECIMAL(18,6))) AS DOUBLE) "
+        "        AS score FROM mx GROUP BY 1) "
+        "SELECT label, score, rnk FROM ("
+        "  SELECT label, score, row_number() OVER ("
+        "    ORDER BY score DESC, label) AS rnk FROM agg)"
+    ),
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval, the ColBERT scoring rule:
+    the query is a BAG of vectors (its 'token embeddings' — here the 4
+    lowest vec_ids), each candidate document is the bag of vectors
+    sharing a label, and score(doc) = sum over query tokens of the MAX
+    cosine against any doc vector.  This is the multi-vector retrieval
+    shape single-vector operators (sim_cosine_topk, x_sim_ivf) cannot
+    express: a document matches if it covers EVERY aspect of the query
+    somewhere, not if its centroid is close.
+
+    Scale shape: the query bag is content-bounded -> broadcast; one
+    pass over the corpus scores |Q| cosines per vector (JVM
+    higher-order functions), then TWO bounded hash aggregates: per
+    (doc, q_token) MAX — map-side partials collapse the shuffle to one
+    row per (doc, token) — and the per-doc sum.  At 100 TB the
+    corpus-sized work is exactly one scan + one |Q|-wide aggregate; an
+    IVF/LSH prefilter on any query token bounds candidates the same
+    way the single-vector operators do.
+
+    Determinism: per-pair sims round to 6 dp BEFORE the max (max of
+    identical doubles is order-free), and the <=|Q| max-scores sum
+    through a decimal(18,6) sandwich, so the total is exact and the
+    (score DESC, label) ranking is total in both engines."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    q = e.filter(F.col("vec_id") < _MAXSIM_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = F.round(
+        dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6
+    )
+    mx = (
+        e.crossJoin(F.broadcast(q))
+        .select("label", "q_id", sim.alias("sim"))
+        .groupBy("label", "q_id")
+        .agg(F.max("sim").alias("msim"))
+    )
+    agg = mx.groupBy("label").agg(
+        F.sum(F.col("msim").cast("decimal(18,6)")).cast("double").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("label"))
+    return agg.select("label", "score", F.row_number().over(w).alias("rnk"))

@@ -267,6 +267,7 @@ _R6_BACKLOG = [
     "x_ml_kmeans",
     "x_graph_bfs",
     "x_quality_rules",
+    "x_sim_maxsim",
 ]
 
 

@@ -262,6 +262,7 @@ _BNLJ_WHITELIST = {
     "x_ml_centroid_classify",  # 1-row centroid-ARRAY scalar (|labels|-bounded)
     "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
     "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
+    "x_sim_maxsim",       # |Q|-bounded query-vector bag broadcast
 }
 
 
