@@ -384,3 +384,173 @@ def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select("doc_id", "score", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTEs: pair counts ->
+    best pair -> greedy left-to-right merge via the run-parity window
+    trick (see x_text_bpe_train)."""
+    j = i + 1
+    return (
+        f"p{i} AS (SELECT word, freq, pos, sym, "
+        f"  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM syms{i}), "
+        f"c{i} AS (SELECT sym AS pa, nxt AS pb, CAST(SUM(freq) AS BIGINT) AS cnt "
+        f"  FROM p{i} WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        f"b{i} AS (SELECT pa, pb, cnt FROM c{i} ORDER BY cnt DESC, pa, pb LIMIT 1), "
+        f"f{i} AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt, b.pa, b.pb, "
+        f"  CASE WHEN p.nxt IS NOT NULL AND p.sym = b.pa AND p.nxt = b.pb "
+        f"       THEN 1 ELSE 0 END AS m "
+        f"  FROM p{i} p CROSS JOIN b{i} b), "
+        f"g{i} AS (SELECT *, SUM(m) OVER (PARTITION BY word ORDER BY pos "
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM f{i}), "
+        f"h{i} AS (SELECT *, CASE WHEN m = 1 THEN pos - cm ELSE NULL END AS run_key "
+        f"  FROM g{i}), "
+        f"k{i} AS (SELECT *, CASE WHEN m = 1 AND (row_number() OVER ("
+        f"  PARTITION BY word, run_key ORDER BY pos)) % 2 = 1 THEN 1 ELSE 0 END "
+        f"  AS keep FROM h{i}), "
+        f"l{i} AS (SELECT *, COALESCE(lag(keep) OVER ("
+        f"  PARTITION BY word ORDER BY pos), 0) AS consumed FROM k{i}), "
+        f"syms{j} AS (SELECT word, freq, "
+        f"  row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, "
+        f"  CASE WHEN keep = 1 THEN pa || pb ELSE sym END AS sym "
+        f"  FROM l{i} WHERE consumed = 0) "
+    )
+
+
+_BPE_SQL = (
+    "WITH w AS (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
+    "  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "  WHERE token <> '' GROUP BY 1), "
+    "syms1 AS (SELECT word, freq, t.pos AS pos, "
+    "  substr(word, CAST(t.pos AS INT), 1) AS sym "
+    "  FROM w, unnest(range(1, length(word) + 1)) AS t(pos)), "
+    + ", ".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, pa AS left_sym, "
+        f"pb AS right_sym, cnt FROM b{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    + ")"
+)
+
+
+@query("x_text_bpe_train", category="llm_text", oracle=_BPE_SQL)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on-engine (Sennrich et al. 2016): learn
+    the first 3 merge rules of a byte-pair-encoding vocabulary from the
+    corpus — repeatedly count adjacent symbol pairs (weighted by word
+    frequency) and merge the most frequent pair everywhere it occurs.
+    Output: (merge_rank, left_sym, right_sym, pair_count) — the start
+    of the merges.txt every BPE/GPT-style tokenizer ships.
+
+    Scale shape — why tokenizer training fits a 100 TB engine: the ONLY
+    corpus-sized job is the first word-frequency aggregate; every merge
+    round then runs on the VOCABULARY (distinct words x characters), a
+    relation bounded by language, not corpus size.  Rounds are unrolled
+    (fixed 3), each: per-word lead() window -> pair-count hash
+    aggregate -> 1-row argmax broadcast -> merge.
+
+    The merge itself is the subtle part: BPE's greedy left-to-right
+    non-overlapping replacement ('aaaa' + pair (a,a) -> 'aa','aa', NOT
+    three overlapping pairs) is a sequential recurrence, expressed here
+    declaratively with the RUN-PARITY trick: positions starting a match
+    form runs of consecutive indexes (run id = pos minus running match
+    count — constant within a run); within each run exactly the odd
+    (1st, 3rd, ...) match-starts survive, which is precisely the greedy
+    schedule.  Two windows over (word, pos) — no UDF, no per-row loop,
+    bit-identical in both engines.  Determinism: integer counts, total
+    argmax order (cnt DESC, pair ASC), and the same window frames on
+    both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = w.select(
+        "word",
+        "freq",
+        F.explode(F.expr("sequence(1, length(word))")).alias("pos"),
+    ).select(
+        "word", "freq", F.col("pos").cast("long").alias("pos"),
+        F.expr("substring(word, pos, 1)").alias("sym"),
+    ).localCheckpoint(eager=False)
+
+    wword = Window.partitionBy("word").orderBy("pos")
+    bests = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        p = syms.withColumn("nxt", F.lead("sym").over(wword))
+        cnt = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("pa"), F.col("nxt").alias("pb"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            cnt.orderBy(F.desc("cnt"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .localCheckpoint(eager=False)  # feeds the merge AND the output union
+        )
+        bests.append(
+            best.select(
+                F.lit(rank).cast("long").alias("merge_rank"),
+                F.col("pa").alias("left_sym"),
+                F.col("pb").alias("right_sym"),
+                "cnt",
+            )
+        )
+        m = F.when(
+            F.col("nxt").isNotNull()
+            & (F.col("sym") == F.col("pa"))
+            & (F.col("nxt") == F.col("pb")),
+            1,
+        ).otherwise(0)
+        g = (
+            p.crossJoin(F.broadcast(best.select("pa", "pb")))
+            .withColumn("m", m)
+            .withColumn(
+                "cm",
+                F.sum("m").over(
+                    wword.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn(
+                "run_key",
+                F.when(F.col("m") == 1, F.col("pos") - F.col("cm")),
+            )
+            .withColumn(
+                "keep",
+                F.when(
+                    (F.col("m") == 1)
+                    & (
+                        F.row_number().over(
+                            Window.partitionBy("word", "run_key").orderBy("pos")
+                        )
+                        % 2
+                        == 1
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("consumed", F.coalesce(F.lag("keep").over(wword), F.lit(0)))
+        )
+        syms = (
+            g.filter(F.col("consumed") == 0)
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(wword).alias("pos"),
+                F.when(F.col("keep") == 1, F.concat("pa", "pb"))
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -268,6 +268,7 @@ _R6_BACKLOG = [
     "x_graph_bfs",
     "x_quality_rules",
     "x_sim_maxsim",
+    "x_text_bpe_train",
 ]
 
 

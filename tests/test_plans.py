@@ -263,6 +263,7 @@ _BNLJ_WHITELIST = {
     "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
     "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
     "x_sim_maxsim",       # |Q|-bounded query-vector bag broadcast
+    "x_text_bpe_train",   # 1-row best-pair scalar per merge round
 }
 
 
