@@ -266,3 +266,73 @@ def stream_hourly_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 2)
     )
+
+
+_QM_TYPES = ("click", "purchase", "signup", "view")
+
+
+def quality_monitor_expr(ev: DataFrame) -> DataFrame:
+    """The shared batch/stream expression behind x_quality_monitor:
+    per-hour rule-violation counters as conditional sums in ONE
+    windowed aggregate (wide output — no generator after the aggregate,
+    so the identical expression runs under IncrementalExecution)."""
+
+    def viol(pred) -> F.Column:
+        return F.sum(
+            F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+        ).cast("long")
+
+    return (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            viol(F.col("value").between(0, 100)).alias("v_value_range"),
+            viol(F.col("event_type").isin(*_QM_TYPES)).alias("v_type_domain"),
+            viol(F.get_json_object("props", "$.k").isNotNull()).alias(
+                "v_props_key"
+            ),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("ws"),
+            "n_rows",
+            "v_value_range",
+            "v_type_domain",
+            "v_props_key",
+        )
+    )
+
+
+@query(
+    "x_quality_monitor",
+    category="stream",
+    oracle=(
+        "SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ws, "
+        "COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN NOT COALESCE(value BETWEEN 0 AND 100, FALSE) "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS v_value_range, "
+        "CAST(SUM(CASE WHEN NOT COALESCE(event_type IN "
+        "    ('click', 'purchase', 'signup', 'view'), FALSE) "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain, "
+        "CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS v_props_key "
+        "FROM events GROUP BY 1"
+    ),
+)
+def quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring: x_quality_rules' validation
+    discipline applied to the EVENT STREAM — per-hour counters for a
+    value-range rule, an event-type domain rule, and a JSON-payload
+    completeness rule, all as conditional sums inside one windowed
+    aggregate.  This is the alerting feed a pipeline health dashboard
+    reads ('error-typed events spiked at 14:00').
+
+    Scale shape: one pass, one hash aggregate keyed by the hour window
+    — map-side partials reduce the shuffle to one row per (partition,
+    hour); adding a rule adds an accumulator, never a scan.  NULL
+    predicates count as violations (NOT COALESCE(pred, FALSE)), same
+    convention as x_quality_rules.  The streaming twin
+    (streaming/mirrors.py quality_monitor_stream) runs the IDENTICAL
+    expression with a 1-hour watermark: state is one row per open
+    window, evicted as the watermark passes — proven equal to this
+    batch form in tests/test_streaming.py."""
+    return quality_monitor_expr(load_table(spark, sf_dir, "events"))

@@ -269,6 +269,7 @@ _R6_BACKLOG = [
     "x_quality_rules",
     "x_sim_maxsim",
     "x_text_bpe_train",
+    "x_quality_monitor",
 ]
 
 

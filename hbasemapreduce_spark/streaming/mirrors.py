@@ -546,3 +546,19 @@ def fill_forward_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_time_fill_forward"] = fill_forward_stream
+
+
+def quality_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_quality_monitor: the identical windowed
+    conditional-sum expression (operators/streaming_batch.py
+    quality_monitor_expr) over the event stream with a 1-hour
+    watermark — per-hour quality counters maintained incrementally,
+    state bounded to open windows."""
+    from ..operators.streaming_batch import quality_monitor_expr
+
+    return quality_monitor_expr(
+        events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    )
+
+
+MIRRORS["x_quality_monitor"] = quality_monitor_stream

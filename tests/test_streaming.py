@@ -163,3 +163,13 @@ def test_stream_fill_forward_matches_batch(spark):
         for r in all_specs()["x_time_fill_forward"].fn(spark, SF_DIR).collect()
     }
     assert g == b and len(g) > 0
+
+
+def test_quality_monitor_mirror_equals_batch(spark):
+    got = run_mirror_to_memory(spark, SF_DIR, "x_quality_monitor", output_mode="complete")
+    from hbasemapreduce_spark.registry import all_specs
+
+    batch = all_specs()["x_quality_monitor"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(g) > 0
