@@ -968,3 +968,116 @@ def test_pretrain_export_bounded_by_corpus(spark):
         .count()
     )
     assert 0 < exported <= eligible
+
+
+# --- r5 additions: kmeans / bfs / bpe / maxsim / quality -------------
+
+
+def test_kmeans_assignment_is_argmin(spark):
+    """Every vector's reported d2 must equal the true minimum squared
+    distance to the final centroids — recomputed here independently
+    from the members' integer means (the Lloyd update definition)."""
+    rows = SPECS["x_ml_kmeans"].fn(spark, SF_DIR).collect()
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(
+            [round((round(x, 6) + 1) * 1_000_000) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    }
+    # rebuild the round-1 assignment exactly as the operator defines it
+    c0 = {cid: emb[cid] for cid in sorted(emb) if cid < 8}
+
+    def assign(cents):
+        out = {}
+        for vid, m in emb.items():
+            best = min(
+                (int(((m - cm) ** 2).sum()), cid) for cid, cm in cents.items()
+            )
+            out[vid] = best
+        return out
+
+    a1 = assign(c0)
+    members: dict[int, list] = {}
+    for vid, (_, cid) in a1.items():
+        members.setdefault(cid, []).append(emb[vid])
+    c1 = {
+        cid: np.floor_divide(np.sum(np.stack(ms), axis=0), len(ms))
+        for cid, ms in members.items()
+    }
+    a2 = assign(c1)
+    assert len(rows) == len(emb)
+    for r in rows:
+        d2, cid = a2[r["vec_id"]]
+        assert r["cluster"] == cid and r["d2"] == d2, r["vec_id"]
+
+
+def test_bfs_seed_and_frontier_invariants(spark):
+    """Seeds have hops 0; every non-seed reached node has a neighbour
+    exactly one hop closer (the BFS tree-edge certificate); hops <= 3."""
+    dist = {r["node"]: r["hops"] for r in SPECS["x_graph_bfs"].fn(spark, SF_DIR).collect()}
+    assert dist and all(0 <= h <= 3 for h in dist.values())
+    from hbasemapreduce_spark.operators.graphs import _BFS_SEED_MOD, _undirected_edges
+
+    edges = _undirected_edges(spark, SF_DIR, 2).collect()
+    nbrs: dict[int, set] = {}
+    for e in edges:
+        nbrs.setdefault(e["src"], set()).add(e["dst"])
+    for node, h in dist.items():
+        if h == 0:
+            assert node % _BFS_SEED_MOD == 0
+        else:
+            assert any(dist.get(n) == h - 1 for n in nbrs[node]), node
+
+
+def test_bpe_merge_counts_nonincreasing_and_real(spark):
+    """Merge ranks are 1..3; each merge's pair count is positive and
+    counts never increase with rank (a later merge can never beat an
+    earlier argmax, because merging only removes or preserves pairs)."""
+    rows = sorted(
+        SPECS["x_text_bpe_train"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    assert [r["merge_rank"] for r in rows] == [1, 2, 3]
+    assert all(r["cnt"] > 0 for r in rows)
+    assert all(a["cnt"] >= b["cnt"] for a, b in zip(rows, rows[1:]))
+    assert all(len(r["left_sym"]) >= 1 and len(r["right_sym"]) >= 1 for r in rows)
+
+
+def test_maxsim_score_bounds_and_rank_total(spark):
+    """MaxSim over |Q| unit-bounded cosines lies in [-|Q|, |Q|]; ranks
+    are a permutation of 1..n_labels ordered by (score desc, label)."""
+    from hbasemapreduce_spark.operators.llm_similarity import _MAXSIM_Q
+
+    rows = sorted(SPECS["x_sim_maxsim"].fn(spark, SF_DIR).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(abs(r["score"]) <= _MAXSIM_Q + 1e-9 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert (a["score"], -a["label"]) >= (b["score"], -b["label"])
+
+
+def test_quality_rules_violations_bounded(spark):
+    rows = SPECS["x_quality_rules"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r["n_violations"] <= r["n_rows"]
+        assert r["pass"] == (r["n_violations"] == 0)
+
+
+def test_quality_monitor_totals_match_rules_discipline(spark):
+    """Hourly monitor counters sum to the whole-table counts computed
+    directly — the window split changes bucketing, never totals."""
+    rows = SPECS["x_quality_monitor"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    bad_value = ev.filter(~F.col("value").between(0, 100)).count()
+    bad_type = ev.filter(
+        ~F.col("event_type").isin("click", "purchase", "signup", "view")
+    ).count()
+    assert sum(r["n_rows"] for r in rows) == n
+    assert sum(r["v_value_range"] for r in rows) == bad_value
+    assert sum(r["v_type_domain"] for r in rows) == bad_type
