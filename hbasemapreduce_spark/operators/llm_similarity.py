@@ -690,3 +690,119 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("score"), F.asc("label"))
     return agg.select("label", "score", F.row_number().over(w).alias("rnk"))
+
+
+_IVFK_NPROBE = 2  # of the k=8 trained lists
+
+from .stats_ml import KMEANS_CENT_SQL  # noqa: E402 — trained-quantizer twin
+
+
+@query(
+    "x_sim_ivf_kmeans",
+    category="llm_sim",
+    oracle=(
+        # KMEANS_CENT_SQL (stats_ml.py) ends in c1: the trained
+        # offset-micros centroids after one full Lloyd round.
+        "WITH " + KMEANS_CENT_SQL + ", cent AS (SELECT cid AS cent_id, "
+        "  list_transform(cm, x -> CAST(x AS DOUBLE) / 1000000.0 - 1.0) AS c_emb "
+        "  FROM c1), "
+        "eo AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "asg AS ("
+        "  SELECT vec_id, emb, cent_id, row_number() OVER ("
+        "    PARTITION BY vec_id ORDER BY "
+        "    round(list_cosine_similarity(emb, c_emb), 6) DESC, cent_id) AS rn "
+        "  FROM eo CROSS JOIN cent), "
+        "assigned AS (SELECT vec_id, emb, cent_id FROM asg WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, emb AS q_emb FROM eo WHERE vec_id < {_N_QUERIES}), "
+        "qp AS ("
+        "  SELECT query_id, q_emb, cent_id, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY "
+        "    round(list_cosine_similarity(q_emb, c_emb), 6) DESC, cent_id) AS pr "
+        "  FROM q CROSS JOIN cent), "
+        f"probes AS (SELECT query_id, q_emb, cent_id FROM qp WHERE pr <= {_IVFK_NPROBE}), "
+        "cand AS ("
+        "  SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "         list_cosine_similarity(p.q_emb, a.emb) AS raw_sim "
+        "  FROM assigned a JOIN probes p USING (cent_id) WHERE a.vec_id <> p.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY round(raw_sim, 6) DESC, neighbor_id) AS rnk FROM cand) "
+        f"SELECT query_id, neighbor_id, rnk, sim FROM ranked WHERE rnk <= {_K}"
+    ),
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing TRAINED centroids: x_sim_ivf's exact dataflow,
+    but the coarse quantizer is x_ml_kmeans' once-updated centroid
+    table instead of the deterministic stride sample — the shipped
+    version of the 'swap the centroid CTE for trained centroids in
+    production' claim both IVF docstrings make.  Because the k-means
+    step is exact-integer (stats_ml.py), even the TRAINED quantizer is
+    bit-identical across engines, so the full train -> assign -> probe
+    -> rerank chain stays hash-checkable — the property k-means-trained
+    IVF normally gives up.
+
+    Centroids return from offset-micros to coordinate space by one
+    exact-operand division and subtraction (identical IEEE ops both
+    engines).  Dataflow after that is x_sim_ivf verbatim: broadcast
+    centroid table, max_by assignment, per-query probe window
+    (nprobe=2 of k=8 lists), equi-join candidate generation, exact
+    rerank with 6-dp-rounded ranking and id tie-breaks.  At 100 TB the
+    train step adds two corpus passes (assignment + update) amortized
+    over every query the index serves."""
+    from .stats_ml import kmeans_centroids
+
+    cent = (
+        kmeans_centroids(spark, sf_dir)
+        .select(
+            F.col("cid").alias("cent_id"),
+            F.transform(
+                "cm", lambda x: x.cast("double") / F.lit(1000000.0) - F.lit(1.0)
+            ).alias("c_emb"),
+        )
+        .withColumn("c_nrm", norm(F.col("c_emb")))
+        .localCheckpoint(eager=False)  # feeds assignment AND probe selection
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .withColumn("nrm", norm(F.col("emb")))
+    )
+    csim = F.round(dot(F.col("emb"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm")), 6)
+    pairs = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "emb", "nrm", "cent_id", csim.alias("csim")
+    )
+    assigned = pairs.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("tb"))).alias("cent_id"),
+        F.any_value("emb").alias("emb"),
+        F.any_value("nrm").alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qsim = F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")), 6)
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_emb", "q_nrm", "cent_id", qsim.alias("qsim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cent_id"))
+    probes = (
+        qc.select("*", F.row_number().over(wq).alias("pr"))
+        .filter(F.col("pr") <= _IVFK_NPROBE)
+        .select("query_id", "q_emb", "q_nrm", "cent_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))).alias("raw_sim"),
+        )
+    )
+    cand = cand.withColumn("sim", F.round("raw_sim", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )

@@ -349,33 +349,118 @@ def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8  # clusters; init = the k lowest vec_ids (deterministic seed)
 
+# CTE chain ending in the trained centroid table ``c1`` (cid, cm:
+# offset-micros BIGINT[]) — one full Lloyd round: init from the k
+# lowest vec_ids, assign, integer-mean update.  Shared between the
+# x_ml_kmeans oracle below and x_sim_ivf_kmeans's oracle
+# (llm_similarity.py), which probes these trained centroids.
+# Offset-micros trick: adding a constant to every coordinate changes no
+# Euclidean distance but makes every integer non-negative, so DuckDB's
+# floor-div `//` and Spark's truncating DIV agree on the means.
+KMEANS_CENT_SQL = (
+    "e AS (SELECT vec_id, "
+    "  list_transform(CAST(embedding AS DOUBLE[]), "
+    "    x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
+    "  FROM embeddings), "
+    f"c0 AS (SELECT vec_id AS cid, m AS cm FROM e WHERE vec_id < {_KM_K}), "
+    "d1 AS (SELECT e.vec_id, c.cid, "
+    "  CAST(list_sum(list_transform(list_zip(e.m, c.cm), "
+    "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+    "  FROM e CROSS JOIN c0 c), "
+    "a1 AS (SELECT vec_id, cid FROM ("
+    "  SELECT vec_id, cid, row_number() OVER ("
+    "    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1), "
+    "mem AS (SELECT a1.cid, e.m FROM a1 JOIN e USING (vec_id)), "
+    "dim AS (SELECT cid, i, m[i] AS v "
+    "        FROM mem, unnest(range(1, len(m) + 1)) AS t(i)), "
+    "cs AS (SELECT cid, i, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c "
+    "       FROM dim GROUP BY 1, 2), "
+    "c1 AS (SELECT cid, list(c ORDER BY i) AS cm FROM cs GROUP BY cid)"
+)
+
+
+def _micros_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, m: offset-micros array<long>) — the exact
+    integer coordinate space every k-means step runs in."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round((F.round(x, 6) + 1) * 1_000_000, 0).cast("long"),
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=False)  # read by init + both assignment passes
+    )
+
+
+def _collapse(cent_rows: DataFrame) -> DataFrame:
+    """(cid, cm) rows -> ONE array-of-structs row, the broadcastable
+    scalar the zero-shuffle assignment pass consumes."""
+    return cent_rows.select(
+        F.struct(F.col("cid"), F.col("cm")).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Zero-shuffle Lloyd assignment: broadcast the centroid arrays,
+    score k squared distances per vector with JVM higher-order
+    functions, argmin via array_sort(struct(d2, cid))[0]."""
+
+    def scored(c):
+        d2 = F.aggregate(
+            F.zip_with(F.col("m"), c["cm"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+    best = F.array_sort(F.transform(F.col("cents"), scored))[0]
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.cid").alias("cluster"),
+            F.col("best.d2").alias("d2"),
+        )
+    )
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid table after one full Lloyd round — (cid,
+    cm: offset-micros array<long>), the Spark twin of KMEANS_CENT_SQL's
+    ``c1``.  Consumed by x_ml_kmeans's second assignment pass and by
+    x_sim_ivf_kmeans's probe (llm_similarity.py)."""
+    e = _micros_table(spark, sf_dir)
+    c0 = _collapse(
+        e.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cid"), F.col("m").alias("cm")
+        )
+    )
+    a1 = _assign(e, c0)
+    return (
+        a1.select("cluster", F.posexplode("m").alias("i", "v"))
+        .groupBy("cluster", "i")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .select("cluster", F.struct("i", F.expr("s DIV n").alias("c")).alias("iv"))
+        .groupBy("cluster")
+        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform("ivs", lambda s: s["c"]).alias("cm"),
+        )
+    )
+
 
 @query(
     "x_ml_kmeans",
     category="stats_ml",
     oracle=(
-        # Offset-micros trick: adding a constant to every coordinate
-        # changes no Euclidean distance but makes every integer
-        # non-negative, so DuckDB's floor-div `//` and Spark's
-        # truncating DIV agree on the centroid means.
-        "WITH e AS (SELECT vec_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), "
-        "    x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
-        "  FROM embeddings), "
-        f"c0 AS (SELECT vec_id AS cid, m AS cm FROM e WHERE vec_id < {_KM_K}), "
-        "d1 AS (SELECT e.vec_id, c.cid, "
-        "  CAST(list_sum(list_transform(list_zip(e.m, c.cm), "
-        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
-        "  FROM e CROSS JOIN c0 c), "
-        "a1 AS (SELECT vec_id, cid FROM ("
-        "  SELECT vec_id, cid, row_number() OVER ("
-        "    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1), "
-        "mem AS (SELECT a1.cid, e.m FROM a1 JOIN e USING (vec_id)), "
-        "dim AS (SELECT cid, i, m[i] AS v "
-        "        FROM mem, unnest(range(1, len(m) + 1)) AS t(i)), "
-        "cs AS (SELECT cid, i, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c "
-        "       FROM dim GROUP BY 1, 2), "
-        "c1 AS (SELECT cid, list(c ORDER BY i) AS cm FROM cs GROUP BY cid), "
+        "WITH " + KMEANS_CENT_SQL + ", "
         "dd AS (SELECT e.vec_id, c.cid, "
         "  CAST(list_sum(list_transform(list_zip(e.m, c.cm), "
         "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
@@ -391,7 +476,8 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end, so the clustering is bit-identical at any
     partition count and fully hash-checkable against the DuckDB twin.
     This is the trainer for the IVF list structure the ANN operators
-    probe (x_sim_ivf's stride centroids are the untrained stand-in).
+    probe (x_sim_ivf's stride centroids are the untrained stand-in;
+    x_sim_ivf_kmeans probes THESE centroids).
 
     Number tricks: coordinates become OFFSET MICROS — round to 6 dp,
     add 1 (embeddings live in [-0.58, 0.52]), scale to integer
@@ -413,59 +499,6 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop to convergence with a driver-side delta check, the
     x_dedup_clusters pattern).  Init = the k lowest vec_ids, the
     deterministic stand-in for k-means|| sampling."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
-        .select(
-            "vec_id",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: F.round((F.round(x, 6) + 1) * 1_000_000, 0).cast("long"),
-            ).alias("m"),
-        )
-        .localCheckpoint(eager=False)  # read by init + both assignment passes
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        def scored(c):
-            d2 = F.aggregate(
-                F.zip_with(F.col("m"), c["cm"], lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
-
-        best = F.array_sort(F.transform(F.col("cents"), scored))[0]
-        return (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("best", best)
-            .select(
-                "vec_id",
-                "m",
-                F.col("best.cid").alias("cluster"),
-                F.col("best.d2").alias("d2"),
-            )
-        )
-
-    c0 = (
-        e.filter(F.col("vec_id") < _KM_K)
-        .select(F.struct(F.col("vec_id").alias("cid"), F.col("m").alias("cm")).alias("c"))
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-    a1 = assign(c0)
-    c1 = (
-        a1.select("cluster", F.posexplode("m").alias("i", "v"))
-        .groupBy("cluster", "i")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        .select("cluster", F.struct("i", F.expr("s DIV n").alias("c")).alias("iv"))
-        .groupBy("cluster")
-        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
-        .select(
-            F.struct(
-                F.col("cluster").alias("cid"),
-                F.transform("ivs", lambda s: s["c"]).alias("cm"),
-            ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
-    return assign(c1).select("vec_id", "cluster", "d2")
+    e = _micros_table(spark, sf_dir)
+    c1 = _collapse(kmeans_centroids(spark, sf_dir))
+    return _assign(e, c1).select("vec_id", "cluster", "d2")

@@ -270,6 +270,7 @@ _R6_BACKLOG = [
     "x_sim_maxsim",
     "x_text_bpe_train",
     "x_quality_monitor",
+    "x_sim_ivf_kmeans",
 ]
 
 

@@ -264,6 +264,7 @@ _BNLJ_WHITELIST = {
     "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
     "x_sim_maxsim",       # |Q|-bounded query-vector bag broadcast
     "x_text_bpe_train",   # 1-row best-pair scalar per merge round
+    "x_sim_ivf_kmeans",   # k-bounded trained-centroid table (x_sim_ivf's shape)
 }
 
 

@@ -1081,3 +1081,28 @@ def test_quality_monitor_totals_match_rules_discipline(spark):
     assert sum(r["n_rows"] for r in rows) == n
     assert sum(r["v_value_range"] for r in rows) == bad_value
     assert sum(r["v_type_domain"] for r in rows) == bad_type
+
+
+def test_ivf_kmeans_recall_beats_stride_centroids(spark):
+    """The point of training the quantizer: k-means centroids (probing
+    2/8 = 25% of lists) must recall more of the exact top-k than the
+    untrained stride sample (4/20 = 20%) — measured 0.86 vs 0.48 at
+    sf0.001; floors pinned below with slack.  Every trained-IVF hit
+    must also carry the exact similarity (misses come only from
+    unprobed lists, never wrong arithmetic)."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in q(spark, "sim_cosine_topk").collect()
+    }
+    trained = SPECS["x_sim_ivf_kmeans"].fn(spark, SF_DIR).collect()
+    stride = SPECS["x_sim_ivf"].fn(spark, SF_DIR).collect()
+
+    def recall(rows):
+        return sum(1 for r in rows if (r.query_id, r.neighbor_id) in exact) / len(exact)
+
+    r_trained, r_stride = recall(trained), recall(stride)
+    assert r_trained >= 0.7, f"trained-IVF recall {r_trained:.2f}"
+    assert r_trained > r_stride, (r_trained, r_stride)
+    for r in trained:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
