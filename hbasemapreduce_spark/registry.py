@@ -271,6 +271,7 @@ _R6_BACKLOG = [
     "x_text_bpe_train",
     "x_quality_monitor",
     "x_sim_ivf_kmeans",
+    "x_dedup_gram_containment",
 ]
 
 
