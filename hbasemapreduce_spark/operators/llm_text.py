@@ -147,7 +147,31 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
 
 
-@query("x_text_langid", category="llm_text", oracle=None)  # rows-only: data-derived profiles
+@query(
+    "x_text_langid",
+    category="llm_text",
+    # Upgraded from rows-only (r5): every step — integer overlap scores,
+    # (cnt DESC, token) profile ranking, (score DESC, lang) argmax — is
+    # total and engine-portable, so the full prediction set hash-checks.
+    oracle=(
+        "WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+        "            FROM documents), "
+        "cnts AS (SELECT lang, token, COUNT(*) AS cnt FROM tf GROUP BY 1, 2), "
+        "prof AS (SELECT lang AS p_lang, token FROM ("
+        "  SELECT lang, token, row_number() OVER ("
+        "    PARTITION BY lang ORDER BY cnt DESC, token) AS rn FROM cnts) "
+        "  WHERE rn <= 20), "
+        "pl AS (SELECT p_lang, list(token) AS p_terms FROM prof GROUP BY 1), "
+        "scored AS (SELECT d.doc_id, d.lang, p.p_lang, "
+        "  len(list_intersect(list_distinct(string_split(d.text, ' ')), "
+        "      p.p_terms)) AS score "
+        "  FROM documents d CROSS JOIN pl p) "
+        "SELECT doc_id, lang, p_lang AS predicted_lang FROM ("
+        "  SELECT doc_id, lang, p_lang, row_number() OVER ("
+        "    PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn FROM scored) "
+        "WHERE rn = 1"
+    ),
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-profile language ID.
 

@@ -244,7 +244,7 @@ _R5_WINDOW = [
 # next rotation starts from a committed plan, not git archaeology.
 _R6_BACKLOG = [
     "x_agg_sketch_hll",  # rows-only by design
-    "x_text_langid",  # rows-only by design
+    "x_text_langid",  # upgraded r5: rows-only -> full-hash oracle
     "x_dedup_simhash",  # rows-only by design
     "x_multimodal_frame_sample",
     "x_multimodal_resize",
