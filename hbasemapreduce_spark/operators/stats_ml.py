@@ -502,3 +502,105 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _micros_table(spark, sf_dir)
     c1 = _collapse(kmeans_centroids(spark, sf_dir))
     return _assign(e, c1).select("vec_id", "cluster", "d2")
+
+
+@query(
+    "x_stats_ks_drift",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, value, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "s AS (SELECT event_type, value, "
+        "  CAST(COUNT(*) FILTER (WHERE day <= mid) AS BIGINT) AS c_e, "
+        "  CAST(COUNT(*) FILTER (WHERE day > mid) AS BIGINT) AS c_l "
+        "  FROM ev CROSS JOIN b GROUP BY 1, 2), "
+        "c AS (SELECT event_type, "
+        "  CAST(SUM(c_e) OVER w AS BIGINT) AS cum_e, "
+        "  CAST(SUM(c_l) OVER w AS BIGINT) AS cum_l "
+        "  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY value "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "t AS (SELECT event_type, CAST(SUM(c_e) AS BIGINT) AS n_early, "
+        "  CAST(SUM(c_l) AS BIGINT) AS n_late FROM s GROUP BY 1) "
+        "SELECT c.event_type, n_early, n_late, "
+        "  MAX(ABS(cum_e * n_late - cum_l * n_early)) AS ks_num, "
+        "  CAST(MAX(ABS(cum_e * n_late - cum_l * n_early)) AS DOUBLE) "
+        "    / CAST(n_early * n_late AS DOUBLE) AS ks_d "
+        "FROM c JOIN t ON c.event_type = t.event_type "
+        "WHERE n_early >= 1 AND n_late >= 1 "
+        "GROUP BY c.event_type, n_early, n_late"
+    ),
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type between
+    the early and late calendar halves of the event stream — the
+    distribution-shift alarm a training pipeline runs between data
+    snapshots before re-training.
+
+    The D statistic is computed in EXACT INTEGER arithmetic: at each
+    distinct value v, D's numerator is |cum_early * n_late -
+    cum_late * n_early| (bigints; cum <= n <= ~1.5e6 at sf0.1, so the
+    product stays far inside int64), and only the final single
+    division to ks_d touches floats — two exactly-converted doubles,
+    one correctly-rounded IEEE divide, identical in both engines.
+    A float ECDF (cum/n per side, subtract) would round twice per
+    point and could flip the argmax between engines.
+
+    Scale shape: one fact scan -> one hash aggregate on (event_type,
+    value) — output is bounded by |types| x |distinct 2-dp values|,
+    NOT by row count — then one window pass per type over those
+    bounded groups and a broadcast join of the |types|-row totals.
+    The calendar-midpoint split is a 1-row broadcast aggregate, the
+    x_time_gapfill bounds pattern.  Types with an empty half are
+    filtered identically in both engines (the x_stats_abtest
+    degenerate-group guard)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    bounds = ev.agg(
+        ((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid")
+    )
+    s = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "value")
+        .agg(
+            F.count(F.when(F.col("day") <= F.col("mid"), 1)).alias("c_e"),
+            F.count(F.when(F.col("day") > F.col("mid"), 1)).alias("c_l"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.select(
+        "event_type",
+        F.sum("c_e").over(w).alias("cum_e"),
+        F.sum("c_l").over(w).alias("cum_l"),
+    )
+    t = s.groupBy("event_type").agg(
+        F.sum("c_e").alias("n_early"), F.sum("c_l").alias("n_late")
+    )
+    num = F.abs(F.col("cum_e") * F.col("n_late") - F.col("cum_l") * F.col("n_early"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .filter((F.col("n_early") >= 1) & (F.col("n_late") >= 1))
+        .groupBy("event_type", "n_early", "n_late")
+        .agg(F.max(num).alias("ks_num"))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_early") * F.col("n_late")).cast("double")
+            ).alias("ks_d"),
+        )
+    )

@@ -272,6 +272,7 @@ _R6_BACKLOG = [
     "x_quality_monitor",
     "x_sim_ivf_kmeans",
     "x_dedup_gram_containment",
+    "x_stats_ks_drift",
 ]
 
 

@@ -1106,3 +1106,23 @@ def test_ivf_kmeans_recall_beats_stride_centroids(spark):
     for r in trained:
         if (r.query_id, r.neighbor_id) in exact:
             assert abs(r.sim - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_ks_drift_statistic_bounds(spark):
+    """0 <= D <= 1; the integer numerator is bounded by n_early*n_late;
+    D is exactly num/(n_e*n_l); and the split halves conserve the
+    per-type event count."""
+    rows = q(spark, "x_stats_ks_drift").collect()
+    assert rows, "corpus has no type with both halves populated"
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert 0 <= r.ks_num <= r.n_early * r.n_late
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.ks_d == r.ks_num / (r.n_early * r.n_late)
+        assert r.n_early + r.n_late == totals[r.event_type]
