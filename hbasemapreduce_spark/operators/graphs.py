@@ -356,3 +356,69 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hops").alias("hops"))
         )
     return dist.select("node", "hops")
+
+
+@query(
+    "x_graph_jaccard",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + ", cand AS (SELECT e1.src AS part_a, e2.dst AS part_b, "
+        "    CAST(COUNT(*) AS BIGINT) AS cn "
+        "  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst "
+        "  GROUP BY 1, 2), "
+        "fresh AS (SELECT c.part_a, c.part_b, c.cn FROM cand c "
+        "  WHERE NOT EXISTS (SELECT 1 FROM edges x "
+        "                    WHERE x.src = c.part_a AND x.dst = c.part_b)), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "        FROM edges GROUP BY 1) "
+        "SELECT part_a, part_b, cn, "
+        "  CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jacc "
+        "FROM fresh JOIN deg da ON part_a = da.node "
+        "JOIN deg db ON part_b = db.node "
+        "ORDER BY jacc DESC, part_a, part_b LIMIT 20"
+    ),
+)
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbourhood Jaccard: for part pairs NOT yet
+    co-purchased, score |N(a) n N(b)| / |N(a) u N(b)| and return the
+    top 20 — 'customers who buy these also buy' candidate generation.
+
+    Exactness: common-neighbour and degree counts are bigints;
+    jacc = cn / (deg_a + deg_b - cn) is ONE division of two exactly
+    converted doubles (correctly rounded IEEE, identical both
+    engines), and equal rationals produce equal doubles, so the
+    (jacc DESC, part_a, part_b) ranking is total and engine-stable.
+
+    Scale shape: candidate generation is the node-iterator wedge join
+    (e1.dst = e2.src — an equi-join; work is sum of squared degrees,
+    the x_graph_triangles budget; hub nodes get capped or sampled at
+    real scale, the standard link-prediction mitigation).  Known edges
+    leave via one left-anti equi-join, degrees arrive via two equi
+    joins on the |nodes|-row degree table, and the top-20 is a
+    tie-broken global sort of the |candidates| scored pairs."""
+    edges = _undirected_edges(spark, sf_dir)
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cand = (
+        e1.join(e2, (F.col("e1.dst") == F.col("e2.src")) & (F.col("e1.src") < F.col("e2.dst")))
+        .groupBy(F.col("e1.src").alias("part_a"), F.col("e2.dst").alias("part_b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    fresh = cand.join(
+        edges.selectExpr("src AS part_a", "dst AS part_b"),
+        ["part_a", "part_b"],
+        "left_anti",
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    da = deg.selectExpr("node AS part_a", "deg AS deg_a")
+    db = deg.selectExpr("node AS part_b", "deg AS deg_b")
+    jacc = F.col("cn").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("cn")
+    ).cast("double")
+    return (
+        fresh.join(da, "part_a")
+        .join(db, "part_b")
+        .select("part_a", "part_b", "cn", jacc.alias("jacc"))
+        .orderBy(F.desc("jacc"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -377,3 +377,69 @@ def dedup_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", containment.alias("containment"))
         .filter(F.col("containment") >= _CONT_T_NUM / _CONT_T_DEN)
     )
+
+
+_SEM_PAIR_SQL = (
+    # the x_dedup_embedding pair predicate, reused verbatim as the edge set
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+    "           FROM embeddings), "
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+    "  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4) "
+)
+
+
+@query(
+    "x_dedup_semantic",
+    category="llm_dedup",
+    oracle=(
+        _SEM_PAIR_SQL +
+        "SELECT v.label, v.vec_id AS keep_id "
+        "FROM embeddings v "
+        "WHERE v.vec_id NOT IN (SELECT id_b FROM pairs)"
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): prune the corpus
+    down to one representative per embedding-space near-dup
+    neighbourhood.  A vector is DROPPED iff any smaller-id vector in
+    its label block sits within cosine >= 0.4 — the deterministic
+    keep-lowest-id rule (the paper keeps the example farthest from the
+    cluster centroid; lowest-id is the reproducible stand-in, the same
+    keep-first convention as dedup_exact).  The rule is one-pass and
+    declarative: no iteration, because droppedness of the smaller
+    neighbour is irrelevant — chains collapse to their minimum.
+
+    Scale shape: reuses x_dedup_embedding's label-blocked pair
+    machinery (per-vector norms hoisted BEFORE the self-join, pairs
+    bounded per block — never all-pairs), then ONE distinct projection
+    of the dropped side and ONE left-anti equi-join back onto the
+    corpus.  At 100 TB the label block swaps to IVF lists or LSH bands
+    exactly as the pair operator documents."""
+    from ..functions.vectors import norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dot / (F.col("a.nrm") * F.col("b.nrm")) >= 0.4)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .join(dropped, "vec_id", "left_anti")
+        .select("label", F.col("vec_id").alias("keep_id"))
+    )

@@ -273,6 +273,8 @@ _R6_BACKLOG = [
     "x_sim_ivf_kmeans",
     "x_dedup_gram_containment",
     "x_stats_ks_drift",
+    "x_dedup_semantic",
+    "x_graph_jaccard",
 ]
 
 

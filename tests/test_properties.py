@@ -1126,3 +1126,35 @@ def test_ks_drift_statistic_bounds(spark):
         assert 0.0 <= r.ks_d <= 1.0
         assert r.ks_d == r.ks_num / (r.n_early * r.n_late)
         assert r.n_early + r.n_late == totals[r.event_type]
+
+
+def test_semantic_dedup_consistent_with_pair_operator(spark):
+    """Kept set == corpus minus the distinct greater-id side of
+    x_dedup_embedding's pairs; the min vec_id of every label block
+    therefore always survives."""
+    kept = {r.keep_id for r in q(spark, "x_dedup_semantic").collect()}
+    pairs = q(spark, "x_dedup_embedding").collect()
+    all_ids = {
+        r.vec_id for r in load_table(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    }
+    dropped = {r.id_b for r in pairs}
+    assert kept == all_ids - dropped
+    per_label_min = {
+        r["mn"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("mn"))
+        .collect()
+    }
+    assert per_label_min <= kept
+
+
+def test_jaccard_linkpred_candidates_are_nonedges(spark):
+    """Predicted links are never existing edges; cn is bounded by the
+    smaller neighbourhood; jacc in (0, 1]."""
+    preds = q(spark, "x_graph_jaccard").collect()
+    assert preds
+    basket = {(r.part_a, r.part_b) for r in q(spark, "x_basket_pairs").collect()}
+    for r in preds:
+        assert (r.part_a, r.part_b) not in basket
+        assert 0 < r.jacc <= 1.0
