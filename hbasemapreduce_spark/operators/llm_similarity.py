@@ -806,3 +806,107 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", "rnk", "sim")
     )
+
+
+@query(
+    "x_sim_sparse_topk",
+    category="llm_similarity",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "              FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "       FROM toks GROUP BY 1, 2), "
+        "dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        "kept AS (SELECT t.doc_id, t.term, t.tf * (1000000 // d.df) AS w, d.df "
+        "  FROM tf t JOIN dfq d USING (term) CROSS JOIN st "
+        "  WHERE d.df <= st.n // 10), "
+        "nrm AS (SELECT doc_id, sqrt(CAST(CAST(SUM(w * w) AS BIGINT) AS DOUBLE)) "
+        "        AS nrm FROM kept GROUP BY 1), "
+        "dots AS (SELECT a.doc_id AS src, b.doc_id AS dst, "
+        "    CAST(SUM(a.w * b.w) AS BIGINT) AS dot "
+        "  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id "
+        "  WHERE a.df >= 2 GROUP BY 1, 2), "
+        "sym AS (SELECT src, dst, dot FROM dots "
+        "        UNION ALL SELECT dst, src, dot FROM dots), "
+        "scored AS (SELECT s.src, s.dst, "
+        "    round(CAST(s.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim "
+        "  FROM sym s JOIN nrm na ON s.src = na.doc_id "
+        "  JOIN nrm nb ON s.dst = nb.doc_id) "
+        "SELECT src AS doc_id, dst AS neighbor_id, sim, rnk FROM ("
+        "  SELECT src, dst, sim, ROW_NUMBER() OVER ("
+        "    PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM scored) "
+        "WHERE rnk <= 3"
+    ),
+)
+def sim_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector retrieval: top-3 TF-IDF cosine neighbours per
+    document via the INVERTED-INDEX join — the term-at-a-time sparse
+    counterpart of sim_cosine_topk's dense scan.  Two docs are scored
+    only if they SHARE a surviving term (posting-list equi-join), so
+    zero-overlap pairs are never materialized — the property that makes
+    sparse all-corpus retrieval feasible where a dense n^2 scan is not.
+
+    Weights are EXACT bigints: w(d,t) = tf * (1e6 DIV df) — integer
+    micro-idf; 1/df is ranking-equivalent to the classic N/df (N is
+    constant) and log-free per this package's no-transcendentals rule.
+    Dots and norm-squares are exact integer sums; floats appear only in
+    the final sqrt/divide (both correctly rounded), and ranking runs on
+    6-dp-rounded sims with a neighbour-id tie-break — total and
+    engine-stable.
+
+    Scale shape and the two pruning levers, both standard IR practice:
+    (1) max-df cut (df <= N/10): stopword postings are the quadratic
+    hot keys and carry the least idf signal — dropped from the vector
+    space by spec; (2) singleton cut (df >= 2, LOSSLESS): a term in one
+    doc joins nothing, so its posting never enters the shuffle (norms
+    still include it).  Per-term join work is then bounded by the df
+    cap squared; real systems add per-posting weight truncation on the
+    same plan.  Everything else is hash aggregates and a per-src
+    WindowGroupLimit top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = docs.agg(F.count("*").alias("n"))
+    kept = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(st))
+        .filter(F.col("df") <= F.expr("n DIV 10"))
+        .select("doc_id", "term", F.expr("tf * (1000000 DIV df)").alias("w"), "df")
+    )
+    nrm = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    p = kept.filter(F.col("df") >= 2).select("doc_id", "term", "w")
+    a, b = p.alias("a"), p.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dot")
+    )
+    na = nrm.selectExpr("doc_id AS src", "nrm AS nrm_a")
+    nb = nrm.selectExpr("doc_id AS dst", "nrm AS nrm_b")
+    scored = (
+        sym.join(na, "src")
+        .join(nb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        scored.select("src", "dst", "sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("dst").alias("neighbor_id"),
+            "sim",
+            "rnk",
+        )
+    )

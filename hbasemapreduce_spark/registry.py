@@ -275,6 +275,7 @@ _R6_BACKLOG = [
     "x_stats_ks_drift",
     "x_dedup_semantic",
     "x_graph_jaccard",
+    "x_sim_sparse_topk",
 ]
 
 

@@ -1158,3 +1158,19 @@ def test_jaccard_linkpred_candidates_are_nonedges(spark):
     for r in preds:
         assert (r.part_a, r.part_b) not in basket
         assert 0 < r.jacc <= 1.0
+
+
+def test_sparse_topk_rank_and_sim_bounds(spark):
+    """Per-doc neighbour lists: rnk dense in 1..3, sims non-increasing
+    with rank, and every sim in (0, 1] (weights are non-negative)."""
+    rows = q(spark, "x_sim_sparse_topk").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0.0 < r.sim <= 1.0
+        by_doc.setdefault(r.doc_id, []).append((r.rnk, r.sim))
+    for doc, lst in by_doc.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
