@@ -628,3 +628,68 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+_EMA_DEPTH = 8  # truncated EMA horizon; newest weight 2^7, halving back
+
+
+def _ema_sql() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER w, 0) * {2 ** (_EMA_DEPTH - 1 - k)}"
+        for k in range(_EMA_DEPTH)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {2 ** (_EMA_DEPTH - 1 - k)} ELSE 0 END"
+        for k in range(_EMA_DEPTH)
+    )
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events), "
+        f"t AS (SELECT event_id, user_id, ({num}) AS num, ({den}) AS den FROM e "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id, "
+        "  CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS ema FROM t"
+    )
+
+
+@query("x_win_ema", category="window", oracle=_ema_sql())
+def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha = 1/2), truncated at 8 observations — the smoothed-metric
+    window a monitoring pipeline keeps per entity.
+
+    A true EMA is a recurrence, which neither SQL engine expresses
+    declaratively; the dyadic truncation makes it a plain window: the
+    newest of the m <= 8 visible values weighs 2^7, each older one
+    halves, and the divisor is the sum of the PRESENT weights, so short
+    prefixes are correctly normalized (no cold-start bias).  With
+    alpha = 1/2 the dropped tail mass is < 1/128 of the weight.
+
+    Exactness: 2-dp values become integer CENTS (exact decimal
+    rescale), the eight weighted terms and the divisor are pure bigint
+    arithmetic in ONE window pass (8 lag reads of the same frame, no
+    self-join), and the single final division has exactly-converted
+    operands — bit-identical doubles on both engines at any partition
+    count.  Scale shape: one hash-partition-by-user sort, linear state,
+    the same budget as win_moving_avg."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(_EMA_DEPTH):
+        lagged = F.col("c") if k == 0 else F.lag("c", k).over(w)
+        wt = 2 ** (_EMA_DEPTH - 1 - k)
+        term = F.coalesce(lagged, F.lit(0)) * wt
+        pres = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    return e.select(
+        "event_id",
+        "user_id",
+        (num.cast("double") / (den * 100).cast("double")).alias("ema"),
+    )

@@ -604,3 +604,75 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+@query(
+    "x_stats_mad",
+    category="stats_ml",
+    oracle=(
+        "WITH v AS (SELECT event_type, event_id, value FROM events), "
+        "c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1), "
+        "r AS (SELECT event_type, value, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY value, event_id) AS rn FROM v), "
+        "med AS (SELECT r.event_type, r.value AS med "
+        "  FROM r JOIN c USING (event_type) WHERE rn = (cnt + 1) // 2), "
+        "d AS (SELECT v.event_type, v.event_id, ABS(v.value - m.med) AS dev, m.med "
+        "  FROM v JOIN med m USING (event_type)), "
+        "r2 AS (SELECT event_type, dev, med, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY dev, event_id) AS rn FROM d), "
+        "mad AS (SELECT r2.event_type, r2.med, r2.dev AS mad "
+        "  FROM r2 JOIN c USING (event_type) WHERE rn = (cnt + 1) // 2) "
+        "SELECT d.event_type, m.med, m.mad, "
+        "  CAST(COUNT(*) FILTER (WHERE d.dev > 5 * m.mad) AS BIGINT) AS n_outliers, "
+        "  MAX(d.dev) AS max_absdev "
+        "FROM d JOIN mad m ON d.event_type = m.event_type "
+        "GROUP BY 1, 2, 3"
+    ),
+)
+def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary: EXACT median and MAD (median
+    absolute deviation) by rank arithmetic, then count values beyond
+    5 MADs — the mean/sigma-free twin of x_stats_outliers for
+    heavy-tailed metrics, where one corrupt batch drags the mean but
+    not the median.
+
+    Exactness: the (lower) median is THE value at row (cnt+1) DIV 2 of
+    the totally-ordered group (event_id tie-break) — rank arithmetic,
+    no float interpolation; |value - med| is one correctly-rounded
+    IEEE subtraction of identical doubles, so the second ranked pass
+    and the 5*mad cut agree bit-for-bit across engines.
+
+    Scale shape: two range-partitioned per-type sorts (the exact
+    percentile price, each one shuffle; the 100 TB fast path swaps in
+    the percentile_approx sketch exactly as x_agg_decile documents,
+    with these exact medians as its test bound) plus |types|-row
+    broadcast joins of the median/MAD tables; output is one row per
+    type."""
+    from pyspark.sql import Window
+
+    v = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    c = v.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+    def lower_median(df: DataFrame, order_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(order_col, "event_id")
+        r = df.select("event_type", order_col, "event_id", F.row_number().over(w).alias("rn"))
+        return (
+            r.join(F.broadcast(c), "event_type")
+            .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            .select("event_type", F.col(order_col).alias(out))
+        )
+
+    med = lower_median(v, "value", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = lower_median(d, "dev", "mad").join(F.broadcast(med), "event_type")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.when(F.col("dev") > 5 * F.col("mad"), 1)).alias("n_outliers"),
+            F.max("dev").alias("max_absdev"),
+        )
+        .select("event_type", "med", "mad", "n_outliers", "max_absdev")
+    )

@@ -276,6 +276,8 @@ _R6_BACKLOG = [
     "x_dedup_semantic",
     "x_graph_jaccard",
     "x_sim_sparse_topk",
+    "x_stats_mad",
+    "x_win_ema",
 ]
 
 

@@ -1174,3 +1174,42 @@ def test_sparse_topk_rank_and_sim_bounds(spark):
         assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
         sims = [s for _, s in lst]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_mad_outlier_summary_bounds(spark):
+    """MAD <= max deviation, the median lies within the observed value
+    range, and outlier counts never exceed the group size."""
+    rows = q(spark, "x_stats_mad").collect()
+    assert rows
+    stats = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        s = stats[r.event_type]
+        assert s["mn"] <= r.med <= s["mx"]
+        assert 0.0 <= r.mad <= r.max_absdev
+        assert 0 <= r.n_outliers < s["cnt"]
+
+
+def test_ema_is_convex_combination_of_window(spark):
+    """EMA weights are positive and sum to the divisor, so every EMA
+    lies within [min, max] of the user's trailing-8 window."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    bounds = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = q(spark, "x_win_ema").join(bounds, "event_id")
+    eps = 1e-9
+    bad = joined.filter(
+        (F.col("ema") < F.col("lo") - eps) | (F.col("ema") > F.col("hi") + eps)
+    ).count()
+    assert bad == 0
