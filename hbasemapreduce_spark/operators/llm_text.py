@@ -578,3 +578,98 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+@query(
+    "x_text_chi2_terms",
+    category="llm_text",
+    oracle=(
+        "WITH dt AS (SELECT DISTINCT doc_id, lang, "
+        "    unnest(string_split(text, ' ')) AS term FROM documents), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        "nc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_c "
+        "       FROM documents GROUP BY 1), "
+        "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM dt GROUP BY 1), "
+        "dftc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS df_in "
+        "         FROM dt GROUP BY 1, 2), "
+        "cells AS (SELECT x.lang, x.term, x.df_in, "
+        "    t.df_t - x.df_in AS df_out, c.n_c, t.df_t, n.n "
+        "  FROM dftc x JOIN dft t USING (term) JOIN nc c USING (lang) CROSS JOIN n "
+        "  WHERE t.df_t >= 5 AND t.df_t <= n.n - 5), "
+        "scored AS (SELECT lang, term, df_in, df_out, "
+        "    CAST(n AS DOUBLE) "
+        "    * CAST(df_in * (n - n_c - df_out) - df_out * (n_c - df_in) AS DOUBLE) "
+        "    * CAST(df_in * (n - n_c - df_out) - df_out * (n_c - df_in) AS DOUBLE) "
+        "    / (CAST(df_t AS DOUBLE) * CAST(n - df_t AS DOUBLE) "
+        "       * CAST(n_c AS DOUBLE) * CAST(n - n_c AS DOUBLE)) AS chi2 "
+        "  FROM cells) "
+        "SELECT lang, term, df_in, df_out, chi2, rnk FROM ("
+        "  SELECT lang, term, df_in, df_out, chi2, ROW_NUMBER() OVER ("
+        "    PARTITION BY lang ORDER BY chi2 DESC, term) AS rnk FROM scored) "
+        "WHERE rnk <= 10"
+    ),
+)
+def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: the 10 terms most associated with
+    each language by the 2x2 contingency chi2 — the classic
+    vocabulary-selection pass before training a lightweight classifier
+    (language ID, quality, topic) over the corpus.
+
+    chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)) where a = class docs
+    containing the term, d = other docs without it.  All four cells
+    derive from EXACT bigint document-frequency counts; ad - bc
+    (|.| <= N^2 ~ 2.5e11 at sf0.1, well inside int64) is computed as a
+    bigint and only then converted, so the float part is a FIXED tree
+    of correctly-rounded multiplies/divides over exactly-converted
+    operands — bit-identical in both engines, making the per-class
+    (chi2 DESC, term) ranking total and stable.  Terms with df < 5 or
+    df > N-5 are filtered by spec (degenerate margins).
+
+    Scale shape: one distinct (doc, lang, term) projection (the
+    presence relation), then everything is vocabulary-bounded: df and
+    per-class df aggregates, a |classes|-row broadcast, and a top-10
+    window over |classes| x |vocab| scored rows.  No corpus-sized join
+    anywhere — the fact table is touched exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    n = docs.agg(F.count("*").alias("n"))
+    nc = docs.groupBy("lang").agg(F.count("*").alias("n_c"))
+    dft = dt.groupBy("term").agg(F.count("*").alias("df_t"))
+    dftc = dt.groupBy("lang", "term").agg(F.count("*").alias("df_in"))
+    cells = (
+        dftc.join(dft, "term")
+        .join(F.broadcast(nc), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("df_t") >= 5) & (F.col("df_t") <= F.col("n") - 5))
+        .select(
+            "lang",
+            "term",
+            "df_in",
+            (F.col("df_t") - F.col("df_in")).alias("df_out"),
+            "n_c",
+            "df_t",
+            "n",
+        )
+    )
+    adbc = F.col("df_in") * (F.col("n") - F.col("n_c") - F.col("df_out")) - F.col(
+        "df_out"
+    ) * (F.col("n_c") - F.col("df_in"))
+    chi2 = (
+        F.col("n").cast("double")
+        * adbc.cast("double")
+        * adbc.cast("double")
+        / (
+            F.col("df_t").cast("double")
+            * (F.col("n") - F.col("df_t")).cast("double")
+            * F.col("n_c").cast("double")
+            * (F.col("n") - F.col("n_c")).cast("double")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        cells.select("lang", "term", "df_in", "df_out", chi2.alias("chi2"))
+        .select("lang", "term", "df_in", "df_out", "chi2", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+    )

@@ -336,3 +336,54 @@ def quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, evicted as the watermark passes — proven equal to this
     batch form in tests/test_streaming.py."""
     return quality_monitor_expr(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "x_stream_chained_agg",
+    category="stream",
+    oracle=(
+        "WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS mu FROM events), "
+        "h AS (SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hs, "
+        "      event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "d AS (SELECT (hs // 86400) * 86400 AS ds, event_type, "
+        "      MAX(cnt) AS max_hourly FROM h GROUP BY 1, 2) "
+        "SELECT ds, event_type, max_hourly FROM d CROSS JOIN mx "
+        "WHERE (ds + 86400) * 1000000 <= mu - 3600000000"
+    ),
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CHAINED two-level windowed aggregate: hourly
+    event counts per type, then the daily MAX of those hourly counts —
+    the 'peak hourly rate per day' health metric.  The streaming form
+    (streaming/mirrors.py chained_agg) is two stateful operators in ONE
+    append-mode query — multiple chained stateful aggregations are a
+    Spark 4 Structured Streaming capability; the second groupBy keys on
+    F.window_time() of the first window, so event-time semantics (and
+    the watermark) propagate through both levels.
+
+    Append-mode finalization is part of the twin contract: a day window
+    emits once the 1-hour watermark passes its end, so this batch form
+    keeps exactly the days with day_end <= max_ts - 1h (microsecond
+    arithmetic; proven equal to the streaming run in
+    tests/test_streaming.py — the trailing unfinalized day is withheld
+    by BOTH sides).
+
+    Scale shape: two hash aggregates, each with map-side partials; the
+    second runs on |days| x |types| rows, not the fact table.  In the
+    streaming form state is one row per open hour window plus one per
+    open day window, evicted by the watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("mu")
+    )
+    hourly = ev.groupBy(
+        F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    daily = (
+        hourly.groupBy(F.window(F.col("w.start"), "1 day").alias("d"), "event_type")
+        .agg(F.max("cnt").alias("max_hourly"))
+        .select(F.unix_timestamp("d.start").alias("ds"), "event_type", "max_hourly")
+    )
+    return daily.crossJoin(F.broadcast(mx)).filter(
+        (F.col("ds") + 86400) * 1_000_000 <= F.col("mu") - 3_600_000_000
+    ).select("ds", "event_type", "max_hourly")

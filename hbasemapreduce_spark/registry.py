@@ -278,6 +278,8 @@ _R6_BACKLOG = [
     "x_sim_sparse_topk",
     "x_stats_mad",
     "x_win_ema",
+    "x_text_chi2_terms",
+    "x_stream_chained_agg",
 ]
 
 

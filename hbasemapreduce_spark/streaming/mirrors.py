@@ -562,3 +562,24 @@ def quality_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_quality_monitor"] = quality_monitor_stream
+
+
+def chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_chained_agg: two chained stateful
+    windowed aggregates in one append-mode query (a Spark 4
+    capability).  The daily level keys on F.window_time() of the hourly
+    window so the watermark flows through both operators; each level's
+    state is evicted as the watermark passes its windows."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    h = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    d = h.groupBy(
+        F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+    ).agg(F.max("cnt").alias("max_hourly"))
+    return d.select(
+        F.unix_timestamp("d.start").alias("ds"), "event_type", "max_hourly"
+    )
+
+
+MIRRORS["x_stream_chained_agg"] = chained_agg

@@ -173,3 +173,16 @@ def test_quality_monitor_mirror_equals_batch(spark):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert g == b and len(g) > 0
+
+
+def test_stream_chained_agg_matches_batch(spark):
+    """Two chained stateful aggregates (hourly counts -> daily max) in
+    one append-mode query equal the batch twin exactly — including the
+    finalization contract (trailing unfinalized day withheld by both)."""
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_chained_agg", output_mode="append")
+    from hbasemapreduce_spark.registry import all_specs
+
+    want = all_specs()["x_stream_chained_agg"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
