@@ -827,3 +827,126 @@ def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.select(
         "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("pass")
     )
+
+
+_ER_PAIR_SQL = (
+    # x_join_fuzzy's oracle pair predicate, reused verbatim as the ER edge set
+    "names AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts "
+    "          FROM part GROUP BY 1), "
+    "tok AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS t FROM names), "
+    "pairs AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b "
+    "          FROM tok a JOIN tok b ON a.t = b.t AND a.p_name < b.p_name), "
+    "close AS (SELECT name_a, name_b FROM pairs "
+    "          WHERE levenshtein(name_a, name_b) <= 3)"
+)
+
+
+@query(
+    "x_pipeline_entity_resolution",
+    category="pipeline",
+    oracle=(
+        "WITH RECURSIVE " + _ER_PAIR_SQL + ", "
+        "e AS (SELECT name_a AS a, name_b AS b FROM close "
+        "      UNION ALL SELECT name_b, name_a FROM close), "
+        "reach AS (SELECT p_name AS id, p_name AS r FROM names "
+        "          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id), "
+        "lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id), "
+        "g AS (SELECT l.cluster_id, n.p_name, n.n_parts "
+        "      FROM lab l JOIN names n ON l.id = n.p_name) "
+        "SELECT cluster_id, canonical_name, n_names, total_parts FROM ("
+        "  SELECT cluster_id, p_name AS canonical_name, "
+        "    ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "      ORDER BY n_parts DESC, p_name) AS rn, "
+        "    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_names, "
+        "    CAST(SUM(n_parts) OVER (PARTITION BY cluster_id) AS BIGINT) AS total_parts "
+        "  FROM g) WHERE rn = 1"
+    ),
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline in one dataflow: BLOCK
+    (token blocking over distinct part names) -> MATCH (Levenshtein <=
+    3, x_join_fuzzy's exact predicate) -> CLUSTER (connected components
+    by min-label propagation, the x_dedup_clusters machinery) ->
+    CANONICALIZE (golden record per cluster: the name backing the most
+    part rows, name tie-break).  Every name resolves — singletons
+    become their own cluster WITHOUT entering the iteration, so the
+    loop runs only over pair-connected names (a small fraction of the
+    dictionary).
+
+    Exactness: labels are strings minimized lexicographically — the
+    same fixpoint the oracle's recursive CTE reaches; golden-record
+    selection is a rank-1 window with a total (n_parts DESC, name)
+    order.  Convergence fails LOUDLY past the diameter guard, exactly
+    as x_dedup_clusters documents.
+
+    Scale shape: quadratic work confined to per-token blocks of
+    DISTINCT names; each CC round is one equi-join + one aggregate
+    over the (tiny) matched-pair node set with localCheckpoint lineage
+    truncation; canonicalization is one window over |names| rows."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    tok = names.select("p_name", F.explode(F.split("p_name", " ")).alias("t"))
+    close = (
+        tok.select(F.col("p_name").alias("name_a"), "t")
+        .join(tok.select(F.col("p_name").alias("name_b"), "t"), "t")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+    )
+    edges = close.union(
+        close.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("name_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for it in range(20):  # diameter guard (see x_dedup_clusters)
+        neighbor_min = (
+            edges.join(labels, edges.name_b == labels.id)
+            .groupBy("name_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.name_a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        if (it % 2 == 1 or it >= 18) and labels.filter("chg").limit(1).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "entity_resolution: min-label propagation did not converge in 20 rounds"
+        )
+    matched = labels.select("id", F.col("label").alias("cluster_id"))
+    resolved = (
+        names.join(matched, names.p_name == matched.id, "left")
+        .select(
+            "p_name",
+            "n_parts",
+            F.coalesce("cluster_id", F.col("p_name")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_parts"), F.asc("p_name"))
+    return (
+        resolved.select(
+            "cluster_id",
+            F.col("p_name").alias("canonical_name"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias("n_names"),
+            F.sum("n_parts").over(Window.partitionBy("cluster_id")).alias("total_parts"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "canonical_name", "n_names", "total_parts")
+    )

@@ -280,6 +280,7 @@ _R6_BACKLOG = [
     "x_win_ema",
     "x_text_chi2_terms",
     "x_stream_chained_agg",
+    "x_pipeline_entity_resolution",
 ]
 
 
