@@ -233,3 +233,102 @@ def time_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         F.last("k", ignorenulls=True).over(w).alias("k_filled"),
     )
+
+
+@query(
+    "x_time_interp",
+    category="window",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, "
+        "  CASE WHEN event_type = 'purchase' THEN "
+        "    CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k "
+        "  FROM events), "
+        "f AS (SELECT user_id, event_id, k, t_us, "
+        "  last_value(k IGNORE NULLS) OVER wp AS pk, "
+        "  last_value(CASE WHEN k IS NOT NULL THEN t_us END IGNORE NULLS) OVER wp AS pt, "
+        "  first_value(k IGNORE NULLS) OVER wn AS nk, "
+        "  first_value(CASE WHEN k IS NOT NULL THEN t_us END IGNORE NULLS) OVER wn AS nt "
+        "  FROM e WINDOW "
+        "  wp AS (PARTITION BY user_id ORDER BY tss, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "  wn AS (PARTITION BY user_id ORDER BY tss, event_id "
+        "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+        "SELECT user_id, event_id, k, "
+        "  CASE WHEN k IS NOT NULL THEN CAST(k AS DOUBLE) "
+        "       WHEN pk IS NOT NULL AND nk IS NOT NULL AND nt > pt THEN "
+        "         CAST(pk AS DOUBLE) + (CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE)) "
+        "           * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) "
+        "       WHEN pk IS NOT NULL AND nk IS NOT NULL THEN CAST(pk AS DOUBLE) "
+        "       WHEN pk IS NOT NULL THEN CAST(pk AS DOUBLE) "
+        "       WHEN nk IS NOT NULL THEN CAST(nk AS DOUBLE) "
+        "       ELSE NULL END AS k_interp "
+        "FROM f"
+    ),
+)
+def time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the sparse ``props.k`` series per user —
+    x_time_fill_forward's two-sided sibling.  The metric is OBSERVED
+    only at purchase events (the instrumented subset — this corpus
+    carries props.k on every row, so the observation mask is part of
+    the spec); every other row takes the value the straight line
+    between its surrounding observations passes through at ITS
+    timestamp, and one-sided gaps fall back to the nearest observation
+    (LOCF after the last / NOCB before the first).
+
+    Exactness: the interpolation weight is a ratio of MICROSECOND
+    bigint deltas (exact to double conversion — epoch micros are far
+    inside 2^53) and the value endpoints are ints, so k_interp is one
+    FIXED tree of correctly-rounded IEEE ops — identical both engines.
+    Same-timestamp observation collisions (nt == pt) fall back to the
+    previous value rather than dividing by zero, spelled identically in
+    both engines.
+
+    Scale shape: ONE shuffle (partition by user), two frame reads over
+    the same sort — Spark plans a single Exchange+Sort feeding both
+    window frames; linear state, no self-join, no driver loop (the
+    x_time_fill_forward budget exactly)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("tss"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.get_json_object("props", "$.k").cast("int"),
+        ).alias("k"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("tss", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("tss", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("k").isNotNull(), F.col("t_us"))
+    f = e.select(
+        "user_id",
+        "event_id",
+        "k",
+        "t_us",
+        F.last("k", ignorenulls=True).over(wp).alias("pk"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("k", ignorenulls=True).over(wn).alias("nk"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("k").isNotNull(), F.col("k").cast("double"))
+        .when(
+            F.col("pk").isNotNull() & F.col("nk").isNotNull() & (F.col("nt") > F.col("pt")),
+            F.col("pk").cast("double")
+            + (F.col("nk").cast("double") - F.col("pk").cast("double"))
+            * ((F.col("t_us") - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")),
+        )
+        .when(F.col("pk").isNotNull() & F.col("nk").isNotNull(), F.col("pk").cast("double"))
+        .when(F.col("pk").isNotNull(), F.col("pk").cast("double"))
+        .when(F.col("nk").isNotNull(), F.col("nk").cast("double"))
+    )
+    return f.select("user_id", "event_id", "k", interp.alias("k_interp"))

@@ -676,3 +676,49 @@ def stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med", "mad", "n_outliers", "max_absdev")
     )
+
+
+@query(
+    "x_feature_binning",
+    category="stats_ml",
+    oracle=(
+        "WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "           FROM events GROUP BY 1), "
+        "r AS (SELECT event_type, event_id, value, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY value, event_id) AS rn FROM events) "
+        "SELECT r.event_id, r.event_type, r.value, "
+        "  (rn * 10 + cnt - 1) // cnt AS bucket "
+        "FROM r JOIN c ON r.event_type = c.event_type"
+    ),
+)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) feature binning: every event's value is
+    replaced by its within-type decile bucket 1..10 — the monotone,
+    outlier-immune discretization fed to tree ensembles and categorical
+    embeddings.  The row-assignment twin of x_agg_decile's boundary
+    query: bucket = ceildiv(rank * 10, cnt) in PURE bigint arithmetic over the
+    tie-broken (value, event_id) total order, so same-valued rows at a
+    decile boundary split deterministically and identically in both
+    engines (a value-threshold assignment would put all ties in one
+    bin and make bins unequal).
+
+    Scale shape: one range-partitioned per-type sort (the window) plus
+    a broadcast join of the |types|-row count table — linear pass,
+    no self-join; the sketch-based fast path at 100 TB is
+    percentile_approx boundaries + a range join, bounded by
+    x_agg_decile's exact twin."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+    return (
+        r.join(F.broadcast(c), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("(rn * 10 + cnt - 1) DIV cnt").alias("bucket"),
+        )
+    )

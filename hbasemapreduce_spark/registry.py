@@ -281,6 +281,8 @@ _R6_BACKLOG = [
     "x_text_chi2_terms",
     "x_stream_chained_agg",
     "x_pipeline_entity_resolution",
+    "x_time_interp",
+    "x_feature_binning",
 ]
 
 

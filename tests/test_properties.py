@@ -1232,3 +1232,31 @@ def test_entity_resolution_composes_fuzzy_pairs(spark):
     # than names whenever at least one pair exists
     if fuzzy:
         assert len(golden) < len(names)
+
+
+def test_interp_between_fill_bounds(spark):
+    """Observed rows pass through unchanged; gap rows really do get
+    interpolated values, and every interpolated value lies within the
+    global observed range (convexity of linear interpolation)."""
+    rows = q(spark, "x_time_interp").collect()
+    assert rows
+    nn = [r for r in rows if r.k is not None]
+    assert nn and all(r.k_interp == float(r.k) for r in nn)
+    gaps = [r for r in rows if r.k is None and r.k_interp is not None]
+    assert gaps
+    lo, hi = min(r.k for r in nn), max(r.k for r in nn)
+    assert all(lo <= r.k_interp <= hi for r in gaps)
+
+
+def test_feature_binning_equal_frequency(spark):
+    """Buckets are 1..10 and equal-frequency: every per-type bucket
+    holds floor(cnt/10) or ceil(cnt/10) rows."""
+    import collections
+
+    rows = q(spark, "x_feature_binning").collect()
+    per = collections.Counter((r.event_type, r.bucket) for r in rows)
+    tot = collections.Counter(r.event_type for r in rows)
+    assert {b for _, b in per} <= set(range(1, 11))
+    for (t, _b), n in per.items():
+        lo, hi = tot[t] // 10, -(-tot[t] // 10)
+        assert lo <= n <= hi, (t, _b, n, lo, hi)
