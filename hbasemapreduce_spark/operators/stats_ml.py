@@ -722,3 +722,133 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(rn * 10 + cnt - 1) DIV cnt").alias("bucket"),
         )
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (embedding d = 64)
+_PQ_K = 4  # codes per subspace -> 4^4 = 256 distinct cells, 8 bits/vector
+
+
+def _pq_sub_sql(s: int) -> str:
+    """Unrolled CTE chain for subspace ``s``: slice -> init (4 lowest
+    vec_ids) -> assign -> integer-mean update -> encode against the
+    trained sub-codebook.  Mirrors KMEANS_CENT_SQL's one-Lloyd-round
+    structure on a 16-dim slice."""
+    lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
+    return (
+        f"es{s} AS (SELECT vec_id, m[{lo}:{hi}] AS sm FROM e), "
+        f"c0_{s} AS (SELECT vec_id AS cid, sm AS cm FROM es{s} "
+        f"           WHERE vec_id < {_PQ_K}), "
+        f"d1_{s} AS (SELECT x.vec_id, c.cid, "
+        "  CAST(list_sum(list_transform(list_zip(x.sm, c.cm), "
+        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        f"  FROM es{s} x CROSS JOIN c0_{s} c), "
+        f"a1_{s} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+        f"    FROM d1_{s}) WHERE rn = 1), "
+        f"mem{s} AS (SELECT a.cid, x.sm FROM a1_{s} a JOIN es{s} x USING (vec_id)), "
+        f"dim{s} AS (SELECT cid, i, sm[i] AS v "
+        f"           FROM mem{s}, unnest(range(1, len(sm) + 1)) AS t(i)), "
+        f"cs{s} AS (SELECT cid, i, CAST(SUM(v) AS BIGINT) // COUNT(*) AS c "
+        f"          FROM dim{s} GROUP BY 1, 2), "
+        f"c1_{s} AS (SELECT cid, list(c ORDER BY i) AS cm FROM cs{s} GROUP BY cid), "
+        f"d2_{s} AS (SELECT x.vec_id, c.cid, "
+        "  CAST(list_sum(list_transform(list_zip(x.sm, c.cm), "
+        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        f"  FROM es{s} x CROSS JOIN c1_{s} c), "
+        f"enc{s} AS (SELECT vec_id, cid AS code_{s}, d2 AS err_{s} "
+        "  FROM (SELECT vec_id, cid, d2, row_number() OVER ("
+        f"    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_{s}) "
+        "  WHERE rn = 1)"
+    )
+
+
+@query(
+    "x_emb_pq",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT vec_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), "
+        "    x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
+        "  FROM embeddings), "
+        + ", ".join(_pq_sub_sql(s) for s in range(_PQ_M))
+        + " SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2, e3.code_3, "
+        "  e0.err_0 + e1.err_1 + e2.err_2 + e3.err_3 AS d2 "
+        "FROM enc0 e0 JOIN enc1 e1 USING (vec_id) "
+        "JOIN enc2 e2 USING (vec_id) JOIN enc3 e3 USING (vec_id)"
+    ),
+)
+def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al., TPAMI 2011): the embedding
+    splits into 4 subspaces of 16 dims; each subspace trains its own
+    4-entry codebook (one Lloyd round of the EXACT-integer k-means,
+    x_ml_kmeans' machinery on a slice) and every vector is encoded as 4
+    sub-codes — 8 bits replacing 64 floats, the memory diet that lets
+    an ANN index hold 100 TB of vectors in RAM; the per-vector
+    reconstruction error Sum d2_s comes out of the same integer
+    arithmetic, so the whole encoding is hash-checkable.
+
+    Scale shape: training per subspace is the k-means budget on a
+    16-dim slice (zero-shuffle broadcast assignment + a (k x 16)-row
+    hash-aggregate update); ENCODING is four argmin projections over
+    broadcast sub-codebooks fused into one pass over the corpus — the
+    vec_id equi-joins of the oracle's formulation collapse into
+    chained withColumn projections, so no corpus-sized shuffle exists
+    anywhere.  At query time an IVF-PQ index scans codes with
+    precomputed distance tables — the probe shape x_sim_ivf already
+    ships."""
+    e = _micros_table(spark, sf_dir)
+
+    def sub(col, s):
+        return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
+
+    # train the 4 sub-codebooks (tiny aggregates, one Lloyd round each)
+    collapsed = []
+    for s in range(_PQ_M):
+        es = e.select("vec_id", sub(F.col("m"), s).alias("m"))
+        c0 = _collapse(
+            es.filter(F.col("vec_id") < _PQ_K).select(
+                F.col("vec_id").alias("cid"), F.col("m").alias("cm")
+            )
+        )
+        a1 = _assign(es, c0)
+        c1 = (
+            a1.select("cluster", F.posexplode("m").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            .select("cluster", F.struct("i", F.expr("sv DIV n").alias("c")).alias("iv"))
+            .groupBy("cluster")
+            .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform("ivs", lambda st: st["c"]).alias("cm"),
+            )
+        )
+        collapsed.append(
+            _collapse(c1).select(F.col("cents").alias(f"cents_{s}"))
+        )
+
+    # fused encode: one corpus pass, 4 broadcast codebooks, no joins
+    def make_scored(s):
+        subvec = sub(F.col("m"), s)
+
+        def scored(c):
+            d2 = F.aggregate(
+                F.zip_with(subvec, c["cm"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            return F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+
+        return scored
+
+    out = e
+    for s in range(_PQ_M):
+        out = out.crossJoin(F.broadcast(collapsed[s]))
+        best = F.array_sort(F.transform(F.col(f"cents_{s}"), make_scored(s)))[0]
+        out = out.withColumn(f"best_{s}", best).drop(f"cents_{s}")
+    return out.select(
+        "vec_id",
+        *[F.col(f"best_{s}.cid").alias(f"code_{s}") for s in range(_PQ_M)],
+        sum(F.col(f"best_{s}.d2") for s in range(_PQ_M)).alias("d2"),
+    )

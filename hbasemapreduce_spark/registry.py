@@ -283,6 +283,7 @@ _R6_BACKLOG = [
     "x_pipeline_entity_resolution",
     "x_time_interp",
     "x_feature_binning",
+    "x_emb_pq",
 ]
 
 

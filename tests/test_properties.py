@@ -1260,3 +1260,18 @@ def test_feature_binning_equal_frequency(spark):
     for (t, _b), n in per.items():
         lo, hi = tot[t] // 10, -(-tot[t] // 10)
         assert lo <= n <= hi, (t, _b, n, lo, hi)
+
+
+def test_pq_codes_bounded_and_beats_coarse_quantizer(spark):
+    """Codes live in [0, 4); reconstruction error is non-negative; and
+    the 256-cell product quantizer reconstructs the corpus strictly
+    better on average than the 8-cell coarse k-means quantizer."""
+    pq = q(spark, "x_emb_pq").collect()
+    km = q(spark, "x_ml_kmeans").collect()
+    assert pq and len(pq) == len(km)
+    for r in pq:
+        assert all(0 <= r[f"code_{s}"] < 4 for s in range(4))
+        assert r.d2 >= 0
+    mean_pq = sum(r.d2 for r in pq) / len(pq)
+    mean_km = sum(r.d2 for r in km) / len(km)
+    assert mean_pq < mean_km, (mean_pq, mean_km)
