@@ -726,7 +726,17 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 4  # subspaces
 _PQ_DSUB = 16  # dims per subspace (embedding d = 64)
-_PQ_K = 4  # codes per subspace -> 4^4 = 256 distinct cells, 8 bits/vector
+_PQ_K = 16  # codes per subspace -> 16^4 = 65536 cells, 16 bits/vector
+
+# hash-spread deterministic PQ seed set: the _PQ_K smallest vec_ids in
+# portable-Knuth-hash order — uniform over the corpus regardless of how
+# ids correlate with labels (first-k-ids init collapsed onto 1-2 labels
+# and cost 3x recall in the IVF-PQ probe)
+PQ_SEED_SQL = (
+    "pseeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid "
+    "  FROM (SELECT vec_id FROM e "
+    f"        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT {_PQ_K}))"
+)
 
 
 def _pq_sub_sql(s: int) -> str:
@@ -737,8 +747,8 @@ def _pq_sub_sql(s: int) -> str:
     lo, hi = s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB
     return (
         f"es{s} AS (SELECT vec_id, m[{lo}:{hi}] AS sm FROM e), "
-        f"c0_{s} AS (SELECT vec_id AS cid, sm AS cm FROM es{s} "
-        f"           WHERE vec_id < {_PQ_K}), "
+        f"c0_{s} AS (SELECT p.cid, x.sm AS cm FROM es{s} x "
+        f"           JOIN pseeds p USING (vec_id)), "
         f"d1_{s} AS (SELECT x.vec_id, c.cid, "
         "  CAST(list_sum(list_transform(list_zip(x.sm, c.cm), "
         "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
@@ -771,6 +781,7 @@ def _pq_sub_sql(s: int) -> str:
         "  list_transform(CAST(embedding AS DOUBLE[]), "
         "    x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
         "  FROM embeddings), "
+        + PQ_SEED_SQL + ", "
         + ", ".join(_pq_sub_sql(s) for s in range(_PQ_M))
         + " SELECT e0.vec_id, e0.code_0, e1.code_1, e2.code_2, e3.code_3, "
         "  e0.err_0 + e1.err_1 + e2.err_2 + e3.err_3 AS d2 "
@@ -781,9 +792,9 @@ def _pq_sub_sql(s: int) -> str:
 def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jegou et al., TPAMI 2011): the embedding
     splits into 4 subspaces of 16 dims; each subspace trains its own
-    4-entry codebook (one Lloyd round of the EXACT-integer k-means,
+    16-entry codebook (one Lloyd round of the EXACT-integer k-means,
     x_ml_kmeans' machinery on a slice) and every vector is encoded as 4
-    sub-codes — 8 bits replacing 64 floats, the memory diet that lets
+    sub-codes — 16 bits replacing 64 floats, the memory diet that lets
     an ANN index hold 100 TB of vectors in RAM; the per-vector
     reconstruction error Sum d2_s comes out of the same integer
     arithmetic, so the whole encoding is hash-checkable.
@@ -798,18 +809,39 @@ def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed distance tables — the probe shape x_sim_ivf already
     ships."""
     e = _micros_table(spark, sf_dir)
+    enc = pq_encode(e, pq_codebooks(e))
+    return enc.select(
+        "vec_id",
+        *[f"code_{s}" for s in range(_PQ_M)],
+        sum(F.col(f"err_{s}") for s in range(_PQ_M)).alias("d2"),
+    )
 
-    def sub(col, s):
-        return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
 
-    # train the 4 sub-codebooks (tiny aggregates, one Lloyd round each)
+def _pq_sub(col, s):
+    return F.slice(col, s * _PQ_DSUB + 1, _PQ_DSUB)
+
+
+def pq_codebooks(e: DataFrame) -> list:
+    """Train the 4 sub-codebooks (one Lloyd round each on a 16-dim
+    slice of the offset-micros table ``e``); returns one collapsed
+    1-row DataFrame per subspace with column ``cents_{s}`` — the
+    broadcastable array-of-(cid, cm) scalars.  Shared by x_emb_pq and
+    the IVF-PQ probe (llm_similarity.py)."""
+    from pyspark.sql import Window
+
+    seeds = (
+        e.select("vec_id")
+        .orderBy(F.pmod(F.col("vec_id") * 2654435761, F.lit(4294967296)), "vec_id")
+        .limit(_PQ_K)
+    )
+    seeds = seeds.select(
+        "vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid")
+    )
     collapsed = []
     for s in range(_PQ_M):
-        es = e.select("vec_id", sub(F.col("m"), s).alias("m"))
+        es = e.select("vec_id", _pq_sub(F.col("m"), s).alias("m"))
         c0 = _collapse(
-            es.filter(F.col("vec_id") < _PQ_K).select(
-                F.col("vec_id").alias("cid"), F.col("m").alias("cm")
-            )
+            es.join(F.broadcast(seeds), "vec_id").select("cid", F.col("m").alias("cm"))
         )
         a1 = _assign(es, c0)
         c1 = (
@@ -824,13 +856,16 @@ def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("ivs", lambda st: st["c"]).alias("cm"),
             )
         )
-        collapsed.append(
-            _collapse(c1).select(F.col("cents").alias(f"cents_{s}"))
-        )
+        collapsed.append(_collapse(c1).select(F.col("cents").alias(f"cents_{s}")))
+    return collapsed
 
-    # fused encode: one corpus pass, 4 broadcast codebooks, no joins
+
+def pq_encode(e: DataFrame, collapsed: list) -> DataFrame:
+    """Fused PQ encode: one pass over ``e``, 4 broadcast codebooks, no
+    joins — adds ``code_{s}``/``err_{s}`` columns for every subspace."""
+
     def make_scored(s):
-        subvec = sub(F.col("m"), s)
+        subvec = _pq_sub(F.col("m"), s)
 
         def scored(c):
             d2 = F.aggregate(
@@ -848,7 +883,7 @@ def emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = F.array_sort(F.transform(F.col(f"cents_{s}"), make_scored(s)))[0]
         out = out.withColumn(f"best_{s}", best).drop(f"cents_{s}")
     return out.select(
-        "vec_id",
+        "*",
         *[F.col(f"best_{s}.cid").alias(f"code_{s}") for s in range(_PQ_M)],
-        sum(F.col(f"best_{s}.d2") for s in range(_PQ_M)).alias("d2"),
-    )
+        *[F.col(f"best_{s}.d2").alias(f"err_{s}") for s in range(_PQ_M)],
+    ).drop(*[f"best_{s}" for s in range(_PQ_M)])

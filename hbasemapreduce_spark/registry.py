@@ -284,6 +284,7 @@ _R6_BACKLOG = [
     "x_time_interp",
     "x_feature_binning",
     "x_emb_pq",
+    "x_sim_ivfpq",
 ]
 
 

@@ -1263,15 +1263,42 @@ def test_feature_binning_equal_frequency(spark):
 
 
 def test_pq_codes_bounded_and_beats_coarse_quantizer(spark):
-    """Codes live in [0, 4); reconstruction error is non-negative; and
-    the 256-cell product quantizer reconstructs the corpus strictly
+    """Codes live in [0, 16); reconstruction error is non-negative; and
+    the 65536-cell product quantizer reconstructs the corpus strictly
     better on average than the 8-cell coarse k-means quantizer."""
     pq = q(spark, "x_emb_pq").collect()
     km = q(spark, "x_ml_kmeans").collect()
     assert pq and len(pq) == len(km)
     for r in pq:
-        assert all(0 <= r[f"code_{s}"] < 4 for s in range(4))
+        assert all(0 <= r[f"code_{s}"] < 16 for s in range(4))
         assert r.d2 >= 0
     mean_pq = sum(r.d2 for r in pq) / len(pq)
     mean_km = sum(r.d2 for r in km) / len(km)
     assert mean_pq < mean_km, (mean_pq, mean_km)
+
+
+def test_ivfpq_refine_recall_and_exactness(spark):
+    """IVF-PQ with exact refine: reported d2 equals the true integer
+    L2 for every reported pair, and top-5 recall vs exact brute force
+    clears the measured floor (0.70 measured; asserted with slack —
+    the list-probe ceiling is 0.86)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = q(spark, "x_sim_ivfpq").collect()
+    t = pq_.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    m = np.round((np.round(np.stack(t.embedding.values).astype("float64"), 6) + 1) * 1e6).astype("int64")
+    ids = t.vec_id.values
+    order = np.argsort(ids)
+    m, ids = m[order], ids[order]
+    true = {}
+    for qid in range(10):
+        d2 = ((m - m[qid]) ** 2).sum(axis=1)
+        true[qid] = set(np.argsort(d2, kind="stable")[1:6])
+    got = {}
+    for r in rows:
+        exact = int(((m[r.neighbor_id] - m[r.query_id]) ** 2).sum())
+        assert r.d2 == exact, (r.query_id, r.neighbor_id, r.d2, exact)
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rec = sum(len(got.get(k, set()) & true[k]) for k in true) / (5 * len(true))
+    assert rec >= 0.55, f"IVF-PQ refine recall {rec:.2f}"
