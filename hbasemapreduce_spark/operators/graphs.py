@@ -67,8 +67,14 @@ def _undirected_edges(
         .filter(F.col("support") >= support)
         .select("part_a", "part_b")
     )
-    return und.selectExpr("part_a AS src", "part_b AS dst").unionByName(
-        und.selectExpr("part_b AS src", "part_a AS dst")
+    # lazy localCheckpoint: every graph operator reads the edge list 2-4
+    # times (wedge sides, degree table, anti-join, per-round relaxation);
+    # without it each read re-runs the distinct + self-join + support
+    # aggregate from the fact table
+    return (
+        und.selectExpr("part_a AS src", "part_b AS dst")
+        .unionByName(und.selectExpr("part_b AS src", "part_a AS dst"))
+        .localCheckpoint(eager=False)
     )
 
 
