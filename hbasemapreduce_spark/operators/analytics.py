@@ -693,3 +693,63 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (num.cast("double") / (den * 100).cast("double")).alias("ema"),
     )
+
+
+@query(
+    "x_stats_spc",
+    category="analytics",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt * cnt) AS BIGINT) AS ss "
+        "  FROM h GROUP BY 1), "
+        "lim AS (SELECT event_type, "
+        "  CAST(s AS DOUBLE) / n + 3 * sqrt((CAST(ss AS DOUBLE) "
+        "    - CAST(s AS DOUBLE) * s / n) / n) AS ucl FROM m) "
+        "SELECT h.event_type, h.hr, h.cnt, l.ucl "
+        "FROM h JOIN lim l ON h.event_type = l.event_type "
+        "WHERE h.cnt > l.ucl"
+    ),
+)
+def stats_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control alerting: flag the hours whose event
+    count breaches the per-type 3-sigma upper control limit — the
+    'traffic spiked at 14:00' detector a pipeline health monitor runs
+    over its ingest counters.
+
+    Exactness: hourly counts are bigints, so the control limit's
+    moment sums (S, SS) are EXACT integers; ucl = S/n + 3*sqrt((SS -
+    S^2/n)/n) is a FIXED tree of correctly-rounded IEEE ops over
+    exactly-converted operands (incl. the IEEE-correct sqrt) —
+    bit-identical limits, bit-identical breach sets, both engines.
+
+    Scale shape: ONE fact-table hash aggregate to |types| x |hours|
+    rows; moments and limits are |types|-row aggregates broadcast back
+    onto the hourly grid.  The streaming twin of this discipline is
+    x_quality_monitor's windowed counters; SPC adds the
+    self-calibrating threshold."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("hr"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    m = h.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    ucl = F.col("s").cast("double") / F.col("n") + 3 * F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / F.col("n")
+    )
+    lim = m.select("event_type", ucl.alias("ucl"))
+    return (
+        h.join(F.broadcast(lim), "event_type")
+        .filter(F.col("cnt") > F.col("ucl"))
+        .select("event_type", "hr", "cnt", "ucl")
+    )

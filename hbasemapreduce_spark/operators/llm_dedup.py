@@ -443,3 +443,53 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropped, "vec_id", "left_anti")
         .select("label", F.col("vec_id").alias("keep_id"))
     )
+
+
+_INC_KNUTH = 2654435761  # portable split hash (pipeline.py convention)
+
+
+@query(
+    "x_dedup_incremental",
+    category="llm_dedup",
+    oracle=(
+        f"WITH tagged AS (SELECT doc_id, lower(trim(text)) AS norm, "
+        f"  (doc_id * {_INC_KNUTH}) % 10 < 8 AS in_base FROM documents), "
+        "base AS (SELECT DISTINCT norm FROM tagged WHERE in_base), "
+        "delta AS (SELECT doc_id, norm FROM tagged WHERE NOT in_base), "
+        "survivors AS (SELECT d.doc_id, d.norm FROM delta d "
+        "  WHERE d.norm NOT IN (SELECT norm FROM base)) "
+        "SELECT norm_hash, keep_id, n_batch_copies FROM ("
+        "  SELECT md5(norm) AS norm_hash, MIN(doc_id) AS keep_id, "
+        "    CAST(COUNT(*) AS BIGINT) AS n_batch_copies "
+        "  FROM survivors GROUP BY norm)"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new crawl batch (the 20% hash
+    split standing in for today's delta) dedupes against the ALREADY
+    CURATED base corpus (the 80%) and then within itself — the shape
+    every continuously-ingesting pipeline runs, where re-deduping the
+    full corpus per batch would be quadratic over time.
+
+    Two stages, both O(batch) not O(corpus) on the shuffle side:
+    (1) cross-batch: one LEFT-ANTI equi-join of delta norms against
+    the base's distinct norm set — at 100 TB the base side is a
+    pre-built bucketed norm-hash table (dedup_exact's output), so the
+    join co-locates without reshuffling the corpus; (2) in-batch:
+    dedup_exact's keep-first hash aggregate over the survivors.
+    The batch/base split is the portable Knuth hash, reproducible on
+    any engine; output keys are md5 of the normalized text, exactly
+    the signature the base index stores."""
+    tagged = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("norm"),
+        (F.pmod(F.col("doc_id") * _INC_KNUTH, F.lit(10)) < 8).alias("in_base"),
+    )
+    base = tagged.filter("in_base").select("norm").distinct()
+    delta = tagged.filter(~F.col("in_base")).select("doc_id", "norm")
+    survivors = delta.join(base, "norm", "left_anti")
+    return (
+        survivors.groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_batch_copies"))
+        .select(F.md5("norm").alias("norm_hash"), "keep_id", "n_batch_copies")
+    )

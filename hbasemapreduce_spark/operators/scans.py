@@ -330,3 +330,26 @@ def bulkload_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_PORTABLE_SQL = (
+    "SELECT l_returnflag, "
+    "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) "
+    "AS revenue, COUNT(*) AS n "
+    "FROM lineitem WHERE l_quantity < 24 GROUP BY l_returnflag"
+)
+
+
+@query("x_sql_text", category="scan", oracle=_PORTABLE_SQL)
+def sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT surface: the ONE portable ANSI string above runs
+    unchanged through ``spark.sql()`` here and through DuckDB as its
+    own oracle — engine-parity demonstrated at the dialect level, not
+    just the result level.  Users of the fluent client (client.py) and
+    the DataFrame operators get this surface for free; this key proves
+    a SQL-first user can point existing ANSI queries at the engine
+    (views registered per table, Catalyst plans them identically to
+    the DataFrame form — same scan pushdown, same partial aggregates,
+    same decimal sandwich determinism)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PORTABLE_SQL)

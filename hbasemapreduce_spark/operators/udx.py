@@ -151,3 +151,39 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token FROM _udtf_docs d, "
         "LATERAL pipeline_tokenize(d.text) t"
     )
+
+
+def _clean_key_fn(s):
+    # pure string normalization: strip + lower + collapse inner runs of
+    # spaces — deterministic, no float involvement
+    return " ".join(s.strip().lower().split())
+
+
+@query(
+    "x_udf_arrow",
+    category="udx",
+    oracle=(
+        "SELECT p_partkey, "
+        "  trim(regexp_replace(lower(p_name), ' +', ' ', 'g')) AS clean_name "
+        "FROM part"
+    ),
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ARROW-OPTIMIZED Python UDF (``F.udf(useArrow=True)``)
+    — the fourth extension point next to pandas_udf / applyInPandas /
+    the Python UDTF: scalar Python semantics (row-at-a-time function
+    body, no pandas in user code) but Arrow-batched transport, which
+    removes most of the classic pickled-UDF serialization tax.  The
+    function is pure string normalization, so the oracle reproduces it
+    with regex SQL and the hash check proves the boundary crossing
+    lossless.
+
+    Scale note: still the slow path relative to built-ins (the body
+    runs in Python per row) — this key exists to prove the surface,
+    exactly like the other udx keys; the identical cleanup in
+    production would be the oracle's regexp_replace expression,
+    JVM-side."""
+    clean = F.udf(_clean_key_fn, "string", useArrow=True)
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", clean("p_name").alias("clean_name")
+    )

@@ -285,6 +285,10 @@ _R6_BACKLOG = [
     "x_feature_binning",
     "x_emb_pq",
     "x_sim_ivfpq",
+    "x_dedup_incremental",
+    "x_sql_text",
+    "x_stats_spc",
+    "x_udf_arrow",
 ]
 
 

@@ -265,6 +265,12 @@ _BNLJ_WHITELIST = {
     "x_sim_maxsim",       # |Q|-bounded query-vector bag broadcast
     "x_text_bpe_train",   # 1-row best-pair scalar per merge round
     "x_sim_ivf_kmeans",   # k-bounded trained-centroid table (x_sim_ivf's shape)
+    "x_stats_ks_drift",   # 1-row calendar-midpoint scalar
+    "x_sim_sparse_topk",  # 1-row corpus-count scalar (max-df cut)
+    "x_stream_chained_agg",  # 1-row max-ts scalar (finalization cut)
+    "x_emb_pq",           # 4x 1-row sub-codebook ARRAY scalars
+    "x_sim_ivfpq",        # coarse-centroid + sub-codebook ARRAY scalars
+    "x_text_chi2_terms",  # 1-row corpus-count scalar (margin filter)
 }
 
 

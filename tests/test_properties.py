@@ -1302,3 +1302,31 @@ def test_ivfpq_refine_recall_and_exactness(spark):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     rec = sum(len(got.get(k, set()) & true[k]) for k in true) / (5 * len(true))
     assert rec >= 0.55, f"IVF-PQ refine recall {rec:.2f}"
+
+
+def test_incremental_dedup_consistency(spark):
+    """Every kept batch doc is from the 20% delta split and its norm is
+    absent from the base split; batch copies >= 1."""
+    rows = q(spark, "x_dedup_incremental").collect()
+    assert rows
+    K = 2654435761
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    delta_ids = {r.doc_id for r in docs if (r.doc_id * K) % 10 >= 8}
+    for r in rows:
+        assert r.keep_id in delta_ids
+        assert r.n_batch_copies >= 1
+
+
+def test_spc_flags_are_breaches_only(spark):
+    """Flagged hours strictly exceed their type's control limit, and
+    breaches are a small minority of the hourly grid (3-sigma)."""
+    flagged = q(spark, "x_stats_spc").collect()
+    grid = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .count()
+        .count()
+    )
+    for r in flagged:
+        assert r.cnt > r.ucl
+    assert len(flagged) <= max(1, grid // 10)
