@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import tokens
 from ..registry import query
+from .stats_ml import KMEANS_CENT_SQL as _KM_SQL
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch"
@@ -949,4 +950,67 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("cluster_id", "canonical_name", "n_names", "total_parts")
+    )
+
+
+@query(
+    "x_pipeline_rag_index",
+    category="pipeline",
+    oracle=(
+        # KMEANS_CENT_SQL (stats_ml.py) ends in c1: trained coarse
+        # centroids in offset-micros space
+        "WITH " + _KM_SQL + ", "
+        "ld AS (SELECT x.vec_id, c.cid, "
+        "  CAST(list_sum(list_transform(list_zip(x.m, c.cm), "
+        "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
+        "  FROM e x CROSS JOIN c1 c), "
+        "lasg AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, "
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+        "    FROM ld) WHERE rn = 1), "
+        "gated AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks "
+        "  FROM documents WHERE len(string_split(text, ' ')) BETWEEN 20 AND 95) "
+        "SELECT l.list_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "  CAST(SUM(g.n_toks) AS BIGINT) AS n_tokens, "
+        "  MIN(g.doc_id) AS min_doc, MAX(g.doc_id) AS max_doc "
+        "FROM gated g JOIN lasg l ON g.doc_id = l.vec_id "
+        "GROUP BY l.list_id"
+    ),
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval-index build as one dataflow: quality gate (the
+    pretrain export's 20-95-token spec) -> attach each surviving doc's
+    embedding -> assign it to its trained IVF list (x_ml_kmeans'
+    exact-integer coarse quantizer) -> per-list index manifest
+    (doc/token counts + id range).  This is the offline half of a RAG
+    system; the online half is exactly x_sim_ivfpq's probe over the
+    lists this build lays out.  Every stage ships standalone
+    (text_stats' gate, multimodal_join's text+vector attach, x_ml_kmeans'
+    assignment, x_shard_manifest's bookkeeping); composing them stays
+    ONE hash-checkable query.
+
+    Scale shape: the gate is a stateless filter pushed to the scan;
+    the embedding attach and list assignment are one equi-join plus
+    the zero-shuffle broadcast argmin; the manifest is a |lists|-row
+    aggregate.  No corpus-sized shuffle beyond the single doc->vector
+    join, which at 100 TB is the bucketed-by-id co-located join
+    x_join_bucketed demonstrates."""
+    from .stats_ml import _assign, _collapse, _micros_table, kmeans_centroids
+
+    gated = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
+        .filter(F.col("n_toks").between(20, 95))
+    )
+    lasg = _assign(
+        _micros_table(spark, sf_dir), _collapse(kmeans_centroids(spark, sf_dir))
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cluster").alias("list_id"))
+    return (
+        gated.join(lasg, "doc_id")
+        .groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )

@@ -289,6 +289,7 @@ _R6_BACKLOG = [
     "x_sql_text",
     "x_stats_spc",
     "x_udf_arrow",
+    "x_pipeline_rag_index",
 ]
 
 

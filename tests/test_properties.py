@@ -1330,3 +1330,24 @@ def test_spc_flags_are_breaches_only(spark):
     for r in flagged:
         assert r.cnt > r.ucl
     assert len(flagged) <= max(1, grid // 10)
+
+
+def test_rag_index_conserves_gated_corpus(spark):
+    """The per-list manifest partitions the gated-and-embedded corpus:
+    doc counts sum to the join cardinality, every list id is a trained
+    k-means cluster, and id ranges are consistent."""
+    rows = q(spark, "x_pipeline_rag_index").collect()
+    assert rows
+    gated = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .filter(F.col("n_toks").between(20, 95))
+    )
+    vecs = load_table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    expected = gated.join(vecs, "doc_id").count()
+    assert sum(r.n_docs for r in rows) == expected
+    for r in rows:
+        assert 0 <= r.list_id < 8
+        assert r.min_doc <= r.max_doc
