@@ -353,3 +353,78 @@ def sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     same decimal sandwich determinism)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PORTABLE_SQL)
+
+
+@query(
+    "x_etl_backfill",
+    category="scan",
+    oracle=(
+        "WITH yr AS (SELECT MIN(year(o_orderdate)) AS y0 FROM orders), "
+        "final AS (SELECT year(o_orderdate) AS o_year, "
+        "  CASE WHEN year(o_orderdate) = (SELECT y0 FROM yr) "
+        "       THEN '0-BACKFILLED' ELSE o_orderpriority END AS prio "
+        "  FROM orders) "
+        "SELECT CAST(o_year AS BIGINT) AS o_year, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "  CAST(COUNT(*) FILTER (WHERE prio = '0-BACKFILLED') AS BIGINT) AS n_backfilled "
+        "FROM final GROUP BY 1"
+    ),
+)
+def etl_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via DYNAMIC partition overwrite —
+    the correction job every long-lived partitioned table needs: a bug
+    is found in one day/year of data, the pipeline recomputes JUST that
+    partition and overwrites it in place, and every other partition's
+    files are untouched (verified by file fingerprint in
+    tests/test_plans.py).  With static overwrite mode the same write
+    would DELETE the whole table first — the classic backfill footgun
+    this operator exists to demonstrate against.
+
+    Mechanics: full salted partitioned write (sink_partitioned's
+    layout), then a second write of ONLY the corrected earliest-year
+    rows with ``partitionOverwriteMode=dynamic`` — Spark replaces
+    exactly the partitions present in the incoming frame.  The re-read
+    proves the merge: the corrected year carries the backfilled
+    priority, all other years are byte-identical originals.
+
+    Scale shape: the backfill write shuffles only the corrected
+    partition's rows; commit is a directory swap per touched partition
+    — O(correction), never O(table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(
+        _SCRATCH,
+        f"backfill_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{source_ident(os.path.join(sf_dir, 'orders.parquet'))}",
+    )
+    _write_partitioned_orders(orders, out)
+    backfill_earliest_year(spark, orders, out)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(F.when(F.col("o_orderpriority") == "0-BACKFILLED", 1)).alias(
+                "n_backfilled"
+            ),
+        )
+    )
+
+
+def backfill_earliest_year(spark: SparkSession, orders: DataFrame, out: str) -> None:
+    """The dynamic-overwrite half of x_etl_backfill, separated so the
+    file-fingerprint test can snapshot the layout between the base
+    write and the correction write."""
+    y0 = orders.agg(F.min(F.year("o_orderdate")).alias("y0"))
+    corrected = (
+        orders.crossJoin(F.broadcast(y0))
+        .filter(F.year("o_orderdate") == F.col("y0"))
+        .drop("y0")
+        .withColumn("o_orderpriority", F.lit("0-BACKFILLED"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition(F.col("o_year"), F.pmod(F.hash("o_orderkey"), F.lit(_SINK_SALT)))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

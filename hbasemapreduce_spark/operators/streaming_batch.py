@@ -387,3 +387,48 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.crossJoin(F.broadcast(mx)).filter(
         (F.col("ds") + 86400) * 1_000_000 <= F.col("mu") - 3_600_000_000
     ).select("ds", "event_type", "max_hourly")
+
+
+def stream_dim_enrich_expr(ev: DataFrame, nation: DataFrame) -> DataFrame:
+    """Shared batch/stream expression behind x_stream_join_dim: enrich
+    each event with its synthetic home nation (user_id % 25 — the
+    testdata's stand-in for a profile attribute) via a BROADCAST
+    stream-static join, then aggregate per nation."""
+    enriched = ev.join(
+        F.broadcast(nation),
+        F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"),
+    )
+    return enriched.groupBy("n_name").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "x_stream_join_dim",
+    category="stream",
+    oracle=(
+        "SELECT n.n_name, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey "
+        "GROUP BY 1"
+    ),
+)
+def stream_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STATIC dimension join — the single most
+    common streaming enrichment shape: every event looks up a slowly
+    changing dimension row (here the synthetic home nation) and the
+    enriched stream aggregates per dimension value.  In Structured
+    Streaming the static side is re-broadcast per micro-batch, so no
+    state store is involved at all — the join is stateless, which is
+    exactly why it scales to any stream rate.
+
+    The streaming form (streaming/mirrors.py dim_enrich) runs this
+    IDENTICAL expression (shared function) under IncrementalExecution
+    in complete mode and is proven equal in tests/test_streaming.py —
+    the 15th equality-proven twin.  Decimal-sandwich sum keeps the
+    per-nation totals bit-identical at any partition count."""
+    return stream_dim_enrich_expr(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+    )

@@ -137,3 +137,34 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_num",
         (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("mov_avg"),
     )
+
+
+@query(
+    "x_win_cume_dist",
+    category="window",
+    oracle=(
+        "SELECT DISTINCT event_type, value, "
+        "cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd "
+        "FROM events"
+    ),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF per type via cume_dist(): for each distinct value,
+    the fraction of the type's rows at or below it — the
+    quantile-lookup companion to x_feature_binning (which inverts this
+    map) and x_agg_decile (which samples it at 10 points).  Peer rows
+    (ties) share one cume_dist in both engines (ANSI semantics:
+    peers count together), so DISTINCT collapses the output to the
+    bounded |types| x |distinct values| grid.  cd = running_count/cnt —
+    a ratio of exact bigints, one correctly-rounded division.
+
+    Scale shape: one range-partitioned per-type sort; output bounded
+    by the distinct-value grid, not row count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.cume_dist().over(w).alias("cd"))
+        .distinct()
+    )

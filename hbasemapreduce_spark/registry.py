@@ -290,6 +290,9 @@ _R6_BACKLOG = [
     "x_stats_spc",
     "x_udf_arrow",
     "x_pipeline_rag_index",
+    "x_stream_join_dim",
+    "x_win_cume_dist",
+    "x_etl_backfill",
 ]
 
 

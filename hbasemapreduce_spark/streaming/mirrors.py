@@ -583,3 +583,20 @@ def chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_chained_agg"] = chained_agg
+
+
+def dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_join_dim: stream-static broadcast
+    join (static side re-read per micro-batch, zero state) feeding a
+    complete-mode aggregate — the shared expression guarantees the
+    twins cannot drift."""
+    from ..catalog import load_table
+    from ..operators.streaming_batch import stream_dim_enrich_expr
+
+    return stream_dim_enrich_expr(
+        events_stream(spark, sf_dir),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+    )
+
+
+MIRRORS["x_stream_join_dim"] = dim_enrich

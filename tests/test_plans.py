@@ -416,3 +416,47 @@ def test_stats_abtest_single_fact_pass(spark):
         if "Location" in ln and "events.parquet" in ln
     ]
     assert len(fact_scans) == 1, f"expected 1 events scan, saw {len(fact_scans)}"
+
+
+def test_backfill_touches_only_the_corrected_partition(spark):
+    """Dynamic partition overwrite: after x_etl_backfill runs, the
+    non-corrected year directories still contain their ORIGINAL files
+    (same names+sizes as after the base write), and only the earliest
+    year was rewritten."""
+    import os
+
+    from hbasemapreduce_spark.operators.scans import (
+        _SCRATCH,
+        _write_partitioned_orders,
+    )
+    from hbasemapreduce_spark.functions.staging import source_ident
+    from hbasemapreduce_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = os.path.join(
+        _SCRATCH,
+        f"backfill_test_{os.path.basename(SF_DIR.rstrip('/'))}_"
+        f"{source_ident(os.path.join(SF_DIR, 'orders.parquet'))}",
+    )
+    _write_partitioned_orders(orders, out)
+
+    def snapshot():
+        snap = {}
+        for d in os.listdir(out):
+            if d.startswith("o_year="):
+                pdir = os.path.join(out, d)
+                snap[d] = sorted(
+                    (f, os.path.getsize(os.path.join(pdir, f)))
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet")
+                )
+        return snap
+
+    from hbasemapreduce_spark.operators.scans import backfill_earliest_year
+
+    before = snapshot()
+    backfill_earliest_year(spark, orders, out)
+    after = snapshot()
+    y0 = min(int(d.split("=")[1]) for d in before)
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert changed == [f"o_year={y0}"], (changed, y0)

@@ -186,3 +186,13 @@ def test_stream_chained_agg_matches_batch(spark):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_stream_join_dim_matches_batch(spark):
+    """Stream-static broadcast enrichment equals the batch twin exactly
+    (stateless join + complete-mode aggregate)."""
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_join_dim", output_mode="complete")
+    from hbasemapreduce_spark.registry import all_specs
+
+    want = all_specs()["x_stream_join_dim"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
