@@ -444,7 +444,7 @@ def _bpe_round_sql(i: int) -> str:
     )
 
 
-_BPE_SQL = (
+_BPE_PREFIX = (
     "WITH w AS (SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM "
     "  (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
     "  WHERE token <> '' GROUP BY 1), "
@@ -452,6 +452,10 @@ _BPE_SQL = (
     "  substr(word, CAST(t.pos AS INT), 1) AS sym "
     "  FROM w, unnest(range(1, length(word) + 1)) AS t(pos)), "
     + ", ".join(_bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_SQL = (
+    _BPE_PREFIX
     + " SELECT * FROM ("
     + " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, pa AS left_sym, "
@@ -489,6 +493,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines.  Determinism: integer counts, total
     argmax order (cnt DESC, pair ASC), and the same window frames on
     both sides."""
+    bests, _syms = _bpe_train_frames(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_train_frames(spark: SparkSession, sf_dir: str):
+    """The shared BPE training loop: returns (per-round best-pair
+    frames, the vocabulary symbol table AFTER all merges) — consumed by
+    x_text_bpe_train (the merges) and x_text_bpe_apply (the encoder)."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -574,10 +589,50 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+    return bests, syms
+
+
+@query(
+    "x_text_bpe_apply",
+    category="llm_text",
+    oracle=(
+        _BPE_PREFIX
+        + ", wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe "
+        f"         FROM syms{_BPE_ROUNDS + 1} GROUP BY 1), "
+        "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "       FROM documents) "
+        "SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws, "
+        "  CAST(SUM(wl.n_bpe) AS BIGINT) AS n_bpe "
+        "FROM dw JOIN wl ON dw.word = wl.word "
+        "WHERE dw.word <> '' GROUP BY 1"
+    ),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY — the other half of x_text_bpe_train: encode
+    the whole corpus with the learned merges and report per-doc token
+    counts (whitespace words vs BPE symbols), the numbers a data
+    pipeline needs for packing, pricing, and curriculum decisions.
+
+    The key efficiency property of dictionary tokenization at scale:
+    the merges are applied ONCE PER DISTINCT WORD (the vocabulary
+    symbol table after 3 merge rounds — vocabulary-sized work), and the
+    corpus pass is just word-explode + equi-join against the
+    |vocab|-row length table + one per-doc aggregate.  No per-document
+    BPE loop ever touches corpus-sized data.  n_bpe <= n_chars and
+    n_bpe >= n_ws by construction (each merge shrinks a word by one
+    symbol; asserted in tests/test_properties.py)."""
+    _bests, syms = _bpe_train_frames(spark, sf_dir)
+    wl = syms.groupBy("word").agg(F.count("*").alias("n_bpe"))
+    dw = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(wl, "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_ws"), F.sum("n_bpe").alias("n_bpe"))
+    )
 
 
 @query(

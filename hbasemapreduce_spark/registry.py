@@ -293,6 +293,7 @@ _R6_BACKLOG = [
     "x_stream_join_dim",
     "x_win_cume_dist",
     "x_etl_backfill",
+    "x_text_bpe_apply",
 ]
 
 

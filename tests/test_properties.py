@@ -1351,3 +1351,23 @@ def test_rag_index_conserves_gated_corpus(spark):
     for r in rows:
         assert 0 <= r.list_id < 8
         assert r.min_doc <= r.max_doc
+
+
+def test_bpe_apply_token_count_bounds(spark):
+    """Per doc: whitespace words <= BPE symbols <= characters-without-
+    spaces; and 3 merges shrink the corpus total strictly (the trained
+    pairs occur in the corpus by construction)."""
+    rows = q(spark, "x_text_bpe_apply").collect()
+    assert rows
+    chars = {
+        r["doc_id"]: r["nch"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.length(F.regexp_replace("text", " ", "")).alias("nch"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.n_ws <= r.n_bpe <= chars[r.doc_id]
+    assert sum(r.n_bpe for r in rows) < sum(chars.values())
