@@ -753,3 +753,56 @@ def stats_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.col("ucl"))
         .select("event_type", "hr", "cnt", "ucl")
     )
+
+
+@query(
+    "x_win_streak",
+    category="analytics",
+    oracle=(
+        "WITH d AS (SELECT DISTINCT user_id, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events), "
+        "r AS (SELECT user_id, day, day - row_number() OVER ("
+        "  PARTITION BY user_id ORDER BY day) AS island FROM d), "
+        "s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len, "
+        "  MIN(day) AS start_day FROM r GROUP BY 1, 2) "
+        "SELECT user_id, len AS longest_streak, start_day FROM ("
+        "  SELECT user_id, len, start_day, row_number() OVER ("
+        "    PARTITION BY user_id ORDER BY len DESC, start_day) AS rn FROM s) "
+        "WHERE rn = 1"
+    ),
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern (day minus rank is constant within a
+    consecutive run) that powers engagement-streak and uptime-run
+    analytics.  All bigint arithmetic: distinct activity days, island
+    key = day - row_number, per-island counts, earliest-start
+    tie-break on equal streak lengths.
+
+    Scale shape: one distinct projection to (user, day) — bounded by
+    users x days, not events — then one per-user sort feeding both the
+    island window and the final argmax; no self-join, no driver
+    iteration, identical plans at any partition count."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(wu)).alias("island")
+    )
+    s = r.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wbest = Window.partitionBy("user_id").orderBy(F.desc("len"), F.asc("start_day"))
+    return (
+        s.select("user_id", "len", "start_day", F.row_number().over(wbest).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "start_day")
+    )

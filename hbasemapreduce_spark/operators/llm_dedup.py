@@ -493,3 +493,58 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_batch_copies"))
         .select(F.md5("norm").alias("norm_hash"), "keep_id", "n_batch_copies")
     )
+
+
+_PARA_MIN_DOCS = 3  # a span seen in >= 3 docs is boilerplate
+
+
+@query(
+    "x_dedup_paragraph",
+    category="llm_dedup",
+    oracle=(
+        "WITH paras AS (SELECT doc_id, unnest(string_split(text, '. ')) AS para "
+        "               FROM documents), "
+        "clean AS (SELECT doc_id, trim(para) AS para FROM paras "
+        "          WHERE trim(para) <> ''), "
+        "pdocs AS (SELECT para, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "          FROM clean GROUP BY 1), "
+        f"boiler AS (SELECT para FROM pdocs WHERE n_docs >= {_PARA_MIN_DOCS}) "
+        "SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras, "
+        "  CAST(COUNT(*) FILTER (WHERE b.para IS NOT NULL) AS BIGINT) AS n_boiler "
+        "FROM clean c LEFT JOIN boiler b ON c.para = b.para "
+        "GROUP BY 1"
+    ),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal (the C4 cleaning rule:
+    discard spans seen in multiple documents — cookie banners, license
+    headers, navigation text survive whole-document dedup because the
+    surrounding text differs).  Documents split on sentence boundaries;
+    a span appearing in >= 3 DISTINCT docs is boilerplate; output is
+    each doc's span count and boilerplate count — the removal mask a
+    curation pipeline applies before training.
+
+    Scale shape: one explode -> one (span -> distinct-doc-count) hash
+    aggregate (output bounded by distinct spans, with the usual
+    hash-the-span-key trick at 100 TB) -> one equi-join back.  The
+    same shape as dedup_exact, one level finer."""
+    paras = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", "\\. ")).alias("para"))
+        .select("doc_id", F.trim("para").alias("para"))
+        .filter(F.col("para") != "")
+    )
+    boiler = (
+        paras.groupBy("para")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _PARA_MIN_DOCS)
+        .select("para", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        paras.join(boiler, "para", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count(F.when(F.col("is_boiler").isNotNull(), 1)).alias("n_boiler"),
+        )
+    )

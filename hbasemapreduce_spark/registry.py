@@ -294,6 +294,8 @@ _R6_BACKLOG = [
     "x_win_cume_dist",
     "x_etl_backfill",
     "x_text_bpe_apply",
+    "x_dedup_paragraph",
+    "x_win_streak",
 ]
 
 

