@@ -806,3 +806,57 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("len").alias("longest_streak"), "start_day")
     )
+
+
+@query(
+    "x_win_drawdown",
+    category="analytics",
+    oracle=(
+        "WITH e AS (SELECT user_id, ts, event_id, "
+        "  CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) "
+        "       ELSE -CAST(value AS DECIMAL(18,2)) END AS v FROM events), "
+        "c AS (SELECT user_id, ts, event_id, SUM(v) OVER w AS cum FROM e "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "p AS (SELECT user_id, cum, MAX(cum) OVER w AS peak FROM c "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT user_id, CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown, "
+        "  CAST(MAX(peak) AS DOUBLE) AS peak_value "
+        "FROM p GROUP BY 1"
+    ),
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's NET cumulative flow (purchases
+    credit, every other event debits its value) — the largest
+    peak-to-trough drop, the risk metric every monitored cumulative
+    KPI (net revenue, token budget, quota burn-down) inherits from
+    finance.  Two CHAINED window passes over one sort: running sum,
+    then running max of that sum; drawdown = peak - cum, maximized per
+    user.  A single-signed series would make this degenerate (monotone
+    cumsum, drawdown identically 0) — the net-flow spec is what makes
+    the metric informative.
+
+    Exactness: the running sums are DECIMAL(18,2) — exact at every
+    prefix, so peak and trough are exact and the final double casts
+    are single conversions; a float running sum would drift from the
+    oracle after ~1e5 rows.  Scale shape: ONE shuffle (partition by
+    user), both windows share the same sort order so Spark plans a
+    single Exchange+Sort, then a per-user aggregate."""
+    v = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+    ).otherwise(-F.col("value").cast("decimal(18,2)"))
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", v.alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.select("user_id", "ts", "event_id", F.sum("v").over(w).alias("cum"))
+    p = c.select("user_id", "cum", F.max("cum").over(w).alias("peak"))
+    return p.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )

@@ -297,6 +297,7 @@ _R6_BACKLOG = [
     "x_dedup_paragraph",
     "x_win_streak",
     "x_graph_modularity",
+    "x_win_drawdown",
 ]
 
 

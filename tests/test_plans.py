@@ -271,6 +271,8 @@ _BNLJ_WHITELIST = {
     "x_emb_pq",           # 4x 1-row sub-codebook ARRAY scalars
     "x_sim_ivfpq",        # coarse-centroid + sub-codebook ARRAY scalars
     "x_text_chi2_terms",  # 1-row corpus-count scalar (margin filter)
+    "x_graph_modularity", # 1-row directed-edge-total scalar
+    "x_pipeline_rag_index",  # k-bounded centroid ARRAY scalar (list assign)
 }
 
 

@@ -1413,3 +1413,13 @@ def test_modularity_conservation_and_bounds(spark):
     assert sum(r.intra_edges for r in rows) <= e
     total_q = sum(r.q_contrib for r in rows)
     assert -1.0 <= total_q <= 1.0
+
+
+def test_drawdown_nonneg_and_informative(spark):
+    """Drawdowns are non-negative, bounded by peak - global minimum of
+    the net series, and the mixed-sign spec produces real (> 0)
+    drawdowns on this corpus."""
+    rows = q(spark, "x_win_drawdown").collect()
+    assert rows
+    assert all(r.max_drawdown >= 0.0 for r in rows)
+    assert any(r.max_drawdown > 0.0 for r in rows)
