@@ -515,3 +515,69 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("q_contrib"),
         )
     )
+
+
+_KCORE_K = 3  # core order
+_KCORE_ROUNDS = 3  # fixed peel rounds (static plan; see docstring)
+
+
+def _kcore_round_sql(i: int, k: int = _KCORE_K) -> str:
+    """One unrolled peel round as DuckDB CTEs: degree census on the
+    current edge set -> keep nodes with deg >= k -> restrict edges to
+    kept endpoints on BOTH sides."""
+    j = i + 1
+    return (
+        f"d{i} AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        f"  FROM e{i} GROUP BY 1), "
+        f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}), "
+        f"e{j} AS (SELECT e.src, e.dst FROM e{i} e "
+        f"  JOIN k{i} a ON e.src = a.node JOIN k{i} b ON e.dst = b.node)"
+    )
+
+
+@query(
+    "x_graph_kcore",
+    category="graphs",
+    oracle=(
+        _EDGE_SQL
+        + ", e0 AS (SELECT src, dst FROM edges), "
+        + ", ".join(_kcore_round_sql(i) for i in range(_KCORE_ROUNDS))
+        + f", df AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        f"  FROM e{_KCORE_ROUNDS} GROUP BY 1) "
+        f"SELECT node, deg FROM df WHERE deg >= {_KCORE_K}"
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 3-core of the co-purchase graph via THREE unrolled
+    peeling rounds — each round drops every node whose degree in the
+    CURRENT subgraph is < k and restricts the edge set to surviving
+    endpoints; output = surviving nodes with their subgraph degree.
+    Fixed round count keeps the plan static (exact k-core peels to a
+    fixed point; three rounds converge on this graph — asserted by the
+    idempotence property test — and production would loop with the
+    x_dedup_clusters driver-side convergence check).
+
+    Scale shape per round: one degree hash-aggregate (map-side
+    partials, one row per node) + two semi-join-shaped equi-joins of
+    the edge list against the kept-node set — never materializes
+    anything bigger than the edge list, and the edge list only
+    SHRINKS.  Lazy localCheckpoint per round stops round r from
+    re-running rounds 0..r-1 (the x_dedup_clusters discipline).
+
+    Everything is integer counts — fully hash-checkable."""
+    e = _undirected_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= _KCORE_K)
+        .select("node", "deg")
+    )

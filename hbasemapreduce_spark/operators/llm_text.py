@@ -332,31 +332,36 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["scan", "join", "filter"]
 
+# CTE chain ending in the ranked BM25 top-20 list ``bm25ranked`` (doc_id,
+# score, rnk) — shared between x_rank_bm25's oracle and x_rank_rrf's
+# (which fuses it with a dense ranking).
+BM25_RANKED_SQL = (
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+    "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1), "
+    "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+    "       WHERE term IN ('scan','join','filter') GROUP BY 1, 2), "
+    "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "scored AS ("
+    "  SELECT tf.doc_id, "
+    "    CAST((CAST(s.n_docs AS DOUBLE) - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) "
+    "      * (tf.tf * 2.2::DOUBLE) "
+    "      / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl)) "
+    "      AS DECIMAL(18,6)) AS term_score "
+    "  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s), "
+    "agg AS (SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score "
+    "        FROM scored GROUP BY 1), "
+    "bm25ranked AS (SELECT doc_id, score, rnk FROM ("
+    "  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg) "
+    "WHERE rnk <= 20)"
+)
+
 
 @query(
     "x_rank_bm25",
     category="llm_text",
-    oracle=(
-        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
-        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1), "
-        "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), "
-        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
-        "       WHERE term IN ('scan','join','filter') GROUP BY 1, 2), "
-        "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
-        "scored AS ("
-        "  SELECT tf.doc_id, "
-        "    CAST((CAST(s.n_docs AS DOUBLE) - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) "
-        "      * (tf.tf * 2.2::DOUBLE) "
-        "      / (tf.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl)) "
-        "      AS DECIMAL(18,6)) AS term_score "
-        "  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s), "
-        "agg AS (SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score "
-        "        FROM scored GROUP BY 1) "
-        "SELECT doc_id, score, rnk FROM ("
-        "  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg) "
-        "WHERE rnk <= 20"
-    ),
+    oracle=("WITH " + BM25_RANKED_SQL + " SELECT doc_id, score, rnk FROM bm25ranked"),
 )
 def rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the documents table (k1=1.2, b=0.75) with a
@@ -727,4 +732,187 @@ def text_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select("lang", "term", "df_in", "df_out", chi2.alias("chi2"))
         .select("lang", "term", "df_in", "df_out", "chi2", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 10)
+    )
+
+
+_COLL_MIN_COUNT = 5  # bigram support floor
+_COLL_TOPN = 30
+
+
+@query(
+    "x_text_collocations",
+    category="llm_text",
+    oracle=(
+        "WITH al AS (SELECT doc_id, "
+        "  list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents), "
+        "ex AS (SELECT a[i] AS w1, a[i + 1] AS w2 "
+        "       FROM al, unnest(range(1, len(a))) AS t(i)), "
+        "uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM "
+        "        (SELECT unnest(a) AS tok FROM al) GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni), "
+        "big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM ex GROUP BY 1, 2), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM ex), "
+        "scored AS ("
+        f"  SELECT b.w1, b.w2, b.c_xy, "
+        "    ((10000 * b.c_xy * t.n_tok) // (nb.n_big * u1.c)) * t.n_tok // u2.c "
+        "    AS lift_bp "
+        "  FROM big b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok "
+        f"  CROSS JOIN tot t CROSS JOIN nb WHERE b.c_xy >= {_COLL_MIN_COUNT}) "
+        "SELECT w1, w2, c_xy, lift_bp, rnk FROM ("
+        "  SELECT w1, w2, c_xy, lift_bp, row_number() OVER ("
+        "    ORDER BY lift_bp DESC, w1, w2) AS rnk FROM scored) "
+        f"WHERE rnk <= {_COLL_TOPN}"
+    ),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-bigram lift (the exp(PMI) rational,
+    in basis points) over the corpus, top-30 — the 'new york' /
+    'machine learning' detector every tokenizer-vocabulary and
+    phrase-mining pass runs before training.
+
+    lift = P(xy) / (P(x)P(y)) = c_xy * N_tok^2 / (N_big * c_x * c_y);
+    log(lift) is PMI, and log is monotone, so ranking on lift IS
+    ranking on PMI while staying transcendental-free (the x_rank_bm25
+    discipline).  The rational is evaluated as a STAGED integer floor
+    division — (10^4 * c_xy * N_tok // (N_big * c_x)) * N_tok // c_y —
+    so every intermediate stays far inside bigint at any corpus size
+    where counts fit bigint, and both engines floor identical positive
+    operands (Spark DIV truncates, DuckDB // floors; equal on
+    non-negatives).
+
+    Scale shape: bigrams come from zip_with over the token array —
+    ZERO shuffle to generate; then three hash aggregates (bigram
+    counts, unigram counts, two scalar totals) and a scored join whose
+    left side is already support-filtered (c_xy >= 5 prunes the long
+    tail BEFORE the unigram joins).  The totals are 1-row broadcasts;
+    the unigram table joins as a dictionary — at 100 TB this is the
+    canonical two-level agg + dictionary-join plan, no all-pairs
+    anywhere."""
+    al = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("a"),
+    )
+    n = F.size("a")
+    ex = al.select(
+        F.explode(
+            F.zip_with(
+                F.slice("a", 1, n - 1),
+                F.slice("a", 2, n - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        al.select(F.explode("a").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    nb = ex.agg(F.count("*").alias("n_big"))
+    lift_bp = F.expr(
+        "((10000 * c_xy * n_tok) DIV (n_big * c1)) * n_tok DIV c2"
+    )
+    scored = (
+        big.filter(F.col("c_xy") >= _COLL_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c_xy", lift_bp.alias("lift_bp"))
+    )
+    w = Window.orderBy(F.desc("lift_bp"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.select("w1", "w2", "c_xy", "lift_bp", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _COLL_TOPN)
+    )
+
+
+_RRF_K = 60  # the standard RRF smoothing constant
+_RRF_TOPN = 20
+
+
+@query(
+    "x_rank_rrf",
+    category="llm_text",
+    oracle=(
+        "WITH " + BM25_RANKED_SQL + ", "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0), "
+        "dsc AS (SELECT e.vec_id AS doc_id, "
+        "        round(list_cosine_similarity(e.emb, q.q_emb), 6) AS sim "
+        "        FROM e CROSS JOIN q WHERE e.vec_id <> 0), "
+        "dr AS (SELECT doc_id, rnk_dense FROM ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk_dense "
+        f"  FROM dsc) WHERE rnk_dense <= {_RRF_TOPN}), "
+        "fused AS (SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, "
+        "  s.rnk AS rnk_sparse, d.rnk_dense, "
+        f"  CAST(COALESCE(1000000000 // (60 + s.rnk), 0) "
+        f"     + COALESCE(1000000000 // (60 + d.rnk_dense), 0) AS BIGINT) AS rrf_ppb "
+        "  FROM bm25ranked s FULL OUTER JOIN dr d ON s.doc_id = d.doc_id) "
+        "SELECT doc_id, rnk_sparse, rnk_dense, rrf_ppb, "
+        "row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS fused_rnk FROM fused"
+    ),
+)
+def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 top-20
+    (sparse, x_rank_bm25's exact list) fused with a dense cosine top-20
+    against the query embedding (vec_id 0, excluded from its own
+    result), RRF score = sum over lists of 1/(60 + rank) — the
+    standard two-tower + lexical union every RAG stack ships.
+
+    Determinism: ranks are integers, and the RRF score is computed in
+    PARTS-PER-BILLION integer arithmetic — 10^9 // (60 + rank) — so
+    fusion never touches a float; a list that misses a doc contributes
+    COALESCE 0, and the fused ordering tie-breaks on doc_id.  Both
+    engines divide identical positive integers.
+
+    Scale shape: both arms are already top-k-bounded retrieval
+    pipelines (BM25's dictionary-pushdown aggregate; one corpus scan of
+    |Q|=1 cosines with a rank-20 cut), so the fusion itself is a FULL
+    OUTER JOIN of two 20-row lists — driver-trivial at any corpus
+    size; the corpus-sized work is exactly the two arms, each
+    independently scale-audited under its own key."""
+    from ..functions.vectors import cosine
+
+    sparse = rank_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("rnk_sparse")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    dsc = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("emb"), F.col("q_emb")), 6).alias("sim"),
+        )
+    )
+    wd = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    dense = (
+        dsc.select("doc_id", F.row_number().over(wd).alias("rnk_dense"))
+        .filter(F.col("rnk_dense") <= _RRF_TOPN)
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "rnk_sparse",
+        "rnk_dense",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 DIV ({_RRF_K} + rnk_sparse)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 DIV ({_RRF_K} + rnk_dense)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_ppb"),
+    )
+    wf = Window.orderBy(F.desc("rrf_ppb"), F.asc("doc_id"))
+    return fused.select(
+        "doc_id",
+        "rnk_sparse",
+        "rnk_dense",
+        "rrf_ppb",
+        F.row_number().over(wf).alias("fused_rnk"),
     )

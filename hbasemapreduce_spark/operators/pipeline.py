@@ -1014,3 +1014,57 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "x_data_mixture",
+    category="pipeline",
+    oracle=(
+        "WITH d AS (SELECT source, "
+        "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+        "  AS n_toks FROM documents), "
+        "per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "        CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens, "
+        "        CAST(COUNT(*) AS BIGINT) AS n_src FROM per) "
+        "SELECT source, n_docs, n_tokens, "
+        "  1000000 * n_tokens // t_tokens AS share_ppm, "
+        "  ((t_tokens // n_src) * 10000) // n_tokens AS repeat_bp "
+        "FROM per CROSS JOIN tot"
+    ),
+)
+def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture readout: per-source token census plus the two
+    numbers a pretraining mixture rebalance needs — the source's share
+    of the corpus (ppm) and the repeat factor (basis points) that would
+    equalize every source's token contribution (epochs-per-source
+    against the uniform target, the deterministic core of
+    temperature-style mixture reweighting; a non-uniform target just
+    swaps the t_tokens // n_src numerator for a per-source budget).
+
+    All integer arithmetic: shares are 10^6-scaled floor divisions,
+    repeat factors 10^4-scaled, identical positive-operand semantics in
+    both engines.
+
+    Scale shape: ONE corpus scan feeding a per-source hash aggregate
+    (map-side partials; |sources| output rows at any corpus size), and
+    the corpus total is a 1-row broadcast joined back — the same tiny
+    dim-cross shape as x_shard_manifest.  Nothing downstream of the
+    scan depends on corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long").alias("n_toks"),
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("t_tokens"), F.count("*").alias("n_src")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("1000000 * n_tokens DIV t_tokens").alias("share_ppm"),
+        F.expr("((t_tokens DIV n_src) * 10000) DIV n_tokens").alias("repeat_bp"),
+    )

@@ -298,6 +298,10 @@ _R6_BACKLOG = [
     "x_win_streak",
     "x_graph_modularity",
     "x_win_drawdown",
+    "x_graph_kcore",
+    "x_text_collocations",
+    "x_rank_rrf",
+    "x_data_mixture",
 ]
 
 

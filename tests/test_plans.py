@@ -273,6 +273,9 @@ _BNLJ_WHITELIST = {
     "x_text_chi2_terms",  # 1-row corpus-count scalar (margin filter)
     "x_graph_modularity", # 1-row directed-edge-total scalar
     "x_pipeline_rag_index",  # k-bounded centroid ARRAY scalar (list assign)
+    "x_text_collocations",  # 2x 1-row corpus-total scalars (n_tok, n_big)
+    "x_rank_rrf",         # 1-row query-embedding scalar (dense arm)
+    "x_data_mixture",     # 1-row corpus-total scalar (t_tokens, n_src)
 }
 
 

@@ -1423,3 +1423,84 @@ def test_drawdown_nonneg_and_informative(spark):
     assert rows
     assert all(r.max_drawdown >= 0.0 for r in rows)
     assert any(r.max_drawdown > 0.0 for r in rows)
+
+
+def test_kcore_idempotent_and_degree_bounded(spark):
+    # A 4th peel round must be a no-op (the 3 unrolled rounds reached the
+    # fixed point on this graph), and every survivor keeps deg >= k in the
+    # ORIGINAL graph (peeling only removes edges).
+    from hbasemapreduce_spark.operators.graphs import (
+        _KCORE_K,
+        _undirected_edges,
+    )
+
+    core = q(spark, "x_graph_kcore")
+    rows = {r.node: r.deg for r in core.collect()}
+    assert rows, "3-core should be non-empty on the sf0.001 graph"
+    assert all(d >= _KCORE_K for d in rows.values())
+    full_deg = {
+        r.node: r.deg
+        for r in _undirected_edges(spark, SF_DIR)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .collect()
+    }
+    assert all(rows[n] <= full_deg[n] for n in rows)
+    # fixed point: peeling the reported core again removes nothing
+    node_set = set(rows)
+    edges = _undirected_edges(spark, SF_DIR).collect()
+    sub = [(e.src, e.dst) for e in edges if e.src in node_set and e.dst in node_set]
+    from collections import Counter
+
+    deg_in_core = Counter(s for s, _ in sub)
+    assert all(deg_in_core[n] >= _KCORE_K for n in node_set)
+    assert rows == dict(deg_in_core)
+
+
+def test_collocations_lift_consistent_with_counts(spark):
+    # Recompute each reported bigram's staged-rational lift from raw corpus
+    # counts and check the reported value and support floor.
+    out = q(spark, "x_text_collocations").collect()
+    assert out and all(r.c_xy >= 5 for r in out)
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    toks = [[t for t in d.text.split(" ") if t] for d in docs]
+    from collections import Counter
+
+    uni = Counter(t for ts in toks for t in ts)
+    big = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    n_tok = sum(uni.values())
+    n_big = sum(big.values())
+    for r in out:
+        expect = ((10000 * big[(r.w1, r.w2)] * n_tok) // (n_big * uni[r.w1])) * n_tok // uni[r.w2]
+        assert r.lift_bp == expect and r.c_xy == big[(r.w1, r.w2)]
+
+
+def test_rrf_fusion_is_exactly_the_two_arms(spark):
+    fused = q(spark, "x_rank_rrf").collect()
+    sparse = {r.doc_id: r.rnk for r in q(spark, "x_rank_bm25").collect()}
+    fused_sparse = {r.doc_id: r.rnk_sparse for r in fused if r.rnk_sparse is not None}
+    assert fused_sparse == sparse  # sparse arm embeds verbatim
+    for r in fused:
+        assert r.rnk_sparse is not None or r.rnk_dense is not None
+        expect = 0
+        if r.rnk_sparse is not None:
+            expect += 1_000_000_000 // (60 + r.rnk_sparse)
+        if r.rnk_dense is not None:
+            expect += 1_000_000_000 // (60 + r.rnk_dense)
+        assert r.rrf_ppb == expect
+    # fused ranking is the (rrf desc, doc_id) total order
+    ordered = sorted(fused, key=lambda r: (-r.rrf_ppb, r.doc_id))
+    assert [r.fused_rnk for r in ordered] == list(range(1, len(fused) + 1))
+
+
+def test_data_mixture_conserves_corpus(spark):
+    out = q(spark, "x_data_mixture").collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in out) == n_docs
+    total = sum(r.n_tokens for r in out)
+    # floor-division shares undershoot by < 1 ppm per source
+    assert total > 0 and 1_000_000 - len(out) <= sum(r.share_ppm for r in out) <= 1_000_000
+    for r in out:
+        assert r.repeat_bp > 0
+        # repeat factor ~ uniform target / own tokens (floor-staged)
+        assert r.repeat_bp == ((total // len(out)) * 10000) // r.n_tokens
