@@ -519,6 +519,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 3  # core order
 _KCORE_ROUNDS = 3  # fixed peel rounds (static plan; see docstring)
+_KCORE_SUPPORT = 2  # sparser edge threshold keeps the 3-core populated at every sf
 
 
 def _kcore_round_sql(i: int, k: int = _KCORE_K) -> str:
@@ -539,7 +540,7 @@ def _kcore_round_sql(i: int, k: int = _KCORE_K) -> str:
     "x_graph_kcore",
     category="graphs",
     oracle=(
-        _EDGE_SQL
+        _edge_sql(_KCORE_SUPPORT)
         + ", e0 AS (SELECT src, dst FROM edges), "
         + ", ".join(_kcore_round_sql(i) for i in range(_KCORE_ROUNDS))
         + f", df AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
@@ -565,7 +566,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running rounds 0..r-1 (the x_dedup_clusters discipline).
 
     Everything is integer counts — fully hash-checkable."""
-    e = _undirected_edges(spark, sf_dir)
+    e = _undirected_edges(spark, sf_dir, _KCORE_SUPPORT)
     for _ in range(_KCORE_ROUNDS):
         deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")

@@ -1431,6 +1431,7 @@ def test_kcore_idempotent_and_degree_bounded(spark):
     # ORIGINAL graph (peeling only removes edges).
     from hbasemapreduce_spark.operators.graphs import (
         _KCORE_K,
+        _KCORE_SUPPORT,
         _undirected_edges,
     )
 
@@ -1440,7 +1441,7 @@ def test_kcore_idempotent_and_degree_bounded(spark):
     assert all(d >= _KCORE_K for d in rows.values())
     full_deg = {
         r.node: r.deg
-        for r in _undirected_edges(spark, SF_DIR)
+        for r in _undirected_edges(spark, SF_DIR, _KCORE_SUPPORT)
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("deg"))
         .collect()
@@ -1448,7 +1449,7 @@ def test_kcore_idempotent_and_degree_bounded(spark):
     assert all(rows[n] <= full_deg[n] for n in rows)
     # fixed point: peeling the reported core again removes nothing
     node_set = set(rows)
-    edges = _undirected_edges(spark, SF_DIR).collect()
+    edges = _undirected_edges(spark, SF_DIR, _KCORE_SUPPORT).collect()
     sub = [(e.src, e.dst) for e in edges if e.src in node_set and e.dst in node_set]
     from collections import Counter
 
