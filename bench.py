@@ -84,7 +84,31 @@ def io_probe(scratch: str = _SCRATCH, probe_mib: int = 16) -> dict:
         "write_mbps": round(probe_mib / max(w_sec, 1e-9), 1),
         "read_mbps": round(probe_mib / max(r_sec, 1e-9), 1),
         "load1": round(os.getloadavg()[0], 1),
+        "cpu_probe_sec": cpu_probe(),
     }
+
+
+def cpu_probe() -> float:
+    """Fixed CPU workload (seconds, lower = faster box): one 1200x1200
+    float64 matmul + a 2M-iteration pure-Python loop.  Round-5 finding:
+    the same commit measured ~2x slower wall-clock on a different
+    builder VM with IDENTICAL io probes — per-query timings can only be
+    compared across rounds after normalizing by a box-speed constant,
+    which this records in every BENCH_DETAIL/summary line."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random(2_000_000)
+    np.sort(a)  # fault pages before timing
+    best = float("inf")
+    for _ in range(3):  # min-of-3: robust to a transient noisy neighbour
+        t = time.perf_counter()
+        np.sort(a)  # single-threaded, cache-resident, deterministic
+        s = 0
+        for i in range(2_000_000):  # interpreter speed (pure Python)
+            s += i
+        best = min(best, time.perf_counter() - t)
+    return round(best, 3)
 
 
 def sink_split_probe(spark, sf_dir: str) -> dict:
@@ -235,6 +259,7 @@ def main() -> None:
         # plus the sink write-vs-read split — full probes in BENCH_DETAIL.
         "io_w_mbps": [probe_pre["write_mbps"], probe_post["write_mbps"]],
         "load1": [probe_pre["load1"], probe_post["load1"]],
+        "cpu_sec": [probe_pre["cpu_probe_sec"], probe_post["cpu_probe_sec"]],
         "sink_split": sink_split,
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -1014,12 +1014,20 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stats_ml import _assign, _collapse, kmeans_centroids
 
     e = _pq_micros_table(spark, sf_dir)
-    coarse = _collapse(kmeans_centroids(spark, sf_dir))
-    lasg = _assign(e, coarse).select("vec_id", F.col("cluster").alias("list_id"))
-    books = pq_codebooks(e)
-    codes = pq_encode(e, books).select(
-        "vec_id", *[f"code_{s}" for s in range(_PQ_M)]
+    coarse = _collapse(kmeans_centroids(spark, sf_dir, e)).localCheckpoint(
+        eager=False  # read by corpus assignment AND query-probe selection
     )
+    books = pq_codebooks(e)
+    # FUSED list-assign + PQ-encode: one corpus pass computes the coarse
+    # argmin AND the 4 sub-codes (all broadcast argmins), so the old
+    # corpus-sized lasg-codes equi-join disappears — at 100 TB that join
+    # was the plan's only full shuffle.
+    codes = pq_encode(
+        _assign(e, coarse).select(
+            "vec_id", "m", F.col("cluster").alias("list_id")
+        ),
+        books,
+    ).select("vec_id", "list_id", *[f"code_{s}" for s in range(_PQ_M)])
     # query probes: nprobe lists by exact integer L2, tie on cid
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("qm")
@@ -1062,8 +1070,7 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"tab_{s}", F.transform(F.col(f"cents_{s}"), lambda c: tab_entry(c))
         ).drop(f"cents_{s}")
     cand = (
-        lasg.join(codes, "vec_id")
-        .join(F.broadcast(tabs), "list_id")
+        codes.join(F.broadcast(tabs), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     adc = None

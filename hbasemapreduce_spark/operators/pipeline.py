@@ -1001,9 +1001,10 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks"))
         .filter(F.col("n_toks").between(20, 95))
     )
-    lasg = _assign(
-        _micros_table(spark, sf_dir), _collapse(kmeans_centroids(spark, sf_dir))
-    ).select(F.col("vec_id").alias("doc_id"), F.col("cluster").alias("list_id"))
+    em = _micros_table(spark, sf_dir)
+    lasg = _assign(em, _collapse(kmeans_centroids(spark, sf_dir, em))).select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster").alias("list_id")
+    )
     return (
         gated.join(lasg, "doc_id")
         .groupBy("list_id")

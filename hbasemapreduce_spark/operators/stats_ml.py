@@ -430,12 +430,21 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """The trained centroid table after one full Lloyd round — (cid,
     cm: offset-micros array<long>), the Spark twin of KMEANS_CENT_SQL's
     ``c1``.  Consumed by x_ml_kmeans's second assignment pass and by
-    x_sim_ivf_kmeans's probe (llm_similarity.py)."""
-    e = _micros_table(spark, sf_dir)
+    x_sim_ivf_kmeans's probe (llm_similarity.py).
+
+    Callers that already hold the micros table pass it via ``e`` so the
+    load+transform+checkpoint isn't built twice; the k-row result is
+    lazily localCheckpointed because every consumer broadcasts it at
+    least once more (each broadcast would otherwise re-run the whole
+    Lloyd round)."""
+    if e is None:
+        e = _micros_table(spark, sf_dir)
     c0 = _collapse(
         e.filter(F.col("vec_id") < _KM_K).select(
             F.col("vec_id").alias("cid"), F.col("m").alias("cm")
@@ -453,6 +462,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster").alias("cid"),
             F.transform("ivs", lambda s: s["c"]).alias("cm"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -500,7 +510,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_clusters pattern).  Init = the k lowest vec_ids, the
     deterministic stand-in for k-means|| sampling."""
     e = _micros_table(spark, sf_dir)
-    c1 = _collapse(kmeans_centroids(spark, sf_dir))
+    c1 = _collapse(kmeans_centroids(spark, sf_dir, e))
     return _assign(e, c1).select("vec_id", "cluster", "d2")
 
 
@@ -856,7 +866,14 @@ def pq_codebooks(e: DataFrame) -> list:
                 F.transform("ivs", lambda st: st["c"]).alias("cm"),
             )
         )
-        collapsed.append(_collapse(c1).select(F.col("cents").alias(f"cents_{s}")))
+        collapsed.append(
+            _collapse(c1)
+            .select(F.col("cents").alias(f"cents_{s}"))
+            # each codebook is broadcast by every consumer (encode + the
+            # IVF-PQ distance tables) — checkpoint the 1-row scalar so a
+            # second broadcast doesn't re-run the subspace Lloyd round
+            .localCheckpoint(eager=False)
+        )
     return collapsed
 
 
