@@ -860,3 +860,79 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_value"),
     )
+
+
+def _skew_col_sql(col: str) -> str:
+    """One key column's skew profile as a self-contained SELECT (CTE-free
+    so two columns UNION ALL cleanly)."""
+    return (
+        "SELECT * FROM ("
+        f"  WITH c AS (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"             FROM lineitem GROUP BY 1), "
+        "    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "          CAST(SUM(cnt) AS BIGINT) AS n_rows, "
+        "          CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c), "
+        "    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM ("
+        "      SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10)) "
+        f"  SELECT '{col}' AS col, n_rows, n_keys, max_cnt, "
+        "    (max_cnt * n_keys * 100) // n_rows AS skew_x100, "
+        "    1000000 * top10_rows // n_rows AS top10_ppm "
+        "  FROM s CROSS JOIN t)"
+    )
+
+
+@query(
+    "x_profile_skew",
+    category="analytics",
+    oracle=(_skew_col_sql("l_partkey") + " UNION ALL " + _skew_col_sql("l_suppkey")),
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the audit a 100 TB pipeline runs
+    BEFORE choosing a join strategy: per candidate key column, total
+    rows, distinct keys, the hottest key's row count, the max/mean
+    ratio (x100 — 100 means perfectly uniform; AQE skew-join or salting
+    territory starts around 500+), and the share of rows owned by the
+    10 hottest keys (ppm).  Hot-key share is exactly what decides
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (x_join_salted ships the remedy; this ships the detector).
+
+    Scale shape: ONE fact scan exploded to (col, key) pairs — both key
+    columns profiled in a single pass, the multi-column ANALYZE trick —
+    then a (col, key) hash aggregate (map-side partials; output bounded
+    by total distinct keys), a |cols|-row stats aggregate, and a
+    rank-10 window on the per-key counts.  All integer arithmetic."""
+    kv = load_table(spark, sf_dir, "lineitem").select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_partkey").alias("col"),
+                    F.col("l_partkey").cast("long").alias("k"),
+                ),
+                F.struct(
+                    F.lit("l_suppkey").alias("col"),
+                    F.col("l_suppkey").cast("long").alias("k"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.col", "e.k")
+    cnts = kv.groupBy("col", "k").agg(F.count("*").alias("cnt"))
+    stats = cnts.groupBy("col").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("k"))
+    top10 = (
+        cnts.select("col", "cnt", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .groupBy("col")
+        .agg(F.sum("cnt").alias("top10_rows"))
+    )
+    return stats.join(F.broadcast(top10), "col").select(
+        "col",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.expr("(max_cnt * n_keys * 100) DIV n_rows").alias("skew_x100"),
+        F.expr("1000000 * top10_rows DIV n_rows").alias("top10_ppm"),
+    )

@@ -131,7 +131,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes cannot exist (edges are symmetrized, outdeg >= 1), so no
     mass-redistribution term is needed.  Truncation drift from DIV is
     deterministic and identical in both engines."""
-    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _undirected_edges(spark, sf_dir)
     return pagerank_integer(edges)
 
 
@@ -207,7 +207,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower degree; same plan, different orientation key).  All three
     relations are counted in one pass each; nothing is ever collected.
     """
-    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _undirected_edges(spark, sf_dir)
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).localCheckpoint(eager=False)  # read by 4 census branches below
@@ -284,7 +284,13 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list on src + two bounded hash aggregates ((node, lbl) counts,
     then the per-node argmax) — the same join-aggregate skeleton as
     PageRank, so the same skew/AQE story applies."""
-    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    return label_prop_core(_undirected_edges(spark, sf_dir))
+
+
+def label_prop_core(edges: DataFrame) -> DataFrame:
+    """2 synchronous LPA rounds over an already-checkpointed edge list
+    — shared by x_graph_label_prop and x_graph_modularity so the judge
+    query doesn't rebuild the edge self-join a second time."""
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -352,9 +358,7 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (3), so the unrolled plan is static; unreached nodes simply
     never appear, no infinity sentinel needed.  MIN is idempotent and
     order-independent — bit-identical at any partition count."""
-    edges = _undirected_edges(spark, sf_dir, _BFS_SUPPORT).localCheckpoint(
-        eager=False
-    )
+    edges = _undirected_edges(spark, sf_dir, _BFS_SUPPORT)
     dist = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -478,8 +482,8 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints) for intra counts and one join-aggregate for degree
     sums — the node-iterator budget; the totals row is a broadcast
     scalar."""
-    edges = _undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
-    labels = graph_label_prop(spark, sf_dir).select(
+    edges = _undirected_edges(spark, sf_dir)
+    labels = label_prop_core(edges).select(
         F.col("node"), F.col("community").alias("lbl")
     ).localCheckpoint(eager=False)
     etot = edges.agg(F.count("*").alias("e"))

@@ -548,3 +548,145 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("is_boiler").isNotNull(), 1)).alias("n_boiler"),
         )
     )
+
+
+_BLOOM_M = 65536  # bit positions
+_BLOOM_J = 3  # hash functions (Kirsch-Mitzenmacher double hashing)
+
+
+def _hex6_sql(expr: str, off: int) -> str:
+    """6 hex chars of ``expr`` starting at 1-based ``off``, parsed to a
+    BIGINT — DuckDB has no base-16 conv(), so spell out the digits; the
+    Spark twin uses conv(substr, 16, 10) over the same characters."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {off + i}, 1)) - 1) "
+        f"* {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return "CAST(" + terms + " AS BIGINT)"
+
+
+@query(
+    "x_filter_bloom",
+    category="llm_dedup",
+    oracle=(
+        f"WITH tagged AS (SELECT doc_id, "
+        "  array_to_string((string_split(lower(trim(text)), ' '))[1:16], ' ') AS norm, "
+        f"  (doc_id * {_INC_KNUTH}) % 10 < 8 AS in_base FROM documents), "
+        "sig AS (SELECT doc_id, norm, in_base, md5(norm) AS h FROM tagged), "
+        f"hv AS (SELECT doc_id, norm, in_base, {_hex6_sql('h', 1)} AS v1, "
+        f"  {_hex6_sql('h', 7)} AS v2 FROM sig), "
+        f"bits AS (SELECT DISTINCT (v1 + t.i * v2) % {_BLOOM_M} AS pos "
+        f"  FROM hv, unnest(range(0, {_BLOOM_J})) AS t(i) WHERE in_base), "
+        "basen AS (SELECT DISTINCT norm FROM tagged WHERE in_base), "
+        "dm AS (SELECT d.doc_id, "
+        + " AND ".join(
+            f"((d.v1 + {i} * d.v2) % {_BLOOM_M}) IN (SELECT pos FROM bits)"
+            for i in range(_BLOOM_J)
+        )
+        + " AS maybe, "
+        "  d.norm IN (SELECT norm FROM basen) AS is_dup "
+        "  FROM hv d WHERE NOT d.in_base) "
+        "SELECT CAST((SELECT COUNT(*) FROM basen) AS BIGINT) AS n_base_norms, "
+        "  CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_delta, "
+        "  CAST(COUNT(*) FILTER (WHERE NOT maybe) AS BIGINT) AS n_definite_new, "
+        "  CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS n_maybe, "
+        "  CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_true_dup, "
+        "  CAST(COUNT(*) FILTER (WHERE maybe AND NOT is_dup) AS BIGINT) AS n_false_pos "
+        "FROM dm"
+    ),
+)
+def filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter audit for incremental dedup: build a 65536-bit
+    Bloom filter (3 double-hashed positions per key, Kirsch-Mitzenmacher)
+    over the curated base's 16-token-prefix signatures (x_dedup_prefix's
+    boilerplate key — the full-norm key has no cross-batch collisions on
+    this corpus below sf0.1, which would leave the true-dup branch
+    untested), stream the delta batch through it, and report the
+    triage — definite-new rows (skip
+    the anti-join entirely), maybe-present rows (the only rows that
+    shuffle), true duplicates, and measured false positives.  This is
+    the detector+sizing audit for the Bloom pushdown that makes
+    x_dedup_incremental's cross-batch anti-join O(actual-dups) instead
+    of O(batch) at 100 TB (Spark itself applies the same idea as
+    runtime row-group Bloom pruning).
+
+    Determinism: positions derive from md5 hex parsed base-16 — Spark's
+    conv() and the oracle's spelled-out digit expansion read the SAME
+    characters — and every output is an exact integer count.
+
+    Scale shape: the bit SET is content-bounded (<= m=65536 rows ->
+    one collect_set into a broadcast ARRAY scalar); the delta pass is
+    then ZERO-shuffle membership tests (3 array_contains per row); only
+    the exact-membership audit joins, and only to label true dups for
+    the report."""
+    tagged = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 16), " "
+        ).alias("norm"),
+        (F.pmod(F.col("doc_id") * _INC_KNUTH, F.lit(10)) < 8).alias("in_base"),
+    )
+    h = F.md5("norm")
+    hv = tagged.select(
+        "doc_id",
+        "norm",
+        "in_base",
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring(h, 7, 6), 16, 10).cast("long").alias("v2"),
+    )
+    base = hv.filter("in_base")
+    bits = (
+        base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("v1") + i * F.col("v2"), F.lit(_BLOOM_M))
+                        for i in range(_BLOOM_J)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+    basen = base.select("norm").distinct()
+    base_stats = basen.agg(F.count("*").alias("n_base_norms"))
+    delta = hv.filter(~F.col("in_base"))
+    maybe = None
+    for i in range(_BLOOM_J):
+        t = F.array_contains(
+            F.col("bits"), F.pmod(F.col("v1") + i * F.col("v2"), F.lit(_BLOOM_M))
+        )
+        maybe = t if maybe is None else maybe & t
+    dm = (
+        delta.crossJoin(F.broadcast(bits))
+        .join(basen.select("norm", F.lit(1).alias("dup")), "norm", "left")
+        .select(
+            maybe.alias("maybe"),
+            F.col("dup").isNotNull().alias("is_dup"),
+            F.size("bits").alias("n_bits"),
+        )
+    )
+    return (
+        dm.agg(
+            F.count("*").alias("n_delta"),
+            F.count(F.when(~F.col("maybe"), 1)).alias("n_definite_new"),
+            F.count(F.when(F.col("maybe"), 1)).alias("n_maybe"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_true_dup"),
+            F.count(F.when(F.col("maybe") & ~F.col("is_dup"), 1)).alias(
+                "n_false_pos"
+            ),
+            F.max("n_bits").alias("n_bits_set"),
+        )
+        .crossJoin(F.broadcast(base_stats))
+        .select(
+            "n_base_norms",
+            F.col("n_bits_set").cast("long").alias("n_bits_set"),
+            "n_delta",
+            "n_definite_new",
+            "n_maybe",
+            "n_true_dup",
+            "n_false_pos",
+        )
+    )

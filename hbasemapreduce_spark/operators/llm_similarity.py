@@ -1116,3 +1116,72 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", "rnk", "d2")
     )
+
+
+@query(
+    "x_eval_ann_recall",
+    category="llm_sim",
+    oracle=(
+        # exact arm (brute-force top-5, sim_cosine_topk's definition)
+        "WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        f"bq AS (SELECT vec_id AS query_id, emb AS q_emb FROM be WHERE vec_id < {_N_QUERIES}), "
+        "bs AS (SELECT q.query_id, e.vec_id AS nid, "
+        "  round(list_cosine_similarity(q.q_emb, e.emb), 6) AS sim "
+        "  FROM be e CROSS JOIN bq q WHERE e.vec_id <> q.query_id), "
+        "bt AS (SELECT query_id, nid FROM (SELECT query_id, nid, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY sim DESC, nid) AS rn FROM bs) "
+        f"  WHERE rn <= {_K}), "
+        # approximate arm (x_sim_ivf's stride-centroid probe, verbatim)
+        f"icent AS (SELECT vec_id AS cent_id, emb AS c_emb FROM be WHERE vec_id % {_IVF_STRIDE} = 0), "
+        "iasg AS (SELECT vec_id, emb, cent_id FROM ("
+        "  SELECT e.vec_id, e.emb, c.cent_id, row_number() OVER ("
+        "    PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 6) DESC, c.cent_id) AS rn "
+        "  FROM be e CROSS JOIN icent c) WHERE rn = 1), "
+        "iqp AS (SELECT query_id, q_emb, cent_id FROM ("
+        "  SELECT q.query_id, q.q_emb, c.cent_id, row_number() OVER ("
+        "    PARTITION BY q.query_id ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 6) DESC, c.cent_id) AS pr "
+        f"  FROM bq q CROSS JOIN icent c) WHERE pr <= {_NPROBE}), "
+        "icand AS (SELECT p.query_id, a.vec_id AS nid, "
+        "  round(list_cosine_similarity(p.q_emb, a.emb), 6) AS sim "
+        "  FROM iasg a JOIN iqp p USING (cent_id) WHERE a.vec_id <> p.query_id), "
+        "irk AS (SELECT query_id, nid FROM (SELECT query_id, nid, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY sim DESC, nid) AS rnk FROM icand) "
+        f"  WHERE rnk <= {_K}), "
+        # fuse: recall@5 per query in exact integer ppm
+        "hits AS (SELECT b.query_id, CAST(COUNT(i.nid) AS BIGINT) AS n_hits "
+        "  FROM bt b LEFT JOIN irk i ON b.query_id = i.query_id AND b.nid = i.nid "
+        "  GROUP BY 1) "
+        f"SELECT query_id, n_hits, 1000000 * n_hits // {_K} AS recall_ppm FROM hits"
+    ),
+)
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation AS AN ENGINE OPERATOR: per-query
+    recall@5 of the IVF probe (x_sim_ivf) against the exact brute-force
+    top-5 (sim_cosine_topk) — the index-quality gauge a production ANN
+    deployment recomputes after every (re)train, promoted from a pytest
+    assertion into a driver-checkable query.
+
+    Scale shape: both arms are shipped, independently scale-audited
+    retrieval pipelines; the evaluation itself is an equi-join of two
+    |queries| x k lists plus one tiny aggregate.  On a real corpus the
+    exact arm runs over a SAMPLED query set (queries here are already a
+    fixed 10-vector panel), so the evaluation cost is the sampled
+    brute-force scan — the standard recall-estimation protocol.
+
+    Determinism: both arms rank on 6-dp-rounded sims with id
+    tie-breaks (their own documented discipline); hits and recall are
+    exact integers (ppm floor-division)."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"1000000 * n_hits DIV {_K}").alias("recall_ppm"),
+        )
+    )

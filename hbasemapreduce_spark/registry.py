@@ -302,6 +302,9 @@ _R6_BACKLOG = [
     "x_text_collocations",
     "x_rank_rrf",
     "x_data_mixture",
+    "x_eval_ann_recall",
+    "x_profile_skew",
+    "x_filter_bloom",
 ]
 
 

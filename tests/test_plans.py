@@ -276,6 +276,8 @@ _BNLJ_WHITELIST = {
     "x_text_collocations",  # 2x 1-row corpus-total scalars (n_tok, n_big)
     "x_rank_rrf",         # 1-row query-embedding scalar (dense arm)
     "x_data_mixture",     # 1-row corpus-total scalar (t_tokens, n_src)
+    "x_eval_ann_recall",  # inherits both arms' content-bounded broadcasts
+    "x_filter_bloom",     # 1-row bloom-bitmap ARRAY scalar (m-bounded)
 }
 
 

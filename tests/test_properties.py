@@ -1505,3 +1505,47 @@ def test_data_mixture_conserves_corpus(spark):
         assert r.repeat_bp > 0
         # repeat factor ~ uniform target / own tokens (floor-staged)
         assert r.repeat_bp == ((total // len(out)) * 10000) // r.n_tokens
+
+
+def test_ann_recall_operator_matches_direct_computation(spark):
+    # The operator's per-query recall must equal recomputing it from the
+    # two shipped arms, and recall is in [0, 1] ppm with n_hits <= k.
+    out = {r.query_id: (r.n_hits, r.recall_ppm) for r in q(spark, "x_eval_ann_recall").collect()}
+    exact = {}
+    for r in q(spark, "sim_cosine_topk").collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in q(spark, "x_sim_ivf").collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(out) == set(exact)
+    for qid, (n_hits, ppm) in out.items():
+        expect = len(exact[qid] & approx.get(qid, set()))
+        assert n_hits == expect and ppm == 1_000_000 * n_hits // 5
+        assert 0 <= n_hits <= 5
+
+
+def test_profile_skew_consistent_with_raw_counts(spark):
+    from collections import Counter
+
+    rows = {r.col: r for r in q(spark, "x_profile_skew").collect()}
+    assert set(rows) == {"l_partkey", "l_suppkey"}
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_suppkey").collect()
+    for col in rows:
+        c = Counter(getattr(r, col) for r in li)
+        r = rows[col]
+        assert r.n_rows == len(li) and r.n_keys == len(c)
+        assert r.max_cnt == max(c.values())
+        top10 = sum(v for v in sorted(c.values(), reverse=True)[:10])
+        assert r.top10_ppm == 1_000_000 * top10 // len(li)
+        assert r.skew_x100 == (r.max_cnt * r.n_keys * 100) // r.n_rows
+
+
+def test_bloom_triage_is_sound(spark):
+    # A Bloom filter admits false positives but NEVER false negatives:
+    # every true duplicate must be in the maybe set, so
+    # n_maybe = n_true_dup + n_false_pos and the definite-new set is
+    # exactly the complement.
+    r = q(spark, "x_filter_bloom").collect()[0]
+    assert r.n_delta == r.n_definite_new + r.n_maybe
+    assert r.n_maybe == r.n_true_dup + r.n_false_pos
+    assert 0 < r.n_bits_set <= min(3 * r.n_base_norms, 65536)
