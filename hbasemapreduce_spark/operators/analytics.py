@@ -936,3 +936,50 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(max_cnt * n_keys * 100) DIV n_rows").alias("skew_x100"),
         F.expr("1000000 * top10_rows DIV n_rows").alias("top10_ppm"),
     )
+
+
+_ROLLMED_N = 10  # trailing window width (rows)
+
+
+@query(
+    "x_win_rolling_median",
+    category="window",
+    oracle=(
+        "SELECT event_id, event_type, value, l[(len(l) + 1) // 2] AS med FROM ("
+        "  SELECT event_id, event_type, value, "
+        "  list_sort(list(value) OVER ("
+        "    PARTITION BY event_type ORDER BY ts, event_id "
+        f"    ROWS BETWEEN {_ROLLMED_N - 1} PRECEDING AND CURRENT ROW)) AS l "
+        "  FROM events)"
+    ),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the trailing 10 event values per type —
+    the robust smoother that survives the value spikes a rolling MEAN
+    (win_moving_avg) absorbs; the streaming sibling of x_stats_mad's
+    per-type median.
+
+    The median is an ELEMENT PICK, not arithmetic: sort the trailing
+    frame's list and take element (n+1)//2 (lower middle, 1-based) —
+    no interpolation, so the result is one of the input doubles,
+    bit-identical in both engines and immune to float-summation order
+    (engine-native median() interpolates even halves and would differ).
+
+    Scale shape: one shuffle on the partition key, one sort, then an
+    O(w)-per-row frame aggregate (w=10 constant) — the same single
+    Exchange+Sort budget as every win_* operator; frame membership is
+    governed by the tie-broken (ts, event_id) total order.  At 100 TB
+    wide frames would swap list-sort for a streaming two-heap window
+    UDAF, same plan skeleton."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLLMED_N - 1), Window.currentRow)
+    )
+    lst = F.sort_array(F.collect_list(F.col("value")).over(w))
+    med = F.element_at(lst, F.floor((F.size(lst) + 1) / 2).cast("int"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value", "ts")
+        .select("event_id", "event_type", "value", med.alias("med"))
+    )

@@ -332,3 +332,85 @@ def time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("nk").isNotNull(), F.col("nk").cast("double"))
     )
     return f.select("user_id", "event_id", "k", interp.alias("k_interp"))
+
+
+_PIT_7D_US = 7 * 86_400 * 1_000_000  # 7 days in microseconds
+
+
+@query(
+    "x_feature_pit_matrix",
+    category="window",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, event_type, value, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS us, "
+        "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events), "
+        "f AS (SELECT event_id, user_id, event_type, us, "
+        "  last_value(k IGNORE NULLS) OVER ("
+        "    PARTITION BY user_id ORDER BY us, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f_last_k, "
+        "  CAST(COUNT(*) OVER wr AS BIGINT) AS f_cnt_7d, "
+        "  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE), 0.0) "
+        "    AS f_sum_7d "
+        "  FROM e WINDOW wr AS (PARTITION BY user_id ORDER BY us "
+        f"    RANGE BETWEEN {_PIT_7D_US} PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_id, user_id, us AS ts_us, f_last_k, f_cnt_7d, f_sum_7d "
+        "FROM f WHERE event_type = 'purchase'"
+    ),
+)
+def feature_pit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training matrix — the feature-store join
+    that decides whether an ML system leaks: for every purchase event
+    (the label row), attach (1) the user's last observed ``props.k``
+    STRICTLY BEFORE the label timestamp, (2) the user's event count in
+    the preceding 7 days, (3) the decimal-exact value sum over the same
+    trailing window — all frames END BEFORE the label row, so no
+    feature can see its own label (the leakage bug as-of semantics
+    exist to prevent).
+
+    One shuffle total: partition by user, sort once on the total
+    (ts_us, event_id) order, and evaluate all three features as frames
+    over that single sort — a ROWS unbounded-to-(-1) last(ignorenulls)
+    and a RANGE [-7d, -1us) count/sum pair.  At 100 TB this is the
+    feature-backfill plan: entity-partitioned, one linear pass, O(1)
+    state per row, no per-feature self-joins.
+
+    Determinism: frame membership is value-based (microsecond range) or
+    governed by the tie-broken total order; the trailing sum runs
+    through the decimal(18,2) sandwich; empty frames coalesce to 0
+    identically in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    wrow = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_PIT_7D_US, -1)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("us").alias("ts_us"),
+            F.last("k", ignorenulls=True).over(wrow).alias("f_last_k"),
+            F.count("*").over(wrange).alias("f_cnt_7d"),
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .over(wrange)
+                .cast("double"),
+                F.lit(0.0),
+            ).alias("f_sum_7d"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "f_last_k", "f_cnt_7d", "f_sum_7d")
+    )

@@ -305,6 +305,8 @@ _R6_BACKLOG = [
     "x_eval_ann_recall",
     "x_profile_skew",
     "x_filter_bloom",
+    "x_feature_pit_matrix",
+    "x_win_rolling_median",
 ]
 
 

@@ -1549,3 +1549,49 @@ def test_bloom_triage_is_sound(spark):
     assert r.n_delta == r.n_definite_new + r.n_maybe
     assert r.n_maybe == r.n_true_dup + r.n_false_pos
     assert 0 < r.n_bits_set <= min(3 * r.n_base_norms, 65536)
+
+
+def test_pit_matrix_is_leakage_free(spark):
+    # Recompute every label row's features from raw events and check the
+    # strictly-before contract: no frame may include the label row itself.
+    rows = q(spark, "x_feature_pit_matrix").collect()
+    assert rows
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        "event_id", "user_id", "unix_micros(ts) AS us", "value",
+        "CAST(get_json_object(props, '$.k') AS LONG) AS k",
+    ).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for u in by_user:
+        by_user[u].sort(key=lambda e: (e.us, e.event_id))
+    from decimal import Decimal
+
+    for r in rows[:200]:
+        hist = by_user[r.user_id]
+        prior = [e for e in hist if (e.us, e.event_id) < (r.ts_us, r.event_id)]
+        ks = [e.k for e in prior if e.k is not None]
+        assert r.f_last_k == (ks[-1] if ks else None)
+        win = [e for e in hist if r.ts_us - 7 * 86_400_000_000 <= e.us <= r.ts_us - 1]
+        assert r.f_cnt_7d == len(win)
+        expect = float(sum((Decimal(str(round(e.value, 2))) for e in win), Decimal(0)))
+        assert r.f_sum_7d == expect
+
+
+def test_rolling_median_is_element_and_robust(spark):
+    # med must be an element of the trailing frame, and lie between the
+    # frame's min and max (robustness sanity).
+    out = q(spark, "x_win_rolling_median")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value", "ts"
+    ).collect()
+    frames = {}
+    by_type = {}
+    for e in sorted(ev, key=lambda e: (e.event_type, e.ts, e.event_id)):
+        arr = by_type.setdefault(e.event_type, [])
+        arr.append(e.value)
+        frames[e.event_id] = sorted(arr[-10:])
+    for r in out.collect():
+        f = frames[r.event_id]
+        assert r.med == f[(len(f) + 1) // 2 - 1]
+        assert f[0] <= r.med <= f[-1]
