@@ -164,13 +164,24 @@ def time_queries(
         specs[key].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t
 
+    # Global wall budget (r5): on a slow builder VM (~2x — see
+    # BENCH_TREND "Box-speed normalization") most keys cross the 1 s
+    # retime threshold, tripling wall time until the 200+-key loop blows
+    # any outer timeout and records NOTHING.  A first pass for every key
+    # always completes; median-of-3 re-timing stops once the loop has
+    # spent the budget (those keys report their single first pass,
+    # `passes` records which).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    t_loop = time.perf_counter()
+
     timings: dict[str, float] = {}
     passes: dict[str, int] = {}
     errors: dict[str, str] = {}
     for key in specs:
         try:
             first = run_once(key)
-            if first > RETIME_THRESHOLD_SEC:
+            in_budget = (time.perf_counter() - t_loop) < budget
+            if first > RETIME_THRESHOLD_SEC and in_budget:
                 samples = [first] + [run_once(key) for _ in range(RETIME_PASSES - 1)]
                 timings[key] = round(statistics.median(samples), 3)
                 passes[key] = len(samples)

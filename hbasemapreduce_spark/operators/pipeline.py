@@ -1069,3 +1069,75 @@ def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * n_tokens DIV t_tokens").alias("share_ppm"),
         F.expr("((t_tokens DIV n_src) * 10000) DIV n_tokens").alias("repeat_bp"),
     )
+
+
+_MASK_PERMILLE = 150  # 15% expected token-mask rate
+_MASK_POS_K = 40503  # position mixer (16-bit Knuth-style odd constant)
+
+
+@query(
+    "x_mask_spans",
+    category="pipeline",
+    oracle=(
+        "WITH al AS (SELECT doc_id, "
+        "  list_filter(string_split(text, ' '), x -> x <> '') AS a FROM documents), "
+        "tk AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM al), "
+        "pos AS (SELECT doc_id, i FROM al, unnest(range(1, len(a) + 1)) AS t(i)), "
+        f"m AS (SELECT doc_id, i FROM pos "
+        f"  WHERE (doc_id * {_KNUTH} + i * {_MASK_POS_K}) % 1000 < {_MASK_PERMILLE}), "
+        "isl AS (SELECT doc_id, i - row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY i) AS g FROM m), "
+        "sp AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_masked, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(MAX(len) AS BIGINT) AS max_span "
+        "  FROM sp GROUP BY 1) "
+        "SELECT t.doc_id, t.n_tokens, "
+        "  CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked, "
+        "  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans, "
+        "  CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span "
+        "FROM tk t LEFT JOIN agg a USING (doc_id)"
+    ),
+)
+def mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-LM span-corruption PLAN (BERT/T5 family data prep): a
+    deterministic, RNG-free 15% token mask per document — token i of
+    doc d masks iff (d*K1 + i*K2) mod 1000 < 150 — reported as per-doc
+    span statistics (masked count, number of contiguous spans, longest
+    span) via gaps-and-islands.  Hash-based masking is how a 100 TB
+    corruption pass stays reproducible across re-runs, engines, and
+    shard boundaries — re-running the pipeline masks the SAME
+    positions, so training is exactly resumable.
+
+    Scale shape: token-position explode (zero shuffle), a stateless
+    per-position hash filter (prunes to 15% BEFORE the shuffle), one
+    per-doc window for the island key, and two bounded hash
+    aggregates; the doc spine left-join restores unmasked docs with
+    zero counts.  All integer arithmetic."""
+    al = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("a")
+    )
+    tk = al.select("doc_id", F.size("a").cast("long").alias("n_tokens"))
+    pos = al.select("doc_id", F.posexplode("a").alias("i0", "tok")).select(
+        "doc_id", (F.col("i0") + 1).alias("i")
+    )
+    m = pos.filter(
+        F.pmod(
+            F.col("doc_id") * _KNUTH + F.col("i") * _MASK_POS_K, F.lit(1000)
+        )
+        < _MASK_PERMILLE
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = m.select("doc_id", (F.col("i") - F.row_number().over(w)).alias("g"))
+    sp = isl.groupBy("doc_id", "g").agg(F.count("*").alias("len"))
+    agg = sp.groupBy("doc_id").agg(
+        F.sum("len").alias("n_masked"),
+        F.count("*").alias("n_spans"),
+        F.max("len").alias("max_span"),
+    )
+    return tk.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias("max_span"),
+    )

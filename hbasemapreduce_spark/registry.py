@@ -307,6 +307,7 @@ _R6_BACKLOG = [
     "x_filter_bloom",
     "x_feature_pit_matrix",
     "x_win_rolling_median",
+    "x_mask_spans",
 ]
 
 

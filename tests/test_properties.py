@@ -1595,3 +1595,28 @@ def test_rolling_median_is_element_and_robust(spark):
         f = frames[r.event_id]
         assert r.med == f[(len(f) + 1) // 2 - 1]
         assert f[0] <= r.med <= f[-1]
+
+
+def test_mask_spans_matches_direct_recompute(spark):
+    rows = {r.doc_id: r for r in q(spark, "x_mask_spans").collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    K1, K2 = 2654435761, 40503
+    total_masked = total_tokens = 0
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        masked = [i for i in range(1, len(toks) + 1) if (d.doc_id * K1 + i * K2) % 1000 < 150]
+        spans = []
+        for i in masked:
+            if spans and i == spans[-1][1] + 1:
+                spans[-1][1] = i
+            else:
+                spans.append([i, i])
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks) and r.n_masked == len(masked)
+        assert r.n_spans == len(spans)
+        assert r.max_span == (max(b - a + 1 for a, b in spans) if spans else 0)
+        total_masked += len(masked)
+        total_tokens += len(toks)
+    # the hash mask rate lands near the designed 15%
+    assert 0.10 < total_masked / total_tokens < 0.20
