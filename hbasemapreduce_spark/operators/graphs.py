@@ -570,10 +570,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running rounds 0..r-1 (the x_dedup_clusters discipline).
 
     Everything is integer counts — fully hash-checkable."""
-    e = _undirected_edges(spark, sf_dir, _KCORE_SUPPORT)
-    for _ in range(_KCORE_ROUNDS):
+    return kcore_core(_undirected_edges(spark, sf_dir, _KCORE_SUPPORT))
+
+
+def kcore_core(
+    edges: DataFrame, *, k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS
+) -> DataFrame:
+    """Fixed-round k-core peel over a symmetric (src, dst) edge list —
+    see x_graph_kcore for semantics.  Exposed separately so the
+    randomized differential test can drive it with seeded graphs
+    against a pure-Python peel of the same recurrence."""
+    e = edges
+    for _ in range(rounds):
         deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        keep = deg.filter(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "src"), "src")
             .join(keep.withColumnRenamed("node", "dst"), "dst")
@@ -583,6 +593,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("deg"))
-        .filter(F.col("deg") >= _KCORE_K)
+        .filter(F.col("deg") >= k)
         .select("node", "deg")
     )

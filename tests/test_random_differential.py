@@ -281,3 +281,34 @@ def test_simhash_signatures_match_pure_python(spark):
         if sh >= 1 << 63:  # python int -> signed 64-bit long
             sh -= 1 << 64
         assert got[i] == sh, i
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    # Seeded Erdos-Renyi-ish graphs vs a pure-Python peel of the SAME
+    # fixed-round recurrence (not exact k-core: both sides run the same
+    # 3 rounds, so they must agree bit-for-bit).
+    from hbasemapreduce_spark.operators.graphs import kcore_core
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n, m = 60, 180
+        und = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+            if a != b
+        }
+        edges = [(s, d) for a, b in und for s, d in ((a, b), (b, a))]
+
+        def peel(edge_list, k=3, rounds=3):
+            es = list(edge_list)
+            for _ in range(rounds):
+                deg = Counter(s for s, _ in es)
+                keep = {v for v, c in deg.items() if c >= k}
+                es = [(s, d) for s, d in es if s in keep and d in keep]
+            deg = Counter(s for s, _ in es)
+            return {v: c for v, c in deg.items() if c >= 3}
+
+        expected = peel(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.deg for r in kcore_core(df).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
