@@ -308,6 +308,7 @@ _R6_BACKLOG = [
     "x_feature_pit_matrix",
     "x_win_rolling_median",
     "x_mask_spans",
+    "x_dedup_minhash_portable",
 ]
 
 

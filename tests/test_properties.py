@@ -1620,3 +1620,31 @@ def test_mask_spans_matches_direct_recompute(spark):
         total_tokens += len(toks)
     # the hash mask rate lands near the designed 15%
     assert 0.10 < total_masked / total_tokens < 0.20
+
+
+def test_minhash_portable_equals_legacy_pairs_and_exact_jaccard(spark):
+    # The portable (md5-hashed, oracle-checkable) LSH must find the SAME
+    # pair set as the xxhash64 rows-only key — indirect driver-grade
+    # evidence for dedup_minhash — and every pair's exact bag Jaccard
+    # must clear the 0.8 threshold on recompute.
+    from collections import Counter
+
+    port = {
+        (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+        for r in q(spark, "x_dedup_minhash_portable").collect()
+    }
+    legacy = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in q(spark, "dedup_minhash").select("id_a", "id_b").collect()
+    }
+    assert set(port) == legacy
+    docs = {
+        d.doc_id: Counter(t for t in d.text.split(" ") if t)
+        for d in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    for (a, b), (inter, uni) in port.items():
+        ca, cb = docs[a], docs[b]
+        ei = sum((ca & cb).values())
+        eu = sum((ca | cb).values())
+        assert (inter, uni) == (ei, eu)
+        assert 5 * inter >= 4 * uni
