@@ -837,3 +837,118 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") + F.col("nb") - F.col("inter_cnt")).alias("union_cnt"),
         )
     )
+
+
+_PSH_BITS = 60  # fingerprint width (stays positive in a signed bigint)
+_PSH_BAND_BITS = 15  # -> 4 bands; hamming <= 3 pigeonholes into >= 1 exact band
+_PSH_MAX_HAMMING = 3
+
+
+@query(
+    "x_dedup_simhash_portable",
+    category="llm_dedup",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "  FROM documents), "
+        "cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM tok WHERE tok <> '' GROUP BY 1, 2), "
+        "bits AS (SELECT doc_id, c, t.j AS j, "
+        "  ((strpos('0123456789abcdef', substr(md5(tok), t.j // 4 + 1, 1)) - 1) "
+        "   // (CASE t.j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 AS bit "
+        f"  FROM cnt, unnest(range(0, {_PSH_BITS})) AS t(j)), "
+        "sj AS (SELECT doc_id, j, CASE WHEN SUM((2 * bit - 1) * c) > 0 "
+        "  THEN 1 ELSE 0 END AS bit FROM bits GROUP BY 1, 2), "
+        "fp AS (SELECT doc_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS fp "
+        "  FROM sj GROUP BY 1), "
+        f"bands AS (SELECT doc_id, j // {_PSH_BAND_BITS} AS b, "
+        f"  CAST(SUM(bit * (1::BIGINT << (j % {_PSH_BAND_BITS}))) AS BIGINT) AS bv "
+        "  FROM sj GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db "
+        "  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv "
+        "  AND x.doc_id < y.doc_id) "
+        "SELECT c.da AS doc_a, c.db AS doc_b, "
+        "  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming "
+        "FROM cand c JOIN fp fa ON fa.doc_id = c.da JOIN fp fb ON fb.doc_id = c.db "
+        f"WHERE bit_count(xor(fa.fp, fb.fp)) <= {_PSH_MAX_HAMMING}"
+    ),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with FULL-HASH driver evidence — the
+    portable twin of x_dedup_simhash (rows-only: its fingerprint bits
+    come from Spark-only xxhash64).  Token bits here are md5 hex
+    nibbles unpacked arithmetically (same characters both engines, the
+    x_filter_bloom discipline), weighted by term frequency, majority-
+    voted per bit (sum of +/-count, tie -> 0), packed into a 60-bit
+    bigint fingerprint.  Candidates come from pigeonhole banding — 4
+    bands of 15 bits, hamming <= 3 guarantees >= 1 band matches
+    EXACTLY, so candidate generation is an equi-join on (band,
+    band_value) — and the verify is one bit_count(xor) per candidate.
+    Frequency weighting makes the fingerprint token-order-invariant,
+    matching this corpus's shuffled near-dups.
+
+    Scale shape: the bit matrix explode is 60 rows per DISTINCT (doc,
+    token) pair (bounded by vocabulary co-occurrence, not corpus
+    bytes), collapsed by two hash aggregates into one row per doc;
+    banding is a projection; the self-join never sees more than the
+    band-collision set.  Everything downstream of md5 is integer
+    arithmetic — bit-identical across engines."""
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bit = F.expr(
+        "pmod(CAST(conv(substring(md5(tok), (j DIV 4) + 1, 1), 16, 10) AS BIGINT) "
+        "DIV (CASE pmod(j, 4) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END), 2)"
+    )
+    bits = cnt.select(
+        "doc_id",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_PSH_BITS - 1))).alias("j"),
+        "tok",
+    ).select("doc_id", "c", "j", bit.alias("bit"))
+    sj = (
+        bits.groupBy("doc_id", "j")
+        .agg(
+            F.when(F.sum((2 * F.col("bit") - 1) * F.col("c")) > 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+        .localCheckpoint(eager=False)  # read by fp AND bands
+    )
+    fp = sj.groupBy("doc_id").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(CAST(1 AS BIGINT), j)")).alias("fp")
+    )
+    bands = sj.groupBy(
+        "doc_id", F.expr(f"j DIV {_PSH_BAND_BITS}").alias("b")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), pmod(j, {_PSH_BAND_BITS}))")
+        ).alias("bv")
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("da"), F.col("fp").alias("fpa"))
+    fb = fp.select(F.col("doc_id").alias("db"), F.col("fp").alias("fpb"))
+    return (
+        cand.join(fa, "da")
+        .join(fb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PSH_MAX_HAMMING)
+    )

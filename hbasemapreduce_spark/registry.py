@@ -309,6 +309,7 @@ _R6_BACKLOG = [
     "x_win_rolling_median",
     "x_mask_spans",
     "x_dedup_minhash_portable",
+    "x_dedup_simhash_portable",
 ]
 
 

@@ -1648,3 +1648,36 @@ def test_minhash_portable_equals_legacy_pairs_and_exact_jaccard(spark):
         eu = sum((ca | cb).values())
         assert (inter, uni) == (ei, eu)
         assert 5 * inter >= 4 * uni
+
+
+def test_simhash_portable_fingerprint_exact_and_recall(spark):
+    # Recompute the md5-derived 60-bit fingerprints in pure Python and
+    # check every reported pair's hamming; recall floor vs the exact
+    # bag-Jaccard >= 0.8 pair set (simhash is lossier by design).
+    import hashlib
+    from collections import Counter
+
+    docs = {
+        d.doc_id: Counter(t for t in d.text.split(" ") if t)
+        for d in load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+
+    def fingerprint(cnt):
+        sums = [0] * 60
+        for tok, c in cnt.items():
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for j in range(60):
+                nib = int(h[j // 4], 16)
+                bit = (nib >> (3 - j % 4)) & 1
+                sums[j] += (2 * bit - 1) * c
+        return sum((1 << j) for j in range(60) if sums[j] > 0)
+
+    fps = {d: fingerprint(c) for d, c in docs.items()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in q(spark, "x_dedup_simhash_portable").collect()}
+    assert pairs
+    for (a, b), ham in pairs.items():
+        expect = bin(fps[a] ^ fps[b]).count("1")
+        assert ham == expect and ham <= 3
+    truth = {(r.doc_a, r.doc_b) for r in q(spark, "x_dedup_minhash_portable").collect()}
+    recall = len(truth & set(pairs)) / len(truth)
+    assert recall >= 0.7, recall
