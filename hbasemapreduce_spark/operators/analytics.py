@@ -983,3 +983,60 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "ts")
         .select("event_id", "event_type", "value", med.alias("med"))
     )
+
+
+_KANON_K = 5  # anonymity threshold
+
+
+@query(
+    "x_privacy_kanon",
+    category="analytics",
+    oracle=(
+        "WITH eq AS (SELECT c_nationkey, c_mktsegment, "
+        "  CAST(COUNT(*) AS BIGINT) AS class_size FROM customer GROUP BY 1, 2) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_classes, "
+        "  CAST(SUM(class_size) AS BIGINT) AS n_rows, "
+        f"  CAST(COUNT(*) FILTER (WHERE class_size < {_KANON_K}) AS BIGINT) "
+        "    AS n_violating_classes, "
+        f"  CAST(COALESCE(SUM(class_size) FILTER (WHERE class_size < {_KANON_K}), 0) "
+        "    AS BIGINT) AS n_violating_rows, "
+        "  CAST(MIN(class_size) AS BIGINT) AS min_class_size, "
+        f"  CAST(1000000 * COALESCE(SUM(class_size) FILTER (WHERE class_size < {_KANON_K}), 0) "
+        "    // SUM(class_size) AS BIGINT) AS violating_ppm "
+        "FROM eq"
+    ),
+)
+def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier pair
+    (nation, market segment) — the release gate a dataset passes before
+    rows with rare attribute combinations can leak identity: every
+    equivalence class smaller than k is a re-identification risk, and
+    the audit reports class counts, violating rows, the smallest class,
+    and the violating-row share (ppm).  On a training corpus the same
+    shape audits metadata columns before export; the remediation
+    (suppress or generalize violating classes) is a join against the
+    violating-class list this aggregate already produced.
+
+    Scale shape: ONE hash aggregate to the equivalence-class grid
+    (bounded by the quasi-identifier domain, not row count) and a
+    second 1-row aggregate over it.  All integer arithmetic."""
+    eq = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("class_size"))
+    )
+    viol = F.when(F.col("class_size") < _KANON_K, F.col("class_size"))
+    return eq.agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.count(viol).alias("n_violating_classes"),
+        F.coalesce(F.sum(viol), F.lit(0)).alias("n_violating_rows"),
+        F.min("class_size").alias("min_class_size"),
+    ).select(
+        "n_classes",
+        "n_rows",
+        "n_violating_classes",
+        "n_violating_rows",
+        "min_class_size",
+        F.expr("1000000 * n_violating_rows DIV n_rows").alias("violating_ppm"),
+    )

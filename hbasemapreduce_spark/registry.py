@@ -310,6 +310,7 @@ _R6_BACKLOG = [
     "x_mask_spans",
     "x_dedup_minhash_portable",
     "x_dedup_simhash_portable",
+    "x_privacy_kanon",
 ]
 
 

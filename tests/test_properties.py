@@ -1681,3 +1681,19 @@ def test_simhash_portable_fingerprint_exact_and_recall(spark):
     truth = {(r.doc_a, r.doc_b) for r in q(spark, "x_dedup_minhash_portable").collect()}
     recall = len(truth & set(pairs)) / len(truth)
     assert recall >= 0.7, recall
+
+
+def test_kanon_audit_matches_raw_class_census(spark):
+    from collections import Counter
+
+    r = q(spark, "x_privacy_kanon").collect()[0]
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect()
+    classes = Counter((c.c_nationkey, c.c_mktsegment) for c in cust)
+    viol = {k: v for k, v in classes.items() if v < 5}
+    assert r.n_classes == len(classes) and r.n_rows == len(cust)
+    assert r.n_violating_classes == len(viol)
+    assert r.n_violating_rows == sum(viol.values())
+    assert r.min_class_size == min(classes.values())
+    assert r.violating_ppm == 1_000_000 * sum(viol.values()) // len(cust)
