@@ -985,7 +985,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KANON_K = 5  # anonymity threshold
+_KANON_K = 10  # anonymity threshold (k=10 keeps the violating branch
+# populated at every sf: k=5 measures zero violations at sf0.01)
 
 
 @query(
@@ -1007,7 +1008,7 @@ _KANON_K = 5  # anonymity threshold
     ),
 )
 def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k=5) over the quasi-identifier pair
+    """k-anonymity audit (k=10) over the quasi-identifier pair
     (nation, market segment) — the release gate a dataset passes before
     rows with rare attribute combinations can leak identity: every
     equivalence class smaller than k is a re-identification risk, and

@@ -1691,7 +1691,7 @@ def test_kanon_audit_matches_raw_class_census(spark):
         "c_nationkey", "c_mktsegment"
     ).collect()
     classes = Counter((c.c_nationkey, c.c_mktsegment) for c in cust)
-    viol = {k: v for k, v in classes.items() if v < 5}
+    viol = {k: v for k, v in classes.items() if v < 10}
     assert r.n_classes == len(classes) and r.n_rows == len(cust)
     assert r.n_violating_classes == len(viol)
     assert r.n_violating_rows == sum(viol.values())
