@@ -7,6 +7,12 @@ Variants (BASELINE.json:6 north-star set):
 - n-gram Jaccard (blocked exact) -> dedup_ngram_jaccard (oracle: yes)
 - embedding cosine near-dup      -> dedup_embedding   (oracle: yes)
 
+r5 portable twins: x_dedup_minhash_portable / x_dedup_simhash_portable
+re-express both rows-only signatures with md5-hex-parsed hashes that
+DuckDB reproduces bit-for-bit, so the LSH families ALSO carry full-hash
+driver evidence; x_filter_bloom adds the Bloom-prefilter triage for the
+incremental anti-join.
+
 Scale story: every variant is (a) a per-doc JVM-side signature, then
 (b) an equi-join on a banding/blocking key — never an unblocked O(n^2)
 comparison.  AQE handles hot buckets; thresholds bound output size.
