@@ -916,3 +916,78 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_ppb",
         F.row_number().over(wf).alias("fused_rnk"),
     )
+
+
+@query(
+    "x_eval_rank_corr",
+    category="llm_text",
+    oracle=(
+        "WITH " + BM25_RANKED_SQL + ", "
+        "tfagg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tscore "
+        "  FROM tf GROUP BY 1), "
+        "tfranked AS (SELECT doc_id, rnk_tf FROM ("
+        "  SELECT doc_id, row_number() OVER (ORDER BY tscore DESC, doc_id) "
+        "  AS rnk_tf FROM tfagg) WHERE rnk_tf <= 20), "
+        "common AS (SELECT b.doc_id, b.rnk AS r_bm, t.rnk_tf "
+        "  FROM bm25ranked b JOIN tfranked t USING (doc_id)), "
+        "rr AS (SELECT row_number() OVER (ORDER BY r_bm) AS ra, "
+        "  row_number() OVER (ORDER BY rnk_tf) AS rb FROM common) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_common, "
+        "  CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2, "
+        "  CAST(CASE WHEN COUNT(*) >= 2 THEN 1000000 - "
+        "    (6000000 * SUM((ra - rb) * (ra - rb))) "
+        "    // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) END AS BIGINT) AS rho_ppm "
+        "FROM rr"
+    ),
+)
+def eval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-agreement diagnostic: Spearman rank correlation (exact
+    integer ppm) between the BM25 top-20 and the raw term-frequency
+    top-20 over the same query terms — the 'is the cheap ranker good
+    enough?' readout that decides whether a first-stage retriever can
+    skip idf/length normalization.  Both lists rank the same matched
+    candidate pool, so the intersection is large by construction
+    (contrast rankings over unrelated signals, where rank correlation
+    over a near-empty intersection is noise).
+
+    Spearman on the common set: each side re-ranked 1..n within the
+    intersection, rho = 1 - 6*sum(d^2) / (n(n^2-1)) evaluated entirely
+    in bigint ppm floor-division — no floats.  Degenerate n < 2 yields
+    NULL identically in both engines.
+
+    Scale shape: both arms reuse the BM25 chain's (doc, term) tf
+    aggregate (term-dictionary pushdown bounds it), the rank windows
+    run over <= 20-row lists, and the final aggregate is one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    tfagg = tf.groupBy("doc_id").agg(F.sum("tf").alias("tscore"))
+    wt = Window.orderBy(F.desc("tscore"), F.asc("doc_id"))
+    tfranked = (
+        tfagg.select("doc_id", F.row_number().over(wt).alias("rnk_tf"))
+        .filter(F.col("rnk_tf") <= 20)
+    )
+    common = (
+        rank_bm25(spark, sf_dir)
+        .select("doc_id", F.col("rnk").alias("r_bm"))
+        .join(tfranked, "doc_id")
+    )
+    rr = common.select(
+        F.row_number().over(Window.orderBy("r_bm")).alias("ra"),
+        F.row_number().over(Window.orderBy("rnk_tf")).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return rr.agg(
+        F.count("*").alias("n_common"), F.sum(d2).alias("sum_d2")
+    ).select(
+        "n_common",
+        "sum_d2",
+        F.expr(
+            "CAST(CASE WHEN n_common >= 2 THEN 1000000 - (6000000 * sum_d2) "
+            "DIV (n_common * (n_common * n_common - 1)) END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )

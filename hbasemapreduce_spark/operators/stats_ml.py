@@ -904,3 +904,75 @@ def pq_encode(e: DataFrame, collapsed: list) -> DataFrame:
         *[F.col(f"best_{s}.cid").alias(f"code_{s}") for s in range(_PQ_M)],
         *[F.col(f"best_{s}.d2").alias(f"err_{s}") for s in range(_PQ_M)],
     ).drop(*[f"best_{s}" for s in range(_PQ_M)])
+
+
+# log10(1 + 1/d) in ppm for d = 1..9 — fixed public constants, so no
+# transcendental is ever EVALUATED (the package's no-log rule)
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@query(
+    "x_stats_benford",
+    category="stats_ml",
+    oracle=(
+        "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents "
+        "  FROM events WHERE value > 0), "
+        "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+        "  FROM v), "
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c), "
+        "e AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))
+        + ") AS t(digit, expected_ppm)) "
+        "SELECT e.digit, COALESCE(c.cnt, 0) AS cnt, "
+        "  CAST(1000000 * COALESCE(c.cnt, 0) // t.n AS BIGINT) AS share_ppm, "
+        "  CAST(e.expected_ppm AS BIGINT) AS expected_ppm, "
+        "  CAST(1000000 * COALESCE(c.cnt, 0) // t.n - e.expected_ppm AS BIGINT) "
+        "    AS delta_ppm "
+        "FROM e LEFT JOIN c USING (digit) CROSS JOIN t"
+    ),
+)
+def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of the event values — the
+    fabricated-data / unit-mixing alarm auditors run on financial
+    columns: observed first-significant-digit shares against Benford's
+    law, as exact integer counts and ppm deltas.  The expected
+    distribution enters as FIXED public constants (log10(1+1/d) in
+    ppm), so no transcendental function is evaluated anywhere — the
+    package's determinism rule holds even here.
+
+    Digit extraction stays exact: 2-dp values become integer cents
+    (round-half-even on an exact double both engines), and the leading
+    digit of the cents IS the first significant digit of the value.
+    One fact scan -> 9-row aggregate; the digit spine left-join keeps
+    all 9 rows even for digits that never occur."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = v.groupBy("digit").agg(F.count("*").alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("n"))
+    e = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, expected_ppm long",
+    )
+    return (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.expr("1000000 * coalesce(cnt, 0) DIV n").alias("share_ppm"),
+            "expected_ppm",
+            F.expr("1000000 * coalesce(cnt, 0) DIV n - expected_ppm").alias(
+                "delta_ppm"
+            ),
+        )
+    )

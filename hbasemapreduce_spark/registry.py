@@ -311,6 +311,8 @@ _R6_BACKLOG = [
     "x_dedup_minhash_portable",
     "x_dedup_simhash_portable",
     "x_privacy_kanon",
+    "x_stats_benford",
+    "x_eval_rank_corr",
 ]
 
 

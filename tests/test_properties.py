@@ -1697,3 +1697,51 @@ def test_kanon_audit_matches_raw_class_census(spark):
     assert r.n_violating_rows == sum(viol.values())
     assert r.min_class_size == min(classes.values())
     assert r.violating_ppm == 1_000_000 * sum(viol.values()) // len(cust)
+
+
+def test_benford_shares_conserve_and_match_counts(spark):
+    from collections import Counter
+
+    rows = {r.digit: r for r in q(spark, "x_stats_benford").collect()}
+    assert set(rows) == set(range(1, 10))
+    vals = [
+        e.value
+        for e in load_table(spark, SF_DIR, "events").select("value").collect()
+        if e.value > 0
+    ]
+    digits = Counter(int(str(int(round(v * 100)))[0]) for v in vals)
+    n = sum(digits.values())
+    for d, r in rows.items():
+        assert r.cnt == digits.get(d, 0)
+        assert r.share_ppm == 1_000_000 * r.cnt // n
+        assert r.delta_ppm == r.share_ppm - r.expected_ppm
+    assert sum(r.cnt for r in rows.values()) == n
+
+
+def test_rank_corr_matches_scipy_free_recompute(spark):
+    r = q(spark, "x_eval_rank_corr").collect()[0]
+    bm = {x.doc_id: x.rnk for x in q(spark, "x_rank_bm25").collect()}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    from collections import Counter
+
+    tscore = Counter()
+    for d in docs:
+        for t in d.text.split(" "):
+            if t in ("scan", "join", "filter"):
+                tscore[d.doc_id] += 1
+    tf_rank = {
+        doc: i + 1
+        for i, (doc, _) in enumerate(
+            sorted(tscore.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        )
+    }
+    common = sorted(set(bm) & set(tf_rank))
+    assert r.n_common == len(common)
+    ra = {d: i + 1 for i, d in enumerate(sorted(common, key=lambda d: bm[d]))}
+    rb = {d: i + 1 for i, d in enumerate(sorted(common, key=lambda d: tf_rank[d]))}
+    sum_d2 = sum((ra[d] - rb[d]) ** 2 for d in common)
+    assert r.sum_d2 == sum_d2
+    n = len(common)
+    if n >= 2:
+        assert r.rho_ppm == 1_000_000 - (6_000_000 * sum_d2) // (n * (n * n - 1))
+        assert -1_000_000 <= r.rho_ppm <= 1_000_000
