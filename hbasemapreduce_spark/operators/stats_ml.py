@@ -976,3 +976,138 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x_time_autocorr",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) / 3600000000 AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "p AS (SELECT event_type, c AS x, lead(c) OVER ("
+        "  PARTITION BY event_type ORDER BY hr) AS y, "
+        "  lead(hr) OVER (PARTITION BY event_type ORDER BY hr) - hr AS gap "
+        "  FROM h), "
+        "q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL AND gap = 1), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "  CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy "
+        "  FROM q GROUP BY 1 HAVING COUNT(*) >= 2) "
+        "SELECT event_type, n, "
+        "CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+        " sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf1 "
+        "FROM m"
+    ),
+)
+def time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per type
+    — the burstiness/seasonality detector run before capacity planning
+    or anomaly thresholds: acf1 ~ 0 means hours are independent, high
+    acf1 means load clusters.  Pairs are CONSECUTIVE hours only (gap =
+    1 via lead over the integer hour index — missing hours don't fake
+    correlation), and acf1 is Pearson over (c_t, c_t+1).
+
+    Determinism: counts are bigints, so all five moment sums are EXACT;
+    the final expression is one fixed IEEE tree over exactly-converted
+    doubles (sqrt is IEEE-correctly-rounded — the package admits it).
+    Groups with < 2 pairs are filtered identically in both engines
+    (the x_stats_abtest degenerate guard).
+
+    Scale shape: fact scan -> (type, hour) hash aggregate (bounded by
+    the calendar grid), ONE window pass per type over that bounded
+    series, one |types|-row moment aggregate."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = h.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.lead("c").over(w).alias("y"),
+        (F.lead("hr").over(w) - F.col("hr")).alias("gap"),
+    ).filter(F.col("y").isNotNull() & (F.col("gap") == 1))
+    m = (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select("event_type", "n", (num / den).alias("acf1"))
+
+
+@query(
+    "x_stats_gini",
+    category="stats_ml",
+    oracle=(
+        "WITH u AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, c, CAST(row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY c, user_id) AS BIGINT) AS i FROM u), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(i * c) AS BIGINT) AS sic "
+        "  FROM r GROUP BY 1) "
+        "SELECT event_type, n, s AS n_events, "
+        "CAST(2 * sic - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini "
+        "FROM m"
+    ),
+)
+def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event type —
+    the imbalance audit (0 = every user equally active, ->1 = a few
+    users dominate) that flags both engagement concentration and the
+    hot-key skew x_profile_skew measures from the join-planning angle.
+
+    Exact rank formula on the tie-broken ascending order:
+    G = (2*sum(i*c_i) - (n+1)*sum(c_i)) / (n*sum(c_i)) — every term a
+    bigint (user_id tie-break makes rank i total, and equal counts
+    yield the same SUM(i*c) under any tie permutation, so the result
+    is partition-invariant), ONE final division of exactly-converted
+    doubles.
+
+    Scale shape: fact scan -> (type, user) hash aggregate, one
+    per-type sort over the user-count table (range-partitioned at
+    scale), one moment aggregate — the x_stats_mad budget."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    r = u.select(
+        "event_type", "c", F.row_number().over(w).cast("long").alias("i")
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("sic"),
+    )
+    gini = (2 * F.col("sic") - (F.col("n") + 1) * F.col("s")).cast("double") / (
+        F.col("n") * F.col("s")
+    ).cast("double")
+    return m.select("event_type", "n", F.col("s").alias("n_events"), gini.alias("gini"))

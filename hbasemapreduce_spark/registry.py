@@ -313,6 +313,8 @@ _R6_BACKLOG = [
     "x_privacy_kanon",
     "x_stats_benford",
     "x_eval_rank_corr",
+    "x_time_autocorr",
+    "x_stats_gini",
 ]
 
 

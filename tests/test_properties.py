@@ -1745,3 +1745,29 @@ def test_rank_corr_matches_scipy_free_recompute(spark):
     if n >= 2:
         assert r.rho_ppm == 1_000_000 - (6_000_000 * sum_d2) // (n * (n * n - 1))
         assert -1_000_000 <= r.rho_ppm <= 1_000_000
+
+
+def test_gini_bounds_and_direct_recompute(spark):
+    from collections import Counter
+
+    rows = {r.event_type: r for r in q(spark, "x_stats_gini").collect()}
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id").collect()
+    per = {}
+    for e in ev:
+        per.setdefault(e.event_type, Counter())[e.user_id] += 1
+    for t, counts in per.items():
+        xs = sorted(counts.values())
+        n, s = len(xs), sum(xs)
+        sic = sum((i + 1) * x for i, x in enumerate(xs))
+        expect = (2 * sic - (n + 1) * s) / (n * s)
+        r = rows[t]
+        assert r.n == n and r.n_events == s
+        assert abs(r.gini - expect) < 1e-12
+        assert 0 <= r.gini < 1
+
+
+def test_autocorr_bounds_and_consecutive_pairs_only(spark):
+    rows = q(spark, "x_time_autocorr").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.acf1 <= 1.0 and r.n >= 2
