@@ -1141,3 +1141,70 @@ def mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias("max_span"),
     )
+
+
+_BINPACK_TARGET = 2000  # rows per compaction group (the size-based proxy)
+
+
+@query(
+    "x_compact_binpack",
+    category="pipeline",
+    oracle=(
+        "WITH f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "  CAST(month(o_orderdate) AS BIGINT) AS o_month, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders GROUP BY 1, 2), "
+        "c AS (SELECT o_year, o_month, n_rows, "
+        "  CAST(COALESCE(SUM(n_rows) OVER (ORDER BY o_year, o_month "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "    AS cum_before FROM f), "
+        f"g AS (SELECT *, cum_before // {_BINPACK_TARGET} AS grp FROM c) "
+        "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_files, "
+        "  CAST(SUM(n_rows) AS BIGINT) AS n_rows, "
+        "  MIN(o_year * 100 + o_month) AS first_file, "
+        "  MAX(o_year * 100 + o_month) AS last_file "
+        "FROM g GROUP BY 1"
+    ),
+)
+def compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNING via scan-order bin packing (the Iceberg
+    binpack rewrite's grouping step): the fragmented manifest — here
+    per-(year, month) row counts standing in for file sizes — is
+    walked in layout order and cut into target-sized groups by
+    grp = floor(cumulative_rows_before / target), then summarized as
+    one plan row per output group (file count, rows, first/last file).
+    x_etl_compact EXECUTES a compaction; this produces the plan that
+    decides WHICH small files coalesce, bounded groups even when
+    individual files exceed the target.
+
+    Determinism: the manifest order (year, month) is total, the cumsum
+    is an exact bigint prefix, and floor division is identical in both
+    engines.
+
+    Scale shape: the manifest is metadata (one row per file/partition,
+    never corpus-sized); the global-order window is the planner's
+    sequential walk — at real scale it runs per table-partition, which
+    changes no group boundary inside a partition.  Output is bounded
+    by total_rows/target."""
+    f = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    w = Window.orderBy("o_year", "o_month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = f.select(
+        "o_year",
+        "o_month",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    ).select("*", F.expr(f"cum_before DIV {_BINPACK_TARGET}").alias("grp"))
+    return g.groupBy("grp").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.min(F.col("o_year") * 100 + F.col("o_month")).alias("first_file"),
+        F.max(F.col("o_year") * 100 + F.col("o_month")).alias("last_file"),
+    )

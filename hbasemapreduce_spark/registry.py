@@ -315,6 +315,7 @@ _R6_BACKLOG = [
     "x_eval_rank_corr",
     "x_time_autocorr",
     "x_stats_gini",
+    "x_compact_binpack",
 ]
 
 

@@ -1771,3 +1771,23 @@ def test_autocorr_bounds_and_consecutive_pairs_only(spark):
     assert rows
     for r in rows:
         assert -1.0 <= r.acf1 <= 1.0 and r.n >= 2
+
+
+def test_binpack_groups_conserve_and_are_contiguous(spark):
+    rows = sorted(q(spark, "x_compact_binpack").collect(), key=lambda r: r.grp)
+    manifest = (
+        load_table(spark, SF_DIR, "orders")
+        .selectExpr("year(o_orderdate) AS y", "month(o_orderdate) AS m")
+        .groupBy("y", "m")
+        .count()
+        .collect()
+    )
+    total_rows = sum(r["count"] for r in manifest)
+    assert sum(r.n_rows for r in rows) == total_rows
+    assert sum(r.n_files for r in rows) == len(manifest)
+    # groups are contiguous in layout order: ranges never interleave
+    for a, b in zip(rows, rows[1:]):
+        assert b.grp > a.grp and a.last_file < b.first_file
+    # every group except possibly the last spans past a target boundary
+    for r in rows[:-1]:
+        assert r.n_rows >= 1
