@@ -1041,3 +1041,33 @@ def privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_class_size",
         F.expr("1000000 * n_violating_rows DIV n_rows").alias("violating_ppm"),
     )
+
+
+@query(
+    "x_agg_histogram2d",
+    category="analytics",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod, "
+        "  CAST(LEAST(floor(value / 50), 9) AS BIGINT) AS vbin FROM events) "
+        "SELECT event_type, hod, vbin, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM e GROUP BY 1, 2, 3"
+    ),
+)
+def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram — hour-of-day x value bucket per event type
+    (the usage-heatmap / joint-distribution readout behind every ops
+    dashboard and the binned input to mutual-information checks).
+    Value buckets are fixed-width 50-unit bins capped at bucket 9 (the
+    overflow bucket), hour-of-day from the UTC-pinned calendar.
+
+    One fact scan -> one hash aggregate; output bounded by
+    |types| x 24 x 10, never by row count.  All integer."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long")).alias(
+            "vbin"
+        ),
+    )
+    return e.groupBy("event_type", "hod", "vbin").agg(F.count("*").alias("cnt"))

@@ -991,3 +991,63 @@ def eval_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (n_common * (n_common * n_common - 1)) END AS BIGINT)"
         ).alias("rho_ppm"),
     )
+
+
+@query(
+    "x_text_readability",
+    category="llm_text",
+    oracle=(
+        "WITH m AS (SELECT doc_id, "
+        "  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) "
+        "    AS n_letters, "
+        "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+        "    AS n_words, "
+        "  CAST(GREATEST(length(text) - length(replace(replace(replace(text, "
+        "    '.', ''), '!', ''), '?', '')), 1) AS BIGINT) AS n_sents "
+        "  FROM documents WHERE len(list_filter(string_split(text, ' '), "
+        "    x -> x <> '')) > 0) "
+        "SELECT doc_id, n_letters, n_words, n_sents, "
+        "0.0588 * (100.0 * n_letters / n_words) "
+        "- 0.296 * (100.0 * n_sents / n_words) - 15.8 AS cli "
+        "FROM m"
+    ),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman-Liau readability index per document — the classic
+    grade-level estimate built ONLY from letter/word/sentence counts
+    (no syllable dictionary), here chosen over Flesch-Kincaid exactly
+    because its formula is LINEAR: 0.0588*L - 0.296*S - 15.8 with L =
+    letters per 100 words and S = sentences per 100 words is one fixed
+    IEEE tree over exact integer counts — deterministic across engines,
+    where syllable heuristics would not be.  A standard feature in
+    quality-filter stacks alongside x_text_quality's ratios.
+
+    Sentences are terminal-punctuation counts (. ! ?) floored at 1 so
+    fragment docs don't divide by zero; empty docs are excluded
+    identically in both engines.  One projection pass, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_letters = F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))
+    n_sents = F.greatest(
+        F.length("text")
+        - F.length(
+            F.replace(
+                F.replace(F.replace(F.col("text"), F.lit("."), F.lit("")), F.lit("!"), F.lit("")),
+                F.lit("?"),
+                F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    m = docs.filter(n_words > 0).select(
+        "doc_id",
+        n_letters.cast("long").alias("n_letters"),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+    )
+    cli = (
+        0.0588 * (100.0 * F.col("n_letters") / F.col("n_words"))
+        - 0.296 * (100.0 * F.col("n_sents") / F.col("n_words"))
+        - 15.8
+    )
+    return m.select("doc_id", "n_letters", "n_words", "n_sents", cli.alias("cli"))

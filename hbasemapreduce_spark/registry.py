@@ -316,6 +316,8 @@ _R6_BACKLOG = [
     "x_time_autocorr",
     "x_stats_gini",
     "x_compact_binpack",
+    "x_agg_histogram2d",
+    "x_text_readability",
 ]
 
 
