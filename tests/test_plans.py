@@ -278,6 +278,8 @@ _BNLJ_WHITELIST = {
     "x_data_mixture",     # 1-row corpus-total scalar (t_tokens, n_src)
     "x_eval_ann_recall",  # inherits both arms' content-bounded broadcasts
     "x_filter_bloom",     # 1-row bloom-bitmap ARRAY scalar (m-bounded)
+    "x_stats_benford",    # 1-row total-count scalar against the 9-digit spine
+    "x_eval_rank_corr",   # inherits x_rank_bm25's 1-row corpus-stats scalar
 }
 
 
