@@ -318,6 +318,8 @@ _R6_BACKLOG = [
     "x_compact_binpack",
     "x_agg_histogram2d",
     "x_text_readability",
+    "x_agg_diversity",
+    "x_time_peaks",
 ]
 
 

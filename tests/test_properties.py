@@ -1791,3 +1791,23 @@ def test_binpack_groups_conserve_and_are_contiguous(spark):
     # every group except possibly the last spans past a target boundary
     for r in rows[:-1]:
         assert r.n_rows >= 1
+
+
+def test_diversity_in_unit_interval_and_consistent_with_gini(spark):
+    div = {r.event_type: r for r in q(spark, "x_agg_diversity").collect()}
+    gin = {r.event_type: r for r in q(spark, "x_stats_gini").collect()}
+    assert set(div) == set(gin)
+    for t, r in div.items():
+        assert 0 <= r.simpson < 1
+        assert r.n_users == gin[t].n and r.n_events == gin[t].n_events
+        # single-user degenerate would give simpson 0; many users ~ 1-1/n
+        assert r.simpson <= 1 - 1 / r.n_users + 1e-12
+
+
+def test_peaks_are_strict_local_maxima_with_margin(spark):
+    rows = q(spark, "x_time_peaks").collect()
+    assert rows  # the hourly series must contain at least one 20% spike
+    for r in rows:
+        assert 10_000 * r.c >= 12_000 * r.pc
+        assert 10_000 * r.c >= 12_000 * r.nc
+        assert r.c >= r.pc and r.c >= r.nc
