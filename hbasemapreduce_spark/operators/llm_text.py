@@ -1051,3 +1051,74 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 15.8
     )
     return m.select("doc_id", "n_letters", "n_words", "n_sents", cli.alias("cli"))
+
+
+_KW_TOPN = 3  # keywords per document
+_KW_MIN_DF = 2  # drop hapax terms (noise) before weighting
+
+
+@query(
+    "x_text_keywords",
+    category="llm_text",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "  FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "  FROM toks WHERE term <> '' GROUP BY 1, 2), "
+        "df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf), "
+        "wgt AS (SELECT tf.doc_id, tf.term, "
+        f"  tf.tf * (1000000 * n.n_docs // df.df) AS w "
+        "  FROM tf JOIN df USING (term) CROSS JOIN n "
+        f"  WHERE df.df >= {_KW_MIN_DF}) "
+        "SELECT doc_id, term, w AS weight, rnk FROM ("
+        "  SELECT doc_id, term, w, row_number() OVER ("
+        "    PARTITION BY doc_id ORDER BY w DESC, term) AS rnk FROM wgt) "
+        f"WHERE rnk <= {_KW_TOPN}"
+    ),
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf x micro-idf —
+    the tagging/routing pass that labels every document before topic
+    bucketing or index boosting (text_tf_topterms profiles LANGUAGES;
+    this labels DOCUMENTS).  idf is the log-free integer rational
+    10^6 * N // df (log is monotone, so the per-term ranking is
+    unchanged — the x_rank_bm25 discipline), weights are exact
+    bigints, and the per-doc top-3 is a (weight desc, term) total
+    order, fully hash-checkable.
+
+    Scale shape: one tokenize aggregate to (doc, term) tf, a
+    vocabulary-bounded df dictionary joined back as a broadcast, and a
+    WindowGroupLimit top-3 per doc — at 100 TB the only corpus-sized
+    jobs are the tf aggregate and the final per-doc window, both
+    partitioned on doc_id.  The df >= 2 floor drops hapax noise before
+    any join work."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= _KW_MIN_DF
+    )
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    wgt = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.expr("1000000 * n_docs DIV df")).alias("w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        wgt.select(
+            "doc_id", "term", F.col("w").alias("weight"),
+            F.row_number().over(win).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _KW_TOPN)
+    )

@@ -320,6 +320,7 @@ _R6_BACKLOG = [
     "x_text_readability",
     "x_agg_diversity",
     "x_time_peaks",
+    "x_text_keywords",
 ]
 
 

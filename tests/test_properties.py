@@ -1811,3 +1811,24 @@ def test_peaks_are_strict_local_maxima_with_margin(spark):
         assert 10_000 * r.c >= 12_000 * r.pc
         assert 10_000 * r.c >= 12_000 * r.nc
         assert r.c >= r.pc and r.c >= r.nc
+
+
+def test_keywords_match_direct_recompute(spark):
+    from collections import Counter
+
+    out = {}
+    for r in q(spark, "x_text_keywords").collect():
+        out.setdefault(r.doc_id, []).append((r.rnk, r.term, r.weight))
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    tf = {d.doc_id: Counter(t for t in d.text.split(" ") if t) for d in docs}
+    df = Counter(t for c in tf.values() for t in c)
+    n_docs = sum(1 for c in tf.values() if c)
+    for doc, counts in tf.items():
+        wgt = {
+            t: c * (1_000_000 * n_docs // df[t])
+            for t, c in counts.items()
+            if df[t] >= 2
+        }
+        expect = sorted(wgt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = sorted(out.get(doc, []))
+        assert [(i + 1, t, w) for i, (t, w) in enumerate(expect)] == got, doc
