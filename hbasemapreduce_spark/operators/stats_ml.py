@@ -1225,3 +1225,105 @@ def time_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hr", "c", "pc", "nc")
     )
+
+
+@query(
+    "x_feature_minmax",
+    category="stats_ml",
+    oracle=(
+        "WITH v AS (SELECT event_id, event_type, "
+        "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "b AS (SELECT event_type, CAST(MIN(cents) AS BIGINT) AS lo, "
+        "  CAST(MAX(cents) AS BIGINT) AS hi FROM v GROUP BY 1) "
+        "SELECT v.event_id, v.event_type, v.cents, "
+        "  CAST(CASE WHEN b.hi > b.lo THEN "
+        "    (v.cents - b.lo) * 1000000 // (b.hi - b.lo) ELSE 0 END AS BIGINT) "
+        "    AS norm_ppm "
+        "FROM v JOIN b USING (event_type)"
+    ),
+)
+def feature_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling per event type, in EXACT integer ppm:
+    2-dp values become integer cents, and each row normalizes to
+    (cents - min) * 10^6 // (max - min) — the [0, 1e6] feature range
+    gradient methods want, with zero float arithmetic so the scaled
+    corpus is bit-identical at any partition count (a float (v-min)/
+    (max-min) would already differ in the last ulp between engines'
+    fused ops).  Degenerate constant groups map to 0 identically.
+    The equal-frequency sibling is x_feature_binning; this is the
+    equal-width one distance-based models prefer.
+
+    Scale shape: one |types|-row min/max aggregate broadcast back over
+    the fact scan — the x_stats_outliers budget; the normalize itself
+    is a stateless projection."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = v.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    norm = F.expr(
+        "CAST(CASE WHEN hi > lo THEN (cents - lo) * 1000000 DIV (hi - lo) "
+        "ELSE 0 END AS BIGINT)"
+    )
+    return (
+        v.join(F.broadcast(b), "event_type")
+        .select("event_id", "event_type", "cents", norm.alias("norm_ppm"))
+    )
+
+
+@query(
+    "x_time_dow_profile",
+    category="stats_ml",
+    oracle=(
+        "WITH d AS (SELECT event_type, "
+        "  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total FROM d GROUP BY 1) "
+        "SELECT d.event_type, d.dow, d.cnt, "
+        "  CAST(1000000 * d.cnt // t.total AS BIGINT) AS share_ppm, "
+        "  CASE WHEN rank() OVER (PARTITION BY d.event_type "
+        "    ORDER BY d.cnt DESC, d.dow) = 1 THEN 1 ELSE 0 END AS is_peak_dow "
+        "FROM d JOIN t USING (event_type)"
+    ),
+)
+def time_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: counts, ppm
+    shares, and the peak day flagged — the weekly-rhythm readout
+    capacity planning and anomaly baselining start from (x_time_peaks
+    finds hourly spikes; this finds the standing weekly shape).
+
+    dayofweek runs on the UTC-pinned calendar DATE; Spark numbers
+    Sunday=1 while DuckDB numbers Sunday=0, so the oracle adds 1 —
+    measured, not assumed (the classic calendar-convention trap).
+    Shares are
+    integer ppm floor-divisions; the peak flag uses rank() with a dow
+    tie-break so ties pick the earliest day deterministically.
+
+    One fact scan -> |types| x 7 aggregate -> broadcast totals join."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = d.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("dow"))
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "cnt",
+            F.expr("CAST(1000000 * cnt DIV total AS BIGINT)").alias("share_ppm"),
+            F.when(F.rank().over(w) == 1, 1).otherwise(0).cast("long").alias(
+                "is_peak_dow"
+            ),
+        )
+    )

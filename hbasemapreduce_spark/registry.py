@@ -321,6 +321,8 @@ _R6_BACKLOG = [
     "x_agg_diversity",
     "x_time_peaks",
     "x_text_keywords",
+    "x_feature_minmax",
+    "x_time_dow_profile",
 ]
 
 
