@@ -239,9 +239,121 @@ _R5_WINDOW = [
     "x_sim_knn_graph_ivf",
 ]
 
-# Never-driver-checked keys deliberately deferred to the round-6 window
-# (see _R5_WINDOW comment for the selection rationale).  Listed so the
+# Round-6 driver window.  After the r5 window runs, cumulative driver
+# evidence covers all 60 contract keys plus 90 x_ keys, leaving the 79
+# _R6_BACKLOG keys below as the never-driver-checked set.  A 50-key
+# window cannot hold 79, so r6 follows the same rotation discipline as
+# r5: every slot goes to a first-timer with a full-hash oracle,
+# prioritizing (a) the keys that have waited longest (deferred from the
+# r5 window) and (b) the architecturally substantive r5 operators —
+# graphs, pipelines, portable dedup, ANN/PQ, BPE, streaming twins —
+# over small single-shape window/time projections with multi-round
+# local oracle evidence.  The 29 deferred keys live in _R7_BACKLOG;
+# the 3 rows-only-by-design keys defer because the driver check is
+# weakest exactly there.
+_R6_WINDOW = [
+    # -- longest waiters: deferred from the r5 window (r4-era keys) --
+    "x_text_langid",  # upgraded r5: rows-only -> full-hash oracle
+    "x_multimodal_frame_sample",
+    "x_multimodal_resize",
+    "x_text_fingerprint",
+    "x_text_repetition",
+    "x_text_tokencount",
+    "x_text_length_histogram",
+    "x_text_quality",
+    "x_win_ntile",
+    "x_unpivot",
+    # -- graph suite (operators/graphs.py, added r5) --
+    "x_graph_pagerank",
+    "x_graph_triangles",
+    "x_graph_label_prop",
+    "x_graph_bfs",
+    "x_graph_kcore",
+    "x_graph_modularity",
+    "x_graph_jaccard",
+    # -- end-to-end pipelines --
+    "x_pipeline_entity_resolution",
+    "x_pipeline_rag_index",
+    # -- dedup family (portable twins + new strategies) --
+    "x_dedup_gram_containment",
+    "x_dedup_semantic",
+    "x_dedup_incremental",
+    "x_dedup_paragraph",
+    "x_dedup_minhash_portable",
+    "x_dedup_simhash_portable",
+    # -- similarity / ANN / quantization --
+    "x_sim_maxsim",
+    "x_sim_ivf_kmeans",
+    "x_sim_sparse_topk",
+    "x_sim_ivfpq",
+    "x_emb_pq",
+    "x_emb_gram_gemm",
+    "x_eval_ann_recall",
+    # -- ML / stats --
+    "x_ml_kmeans",
+    "x_ml_centroid_classify",
+    "x_stats_ks_drift",
+    "x_stats_spc",
+    "x_eval_rank_corr",
+    # -- text analysis --
+    "x_text_bpe_train",
+    "x_text_bpe_apply",
+    "x_text_chi2_terms",
+    "x_text_collocations",
+    "x_text_keywords",
+    # -- streaming twins --
+    "x_stream_chained_agg",
+    "x_stream_join_dim",
+    # -- quality / curation / retrieval --
+    "x_quality_rules",
+    "x_quality_monitor",
+    "x_rank_rrf",
+    "x_data_mixture",
+    "x_sql_text",
+    "x_udf_arrow",
+]
+
+# Never-driver-checked keys deliberately deferred to the round-7 window
+# (see _R6_WINDOW comment for the selection rationale).  Listed so the
 # next rotation starts from a committed plan, not git archaeology.
+_R7_BACKLOG = [
+    # rows-only by design — the driver check is weakest here:
+    "x_agg_sketch_hll",
+    "x_dedup_simhash",
+    "x_agg_sketch_cms",
+    # small single-shape keys with multi-round local oracle evidence:
+    "x_time_fill_forward",
+    "x_sample_importance",
+    "x_win_ema",
+    "x_time_interp",
+    "x_feature_binning",
+    "x_win_cume_dist",
+    "x_etl_backfill",
+    "x_win_streak",
+    "x_win_drawdown",
+    "x_profile_skew",
+    "x_filter_bloom",
+    "x_feature_pit_matrix",
+    "x_win_rolling_median",
+    "x_mask_spans",
+    "x_privacy_kanon",
+    "x_time_autocorr",
+    "x_compact_binpack",
+    "x_agg_histogram2d",
+    "x_agg_diversity",
+    "x_time_peaks",
+    "x_feature_minmax",
+    "x_time_dow_profile",
+    "x_stats_mad",
+    "x_stats_benford",
+    "x_stats_gini",
+    "x_text_readability",
+]
+
+# Historical: the r5 rotation's deferred set, retained as documentation
+# of how _R6_WINDOW/_R7_BACKLOG were derived (window ∪ r7-backlog must
+# equal this list plus keys added during round 5 — pinned in
+# tests/test_registry.py).
 _R6_BACKLOG = [
     "x_agg_sketch_hll",  # rows-only by design
     "x_text_langid",  # upgraded r5: rows-only -> full-hash oracle
@@ -336,10 +448,18 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R5_WINDOW)
+    window = set(_R6_WINDOW)
+    # Hedge: if the driver's r5 correctness pass has not happened yet,
+    # the r5-window keys are the next-most-valuable evidence targets, so
+    # they follow immediately after the r6 window in emission order.
+    r5_tail = [k for k in _R5_WINDOW if k not in window]
     rest_contract = [k for k in _CONTRACT_PRIORITY if k not in window]
-    extras = sorted(k for k in _REGISTRY if k not in CONTRACT_KEYS and k not in window)
-    order = [*_R5_WINDOW, *rest_contract, *extras]
+    extras = sorted(
+        k
+        for k in _REGISTRY
+        if k not in CONTRACT_KEYS and k not in window and k not in set(r5_tail)
+    )
+    order = [*_R6_WINDOW, *r5_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 
