@@ -980,3 +980,107 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PSH_MAX_HAMMING)
     )
+
+
+# -- repeated-span (substring-level) duplication ------------------------
+
+_SPAN_K = 8  # tokens per rolling gram; a merged island is a >=8-token repeat
+
+
+@query(
+    "x_dedup_span",
+    category="llm_dedup",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "o AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i AS pos, "
+        f"      md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS g "
+        f"     FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_SPAN_K - 2})) AS i) r "
+        f"     WHERE len(w) >= {_SPAN_K}), "
+        "d AS (SELECT g FROM o GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "od AS (SELECT o.doc_id, o.n_tokens, o.pos FROM o JOIN d USING (g)), "
+        "brk AS (SELECT doc_id, n_tokens, pos, "
+        "        CASE WHEN pos - lag(pos) OVER w IS NULL THEN 1 "
+        f"             WHEN pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS b "
+        "        FROM od WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+        "isl AS (SELECT doc_id, n_tokens, pos, CAST(SUM(b) OVER ("
+        "        PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+        "        AS BIGINT) AS island FROM brk), "
+        "sp AS (SELECT doc_id, n_tokens, island, "
+        f"       MAX(pos) + {_SPAN_K} - MIN(pos) AS span_tokens "
+        "       FROM isl GROUP BY 1, 2, 3) "
+        "SELECT doc_id, n_tokens, CAST(COUNT(*) AS BIGINT) AS n_dup_spans, "
+        "CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens, "
+        "CAST(1000000 * SUM(span_tokens) // n_tokens AS BIGINT) AS dup_micro "
+        "FROM sp GROUP BY doc_id, n_tokens"
+    ),
+)
+def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication audit (the span form of Lee et al.,
+    'Deduplicating Training Data Makes Language Models Better', ACL'22,
+    at token-gram granularity): every 8-token gram occurring in >= 2
+    DISTINCT documents marks its occurrence positions as duplicated;
+    per document, overlapping-or-adjacent marked intervals merge into
+    maximal islands (all grams are length-K, so occurrences sorted by
+    position merge exactly when the gap to the previous start is <= K).
+    Output per affected doc: island count, duplicated-token total, and
+    the exact integer micro-ratio of duplicated tokens — the signal for
+    cutting boilerplate/quotation spans rather than whole documents,
+    which doc-level MinHash cannot see.
+
+    Scale shape: gram hashing is a pure projection (no shuffle); the
+    duplicated-gram dictionary is ONE count-distinct aggregate on the
+    gram hash (map-side partial); occurrences rejoin it with a plain
+    equi-join (size-adaptive: broadcast while the dictionary is small,
+    shuffle join once it is corpus-sized); the island
+    merge is a per-doc window whose doc_id partitioning then satisfies
+    both downstream aggregates, so islands and the final per-doc rollup
+    reuse the same exchange.  Hot grams (ubiquitous boilerplate) are
+    aggregate/join skew — AQE splits them; a production corpus would
+    additionally drop grams above a df ceiling (stop-gram floor) before
+    the rejoin.  Everything is exact integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    occ = (
+        docs.filter(F.size("w") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
+                    f"i -> struct(i AS pos, "
+                    f"md5(array_join(slice(w, i, {_SPAN_K}), ' ')) AS g))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "n_tokens", "e.pos", "e.g")
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    od = occ.join(dup, "g").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = od.withColumn(
+        "b",
+        F.when(F.lag("pos").over(w).isNull(), F.lit(1))
+        .when(F.col("pos") - F.lag("pos").over(w) > _SPAN_K, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") + _SPAN_K - F.min("pos")).alias("span_tokens")
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.expr("CAST(1000000 * sum(span_tokens) DIV n_tokens AS BIGINT)").alias(
+            "dup_micro"
+        ),
+    )

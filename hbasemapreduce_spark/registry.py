@@ -348,6 +348,8 @@ _R7_BACKLOG = [
     "x_stats_benford",
     "x_stats_gini",
     "x_text_readability",
+    # new in r6 (after the r6 window was frozen) — first-eligible in r7:
+    "x_dedup_span",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

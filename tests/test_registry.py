@@ -96,11 +96,16 @@ def test_rotation_plan_covers_all_unchecked():
     assert not (set(_R6_WINDOW) & set(_R7_BACKLOG))
 
 
-def test_r6_window_plus_r7_backlog_equal_r6_backlog():
-    # The r6 window + r7 backlog partition exactly the r5 rotation's
-    # deferred set (_R6_BACKLOG) — the committed plan was followed.
-    assert set(_R6_WINDOW) | set(_R7_BACKLOG) == set(_R6_BACKLOG)
-    assert len(_R6_WINDOW) + len(_R7_BACKLOG) == len(_R6_BACKLOG)
+def test_r6_window_plus_r7_backlog_cover_r6_backlog():
+    # The r6 window + r7 backlog cover the r5 rotation's deferred set
+    # (_R6_BACKLOG) exactly once each — the committed plan was followed.
+    # (_R7_BACKLOG may additionally hold keys first registered during
+    # round 6; those are outside _R6_BACKLOG by construction.)
+    assert set(_R6_BACKLOG) <= set(_R6_WINDOW) | set(_R7_BACKLOG)
+    assert not (set(_R6_WINDOW) & set(_R7_BACKLOG))
+    assert len(set(_R6_WINDOW) & set(_R6_BACKLOG)) + len(
+        set(_R7_BACKLOG) & set(_R6_BACKLOG)
+    ) == len(_R6_BACKLOG)
 
 
 def test_r6_window_keys_all_have_oracles():
