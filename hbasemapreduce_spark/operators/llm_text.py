@@ -1122,3 +1122,86 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _KW_TOPN)
     )
+
+
+# -- bigram language-model likelihood scoring ---------------------------
+
+_LM_MICRO = 1_000_000
+
+
+@query(
+    "x_text_lm_score",
+    category="llm_text",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b "
+        "       FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r "
+        "       WHERE len(w) >= 2), "
+        "c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2), "
+        "c1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1), "
+        "v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v "
+        "      FROM (SELECT unnest(w) AS tok FROM t)), "
+        f"d AS (SELECT a, b, {_LM_MICRO} * (c2 + 1) // (c1 + v) AS p_micro "
+        "      FROM c2 JOIN c1 USING (a) CROSS JOIN v), "
+        "s AS (SELECT doc_id, p_micro FROM bg JOIN d USING (a, b)) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_micro "
+        "FROM s GROUP BY doc_id"
+    ),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring by corpus-trained bigram language
+    model: every document is scored by the mean add-one-smoothed bigram
+    probability p(b|a) = (c(a,b) + 1) / (c(a) + V) of its own token
+    transitions — the classic LM-likelihood quality filter (low scores
+    flag token salad, OCR noise, and boilerplate with improbable
+    transitions; the micro-scaled integer rational replaces log
+    perplexity, which orders documents identically for a fixed-length
+    comparison because the arithmetic mean of probabilities and their
+    sum are monotone-related — the x_rank_bm25 log-free discipline).
+
+    Scale shape: train and score in ONE dataflow with no driver round
+    trip.  Bigram counts c(a,b) and left-context counts c(a) are
+    vocabulary-bounded aggregates; the probability dictionary is built
+    with vocabulary-sized joins plus a whitelisted 1-row V scalar
+    broadcast, and the only corpus-sized job is the single equi-join of
+    bigram occurrences against that dictionary followed by the per-doc
+    rollup.  Everything is exact integer arithmetic, so the score is
+    partition-invariant and hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bg = (
+        docs.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.a", "e.b")
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("a").agg(F.count("*").alias("c1"))
+    v = docs.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    d = (
+        c2.join(c1, "a")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "a", "b",
+            F.expr(f"{_LM_MICRO} * (c2 + 1) DIV (c1 + v)").alias("p_micro"),
+        )
+    )
+    return (
+        bg.join(d, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("CAST(sum(p_micro) DIV count(*) AS BIGINT)").alias("lm_micro"),
+        )
+    )

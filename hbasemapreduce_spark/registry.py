@@ -350,6 +350,7 @@ _R7_BACKLOG = [
     "x_text_readability",
     # new in r6 (after the r6 window was frozen) — first-eligible in r7:
     "x_dedup_span",
+    "x_text_lm_score",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -281,6 +281,7 @@ _BNLJ_WHITELIST = {
     "x_stats_benford",    # 1-row total-count scalar against the 9-digit spine
     "x_eval_rank_corr",   # inherits x_rank_bm25's 1-row corpus-stats scalar
     "x_text_keywords",    # 1-row corpus-doc-count scalar (micro-idf)
+    "x_text_lm_score",    # 1-row vocabulary-size scalar (add-one smoothing)
 }
 
 
