@@ -1327,3 +1327,134 @@ def time_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- ranking-quality evaluation: NDCG@10 --------------------------------
+
+import math as _math
+
+_NDCG_K = 10
+_NDCG_REL_CAP = 5
+# Integer micro-scaled log2(p) for discount positions p = 2..K+1; both
+# engines consume the SAME literal constants, so every per-position
+# division is identical integer arithmetic (no runtime log calls).
+_LG2_MICRO = [round(_math.log2(p) * 1_000_000) for p in range(2, _NDCG_K + 2)]
+
+
+def _ndcg_term_sql(rel: str, rn: str) -> str:
+    """gain(rel) * 10^12 // lg2micro(rn + 1) — the exact DCG term."""
+    lut = ", ".join(str(v) for v in _LG2_MICRO)
+    return f"((1 << {rel}) - 1) * 1000000000000 // (list_extract([{lut}], {rn}))"
+
+
+@query(
+    "x_eval_ndcg",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, user_id, value, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "pred AS (SELECT event_type, user_id, "
+        "  SUM(CAST(value AS DECIMAL(18,2))) AS pred "
+        "  FROM ev CROSS JOIN b WHERE day <= mid GROUP BY 1, 2), "
+        "rel AS (SELECT event_type, user_id, "
+        f"  LEAST(CAST(COUNT(*) AS BIGINT), {_NDCG_REL_CAP}) AS rel "
+        "  FROM ev CROSS JOIN b WHERE day > mid GROUP BY 1, 2), "
+        "cand AS (SELECT p.event_type, p.user_id, p.pred, "
+        "  COALESCE(r.rel, 0) AS rel FROM pred p "
+        "  LEFT JOIN rel r ON p.event_type = r.event_type "
+        "    AND p.user_id = r.user_id), "
+        "dpos AS (SELECT event_type, rel, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY pred DESC, user_id) AS rn FROM cand), "
+        "ipos AS (SELECT event_type, rel, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY rel DESC, user_id) AS rn FROM cand), "
+        "dcg AS (SELECT event_type, "
+        f"  CAST(SUM({_ndcg_term_sql('rel', 'rn')}) AS BIGINT) AS dcg_micro "
+        f"  FROM dpos WHERE rn <= {_NDCG_K} GROUP BY 1), "
+        "idcg AS (SELECT event_type, "
+        f"  CAST(SUM({_ndcg_term_sql('rel', 'rn')}) AS BIGINT) AS idcg_micro "
+        f"  FROM ipos WHERE rn <= {_NDCG_K} GROUP BY 1) "
+        "SELECT d.event_type, d.dcg_micro, i.idcg_micro, "
+        "  1000000 * d.dcg_micro // i.idcg_micro AS ndcg_micro "
+        "FROM dcg d JOIN idcg i ON d.event_type = i.event_type "
+        "WHERE i.idcg_micro > 0"
+    ),
+)
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation per event type: rank users by
+    their early-half exact-decimal value total (the 'model score'),
+    grade against graded relevance from the late calendar half
+    (event count, capped at 5), and report DCG/IDCG/NDCG — the
+    offline metric every retrieval/recommendation pipeline runs before
+    shipping a ranker (complements x_eval_rank_corr's order
+    correlation with position-discounted top-k quality).
+
+    Determinism: gains are integers ((2^rel - 1)); the log2 position
+    discounts are a 10-entry literal micro-int lookup table embedded
+    identically in both engines, so each DCG term is one exact integer
+    division — no runtime transcendentals anywhere.  Predicted order
+    ties break on user_id; ideal-order ties need no break (equal rel
+    contributes equal gain regardless of position).
+
+    Scale shape: two (type, user)-grained aggregates off one fact scan
+    (map-side partials), a same-key left join, and two
+    WindowGroupLimit-able top-10 windows per type — output is
+    |types|-bounded.  The calendar-midpoint split is the whitelisted
+    1-row broadcast scalar (x_stats_ks_drift's pattern)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    bounds = ev.agg(((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    pred = (
+        evb.filter(F.col("day") <= F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("pred"))
+    )
+    rel = (
+        evb.filter(F.col("day") > F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.least(F.count("*"), F.lit(_NDCG_REL_CAP)).cast("long").alias("rel"))
+    )
+    cand = (
+        pred.join(rel, ["event_type", "user_id"], "left")
+        .select(
+            "event_type",
+            "user_id",
+            "pred",
+            F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        )
+    )
+    lut = f"array({', '.join(str(v) for v in _LG2_MICRO)})"
+    term = f"((1 << rel) - 1) * 1000000000000 DIV element_at({lut}, rn)"
+    wd = Window.partitionBy("event_type").orderBy(F.desc("pred"), F.asc("user_id"))
+    wi = Window.partitionBy("event_type").orderBy(F.desc("rel"), F.asc("user_id"))
+    dcg = (
+        cand.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _NDCG_K)
+        .groupBy("event_type")
+        .agg(F.expr(f"CAST(SUM({term}) AS BIGINT)").alias("dcg_micro"))
+    )
+    idcg = (
+        cand.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= _NDCG_K)
+        .groupBy("event_type")
+        .agg(F.expr(f"CAST(SUM({term}) AS BIGINT)").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(idcg, "event_type")
+        .filter(F.col("idcg_micro") > 0)
+        .select(
+            "event_type",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("1000000 * dcg_micro DIV idcg_micro").alias("ndcg_micro"),
+        )
+    )

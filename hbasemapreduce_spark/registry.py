@@ -351,6 +351,7 @@ _R7_BACKLOG = [
     # new in r6 (after the r6 window was frozen) — first-eligible in r7:
     "x_dedup_span",
     "x_text_lm_score",
+    "x_eval_ndcg",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -282,6 +282,7 @@ _BNLJ_WHITELIST = {
     "x_eval_rank_corr",   # inherits x_rank_bm25's 1-row corpus-stats scalar
     "x_text_keywords",    # 1-row corpus-doc-count scalar (micro-idf)
     "x_text_lm_score",    # 1-row vocabulary-size scalar (add-one smoothing)
+    "x_eval_ndcg",        # 1-row calendar-midpoint scalar (ks_drift pattern)
 }
 
 
