@@ -1208,3 +1208,84 @@ def compact_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("o_year") * 100 + F.col("o_month")).alias("first_file"),
         F.max(F.col("o_year") * 100 + F.col("o_month")).alias("last_file"),
     )
+
+
+# -- embedding-space benchmark decontamination --------------------------
+
+_SEMCON_T = 0.3  # calibrated: corpus max-vs-bench cosine tops out ~0.49
+
+
+@query(
+    "x_contamination_semantic",
+    category="pipeline",
+    oracle=(
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "           FROM embeddings), "
+        "bench AS (SELECT e.vec_id AS bench_id, emb FROM e "
+        "  JOIN documents d ON d.doc_id = e.vec_id WHERE d.source = 'src0'), "
+        "corpus AS (SELECT e.vec_id AS doc_id, emb FROM e "
+        "  JOIN documents d ON d.doc_id = e.vec_id WHERE d.source <> 'src0'), "
+        "p AS (SELECT c.doc_id, b.bench_id, "
+        "  list_cosine_similarity(c.emb, b.emb) AS raw_sim "
+        "  FROM corpus c CROSS JOIN bench b), "
+        "r AS (SELECT doc_id, bench_id, raw_sim, row_number() OVER ("
+        "  PARTITION BY doc_id ORDER BY raw_sim DESC, bench_id) AS rn FROM p) "
+        "SELECT doc_id, bench_id AS best_bench_id, "
+        "round(raw_sim, 6) AS max_sim, "
+        f"CASE WHEN raw_sim >= {_SEMCON_T} THEN true ELSE false END AS contaminated "
+        "FROM r WHERE rn = 1"
+    ),
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus
+    document, the maximum cosine against the benchmark set's (src0)
+    embeddings, the closest benchmark item, and a contamination flag —
+    the SEMANTIC companion to x_contamination_ngram's surface 5-gram
+    containment (a paraphrased test item shares no 5-grams but sits
+    close in embedding space; modern decontamination runs both).
+
+    Scale shape: the benchmark side is bounded by benchmark size, not
+    corpus size — it broadcasts whole (the x_contamination_ngram
+    discipline), so the scoring pass is one corpus scan with a
+    broadcast nested-loop against |bench| vectors, per-vector norms
+    hoisted before the pair loop, then a WindowGroupLimit argmax per
+    doc.  Per-pair cosines are identical IEEE float64 trees in both
+    engines (the x_dedup_embedding recipe), so the raw-sim argmax and
+    threshold agree without rounding tricks; only the reported max_sim
+    is 6-dp rounded."""
+    from ..functions.vectors import norm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .join(docs, F.col("vec_id") == F.col("doc_id"))
+    )
+    e = e.withColumn("nrm", norm(F.col("emb")))
+    bench = e.filter(F.col("source") == "src0").select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    corpus = e.filter(F.col("source") != "src0").select(
+        F.col("doc_id"), "emb", "nrm"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("bemb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = corpus.crossJoin(F.broadcast(bench)).select(
+        "doc_id", "bench_id", (dot / (F.col("nrm") * F.col("bnrm"))).alias("raw_sim")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw_sim"), F.asc("bench_id"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.round("raw_sim", 6).alias("max_sim"),
+            (F.col("raw_sim") >= _SEMCON_T).alias("contaminated"),
+        )
+    )

@@ -1458,3 +1458,153 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * dcg_micro DIV idcg_micro").alias("ndcg_micro"),
         )
     )
+
+
+# -- decision-stump training by exact Gini split search -----------------
+
+
+@query(
+    "x_ml_gini_stump",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, "
+        "  CAST(hour(ts) AS BIGINT) AS hour, "
+        "  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, "
+        "  LEAST(CAST(FLOOR(value / 20) AS BIGINT), 9) AS vbucket FROM events), "
+        "f AS (SELECT 'hour' AS feature, hour AS bin, y FROM ev "
+        "  UNION ALL SELECT 'dow', dow, y FROM ev "
+        "  UNION ALL SELECT 'vbucket', vbucket, y FROM ev), "
+        "g AS (SELECT feature, bin, CAST(SUM(y) AS BIGINT) AS pos, "
+        "  CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg FROM f GROUP BY 1, 2), "
+        "c AS (SELECT feature, bin, "
+        "  CAST(SUM(pos) OVER w AS BIGINT) AS pl, "
+        "  CAST(SUM(neg) OVER w AS BIGINT) AS nl "
+        "  FROM g WINDOW w AS (PARTITION BY feature ORDER BY bin "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "t AS (SELECT feature, CAST(SUM(pos) AS BIGINT) AS p, "
+        "  CAST(SUM(neg) AS BIGINT) AS n FROM g GROUP BY 1), "
+        "cand AS (SELECT c.feature, c.bin AS threshold, "
+        "  pl, nl, t.p - pl AS pr, t.n - nl AS nr, t.p + t.n AS tot, "
+        "  1000000 - (pl*pl + nl*nl) * 1000000 // ((pl+nl)*(pl+nl)) AS gl, "
+        "  1000000 - ((t.p-pl)*(t.p-pl) + (t.n-nl)*(t.n-nl)) * 1000000 "
+        "    // ((t.p+t.n-pl-nl)*(t.p+t.n-pl-nl)) AS gr "
+        "  FROM c JOIN t USING (feature) "
+        "  WHERE pl + nl > 0 AND t.p + t.n - pl - nl > 0), "
+        "sc AS (SELECT feature, threshold, pl + nl AS n_left, pl AS pos_left, "
+        "  pr + nr AS n_right, pr AS pos_right, "
+        "  ((pl+nl) * gl + (pr+nr) * gr) // tot AS weighted_micro "
+        "  FROM cand), "
+        "parent AS (SELECT 1000000 - (p*p + n*n) * 1000000 // ((p+n)*(p+n)) "
+        "  AS parent_micro FROM (SELECT CAST(SUM(y) AS BIGINT) AS p, "
+        "  CAST(COUNT(*) - SUM(y) AS BIGINT) AS n FROM ev)) "
+        "SELECT feature, threshold, n_left, pos_left, n_right, pos_right, "
+        "  weighted_micro, parent_micro, "
+        "  parent_micro - weighted_micro AS gain_micro FROM ("
+        "  SELECT *, row_number() OVER (ORDER BY weighted_micro, feature, "
+        "    threshold) AS rn FROM sc CROSS JOIN parent) WHERE rn = 1"
+    ),
+)
+def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision-tree (stump) training by exhaustive Gini split
+    search — predict 'is this event a purchase' from hour-of-day,
+    day-of-week, and a capped value bucket.  The whole trainer is one
+    declarative plan: per-(feature, bin) class counts, prefix sums per
+    feature give every 'bin <= t' candidate split, weighted Gini
+    impurity in micro-scaled EXACT integer arithmetic (each side's
+    impurity is one integer division; ties break on (feature,
+    threshold)), global argmin = the trained stump.
+
+    Scale shape: the only corpus-sized job is the (feature, bin) class
+    count — 3 features x <= 24 bins regardless of row count; the split
+    search runs on that bounded grid (prefix window + |features|-row
+    totals join + one ~55-row global argmin window, single-partition by
+    construction).  This is how a GBDT histogram builder (LightGBM's
+    binned split finder) maps onto Spark: fact pass to histograms,
+    driver-free argmin on the grid."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+        F.least(F.floor(F.col("value") / 20), F.lit(9)).cast("long").alias(
+            "vbucket"
+        ),
+    )
+    f = (
+        ev.select(F.lit("hour").alias("feature"), F.col("hour").alias("bin"), "y")
+        .unionAll(ev.select(F.lit("dow"), F.col("dow"), "y"))
+        .unionAll(ev.select(F.lit("vbucket"), F.col("vbucket"), "y"))
+    )
+    g = f.groupBy("feature", "bin").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    wc = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "feature",
+        "bin",
+        F.sum("pos").over(wc).cast("long").alias("pl"),
+        F.sum("neg").over(wc).cast("long").alias("nl"),
+    )
+    t = g.groupBy("feature").agg(
+        F.sum("pos").cast("long").alias("p"), F.sum("neg").cast("long").alias("n")
+    )
+    cand = (
+        c.join(F.broadcast(t), "feature")
+        .filter((F.col("pl") + F.col("nl") > 0) & (F.col("p") + F.col("n") - F.col("pl") - F.col("nl") > 0))
+        .select(
+            "feature",
+            F.col("bin").alias("threshold"),
+            "pl",
+            "nl",
+            (F.col("p") - F.col("pl")).alias("pr"),
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") + F.col("n")).alias("tot"),
+            F.expr(
+                "1000000 - (pl*pl + nl*nl) * 1000000 DIV ((pl+nl)*(pl+nl))"
+            ).alias("gl"),
+            F.expr(
+                "1000000 - ((p-pl)*(p-pl) + (n-nl)*(n-nl)) * 1000000 "
+                "DIV ((p+n-pl-nl)*(p+n-pl-nl))"
+            ).alias("gr"),
+        )
+    )
+    sc = cand.select(
+        "feature",
+        "threshold",
+        (F.col("pl") + F.col("nl")).alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        (F.col("pr") + F.col("nr")).alias("n_right"),
+        F.col("pr").alias("pos_right"),
+        F.expr("((pl+nl) * gl + (pr+nr) * gr) DIV tot").alias("weighted_micro"),
+    )
+    parent = ev.agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n"),
+    ).select(
+        F.expr(
+            "1000000 - (p*p + n*n) * 1000000 DIV ((p+n)*(p+n))"
+        ).alias("parent_micro")
+    )
+    wr = Window.orderBy("weighted_micro", "feature", "threshold")
+    return (
+        sc.crossJoin(F.broadcast(parent))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "weighted_micro",
+            "parent_micro",
+            (F.col("parent_micro") - F.col("weighted_micro")).alias("gain_micro"),
+        )
+    )

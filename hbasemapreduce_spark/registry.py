@@ -352,6 +352,8 @@ _R7_BACKLOG = [
     "x_dedup_span",
     "x_text_lm_score",
     "x_eval_ndcg",
+    "x_contamination_semantic",
+    "x_ml_gini_stump",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

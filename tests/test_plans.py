@@ -283,6 +283,8 @@ _BNLJ_WHITELIST = {
     "x_text_keywords",    # 1-row corpus-doc-count scalar (micro-idf)
     "x_text_lm_score",    # 1-row vocabulary-size scalar (add-one smoothing)
     "x_eval_ndcg",        # 1-row calendar-midpoint scalar (ks_drift pattern)
+    "x_contamination_semantic",  # benchmark-bounded embedding set broadcast
+    "x_ml_gini_stump",    # 1-row parent-impurity scalar against the split grid
 }
 
 
