@@ -63,3 +63,71 @@ def z_value_sql(a: str, b: str) -> str:
         terms.append(f"(((CAST({a} AS BIGINT) >> {i}) & 1) << {2 * i})")
         terms.append(f"(((CAST({b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+# -- Hilbert curve ------------------------------------------------------
+#
+# The Hilbert curve preserves locality strictly better than Morton
+# order (no Z-shaped jumps between quadrants: consecutive curve
+# positions are always grid neighbours), which tightens per-file key
+# envelopes further for two-key data skipping.  Public algorithm:
+# the classic xy->d bit loop (Hilbert 1891; iterative form as in
+# Warren, Hacker's Delight §16-2 / the Wikipedia xy2d routine).
+#
+# The per-level rotation makes the loop STATEFUL — unrolling it as 16
+# chained projections invites exponential expression blowup when
+# CollapseProject inlines each level into the next.  The Spark form
+# instead threads (x, y, d) through ONE higher-order ``aggregate`` over
+# the bit levels (a single expression, evaluated iteratively per row);
+# the DuckDB twin is a generated 16-stage CTE chain (CTE stages are
+# materialized boundaries there, no inlining risk).  Both are generated
+# from the same level parameters, so the engines agree by construction.
+
+
+def hilbert_expr(a: str, b: str) -> str:
+    """Spark SQL expression: Hilbert distance of two ZBITS-normalized
+    integer columns via one stateful HOF fold over bit levels."""
+    return (
+        f"aggregate(sequence({ZBITS - 1}, 0, -1), "
+        f"struct(CAST({a} AS BIGINT) AS x, CAST({b} AS BIGINT) AS y, "
+        "CAST(0 AS BIGINT) AS d), "
+        "(acc, i) -> struct("
+        "CASE WHEN (shiftright(acc.y, i) & 1) = 0 THEN "
+        "  CASE WHEN (shiftright(acc.x, i) & 1) = 1 "
+        "    THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.y ELSE acc.y END "
+        "ELSE acc.x END AS x, "
+        "CASE WHEN (shiftright(acc.y, i) & 1) = 0 THEN "
+        "  CASE WHEN (shiftright(acc.x, i) & 1) = 1 "
+        "    THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.x ELSE acc.x END "
+        "ELSE acc.y END AS y, "
+        "acc.d + shiftleft(CAST(1 AS BIGINT), 2 * i) * "
+        "CAST((3 * (shiftright(acc.x, i) & 1)) ^ (shiftright(acc.y, i) & 1) "
+        "AS BIGINT) AS d), "
+        "acc -> acc.d)"
+    )
+
+
+def hilbert_ctes(src: str, a: str, b: str, out: str = "hv") -> str:
+    """DuckDB twin: chained CTE stages `hl0..hl{ZBITS}` computing the
+    same fold; the last stage exposes the distance as `{out}`.  Returns
+    the CTE fragment to splice after a WITH list; read FROM hl{ZBITS}."""
+    stages = [
+        f"hl0 AS (SELECT *, CAST({a} AS BIGINT) AS hx, "
+        f"CAST({b} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    for n, i in enumerate(reversed(range(ZBITS)), start=1):
+        s = 1 << i
+        rx = f"((hx >> {i}) & 1)"
+        ry = f"((hy >> {i}) & 1)"
+        stages.append(
+            f"hl{n} AS (SELECT * EXCLUDE (hx, hy, hd), "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hx ELSE hx END ELSE hy END AS hy, "
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd FROM hl{n - 1})"
+        )
+    stages.append(
+        f"hfin AS (SELECT * EXCLUDE (hx, hy, hd), hd AS {out} FROM hl{ZBITS})"
+    )
+    return ", ".join(stages)

@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.determinism import dec_sum
-from ..functions.zorder import normalize, normalize_sql, z_value, z_value_sql
+from ..functions.zorder import (
+    hilbert_ctes,
+    hilbert_expr,
+    normalize,
+    normalize_sql,
+    z_value,
+    z_value_sql,
+)
 from ..registry import query
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
@@ -988,4 +995,60 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best_suppkey") == F.col("s_suppkey"),
         )
         .select("p_partkey", "p_name", "s_name", "best_unit")
+    )
+
+
+@query(
+    "x_layout_hilbert",
+    category="sink",
+    oracle=(
+        "WITH b AS (SELECT MIN(l_orderkey) AS ok_mn, MAX(l_orderkey) AS ok_mx, "
+        "           MIN(l_partkey) AS pk_mn, MAX(l_partkey) AS pk_mx FROM lineitem), "
+        "n AS (SELECT l_orderkey, l_partkey, "
+        + normalize_sql("l_orderkey", "ok_mn", "ok_mx")
+        + " AS an, "
+        + normalize_sql("l_partkey", "pk_mn", "pk_mx")
+        + " AS bn FROM lineitem, b), "
+        + hilbert_ctes("n", "an", "bn", out="hv")
+        + " SELECT hv >> 24 AS h_bucket, COUNT(*) AS cnt, "
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok, "
+        "MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk "
+        "FROM hfin GROUP BY h_bucket"
+    ),
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout for two-key data skipping — the
+    locality-strict sibling of x_layout_zorder: consecutive Hilbert
+    positions are always grid NEIGHBOURS (Morton order jumps across
+    quadrant seams), so range-sorting by the Hilbert distance yields
+    per-file key envelopes at least as tight as Z-order's on the same
+    bucket grid (measured on this corpus in tests/test_plans.py).
+    Same exact-integer normalization to a shared 16-bit space via the
+    1-row bounds broadcast; the stateful xy->d rotation loop runs as
+    ONE higher-order fold per row (see functions/zorder.py — unrolled
+    projections would invite CollapseProject expression blowup), and
+    the DuckDB twin is a generated 16-stage CTE chain from the same
+    level parameters, so both engines agree by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("ok_mn"),
+        F.max("l_orderkey").alias("ok_mx"),
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+    )
+    hed = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("an", normalize("l_orderkey", "ok_mn", "ok_mx"))
+        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx"))
+        .withColumn("hv", F.expr(hilbert_expr("an", "bn")))
+    )
+    return (
+        hed.groupBy(F.shiftright("hv", 24).alias("h_bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
     )

@@ -354,6 +354,7 @@ _R7_BACKLOG = [
     "x_eval_ndcg",
     "x_contamination_semantic",
     "x_ml_gini_stump",
+    "x_layout_hilbert",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -285,6 +285,7 @@ _BNLJ_WHITELIST = {
     "x_eval_ndcg",        # 1-row calendar-midpoint scalar (ks_drift pattern)
     "x_contamination_semantic",  # benchmark-bounded embedding set broadcast
     "x_ml_gini_stump",    # 1-row parent-impurity scalar against the split grid
+    "x_layout_hilbert",   # 1-row key-bounds scalar (x_layout_zorder pattern)
 }
 
 
@@ -369,6 +370,74 @@ def test_zorder_layout_tightens_both_key_spans(spark, tmp_path):
     # 16 z-range files over a 4x4 grid -> typical max-dimension fraction
     # ~0.25-0.3 plus a few straddlers; a single-key sort scores ~1.0
     assert mean_frac <= 0.6, f"z-order not tightening both keys: {mean_frac:.2f} {fracs}"
+
+
+def test_hilbert_layout_at_least_as_tight_as_zorder(spark, tmp_path):
+    # The x_layout_hilbert docstring's claim, measured: consecutive
+    # Hilbert positions are always grid neighbours (no quadrant-seam
+    # jumps), so on the same 16-file range layout its mean max-dimension
+    # envelope fraction must land at or under Z-order's (observed:
+    # ~0.30 vs ~0.41 at sf0.001; 5% tolerance absorbs file-boundary
+    # placement noise).
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.functions.zorder import (
+        hilbert_expr,
+        normalize,
+        z_value,
+    )
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = li.agg(
+        F.min("l_orderkey").alias("ok_mn"),
+        F.max("l_orderkey").alias("ok_mx"),
+        F.min("l_partkey").alias("pk_mn"),
+        F.max("l_partkey").alias("pk_mx"),
+    )
+    base = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn("an", normalize("l_orderkey", "ok_mn", "ok_mx"))
+        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx"))
+    )
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    ok_span, pk_span = b[1] - b[0], b[3] - b[2]
+
+    def mean_frac(df, col, sub):
+        out = str(tmp_path / sub)
+        df.repartitionByRange(16, col).sortWithinPartitions(col).write.parquet(out)
+        fracs = []
+        for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+            t = pq.read_table(f, columns=["l_orderkey", "l_partkey"])
+            ok = t.column("l_orderkey").to_pylist()
+            pk = t.column("l_partkey").to_pylist()
+            fracs.append(
+                max((max(ok) - min(ok)) / ok_span, (max(pk) - min(pk)) / pk_span)
+            )
+        return sum(fracs) / len(fracs)
+
+    z = mean_frac(
+        base.withColumn("zv", z_value(F.col("an"), F.col("bn"))).select(
+            "l_orderkey", "l_partkey", "zv"
+        ),
+        "zv",
+        "z",
+    )
+    h = mean_frac(
+        base.withColumn("hv", F.expr(hilbert_expr("an", "bn"))).select(
+            "l_orderkey", "l_partkey", "hv"
+        ),
+        "hv",
+        "h",
+    )
+    assert h <= z * 1.05, f"hilbert ({h:.3f}) looser than z-order ({z:.3f})"
+    assert h <= 0.6, f"hilbert not tightening both keys: {h:.3f}"
 
 
 def test_bulkload_files_are_disjoint_and_sorted(spark, tmp_path):
