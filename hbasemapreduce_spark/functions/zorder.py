@@ -76,35 +76,46 @@ def z_value_sql(a: str, b: str) -> str:
 #
 # The per-level rotation makes the loop STATEFUL — unrolling it as 16
 # chained projections invites exponential expression blowup when
-# CollapseProject inlines each level into the next.  The Spark form
-# instead threads (x, y, d) through ONE higher-order ``aggregate`` over
-# the bit levels (a single expression, evaluated iteratively per row);
-# the DuckDB twin is a generated 16-stage CTE chain (CTE stages are
-# materialized boundaries there, no inlining risk).  Both are generated
-# from the same level parameters, so the engines agree by construction.
+# CollapseProject inlines each level into the next, and threading the
+# state through one higher-order ``aggregate`` runs INTERPRETED
+# (HOFs get no codegen; measured 8.6 s at sf0.1 — the x_text_winnow
+# lesson).  The Spark form is therefore the vectorized-numpy bit loop
+# over Arrow batches (mapInPandas: 16 array-wide iterations, zero
+# per-row Python); the DuckDB twin is a generated 16-stage CTE chain.
+# Both are generated from the same level parameters, so the engines
+# agree by construction — and the operator's full-hash oracle check
+# proves it on every run.
 
 
-def hilbert_expr(a: str, b: str) -> str:
-    """Spark SQL expression: Hilbert distance of two ZBITS-normalized
-    integer columns via one stateful HOF fold over bit levels."""
-    return (
-        f"aggregate(sequence({ZBITS - 1}, 0, -1), "
-        f"struct(CAST({a} AS BIGINT) AS x, CAST({b} AS BIGINT) AS y, "
-        "CAST(0 AS BIGINT) AS d), "
-        "(acc, i) -> struct("
-        "CASE WHEN (shiftright(acc.y, i) & 1) = 0 THEN "
-        "  CASE WHEN (shiftright(acc.x, i) & 1) = 1 "
-        "    THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.y ELSE acc.y END "
-        "ELSE acc.x END AS x, "
-        "CASE WHEN (shiftright(acc.y, i) & 1) = 0 THEN "
-        "  CASE WHEN (shiftright(acc.x, i) & 1) = 1 "
-        "    THEN shiftleft(CAST(1 AS BIGINT), i) - 1 - acc.x ELSE acc.x END "
-        "ELSE acc.y END AS y, "
-        "acc.d + shiftleft(CAST(1 AS BIGINT), 2 * i) * "
-        "CAST((3 * (shiftright(acc.x, i) & 1)) ^ (shiftright(acc.y, i) & 1) "
-        "AS BIGINT) AS d), "
-        "acc -> acc.d)"
-    )
+def hilbert_map(df, a: str, b: str, keep: list[str], out: str = "hv"):
+    """Append the Hilbert distance of two ZBITS-normalized integer
+    columns via one vectorized numpy bit loop per Arrow batch."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    cols = [*keep, out]
+    schema = ", ".join(f"{c} long" for c in cols)
+
+    def fold(batches):
+        for pdf in batches:
+            x = pdf[a].to_numpy(dtype="int64").copy()
+            y = pdf[b].to_numpy(dtype="int64").copy()
+            d = np.zeros_like(x)
+            for i in range(ZBITS - 1, -1, -1):
+                s = np.int64(1 << i)
+                rx = (x >> i) & 1
+                ry = (y >> i) & 1
+                d += (s * s) * ((3 * rx) ^ ry)
+                flip = (ry == 0) & (rx == 1)
+                keep_m = ry != 0
+                x0 = x
+                x = np.where(keep_m, x, np.where(flip, s - 1 - y, y))
+                y = np.where(keep_m, y, np.where(flip, s - 1 - x0, x0))
+            res = pdf[list(keep)].copy()
+            res[out] = d
+            yield res
+
+    return df.mapInPandas(fold, schema=schema)
 
 
 def hilbert_ctes(src: str, a: str, b: str, out: str = "hv") -> str:

@@ -23,7 +23,7 @@ from ..catalog import load_table
 from ..functions.determinism import dec_sum
 from ..functions.zorder import (
     hilbert_ctes,
-    hilbert_expr,
+    hilbert_map,
     normalize,
     normalize_sql,
     z_value,
@@ -1024,11 +1024,14 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file key envelopes at least as tight as Z-order's on the same
     bucket grid (measured on this corpus in tests/test_plans.py).
     Same exact-integer normalization to a shared 16-bit space via the
-    1-row bounds broadcast; the stateful xy->d rotation loop runs as
-    ONE higher-order fold per row (see functions/zorder.py — unrolled
+    1-row bounds broadcast; the stateful xy->d rotation loop runs as a
+    VECTORIZED numpy bit loop over Arrow batches (see
+    functions/zorder.py — a JVM higher-order fold is interpreted and
+    measured 8.6 s at sf0.1 vs ~1 s for this path; unrolled
     projections would invite CollapseProject expression blowup), and
     the DuckDB twin is a generated 16-stage CTE chain from the same
-    level parameters, so both engines agree by construction."""
+    level parameters, so both engines agree by construction — checked
+    by the full-hash oracle on every run."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     bounds = li.agg(
         F.min("l_orderkey").alias("ok_mn"),
@@ -1036,11 +1039,14 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("pk_mn"),
         F.max("l_partkey").alias("pk_mx"),
     )
-    hed = (
+    hed = hilbert_map(
         li.crossJoin(F.broadcast(bounds))
         .withColumn("an", normalize("l_orderkey", "ok_mn", "ok_mx"))
-        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx"))
-        .withColumn("hv", F.expr(hilbert_expr("an", "bn")))
+        .withColumn("bn", normalize("l_partkey", "pk_mn", "pk_mx")),
+        "an",
+        "bn",
+        keep=["l_orderkey", "l_partkey"],
+        out="hv",
     )
     return (
         hed.groupBy(F.shiftright("hv", 24).alias("h_bucket"))

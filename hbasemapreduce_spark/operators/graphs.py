@@ -596,3 +596,117 @@ def kcore_core(
         .filter(F.col("deg") >= k)
         .select("node", "deg")
     )
+
+
+# -- bipartite HITS (co-HITS) -------------------------------------------
+
+
+@query(
+    "x_graph_hits",
+    category="graph",
+    oracle=(
+        "WITH e AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part "
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        f"h0 AS (SELECT cust, CAST({_SCALE} AS BIGINT) // "
+        "  (SELECT COUNT(DISTINCT cust) FROM e) AS h FROM (SELECT DISTINCT cust FROM e)), "
+        "a1r AS (SELECT e.part, CAST(SUM(h0.h) AS BIGINT) AS a "
+        "  FROM e JOIN h0 ON e.cust = h0.cust GROUP BY 1), "
+        "a1t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a1r), "
+        f"a1 AS (SELECT part, CAST(CAST({_SCALE} AS HUGEINT) * a // t AS BIGINT) "
+        "  AS a FROM a1r CROSS JOIN a1t), "
+        "h1r AS (SELECT e.cust, CAST(SUM(a1.a) AS BIGINT) AS h "
+        "  FROM e JOIN a1 ON e.part = a1.part GROUP BY 1), "
+        "h1t AS (SELECT CAST(SUM(h) AS BIGINT) AS t FROM h1r), "
+        f"h1 AS (SELECT cust, CAST(CAST({_SCALE} AS HUGEINT) * h // t AS BIGINT) "
+        "  AS h FROM h1r CROSS JOIN h1t), "
+        "a2r AS (SELECT e.part, CAST(SUM(h1.h) AS BIGINT) AS a "
+        "  FROM e JOIN h1 ON e.cust = h1.cust GROUP BY 1), "
+        "a2t AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM a2r), "
+        f"a2 AS (SELECT part, CAST(CAST({_SCALE} AS HUGEINT) * a // t AS BIGINT) "
+        "  AS a FROM a2r CROSS JOIN a2t) "
+        "SELECT 'auth' AS kind, part AS node, a AS score FROM a2 "
+        "UNION ALL SELECT 'hub', cust, h FROM h1"
+    ),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite HITS (Kleinberg 1999, the co-HITS form): customers are
+    hubs, parts are authorities on the purchase graph — a good hub buys
+    authoritative parts, an authoritative part is bought by good hubs.
+    Two mutual-reinforcement rounds (a = E^T h, h = E a, then a again),
+    each L1-renormalized to total mass 10^12 in EXACT integer
+    arithmetic (the classic L2 norm needs a sqrt; L1 keeps every step a
+    bigint sum + one integer division and therefore hash-checkable and
+    partition-invariant — the x_graph_pagerank discipline).
+
+    Scale shape: each half-step is ONE equi-join of the current score
+    vector with the edge list plus a hash aggregate on the other side
+    (map-side partials carry the shuffle); the renormalizer is a 1-row
+    broadcast total.  The distinct (cust, part) edge derivation is
+    localCheckpointed because all four half-steps re-read it.  Hot
+    parts are aggregate skew — AQE splits them.  Spark-side 10^12 * x
+    products stay under 2^63 because every renormalized mass is
+    <= 10^12; the DuckDB twin routes the same products through HUGEINT
+    and casts back, proving no overflow on either engine."""
+    e = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_cust = e.select("cust").distinct().agg(
+        F.expr(f"CAST({_SCALE} AS BIGINT) DIV COUNT(*)").alias("b")
+    )
+    h = (
+        e.select("cust")
+        .distinct()
+        .crossJoin(F.broadcast(n_cust))
+        .select("cust", F.col("b").alias("h"))
+    )
+
+    def renorm(df: DataFrame, key: str, col: str) -> DataFrame:
+        t = df.agg(F.sum(col).alias("t"))
+        return (
+            df.crossJoin(F.broadcast(t))
+            .select(
+                key,
+                # decimal(38,0) sandwich: score * 10^12 can exceed int64
+                # mid-product; the quotient is back under 10^12
+                F.expr(
+                    f"CAST(CAST({_SCALE} AS DECIMAL(38,0)) * {col} DIV t AS BIGINT)"
+                ).alias(col),
+            )
+        )
+
+    def auth_step(hdf: DataFrame) -> DataFrame:
+        raw = (
+            e.join(hdf, "cust")
+            .groupBy("part")
+            .agg(F.sum("h").alias("a"))
+        )
+        return renorm(raw, "part", "a")
+
+    def hub_step(adf: DataFrame) -> DataFrame:
+        raw = (
+            e.join(adf, "part")
+            .groupBy("cust")
+            .agg(F.sum("a").alias("h"))
+        )
+        return renorm(raw, "cust", "h")
+
+    a1 = auth_step(h)
+    h1 = hub_step(a1)
+    a2 = auth_step(h1)
+    return (
+        a2.select(
+            F.lit("auth").alias("kind"),
+            F.col("part").alias("node"),
+            F.col("a").alias("score"),
+        )
+        .unionAll(
+            h1.select(F.lit("hub"), F.col("cust"), F.col("h"))
+        )
+    )

@@ -1608,3 +1608,95 @@ def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("parent_micro") - F.col("weighted_micro")).alias("gain_micro"),
         )
     )
+
+
+# -- categorical association: chi-squared + Cramer's V ------------------
+
+
+@query(
+    "x_stats_cramers_v",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, "
+        "  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow FROM events), "
+        "cell AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nij "
+        "  FROM ev GROUP BY 1, 2), "
+        "rt AS (SELECT event_type, CAST(SUM(nij) AS BIGINT) AS ri FROM cell GROUP BY 1), "
+        "ct AS (SELECT dow, CAST(SUM(nij) AS BIGINT) AS cj FROM cell GROUP BY 1), "
+        "tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n, "
+        "  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r_card, "
+        "  CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_card FROM cell), "
+        "grid AS (SELECT rt.event_type, ct.dow, rt.ri, ct.cj, "
+        "  COALESCE(cell.nij, 0) AS nij FROM rt CROSS JOIN ct "
+        "  LEFT JOIN cell ON cell.event_type = rt.event_type AND cell.dow = ct.dow), "
+        "terms AS (SELECT CAST((CAST(n AS HUGEINT) * nij - CAST(ri AS HUGEINT) * cj) "
+        "  * (CAST(n AS HUGEINT) * nij - CAST(ri AS HUGEINT) * cj) * 1000000 "
+        "  // (CAST(n AS HUGEINT) * ri * cj) AS BIGINT) AS t "
+        "  FROM grid CROSS JOIN tot) "
+        "SELECT n, r_card, c_card, "
+        "  CAST(SUM(t) AS BIGINT) AS chi2_micro, "
+        "  CAST(SUM(t) // (n * LEAST(r_card - 1, c_card - 1)) AS BIGINT) AS v2_micro "
+        "FROM terms CROSS JOIN tot GROUP BY n, r_card, c_card"
+    ),
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramer's V² between event type
+    and day-of-week — 'is traffic mix a function of weekday?', the
+    categorical-association audit behind stratification and drift
+    checks (x_stats_ks_drift covers numeric drift; this covers the
+    categorical-categorical pair).
+
+    Exactness: every chi-squared term is the integer rational
+    (n*nij - ri*cj)^2 * 10^6 // (n*ri*cj) over the FULL r x c grid
+    (absent cells materialized as zeros — they still contribute
+    ri*cj/n), with mid-products routed through DECIMAL(38,0) on Spark
+    and HUGEINT on DuckDB because (n*nij)^2 overflows int64; the
+    quotient is back under 10^12, so the summed chi2_micro and the
+    final V² division are plain bigints.  V² (phi²/min(r-1,c-1)) is
+    reported instead of V to avoid the sqrt.
+
+    Scale shape: ONE fact-scan hash aggregate to the |types| x 7 cell
+    grid; everything after runs on content-bounded tables (the grid
+    spine is a broadcast cross of the two margin tables, the
+    x_time_gapfill bounds pattern)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+    )
+    cell = ev.groupBy("event_type", "dow").agg(
+        F.count("*").cast("long").alias("nij")
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("nij").cast("long").alias("ri"))
+    ct = cell.groupBy("dow").agg(F.sum("nij").cast("long").alias("cj"))
+    tot = cell.agg(
+        F.sum("nij").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("r_card"),
+        F.countDistinct("dow").cast("long").alias("c_card"),
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cell, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "ri",
+            "cj",
+            F.coalesce(F.col("nij"), F.lit(0)).alias("nij"),
+        )
+    )
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "r_card",
+        "c_card",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * nij - CAST(ri AS DECIMAL(38,0)) * cj) "
+            "* (CAST(n AS DECIMAL(38,0)) * nij - CAST(ri AS DECIMAL(38,0)) * cj) "
+            "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * ri * cj) AS BIGINT)"
+        ).alias("t"),
+    )
+    return terms.groupBy("n", "r_card", "c_card").agg(
+        F.sum("t").cast("long").alias("chi2_micro"),
+        F.expr(
+            "CAST(SUM(t) DIV (n * LEAST(r_card - 1, c_card - 1)) AS BIGINT)"
+        ).alias("v2_micro"),
+    )

@@ -355,6 +355,8 @@ _R7_BACKLOG = [
     "x_contamination_semantic",
     "x_ml_gini_stump",
     "x_layout_hilbert",
+    "x_graph_hits",
+    "x_stats_cramers_v",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -229,7 +229,11 @@ def test_no_python_eval_outside_udx_multimodal(spark):
     # - x_emb_gram_gemm: IS the documented numpy-GEMM scale path of
     #   x_emb_gram (mapInPandas partial GEMM per partition) — Python by
     #   design, oracle-identical to the JVM formulation.
-    allowed_keys = {"x_text_winnow", "x_emb_gram_gemm"}
+    # - x_layout_hilbert: the stateful 16-level xy->d rotation loop is
+    #   interpreted as a JVM HOF fold (8.6 s at sf0.1); the vectorized
+    #   numpy bit loop over Arrow batches is the winnow-style fix, and
+    #   the full-hash DuckDB oracle checks it end-to-end.
+    allowed_keys = {"x_text_winnow", "x_emb_gram_gemm", "x_layout_hilbert"}
     python_nodes = ("EvalPython", "InPandas")
     offenders = []
     for key, s in all_specs().items():
@@ -286,6 +290,8 @@ _BNLJ_WHITELIST = {
     "x_contamination_semantic",  # benchmark-bounded embedding set broadcast
     "x_ml_gini_stump",    # 1-row parent-impurity scalar against the split grid
     "x_layout_hilbert",   # 1-row key-bounds scalar (x_layout_zorder pattern)
+    "x_graph_hits",       # 1-row init-mass + renormalization-total scalars
+    "x_stats_cramers_v",  # margin-table grid spine + 1-row totals scalar
 }
 
 
@@ -386,7 +392,7 @@ def test_hilbert_layout_at_least_as_tight_as_zorder(spark, tmp_path):
 
     from hbasemapreduce_spark.catalog import load_table
     from hbasemapreduce_spark.functions.zorder import (
-        hilbert_expr,
+        hilbert_map,
         normalize,
         z_value,
     )
@@ -430,9 +436,7 @@ def test_hilbert_layout_at_least_as_tight_as_zorder(spark, tmp_path):
         "z",
     )
     h = mean_frac(
-        base.withColumn("hv", F.expr(hilbert_expr("an", "bn"))).select(
-            "l_orderkey", "l_partkey", "hv"
-        ),
+        hilbert_map(base, "an", "bn", keep=["l_orderkey", "l_partkey"], out="hv"),
         "hv",
         "h",
     )
