@@ -1058,3 +1058,53 @@ def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_partkey").alias("max_pk"),
         )
     )
+
+
+@query(
+    "x_source_merge_schema",
+    category="scan",
+    oracle=(
+        "SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "  THEN NULL ELSE o_orderpriority END AS o_orderpriority, "
+        "COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders GROUP BY 1"
+    ),
+)
+def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: orders staged as TWO parquet generations —
+    an old layout without o_orderpriority (pre-1997 rows) and a new
+    layout with it — read back in one scan with ``mergeSchema=true``,
+    the missing column null-filled for old files.  This is the
+    practical 100 TB reality check every long-lived lake hits: columns
+    appear over time and historical files must stay readable without a
+    rewrite.  The oracle derives the same null mask from the split rule
+    directly, so the check proves Spark's schema merge fills exactly
+    the rows the layout split implies.
+
+    Scale note: mergeSchema=true costs a footer read per file at
+    planning time; production tables pin the merged schema in a
+    catalog (Delta/Iceberg) — the runtime null-fill behaviour checked
+    here is identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    out = os.path.join(
+        _SCRATCH, f"merge_schema_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    old, new = os.path.join(out, "g1"), os.path.join(out, "g2")
+    (
+        orders.filter(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(old)
+    )
+    (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(new)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(old, new)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"), dec_sum("o_totalprice", "sum_price")
+    )

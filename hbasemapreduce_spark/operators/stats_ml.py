@@ -1700,3 +1700,77 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(t) DIV (n * LEAST(r_card - 1, c_card - 1)) AS BIGINT)"
         ).alias("v2_micro"),
     )
+
+
+# -- M4 time-series downsampling ----------------------------------------
+
+_M4_BUCKETS = 20
+
+
+@query(
+    "x_time_m4",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+        "    AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "b AS (SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM h GROUP BY 1) "
+        "SELECT h.event_type, "
+        f"  CAST((h.hr - b.mn) * {_M4_BUCKETS} // (b.mx - b.mn + 1) AS BIGINT) AS bucket, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_points, "
+        "  MIN(h.hr) AS first_hr, MAX(h.hr) AS last_hr, "
+        "  MIN(h.c) AS min_c, MAX(h.c) AS max_c, "
+        "  arg_min(h.c, h.hr) AS first_c, arg_max(h.c, h.hr) AS last_c "
+        "FROM h JOIN b ON h.event_type = b.event_type "
+        "GROUP BY 1, 2"
+    ),
+)
+def time_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14) of the hourly count
+    series per event type to 20 buckets, each reduced to its min, max,
+    first, and last points — the downsample that renders a
+    pixel-perfect line chart from billions of points because any
+    vertical pixel column is fully determined by exactly those four
+    values (LTTB is the aesthetic alternative but is inherently
+    sequential; M4 is one declarative aggregate).
+
+    All integers: hour index, equal-width bucket assignment by integer
+    division over the per-type [min, max] span, and first/last via
+    min_by/max_by on the unique-within-series hour index (no ties, so
+    both engines agree).
+
+    Scale shape: fact scan -> calendar-bounded (type, hour) aggregate,
+    then a |types|-row bounds broadcast join and a second bounded
+    aggregate.  Output is |types| x 20 regardless of corpus size."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    b = h.groupBy("event_type").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    return (
+        h.join(F.broadcast(b), "event_type")
+        .groupBy(
+            "event_type",
+            F.expr(
+                f"CAST((hr - mn) * {_M4_BUCKETS} DIV (mx - mn + 1) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.min("hr").alias("first_hr"),
+            F.max("hr").alias("last_hr"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+            F.min_by("c", "hr").alias("first_c"),
+            F.max_by("c", "hr").alias("last_c"),
+        )
+    )

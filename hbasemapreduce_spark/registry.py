@@ -357,6 +357,8 @@ _R7_BACKLOG = [
     "x_layout_hilbert",
     "x_graph_hits",
     "x_stats_cramers_v",
+    "x_time_m4",
+    "x_source_merge_schema",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
