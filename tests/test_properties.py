@@ -1832,3 +1832,119 @@ def test_keywords_match_direct_recompute(spark):
         expect = sorted(wgt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
         got = sorted(out.get(doc, []))
         assert [(i + 1, t, w) for i, (t, w) in enumerate(expect)] == got, doc
+
+
+# -- round-6 operators ---------------------------------------------------
+
+
+def test_hits_mass_conservation_and_bipartite_sides(spark):
+    # L1 renormalization to total mass 10^12 with floor division: each
+    # side's scores must sum to AT MOST the scale and miss it by less
+    # than one unit per node (truncation loses < 1 per row).
+    rows = q(spark, "x_graph_hits").collect()
+    for kind in ("auth", "hub"):
+        side = [r.score for r in rows if r.kind == kind]
+        assert side, kind
+        assert all(s >= 0 for s in side)
+        total = sum(side)
+        assert total <= 10**12
+        assert total > 10**12 - len(side), (kind, total, len(side))
+
+
+def test_dedup_span_island_bounds(spark):
+    # Each island is a merged run of 8-token grams: it spans at least
+    # one gram (8 tokens) and never more tokens than the doc has; the
+    # micro-ratio is consistent with the reported integers.
+    for r in q(spark, "x_dedup_span").collect():
+        assert r.n_dup_spans >= 1
+        assert 8 <= r.dup_tokens <= r.n_tokens
+        assert r.dup_micro == 1_000_000 * r.dup_tokens // r.n_tokens
+
+
+def test_lm_score_bounds_and_coverage(spark):
+    # Every multi-token doc is scored; the mean smoothed probability is
+    # a genuine probability (micro in (0, 10^6]).
+    rows = q(spark, "x_text_lm_score").collect()
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert len(rows) == docs
+    assert all(0 < r.lm_micro <= 1_000_000 for r in rows)
+
+
+def test_ndcg_in_unit_interval_and_dcg_le_idcg(spark):
+    for r in q(spark, "x_eval_ndcg").collect():
+        assert 0 <= r.dcg_micro <= r.idcg_micro
+        assert 0 <= r.ndcg_micro <= 1_000_000
+
+
+def test_m4_buckets_conserve_points_and_order(spark):
+    # Bucket point counts must sum to each series' length, and the four
+    # M4 values must satisfy min <= first/last <= max within a bucket.
+    rows = q(spark, "x_time_m4").collect()
+    per_type = {}
+    for r in rows:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + r.n_points
+        assert r.min_c <= r.first_c <= r.max_c
+        assert r.min_c <= r.last_c <= r.max_c
+        assert r.first_hr <= r.last_hr
+        assert 0 <= r.bucket < 20
+    h = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .count()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    assert per_type == {r.event_type: r["count"] for r in h}
+
+
+def test_cramers_v2_in_unit_interval(spark):
+    r = q(spark, "x_stats_cramers_v").collect()[0]
+    assert 0 <= r.v2_micro <= 1_000_000
+    assert r.chi2_micro >= 0
+
+
+def test_gini_stump_counts_conserve_and_split_is_optimal(spark):
+    # The winning split's side counts must sum to the corpus, and no
+    # candidate on a brute-force driver-side recompute may beat its
+    # weighted impurity (equal is fine — ties break lexically).
+    r = q(spark, "x_ml_gini_stump").collect()[0]
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts", "value").collect()
+    n = len(ev)
+    assert r.n_left + r.n_right == n
+    import datetime as _dt
+
+    feats = []
+    for e in ev:
+        y = 1 if e.event_type == "purchase" else 0
+        hour = e.ts.hour
+        dow = (e.ts.date().weekday() + 1) % 7 + 1  # Spark dayofweek: Sun=1
+        vb = min(int(e.value // 20), 9)
+        feats.append((y, {"hour": hour, "dow": dow, "vbucket": vb}))
+    best = None
+    for fname in ("hour", "dow", "vbucket"):
+        bins = sorted({f[1][fname] for f in feats})
+        for t in bins:
+            pl = sum(y for y, f in feats if f[fname] <= t)
+            nl = sum(1 - y for y, f in feats if f[fname] <= t)
+            pr = sum(y for y, f in feats) - pl
+            nr = sum(1 - y for y, f in feats) - nl
+            if pl + nl == 0 or pr + nr == 0:
+                continue
+            gl = 1_000_000 - (pl * pl + nl * nl) * 1_000_000 // ((pl + nl) ** 2)
+            gr = 1_000_000 - (pr * pr + nr * nr) * 1_000_000 // ((pr + nr) ** 2)
+            w = ((pl + nl) * gl + (pr + nr) * gr) // n
+            cand = (w, fname, t)
+            if best is None or cand < best:
+                best = cand
+    assert best is not None
+    assert (r.weighted_micro, r.feature, r.threshold) == best
