@@ -158,3 +158,70 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan_resize,
         schema="doc_id long, src_w long, src_h long, out_w long, out_h long",
     )
+
+
+_AUDIO_FRAME = 64  # bytes per analysis frame (a stand-in sample rate)
+
+
+@query(
+    "x_multimodal_audio_energy",
+    category="llm_multimodal",
+    oracle=(
+        "WITH p AS (SELECT doc_id, text AS pcm, "
+        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
+        f"f AS (SELECT doc_id, n, i AS frame_idx FROM p, "
+        f"  LATERAL (SELECT unnest(range(0, n // {_AUDIO_FRAME})) AS i) r), "
+        "s AS (SELECT doc_id, frame_idx, "
+        f"  CAST(list_sum(list_transform(range(1, {_AUDIO_FRAME} + 1), "
+        f"    j -> ascii(substr(p.pcm, CAST(frame_idx * {_AUDIO_FRAME} + j AS INT), 1)) "
+        f"       * ascii(substr(p.pcm, CAST(frame_idx * {_AUDIO_FRAME} + j AS INT), 1)))) "
+        "    AS BIGINT) AS energy "
+        "  FROM f JOIN p USING (doc_id, n)) "
+        f"SELECT doc_id, frame_idx, CAST({_AUDIO_FRAME} AS BIGINT) AS n_samples, "
+        "energy FROM s"
+    ),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame feature extraction: the payload's byte stream
+    is treated as 8-bit PCM, cut into fixed 64-byte frames (trailing
+    partial frame dropped, as a hop-aligned analysis window would), and
+    each frame reduced to its exact integer ENERGY (sum of squared
+    sample values) — the per-frame feature a voice-activity or silence
+    filter runs before any model sees the audio.  Unlike the
+    image-decode stub, nothing here is stubbed: byte-level math is
+    deterministic, so the whole modality path is hash-checked.
+
+    Scale shape: pure per-row projection (frame explode + a bounded
+    64-element fold, all JVM codegen — no Python, no shuffle); the
+    operator output is the only thing that grows, one row per frame.
+    A real 16-bit/stereo decode swaps the byte fold for an Arrow
+    mapInPandas kernel (the x_multimodal_binary_stats path) without
+    touching the frame/partition shape."""
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("pcm"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n"),
+    )
+    frames = p.select(
+        "doc_id",
+        "pcm",
+        F.explode(
+            # sequence(0, -1) DESCENDS — explicit empty guard for
+            # payloads shorter than one frame
+            F.expr(
+                f"CASE WHEN n >= {_AUDIO_FRAME} THEN "
+                f"sequence(0, CAST(n DIV {_AUDIO_FRAME} AS INT) - 1) "
+                "ELSE array() END"
+            )
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lit(_AUDIO_FRAME).cast("long").alias("n_samples"),
+        F.expr(
+            f"CAST(aggregate(transform(sequence(1, {_AUDIO_FRAME}), "
+            f"j -> ascii(substring(pcm, CAST(frame_idx * {_AUDIO_FRAME} AS INT) + j, 1))), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v) AS BIGINT)"
+        ).alias("energy"),
+    )

@@ -359,6 +359,7 @@ _R7_BACKLOG = [
     "x_stats_cramers_v",
     "x_time_m4",
     "x_source_merge_schema",
+    "x_multimodal_audio_energy",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
