@@ -432,3 +432,84 @@ def stream_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
     )
+
+
+def dup_rate_expr(ev: DataFrame) -> DataFrame:
+    """Shared batch/stream expression behind x_stream_dup_rate: hourly
+    duplicate-rate monitoring.  Level 1 counts occurrences of each
+    duplicate identity (user_id, event_type, value) inside its hour
+    window; level 2 rolls the hour up to total events, distinct keys,
+    duplicated events, and an exact ppm rate.  The second groupBy keys
+    on F.window_time() of the first window so the watermark propagates
+    through both stateful operators in the streaming form (the
+    x_stream_chained_agg Spark 4 capability); COUNT(DISTINCT ...) is
+    not streamable, which is exactly why the rollup is CHAINED counts
+    instead."""
+    # no cast on ts: load_table already normalizes it to TIMESTAMP, and
+    # casting a streaming column strips its watermark metadata (the
+    # append-mode query then fails analysis)
+    lvl1 = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        "user_id",
+        "event_type",
+        "value",
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        lvl1.groupBy(F.window(F.window_time("w"), "1 hour").alias("h"))
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_keys"),
+            (F.sum("cnt") - F.count("*")).cast("long").alias("dup_events"),
+        )
+        .select(
+            F.unix_timestamp("h.start").alias("hs"),
+            "n_events",
+            "n_keys",
+            "dup_events",
+            F.expr("1000000 * dup_events DIV n_events").alias("dup_ppm"),
+        )
+    )
+
+
+@query(
+    "x_stream_dup_rate",
+    category="stream",
+    oracle=(
+        "WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS mu FROM events), "
+        "k AS (SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) "
+        "      AS BIGINT) AS hs, user_id, event_type, value, "
+        "      CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2, 3, 4), "
+        "h AS (SELECT hs, CAST(SUM(cnt) AS BIGINT) AS n_events, "
+        "      CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "      CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_events FROM k GROUP BY 1) "
+        "SELECT hs, n_events, n_keys, dup_events, "
+        "1000000 * dup_events // n_events AS dup_ppm "
+        "FROM h CROSS JOIN mx WHERE (hs + 3600) * 1000000 <= mu - 3600000000"
+    ),
+)
+def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the hourly DUPLICATE-RATE monitor: how much of
+    each hour's traffic is repeated (user, type, value) identities —
+    the ingestion-health alarm that catches replayed batches, stuck
+    producers, and at-least-once inflation before dedup cost shows up
+    downstream.  Rates are exact integer ppm.
+
+    Append-mode finalization is part of the twin contract (the
+    x_stream_chained_agg discipline): an hour emits once the 1-hour
+    watermark passes its end, so the batch form keeps exactly the
+    hours with hour_end <= max_ts - 1h; the streaming run is proven
+    equal in tests/test_streaming.py.
+
+    Scale shape: level 1 is a hash aggregate on (hour, identity) —
+    map-side partials absorb true duplicates; level 2 runs on the
+    deduplicated key census, not the fact table.  Streaming state is
+    one row per open-hour identity plus one per open hour, both
+    watermark-evicted."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("mu"))
+    return (
+        dup_rate_expr(ev)
+        .crossJoin(F.broadcast(mx))
+        .filter((F.col("hs") + 3600) * 1_000_000 <= F.col("mu") - 3_600_000_000)
+        .select("hs", "n_events", "n_keys", "dup_events", "dup_ppm")
+    )

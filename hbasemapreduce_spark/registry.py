@@ -360,6 +360,7 @@ _R7_BACKLOG = [
     "x_time_m4",
     "x_source_merge_schema",
     "x_multimodal_audio_energy",
+    "x_stream_dup_rate",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

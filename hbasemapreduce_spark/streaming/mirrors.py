@@ -600,3 +600,17 @@ def dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_join_dim"] = dim_enrich
+
+
+def dup_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_dup_rate: the identical chained
+    two-level expression (operators/streaming_batch.py dup_rate_expr)
+    over the event stream with a 1-hour watermark — per-hour duplicate
+    rates maintained incrementally, identity-level state evicted as the
+    watermark passes each hour."""
+    from ..operators.streaming_batch import dup_rate_expr
+
+    return dup_rate_expr(events_stream(spark, sf_dir).withWatermark("ts", "1 hour"))
+
+
+MIRRORS["x_stream_dup_rate"] = dup_rate_stream

@@ -196,3 +196,16 @@ def test_stream_join_dim_matches_batch(spark):
 
     want = all_specs()["x_stream_join_dim"].fn(spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dup_rate_matches_batch(spark):
+    """The hourly duplicate-rate monitor (two chained stateful aggs) in
+    append mode equals the batch twin exactly, including the withheld
+    trailing hour."""
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_dup_rate", output_mode="append")
+    from hbasemapreduce_spark.registry import all_specs
+
+    want = all_specs()["x_stream_dup_rate"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) > 0
