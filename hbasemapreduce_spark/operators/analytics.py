@@ -1071,3 +1071,88 @@ def agg_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return e.groupBy("event_type", "hod", "vbin").agg(F.count("*").alias("cnt"))
+
+
+# -- concentration curve (Pareto / 80-20) -------------------------------
+
+_PARETO_TARGET_PPM = 800_000  # "how many users carry 80% of the value"
+_PARETO_TOPK = 10
+
+
+@query(
+    "x_win_pareto",
+    category="analytics",
+    oracle=(
+        "WITH u AS (SELECT event_type, user_id, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents "
+        "  FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, user_id, cents, "
+        "  row_number() OVER w AS rnk, "
+        "  CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY cents DESC, "
+        "    user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "    AS cum_cents "
+        "  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC, user_id)), "
+        "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "  CAST(SUM(cents) AS BIGINT) AS total_cents FROM u GROUP BY 1) "
+        "SELECT r.event_type, t.n_users, t.total_cents, "
+        f"  CAST(1000000 * SUM(CASE WHEN rnk <= {_PARETO_TOPK} THEN cents ELSE 0 END) "
+        "    // t.total_cents AS BIGINT) AS top10_share_ppm, "
+        "  CAST(MIN(CASE WHEN 1000000 * cum_cents >= "
+        f"    {_PARETO_TARGET_PPM} * t.total_cents THEN rnk END) AS BIGINT) "
+        "    AS users_to_80pct "
+        "FROM r JOIN t ON r.event_type = t.event_type "
+        "GROUP BY r.event_type, t.n_users, t.total_cents"
+    ),
+)
+def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration curve per event type — the Pareto/80-20 readout
+    beside x_stats_gini's single coefficient: the value share of the
+    top-10 users (ppm) and how many users it takes to cover 80% of the
+    total.  The revenue-concentration audit that doubles as a join-skew
+    early warning (the same heavy keys melt reducers).
+
+    Exactness: per-user totals are exact DECIMAL(18,2) sums converted
+    once to integer cents; shares and the 80% crossing are integer
+    cross-products (1e6 * cum >= 8e5 * total — no ratio ever
+    materialized), and the (cents DESC, user_id) order is total, so
+    ranks are engine-independent.
+
+    Scale shape: one fact-scan hash aggregate to (type, user), ONE
+    sort per type for both window passes, and a |types|-row totals
+    broadcast join — the x_stats_gini budget exactly."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cents"), F.asc("user_id"))
+    r = u.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_cents"),
+    )
+    t = u.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        r.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n_users", "total_cents")
+        .agg(
+            F.expr(
+                f"CAST(1000000 * SUM(CASE WHEN rnk <= {_PARETO_TOPK} "
+                "THEN cents ELSE 0 END) DIV total_cents AS BIGINT)"
+            ).alias("top10_share_ppm"),
+            F.expr(
+                "CAST(MIN(CASE WHEN 1000000 * cum_cents >= "
+                f"{_PARETO_TARGET_PPM} * total_cents THEN rnk END) AS BIGINT)"
+            ).alias("users_to_80pct"),
+        )
+    )

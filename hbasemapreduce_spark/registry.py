@@ -361,6 +361,7 @@ _R7_BACKLOG = [
     "x_source_merge_schema",
     "x_multimodal_audio_energy",
     "x_stream_dup_rate",
+    "x_win_pareto",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
