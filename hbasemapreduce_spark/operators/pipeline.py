@@ -1289,3 +1289,76 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_sim") >= _SEMCON_T).alias("contaminated"),
         )
     )
+
+
+@query(
+    "x_join_scd2_pit",
+    category="pipeline",
+    oracle=(
+        "WITH chg AS ("
+        "  SELECT user_id, value, event_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us "
+        "  FROM events WHERE event_type IN ('signup', 'purchase')), "
+        "dim AS (SELECT user_id, value AS dim_value, "
+        "  row_number() OVER w AS version, ts_us AS valid_from_us, "
+        "  COALESCE(lead(ts_us) OVER w, 9223372036854775807) AS valid_to_us "
+        "  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), "
+        "f AS (SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us "
+        "  FROM events WHERE event_type IN ('click', 'view')) "
+        "SELECT d.version, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users, "
+        "CAST(SUM(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+        "FROM f JOIN dim d ON f.user_id = d.user_id "
+        "AND f.ts_us >= d.valid_from_us AND f.ts_us < d.valid_to_us "
+        "GROUP BY d.version"
+    ),
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history: every
+    browse event (click/view) joins to the dimension VERSION that was
+    valid at its event time — the leakage-free 'what was the attribute
+    worth then' join every warehouse and feature pipeline runs against
+    a slowly-changing dimension (x_etl_scd2 builds the history; this is
+    its consumption side).  Grouped to a per-version census so the
+    check is compact.
+
+    Scale shape: the interval predicate rides an EQUI-join on the
+    dimension key (user_id) — never an unbounded range join — and a
+    user's version count is bounded by their change events, so the
+    per-key fan-out before the interval filter is small and the join
+    partitioning is exactly x_etl_scd2's output partitioning (the sort
+    amortizes, as its docstring promises).  Events before a user's
+    first version drop out identically on both engines (inner join)."""
+    from .pipeline import etl_scd2  # self-module import keeps the reuse explicit
+
+    dim = etl_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    f = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return (
+        f.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("ts_us") >= F.col("valid_from_us"))
+            & (F.col("ts_us") < F.col("valid_to_us")),
+        )
+        .groupBy(F.col("version").cast("long").alias("version"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

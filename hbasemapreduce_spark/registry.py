@@ -362,6 +362,7 @@ _R7_BACKLOG = [
     "x_multimodal_audio_energy",
     "x_stream_dup_rate",
     "x_win_pareto",
+    "x_join_scd2_pit",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
