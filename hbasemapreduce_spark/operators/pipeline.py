@@ -1329,8 +1329,6 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning is exactly x_etl_scd2's output partitioning (the sort
     amortizes, as its docstring promises).  Events before a user's
     first version drop out identically on both engines (inner join)."""
-    from .pipeline import etl_scd2  # self-module import keeps the reuse explicit
-
     dim = etl_scd2(spark, sf_dir).select(
         F.col("user_id").alias("d_user"),
         "version",
