@@ -1774,3 +1774,95 @@ def time_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("c", "hr").alias("last_c"),
         )
     )
+
+
+# -- CUSUM control chart -------------------------------------------------
+
+
+@query(
+    "x_time_cusum",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+        "    AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "t AS (SELECT event_type, CAST(SUM(c) // COUNT(*) AS BIGINT) AS k, "
+        "  CAST(SUM(c) // COUNT(*) AS BIGINT) AS alarm_h FROM h GROUP BY 1), "
+        "p AS (SELECT h.event_type, h.hr, h.c, t.alarm_h, "
+        "  CAST(SUM(h.c - t.k - 1) OVER w AS BIGINT) AS pf "
+        "  FROM h JOIN t ON h.event_type = t.event_type "
+        "  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "s AS (SELECT event_type, hr, c, alarm_h, "
+        "  pf - LEAST(CAST(0 AS BIGINT), MIN(pf) OVER ("
+        "    PARTITION BY event_type ORDER BY hr "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s "
+        "  FROM p) "
+        "SELECT event_type, hr, c, CAST(s AS BIGINT) AS cusum, "
+        "CASE WHEN s > alarm_h THEN true ELSE false END AS alarm FROM s"
+    ),
+)
+def time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM control chart (Page 1954) on the hourly
+    count series per event type — the drift alarm that catches SMALL
+    persistent shifts x_stats_spc's per-point Shewhart limits miss and
+    x_time_peaks' single-hour spikes aren't.  Allowance k = per-type
+    mean + 1; alarm threshold h = one mean's worth of accumulated
+    excess.
+
+    The textbook recurrence S_t = max(0, S_{t-1} + (c_t - k)) is a
+    running max-recursion no window frame expresses — but it equals
+    P_t - min(0, min_{j<=t} P_j) for the plain prefix sum P (the
+    reflection identity), so the whole chart is TWO chained window
+    frames over ONE per-type sort, exact bigints end to end.
+
+    Scale shape: fact scan -> calendar-bounded (type, hour) aggregate,
+    a |types|-row mean join, one Exchange+Sort reused by both window
+    passes.  Missing hours are skipped (the chart runs on observed
+    points; a gap-filled variant would compose with x_time_gapfill)."""
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    t = h.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("k"),
+        F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("alarm_h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hr",
+        "c",
+        "alarm_h",
+        F.sum(F.col("c") - F.col("k") - 1).over(w).cast("long").alias("pf"),
+    )
+    s = p.select(
+        "event_type",
+        "hr",
+        "c",
+        "alarm_h",
+        (
+            F.col("pf")
+            - F.least(F.lit(0).cast("long"), F.min("pf").over(w))
+        ).alias("s"),
+    )
+    return s.select(
+        "event_type",
+        "hr",
+        "c",
+        F.col("s").cast("long").alias("cusum"),
+        (F.col("s") > F.col("alarm_h")).alias("alarm"),
+    )

@@ -363,6 +363,7 @@ _R7_BACKLOG = [
     "x_stream_dup_rate",
     "x_win_pareto",
     "x_join_scd2_pit",
+    "x_time_cusum",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -1948,3 +1948,36 @@ def test_gini_stump_counts_conserve_and_split_is_optimal(spark):
                 best = cand
     assert best is not None
     assert (r.weighted_micro, r.feature, r.threshold) == best
+
+
+def test_cusum_equals_direct_max_recursion(spark):
+    # The reflection identity (prefix sum minus running min) must equal
+    # the textbook recurrence S_t = max(0, S_{t-1} + (c_t - k - 1))
+    # recomputed directly, and alarms must be exactly the S > h points.
+    rows = q(spark, "x_time_cusum").collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    h = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .count()
+        .collect()
+    )
+    counts = {}
+    for r in h:
+        counts.setdefault(r.event_type, {})[r.hr] = r["count"]
+    for etype, rs in series.items():
+        rs.sort(key=lambda r: r.hr)
+        cs = counts[etype]
+        k = sum(cs.values()) // len(cs)
+        s = 0
+        for r in rs:
+            s = max(0, s + (cs[r.hr] - k - 1))
+            assert r.cusum == s, (etype, r.hr, r.cusum, s)
+            assert r.alarm == (s > k), (etype, r.hr)
