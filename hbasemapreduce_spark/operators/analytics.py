@@ -1156,3 +1156,83 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("users_to_80pct"),
         )
     )
+
+
+# -- association rules: confidence + lift --------------------------------
+
+
+@query(
+    "x_basket_lift",
+    category="analytics",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets "
+        "  FROM items), "
+        "isup AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM items "
+        "  GROUP BY 1), "
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "  CAST(COUNT(*) AS BIGINT) AS s_ab "
+        "  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "  AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 3) "
+        "SELECT part_a, part_b, s_ab, sa.s AS s_a, sb.s AS s_b, "
+        "1000000 * s_ab // sa.s AS conf_a2b_ppm, "
+        "1000000 * s_ab // sb.s AS conf_b2a_ppm, "
+        "CAST(CAST(1000000 AS HUGEINT) * s_ab * n.n_baskets "
+        "  // (sa.s * sb.s) AS BIGINT) AS lift_micro "
+        "FROM pairs JOIN isup sa ON part_a = sa.l_partkey "
+        "JOIN isup sb ON part_b = sb.l_partkey CROSS JOIN n"
+    ),
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over x_basket_pairs' co-occurrence candidates:
+    per surviving pair, both directed confidences (ppm) and the
+    symmetric LIFT — support(A,B)*N / (support(A)*support(B)), the
+    'bought together more than chance' score behind every
+    recommendation shelf (lift > 1e6 micro = positively associated).
+    This is Apriori's rule-generation half; x_basket_pairs is its
+    candidate half.
+
+    Exactness: integer ppm/micro floor divisions; the lift numerator
+    s_ab * N * 1e6 can pass int64 at warehouse scale, so it routes
+    through DECIMAL(38,0)/HUGEINT (the x_stats_cramers_v discipline).
+
+    Scale shape: the pair aggregate is basket-size-bounded (see
+    x_basket_pairs); item supports are an item-bounded dictionary
+    joined twice (broadcast), and the basket total is a 1-row
+    broadcast scalar."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    isup = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("s"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.expr("1000000 * s_ab DIV s_a").alias("conf_a2b_ppm"),
+            F.expr("1000000 * s_ab DIV s_b").alias("conf_b2a_ppm"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_ab * n_baskets "
+                "DIV (s_a * s_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )

@@ -1205,3 +1205,62 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum(p_micro) DIV count(*) AS BIGINT)").alias("lm_micro"),
         )
     )
+
+
+# -- feature hashing (the hashing-trick vectorizer) ----------------------
+
+_FH_DIM = 64  # hashed feature dimension
+_FH_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(term), {1 + i}, 1)) - 1) "
+    f"* {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+
+@query(
+    "x_feature_hashing",
+    category="llm_text",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "  FROM documents), "
+        f"h AS (SELECT doc_id, CAST({_FH_HEX} AS BIGINT) AS hv "
+        "  FROM toks WHERE term <> ''), "
+        f"sgn AS (SELECT doc_id, hv % {_FH_DIM} AS idx, "
+        f"  CASE WHEN (hv // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS sg FROM h) "
+        "SELECT doc_id, CAST(idx AS BIGINT) AS idx, "
+        "CAST(SUM(sg) AS BIGINT) AS weight "
+        "FROM sgn GROUP BY 1, 2 HAVING SUM(sg) <> 0"
+    ),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. ICML'09):
+    every token maps to one of 64 feature slots by md5 (no vocabulary
+    pass, no dictionary to broadcast — the property that makes it THE
+    featurizer for unbounded vocabularies at 100 TB), with a second
+    hash bit giving the +/-1 sign whose cancellation keeps hashed
+    inner products unbiased.  Output is the sparse (doc, slot, weight)
+    triple stream; exact-zero cells (full cancellation) are dropped
+    identically on both engines.
+
+    Scale shape: pure projection (tokenize + hash, JVM codegen) into
+    ONE hash aggregate on (doc_id, slot) — map-side partials absorb
+    repeated tokens; nothing is vocabulary-sized anywhere, which is
+    the entire point of the trick.  md5-hex-to-int follows the
+    repo-wide portable-hash idiom (conv(substr,16,10) on Spark, the
+    spelled-out digit expansion on DuckDB — same 24 bits)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    hv = F.conv(F.substring(F.md5("term"), 1, 6), 16, 10).cast("long")
+    sgn = toks.select("doc_id", hv.alias("hv")).select(
+        "doc_id",
+        F.expr(f"CAST(hv % {_FH_DIM} AS BIGINT)").alias("idx"),
+        F.expr(
+            f"CASE WHEN (hv DIV {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sg"),
+    )
+    return (
+        sgn.groupBy("doc_id", "idx")
+        .agg(F.sum("sg").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

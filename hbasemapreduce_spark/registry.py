@@ -364,6 +364,8 @@ _R7_BACKLOG = [
     "x_win_pareto",
     "x_join_scd2_pit",
     "x_time_cusum",
+    "x_feature_hashing",
+    "x_basket_lift",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -293,6 +293,7 @@ _BNLJ_WHITELIST = {
     "x_graph_hits",       # 1-row init-mass + renormalization-total scalars
     "x_stats_cramers_v",  # margin-table grid spine + 1-row totals scalar
     "x_stream_dup_rate",  # 1-row max-ts scalar (finalization cut)
+    "x_basket_lift",      # 1-row basket-total scalar (lift denominator)
 }
 
 
