@@ -1866,3 +1866,92 @@ def time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("cusum"),
         (F.col("s") > F.col("alarm_h")).alias("alarm"),
     )
+
+
+# -- ridge regression (closed-form normal equations) ---------------------
+
+
+@query(
+    "x_ml_ridge",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "  CAST(hour(ts) AS BIGINT) AS x1, "
+        "  CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', "
+        "       date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x2, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc FROM events), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(x1 * x1) AS BIGINT) AS a, "
+        "  CAST(SUM(x1 * x2) AS BIGINT) AS b, "
+        "  CAST(SUM(x2 * x2) AS BIGINT) AS c, "
+        "  CAST(SUM(x1 * yc) AS BIGINT) AS p, "
+        "  CAST(SUM(x2 * yc) AS BIGINT) AS q "
+        "  FROM e GROUP BY 1), "
+        "d AS (SELECT event_type, n, a, b, c, p, q, "
+        "  CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS ad, "
+        "  CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd, "
+        "  CAST(p AS DOUBLE) AS pd, CAST(q AS DOUBLE) AS qd FROM m) "
+        "SELECT event_type, n, a, b, c, p, q, "
+        "(ad + nd) * (cd + nd) - bd * bd AS det, "
+        "((cd + nd) * pd - bd * qd) / ((ad + nd) * (cd + nd) - bd * bd) "
+        "  AS beta_hour, "
+        "((ad + nd) * qd - bd * pd) / ((ad + nd) * (cd + nd) - bd * bd) "
+        "  AS beta_day "
+        "FROM d"
+    ),
+)
+def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression per event type by closed-form
+    normal equations — value-in-cents against (hour-of-day, epoch-day),
+    penalty lambda = n so regularization scales with group size:
+    beta = (X'X + nI)^{-1} X'y via the exact 2x2 adjugate.  The
+    multivariate, regularized sibling of x_stats_linreg's simple OLS
+    (same one-pass moment discipline; ridge is what production feature
+    pipelines actually fit when features correlate, as hour and
+    calendar day do here).
+
+    Exactness: all five moments are exact bigints off ONE aggregate
+    pass; each moment is then cast int64→double (correctly rounded in
+    every IEEE engine — unlike HUGEINT/DECIMAL(38,0)→double, which
+    DuckDB double-rounds at the 2^64 limb boundary) and the
+    determinant/adjugate arithmetic runs in doubles with the identical
+    expression tree on both engines, so the coefficients match
+    bitwise — x_stats_linreg's proven discipline.  Moments are emitted
+    alongside the coefficients so the oracle checks the exact
+    integers too.
+
+    Scale shape: one fact-scan hash aggregate (map-side partials),
+    |types| output rows, no second pass — the x_stats_linreg budget
+    with one more feature."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x1"),
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("x2"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("yc"),
+    )
+    x1, x2, yc = F.col("x1"), F.col("x2"), F.col("yc")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1 * x1).cast("long").alias("a"),
+        F.sum(x1 * x2).cast("long").alias("b"),
+        F.sum(x2 * x2).cast("long").alias("c"),
+        F.sum(x1 * yc).cast("long").alias("p"),
+        F.sum(x2 * yc).cast("long").alias("q"),
+    )
+    nd, ad, bd = [F.col(k).cast("double") for k in ("n", "a", "b")]
+    cd, pd_, qd = [F.col(k).cast("double") for k in ("c", "p", "q")]
+    det = (ad + nd) * (cd + nd) - bd * bd
+    return m.select(
+        "event_type",
+        "n",
+        "a",
+        "b",
+        "c",
+        "p",
+        "q",
+        det.alias("det"),
+        (((cd + nd) * pd_ - bd * qd) / det).alias("beta_hour"),
+        (((ad + nd) * qd - bd * pd_) / det).alias("beta_day"),
+    )

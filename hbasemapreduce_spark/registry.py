@@ -366,6 +366,7 @@ _R7_BACKLOG = [
     "x_time_cusum",
     "x_feature_hashing",
     "x_basket_lift",
+    "x_ml_ridge",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
