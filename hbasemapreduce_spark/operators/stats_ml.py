@@ -251,29 +251,40 @@ def etl_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CTE chain ending in the nearest-centroid confusion matrix ``conf``
+# (label, predicted, cnt) — shared between the x_ml_centroid_classify
+# oracle below and x_eval_classification's oracle, which derives
+# precision/recall/F1 from the same matrix.
+CENTROID_CONFUSION_SQL = (
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+    "           FROM embeddings), "
+    "el AS (SELECT label, i, "
+    "       CAST(round(round(emb[i],6) * 1000000, 0) AS BIGINT) AS micros "
+    "       FROM e, unnest(range(1, len(emb) + 1)) AS t(i)), "
+    "cm AS (SELECT label, i, CAST(SUM(micros) AS BIGINT) AS s, COUNT(*) AS n "
+    "       FROM el GROUP BY 1, 2), "
+    "cent AS (SELECT label AS c_label, "
+    "         list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS c_emb "
+    "         FROM cm GROUP BY 1), "
+    "scored AS ("
+    "  SELECT e.vec_id, e.label, c.c_label, "
+    "  round(list_cosine_similarity(e.emb, c.c_emb), 6) AS sim "
+    "  FROM e CROSS JOIN cent c), "
+    "ranked AS ("
+    "  SELECT vec_id, label, c_label, row_number() OVER ("
+    "    PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM scored), "
+    "conf AS (SELECT label, c_label AS predicted, COUNT(*) AS cnt "
+    "  FROM ranked WHERE rn = 1 GROUP BY 1, 2)"
+)
+
+
 @query(
     "x_ml_centroid_classify",
     category="stats_ml",
     oracle=(
-        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
-        "           FROM embeddings), "
-        "el AS (SELECT label, i, "
-        "       CAST(round(round(emb[i],6) * 1000000, 0) AS BIGINT) AS micros "
-        "       FROM e, unnest(range(1, len(emb) + 1)) AS t(i)), "
-        "cm AS (SELECT label, i, CAST(SUM(micros) AS BIGINT) AS s, COUNT(*) AS n "
-        "       FROM el GROUP BY 1, 2), "
-        "cent AS (SELECT label AS c_label, "
-        "         list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY i) AS c_emb "
-        "         FROM cm GROUP BY 1), "
-        "scored AS ("
-        "  SELECT e.vec_id, e.label, c.c_label, "
-        "  round(list_cosine_similarity(e.emb, c.c_emb), 6) AS sim "
-        "  FROM e CROSS JOIN cent c), "
-        "ranked AS ("
-        "  SELECT vec_id, label, c_label, row_number() OVER ("
-        "    PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM scored) "
-        "SELECT label, c_label AS predicted, COUNT(*) AS cnt "
-        "FROM ranked WHERE rn = 1 GROUP BY 1, 2"
+        "WITH "
+        + CENTROID_CONFUSION_SQL
+        + " SELECT label, predicted, cnt FROM conf"
     ),
 )
 def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1954,4 +1965,81 @@ def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         det.alias("det"),
         (((cd + nd) * pd_ - bd * qd) / det).alias("beta_hour"),
         (((ad + nd) * qd - bd * pd_) / det).alias("beta_day"),
+    )
+
+
+# -- classification metrics (precision / recall / F1) --------------------
+
+
+@query(
+    "x_eval_classification",
+    category="stats_ml",
+    oracle=(
+        "WITH "
+        + CENTROID_CONFUSION_SQL
+        + ", t AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS n_true, "
+        "  CAST(SUM(CASE WHEN predicted = label THEN cnt ELSE 0 END) "
+        "    AS BIGINT) AS tp "
+        "  FROM conf GROUP BY 1), "
+        "p AS (SELECT predicted, CAST(SUM(cnt) AS BIGINT) AS n_pred "
+        "  FROM conf GROUP BY 1) "
+        "SELECT t.label, n_true, tp, "
+        "COALESCE(p.n_pred, 0) - tp AS fp, "
+        "n_true - tp AS fn, "
+        "CASE WHEN COALESCE(p.n_pred, 0) > 0 "
+        "  THEN 1000000 * tp // p.n_pred END AS precision_ppm, "
+        "1000000 * tp // n_true AS recall_ppm, "
+        "2000000 * tp // (n_true + COALESCE(p.n_pred, 0)) AS f1_ppm "
+        "FROM t LEFT JOIN p ON t.label = p.predicted"
+    ),
+)
+def eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label precision / recall / F1 over x_ml_centroid_classify's
+    confusion matrix — the scorecard every 'did the quality/topic
+    classifier get better?' review reads, completing the eval suite
+    beside x_eval_ann_recall (retrieval), x_eval_rank_corr (ranking),
+    and x_eval_ndcg (graded relevance).
+
+    Exactness: the confusion matrix is integer counts, so every metric
+    is an exact ppm floor division of non-negative bigints (DuckDB //
+    and Spark DIV agree there); F1 uses the identity
+    2tp/(2tp+fp+fn) = 2tp/(n_true+n_pred), keeping it one division.
+    A label never predicted gets NULL precision identically on both
+    engines (guarded CASE, not a 0/0).
+
+    Scale shape: both metric aggregates run over the |labels|^2-bounded
+    confusion matrix — driver-trivial no matter the corpus size; the
+    corpus-sized work is the classify pass itself (see
+    x_ml_centroid_classify).  The per-predicted-label totals join back
+    broadcast."""
+    conf = ml_centroid_classify(spark, sf_dir)
+    t = conf.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("predicted") == F.col("label"), F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    p = conf.groupBy(F.col("predicted").alias("p_label")).agg(
+        F.sum("cnt").cast("long").alias("n_pred")
+    )
+    d = (
+        t.join(F.broadcast(p), t["label"] == p["p_label"], "left")
+        .select(
+            "label",
+            "n_true",
+            "tp",
+            F.coalesce(F.col("n_pred"), F.lit(0).cast("long")).alias("n_pred"),
+        )
+    )
+    return d.select(
+        "label",
+        "n_true",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+        F.expr(
+            "CASE WHEN n_pred > 0 THEN 1000000 * tp DIV n_pred END"
+        ).alias("precision_ppm"),
+        F.expr("1000000 * tp DIV n_true").alias("recall_ppm"),
+        F.expr("2000000 * tp DIV (n_true + n_pred)").alias("f1_ppm"),
     )

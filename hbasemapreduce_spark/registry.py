@@ -367,6 +367,7 @@ _R7_BACKLOG = [
     "x_feature_hashing",
     "x_basket_lift",
     "x_ml_ridge",
+    "x_eval_classification",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
