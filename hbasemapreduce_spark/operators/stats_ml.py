@@ -2043,3 +2043,220 @@ def eval_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * tp DIV n_true").alias("recall_ppm"),
         F.expr("2000000 * tp DIV (n_true + n_pred)").alias("f1_ppm"),
     )
+
+
+# -- ALS half-step (closed-form per-user factor solve) -------------------
+
+
+@query(
+    "x_ml_als_step",
+    category="stats_ml",
+    oracle=(
+        "WITH r AS (SELECT o.o_custkey AS user_id, "
+        f"  (l.l_partkey * {_KNUTH}) % 16 + 1 AS v1, "
+        f"  ((l.l_partkey + 1) * {_KNUTH}) % 16 + 1 AS v2, "
+        "  CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS rc "
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), "
+        "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(v1 * v1) AS BIGINT) AS a, "
+        "  CAST(SUM(v1 * v2) AS BIGINT) AS b, "
+        "  CAST(SUM(v2 * v2) AS BIGINT) AS c, "
+        "  CAST(SUM(v1 * rc) AS BIGINT) AS p, "
+        "  CAST(SUM(v2 * rc) AS BIGINT) AS q "
+        "  FROM r GROUP BY 1), "
+        "d AS (SELECT user_id, n, a, b, c, p, q, "
+        "  CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS ad, "
+        "  CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd, "
+        "  CAST(p AS DOUBLE) AS pd, CAST(q AS DOUBLE) AS qd FROM m) "
+        "SELECT user_id, n, a, b, c, p, q, "
+        "((cd + nd) * pd - bd * qd) / ((ad + nd) * (cd + nd) - bd * bd) "
+        "  AS u1, "
+        "((ad + nd) * qd - bd * pd) / ((ad + nd) * (cd + nd) - bd * bd) "
+        "  AS u2 "
+        "FROM d"
+    ),
+)
+def ml_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternating-least-squares half-step of a rank-2 implicit
+    recommender: given FIXED per-item factors, solve every user's
+    regularized least squares u = (V'V + nI)^{-1} V'r in closed form —
+    exactly how distributed ALS (Spark MLlib's own factorizer) updates
+    one side per sweep.  Item factors here are hash-derived small
+    integers (the deterministic stand-in for the previous sweep's
+    factors; swapping in trained factors changes no dataflow), ratings
+    are quantity-cents from the customer x part purchase matrix.
+
+    Exactness: x_ml_ridge's proven discipline — five exact-bigint
+    moments per user off ONE aggregate over the joined facts, then
+    int64->double (correctly rounded) and an identical IEEE expression
+    tree for the 2x2 adjugate solve, so factors match bitwise; lambda
+    = n keeps the determinant strictly positive (Cauchy-Schwarz + n).
+
+    Scale shape: one fact-fact equi-join (lineitem x orders on
+    orderkey — co-partitionable/bucketable on the key) followed by one
+    hash aggregate with map-side partials; |users| output rows, factor
+    rank bounds the moment count, no iteration inside the query (sweeps
+    compose across jobs, as in production ALS)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        ((F.col("l_partkey") * _KNUTH) % 16 + 1).alias("v1"),
+        (((F.col("l_partkey") + 1) * _KNUTH) % 16 + 1).alias("v2"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("rc"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("user_id"), "v1", "v2", "rc"
+    )
+    v1, v2, rc = F.col("v1"), F.col("v2"), F.col("rc")
+    m = r.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v1 * v1).cast("long").alias("a"),
+        F.sum(v1 * v2).cast("long").alias("b"),
+        F.sum(v2 * v2).cast("long").alias("c"),
+        F.sum(v1 * rc).cast("long").alias("p"),
+        F.sum(v2 * rc).cast("long").alias("q"),
+    )
+    nd, ad, bd = [F.col(k).cast("double") for k in ("n", "a", "b")]
+    cd, pd_, qd = [F.col(k).cast("double") for k in ("c", "p", "q")]
+    det = (ad + nd) * (cd + nd) - bd * bd
+    return m.select(
+        "user_id",
+        "n",
+        "a",
+        "b",
+        "c",
+        "p",
+        "q",
+        (((cd + nd) * pd_ - bd * qd) / det).alias("u1"),
+        (((ad + nd) * qd - bd * pd_) / det).alias("u2"),
+    )
+
+
+# -- Poisson bootstrap confidence interval -------------------------------
+
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_H2 = 2246822519  # second hash multiplier (xxhash prime, public)
+# Poisson(1) inverse CDF over a ppm-uniform draw: cumulative
+# e^-1 * sum(1/k!) in ppm, truncated at weight 5 (P > 5 is 6e-4 —
+# the standard truncation; both engines share the constants exactly).
+_BOOT_CDF = [367879, 735759, 919699, 981012, 996340]
+
+_BOOT_W_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    + " ELSE 5 END"
+)
+
+
+@query(
+    "x_stats_bootstrap",
+    category="stats_ml",
+    oracle=(
+        "WITH r AS (SELECT event_type, event_id, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "full_est AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM r GROUP BY 1), "
+        "reps AS (SELECT r.event_type, t.b, "
+        f"  (r.event_id * {_KNUTH} + (t.b + 1) * {_BOOT_H2}) % 1000000 AS u, "
+        "  r.cents "
+        f"  FROM r, range(0, {_BOOT_B}) AS t(b)), "
+        f"w AS (SELECT event_type, b, {_BOOT_W_SQL} AS w, cents FROM reps), "
+        "bm AS (SELECT event_type, b, "
+        "  CAST(SUM(w) AS BIGINT) AS ws, "
+        "  CAST(SUM(w * cents) AS BIGINT) AS wc "
+        "  FROM w GROUP BY 1, 2), "
+        "means AS (SELECT event_type, b, "
+        "  CAST(wc AS DOUBLE) / CAST(ws AS DOUBLE) AS mean_b, "
+        "  row_number() OVER (PARTITION BY event_type "
+        "    ORDER BY CAST(wc AS DOUBLE) / CAST(ws AS DOUBLE), b) AS rn "
+        "  FROM bm), "
+        "ci AS (SELECT event_type, "
+        "  MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo_cents, "
+        f"  MAX(CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END) AS ci_hi_cents "
+        "  FROM means GROUP BY 1) "
+        "SELECT f.event_type, f.n, f.sum_cents, "
+        "CAST(f.sum_cents AS DOUBLE) / CAST(f.n AS DOUBLE) AS mean_cents, "
+        "ci.ci_lo_cents, ci.ci_hi_cents "
+        "FROM full_est f JOIN ci USING (event_type)"
+    ),
+)
+def stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean-value confidence interval by the POISSON BOOTSTRAP
+    (Chamandy et al., 'Estimating Uncertainty for Massive Data
+    Streams', Google 2012) — the bootstrap that actually runs at
+    warehouse scale: instead of resampling n rows with replacement
+    (impossible without global coordination), every row draws an
+    independent Poisson(1) replicate weight, so each of the B=32
+    replicates is ONE weighted aggregate and the whole CI costs one
+    map-side-combined pass over rows x B.
+
+    Determinism: the replicate weight comes from a portable two-prime
+    integer hash of (event_id, replicate) mapped through the shared
+    ppm-quantized Poisson(1) inverse CDF — no RNG, identical in both
+    engines.  Weighted sums are exact bigints; each replicate mean is
+    ONE IEEE division of exactly-converted int64s, so the doubles and
+    their (mean, b)-tie-broken rank order match bitwise; the CI is the
+    2nd/31st order statistic of the 32 replicate means.
+
+    Scale shape: the x B fan-out collapses in the partial aggregate
+    (|types| x B groups reach the shuffle), the rank window runs over
+    B rows per type, and the full-data estimate joins back broadcast —
+    no row-level resample ever materializes."""
+    r = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    full_est = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    reps = r.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "b",
+        (
+            (F.col("event_id") * _KNUTH + (F.col("b") + 1) * _BOOT_H2)
+            % 1_000_000
+        ).alias("u"),
+        "cents",
+    )
+    w = reps.select(
+        "event_type", "b", F.expr(_BOOT_W_SQL).alias("w"), "cents"
+    )
+    bm = w.groupBy("event_type", "b").agg(
+        F.sum("w").cast("long").alias("ws"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("wc"),
+    )
+    mean_b = F.col("wc").cast("double") / F.col("ws").cast("double")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(mean_b, F.col("b"))
+    )
+    means = bm.select("event_type", "b", mean_b.alias("mean_b"), rn.alias("rn"))
+    ci = means.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return full_est.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "n",
+        "sum_cents",
+        (F.col("sum_cents").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        "ci_lo_cents",
+        "ci_hi_cents",
+    )

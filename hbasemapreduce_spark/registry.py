@@ -368,6 +368,8 @@ _R7_BACKLOG = [
     "x_basket_lift",
     "x_ml_ridge",
     "x_eval_classification",
+    "x_ml_als_step",
+    "x_stats_bootstrap",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
