@@ -1236,3 +1236,153 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
+
+
+# -- skyline (Pareto-optimal set) ----------------------------------------
+
+
+@query(
+    "x_agg_skyline",
+    category="analytics",
+    oracle=(
+        "WITH p AS (SELECT p_partkey, "
+        "  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "    AS price_cents, "
+        "  CAST(p_size AS BIGINT) AS p_size FROM part) "
+        "SELECT p.p_partkey, p.price_cents, p.p_size FROM p "
+        "WHERE NOT EXISTS (SELECT 1 FROM p q "
+        "  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size "
+        "  AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))"
+    ),
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query (Borzsonyi et al., ICDE'01) over
+    parts: every part no other part dominates on (cheaper-or-equal
+    price, larger-or-equal size, one strict) — the multi-criteria
+    shortlist behind 'best tradeoff' product and candidate-selection
+    screens.  The oracle states the quadratic NOT-EXISTS spec; the
+    Spark plan is the O(n log n) sort-scan equivalent, the point of
+    the operator at scale.
+
+    Plan: collapse to price levels (per-price max size — ONE hash
+    aggregate), prefix-max the level sizes in price order, keep levels
+    strictly above every cheaper level's best, then join the survivors
+    back to rows (equal (price, size) duplicates all survive, matching
+    the spec's no-strict-part tie rule).  The ordered prefix pass runs
+    over |distinct prices| rows, not row count; were the level table
+    itself huge, the prefix max decomposes into per-range maxima plus
+    broadcast offsets like every parallel prefix scan (the x_time_cusum
+    machinery).  All arithmetic is exact bigint cents."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    lvl = p.groupBy("price_cents").agg(F.max("p_size").alias("best"))
+    run = F.max("best").over(
+        Window.orderBy("price_cents").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    kept = (
+        lvl.withColumn("run", run)
+        .filter(F.col("run").isNull() | (F.col("best") > F.col("run")))
+        .select("price_cents", F.col("best").alias("p_size"))
+    )
+    return p.join(F.broadcast(kept), ["price_cents", "p_size"]).select(
+        "p_partkey", "price_cents", "p_size"
+    )
+
+
+# -- randomized-response frequency estimation ----------------------------
+
+_RR_H2 = 2246822519  # second hash prime (public xxhash constant)
+_RR_KEEP_PPM = 750_000  # report truth with prob 3/4; lie uniform over k
+_RR_K = 5  # segment domain size
+
+
+@query(
+    "x_privacy_rr_freq",
+    category="analytics",
+    oracle=(
+        "WITH sl AS (SELECT list(s ORDER BY s) AS segs FROM "
+        "  (SELECT DISTINCT c_mktsegment AS s FROM customer)), "
+        "rep AS (SELECT CASE WHEN (c_custkey * 2654435761) % 1000000 "
+        f"    < {_RR_KEEP_PPM} THEN c_mktsegment "
+        f"    ELSE segs[CAST((c_custkey * {_RR_H2}) % {_RR_K} AS INT) + 1] "
+        "  END AS seg FROM customer CROSS JOIN sl), "
+        "obs AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS obs_cnt FROM rep "
+        "  GROUP BY 1), "
+        "tru AS (SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) "
+        "  AS true_cnt FROM customer GROUP BY 1), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer) "
+        "SELECT t.seg, t.true_cnt, COALESCE(o.obs_cnt, 0) AS obs_cnt, tot.n, "
+        "20 * COALESCE(o.obs_cnt, 0) - tot.n AS est_numer, "
+        "CAST(20 * COALESCE(o.obs_cnt, 0) - tot.n AS DOUBLE) / 15.0 "
+        "  AS est_true "
+        "FROM tru t LEFT JOIN obs o ON t.seg = o.seg CROSS JOIN tot"
+    ),
+)
+def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized randomized response (Warner 1965) frequency
+    estimation over market segments — the local-differential-privacy
+    primitive behind RAPPOR-style telemetry: each row reports its true
+    category with probability 3/4, otherwise a uniform draw from the
+    k=5 domain, and the aggregator inverts the known noise channel to
+    recover unbiased counts: t_hat = (obs - n*p/k) / (1-p), which for
+    p=1/4, k=5 reduces to the exact rational (20*obs - n) / 15.
+    Ground-truth counts ride along so the estimator error is visible.
+
+    Determinism: both the report/lie coin and the lie's category are
+    portable integer hashes of the row key (no RNG); the estimator
+    numerator is an exact bigint and the estimate ONE IEEE division by
+    the literal 15.0 — bitwise identical in both engines.
+
+    Scale shape: the k-element domain list is a tiny broadcast; the
+    report pass is a pure projection; obs/true/total are three hash
+    aggregates with map-side partials, joined at |k| rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    sl = cust.agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segs")
+    )
+    rep = cust.crossJoin(F.broadcast(sl)).select(
+        F.when(
+            (F.col("c_custkey") * _KNUTH) % 1_000_000 < _RR_KEEP_PPM,
+            F.col("c_mktsegment"),
+        )
+        .otherwise(
+            F.element_at(
+                "segs",
+                ((F.col("c_custkey") * _RR_H2) % _RR_K).cast("int") + 1,
+            )
+        )
+        .alias("seg")
+    )
+    obs = rep.groupBy("seg").agg(F.count("*").cast("long").alias("obs_cnt"))
+    tru = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    tot = cust.agg(F.count("*").cast("long").alias("n"))
+    numer = 20 * F.col("obs_cnt") - F.col("n")
+    return (
+        tru.join(F.broadcast(obs), "seg", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "true_cnt",
+            F.coalesce(F.col("obs_cnt"), F.lit(0).cast("long")).alias(
+                "obs_cnt"
+            ),
+            "n",
+        )
+        .select(
+            "seg",
+            "true_cnt",
+            "obs_cnt",
+            "n",
+            numer.alias("est_numer"),
+            (numer.cast("double") / F.lit(15.0)).alias("est_true"),
+        )
+    )

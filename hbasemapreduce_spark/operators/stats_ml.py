@@ -2260,3 +2260,98 @@ def stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo_cents",
         "ci_hi_cents",
     )
+
+
+# -- logistic regression Newton step (closed form) -----------------------
+
+
+@query(
+    "x_ml_logreg_step",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT "
+        "  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) + 1 AS dow, "
+        "  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1, "
+        "  CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', "
+        "       date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x2, "
+        "  CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS s "
+        "  FROM events), "
+        "m AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        "  CAST(SUM(x1 * x1) AS BIGINT) AS a, "
+        "  CAST(SUM(x1 * x2) AS BIGINT) AS b, "
+        "  CAST(SUM(x2 * x2) AS BIGINT) AS c, "
+        "  CAST(SUM(x1 * s) AS BIGINT) AS g1, "
+        "  CAST(SUM(x2 * s) AS BIGINT) AS g2 "
+        "  FROM e GROUP BY 1), "
+        "d AS (SELECT dow, n, n_pos, a, b, c, g1, g2, "
+        "  CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS ad, "
+        "  CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd, "
+        "  CAST(g1 AS DOUBLE) AS gd1, CAST(g2 AS DOUBLE) AS gd2 FROM m) "
+        "SELECT dow, n, n_pos, a, b, c, g1, g2, "
+        "2 * ((cd + 4 * nd) * gd1 - bd * gd2) / "
+        "  ((ad + 4 * nd) * (cd + 4 * nd) - bd * bd) AS beta_hour, "
+        "2 * ((ad + 4 * nd) * gd2 - bd * gd1) / "
+        "  ((ad + 4 * nd) * (cd + 4 * nd) - bd * bd) AS beta_day "
+        "FROM d"
+    ),
+)
+def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Newton/IRLS step of L2-regularized logistic regression from
+    the beta=0 start, per day-of-week cohort: purchase propensity
+    against (hour-of-day, epoch-day).  At beta=0 the sigmoid is
+    exactly 1/2, so the step has a CLOSED FORM — gradient X'(y - 1/2)
+    = g/2 with g = X'(2y-1), Hessian X'X/4 + nI — giving
+    beta = 2 (X'X + 4nI)^{-1} g: the one step of iterative
+    model fitting that IS expressible as a declarative aggregate
+    (later steps compose across jobs, each reusing this dataflow with
+    per-row weights).  Completes the fitting family: OLS
+    (x_stats_linreg), ridge (x_ml_ridge), ALS (x_ml_als_step),
+    trees (x_ml_gini_stump), and now a GLM.
+
+    Exactness: signed labels s = 2y-1 keep every moment an exact
+    bigint off ONE aggregate pass; int64->double conversions are
+    correctly rounded and the 2x2 adjugate solve is the identical IEEE
+    expression tree in both engines, so betas match bitwise.  The
+    determinant is strictly positive (Cauchy-Schwarz + 4n).
+
+    Scale shape: one fact-scan hash aggregate with map-side partials,
+    7 output rows, no second pass.  (dow is Spark's 1=Sunday..7
+    convention; the oracle shifts DuckDB's 0-based dayofweek by +1.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("x1"),
+        (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("x2"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("s"),
+    )
+    x1, x2, s = F.col("x1"), F.col("x2"), F.col("s")
+    m = ev.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(s == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(x1 * x1).cast("long").alias("a"),
+        F.sum(x1 * x2).cast("long").alias("b"),
+        F.sum(x2 * x2).cast("long").alias("c"),
+        F.sum(x1 * s).cast("long").alias("g1"),
+        F.sum(x2 * s).cast("long").alias("g2"),
+    )
+    nd, ad, bd = [F.col(k).cast("double") for k in ("n", "a", "b")]
+    cd = F.col("c").cast("double")
+    gd1, gd2 = F.col("g1").cast("double"), F.col("g2").cast("double")
+    det = (ad + 4 * nd) * (cd + 4 * nd) - bd * bd
+    return m.select(
+        "dow",
+        "n",
+        "n_pos",
+        "a",
+        "b",
+        "c",
+        "g1",
+        "g2",
+        (2 * ((cd + 4 * nd) * gd1 - bd * gd2) / det).alias("beta_hour"),
+        (2 * ((ad + 4 * nd) * gd2 - bd * gd1) / det).alias("beta_day"),
+    )

@@ -370,6 +370,9 @@ _R7_BACKLOG = [
     "x_eval_classification",
     "x_ml_als_step",
     "x_stats_bootstrap",
+    "x_agg_skyline",
+    "x_privacy_rr_freq",
+    "x_ml_logreg_step",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
