@@ -271,7 +271,7 @@ CENTROID_CONFUSION_SQL = (
     "  round(list_cosine_similarity(e.emb, c.c_emb), 6) AS sim "
     "  FROM e CROSS JOIN cent c), "
     "ranked AS ("
-    "  SELECT vec_id, label, c_label, row_number() OVER ("
+    "  SELECT vec_id, label, c_label, sim, row_number() OVER ("
     "    PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn FROM scored), "
     "conf AS (SELECT label, c_label AS predicted, COUNT(*) AS cnt "
     "  FROM ranked WHERE rn = 1 GROUP BY 1, 2)"
@@ -310,6 +310,14 @@ def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines hold bit-identical centroids; scoring rounds to 6 dp
     with a label tie-break before the argmax, the proven IVF ranking
     discipline.  Output is integer counts — fully hash-checkable."""
+    pred = _centroid_predictions(spark, sf_dir)
+    return pred.groupBy("label", "predicted").agg(F.count("*").alias("cnt"))
+
+
+def _centroid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector nearest-centroid winner (label, predicted, sim) —
+    the shared scoring pass behind x_ml_centroid_classify (confusion
+    matrix) and x_eval_calibration (reliability bins)."""
     from ..functions.vectors import dot, norm
 
     e = (
@@ -345,17 +353,16 @@ def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.struct(sim.alias("sim"), (-c["c_label"]).alias("neg_label"))
 
-    pred = (
+    winner = F.reverse(F.array_sort(F.transform(F.col("cents"), scored)))[0]
+    return (
         e.withColumn("nrm", norm(F.col("emb")))
         .crossJoin(F.broadcast(cent))
         .select(
             "label",
-            (-F.reverse(F.array_sort(F.transform(F.col("cents"), scored)))[0][
-                "neg_label"
-            ]).alias("predicted"),
+            (-winner["neg_label"]).alias("predicted"),
+            winner["sim"].alias("sim"),
         )
     )
-    return pred.groupBy("label", "predicted").agg(F.count("*").alias("cnt"))
 
 
 _KM_K = 8  # clusters; init = the k lowest vec_ids (deterministic seed)
@@ -2354,4 +2361,168 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g2",
         (2 * ((cd + 4 * nd) * gd1 - bd * gd2) / det).alias("beta_hour"),
         (2 * ((ad + 4 * nd) * gd2 - bd * gd1) / det).alias("beta_day"),
+    )
+
+
+# -- classifier calibration (reliability bins) ---------------------------
+
+
+@query(
+    "x_eval_calibration",
+    category="stats_ml",
+    oracle=(
+        "WITH "
+        + CENTROID_CONFUSION_SQL
+        + ", win AS (SELECT label, c_label AS predicted, sim "
+        "  FROM ranked WHERE rn = 1), "
+        "b AS (SELECT CAST(floor(sim * 10) AS BIGINT) AS bin, "
+        "  CASE WHEN predicted = label THEN 1 ELSE 0 END AS ok, "
+        "  CAST(round(sim * 1000000) AS BIGINT) AS sim_micros FROM win) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(ok) AS BIGINT) AS n_correct, "
+        "1000000 * CAST(SUM(ok) AS BIGINT) // COUNT(*) AS acc_ppm, "
+        "CAST(SUM(sim_micros) AS BIGINT) AS sim_micros_sum "
+        "FROM b GROUP BY 1"
+    ),
+)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data for the nearest-centroid classifier:
+    winning-similarity deciles vs observed accuracy — the calibration
+    check ('does confidence 0.9 mean right 90% of the time?') every
+    model-gated curation pipeline runs before trusting a threshold.
+
+    Determinism: the winner similarity is the proven 6-dp-rounded
+    bitwise-stable double, so floor(sim*10) bins and round(sim*1e6)
+    micros are identical in both engines; accuracy is a non-negative
+    ppm floor division and the per-bin confidence mass is an exact
+    bigint micros sum (no float mean anywhere).
+
+    Scale shape: rides _centroid_predictions' zero-extra-shuffle
+    scoring pass; the bin rollup is one hash aggregate to at most ~20
+    sign-split decile groups."""
+    win = _centroid_predictions(spark, sf_dir)
+    b = win.select(
+        F.floor(F.col("sim") * 10).cast("long").alias("bin"),
+        F.when(F.col("predicted") == F.col("label"), 1)
+        .otherwise(0)
+        .alias("ok"),
+        F.round(F.col("sim") * 1_000_000, 0).cast("long").alias("sim_micros"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.expr("1000000 * CAST(SUM(ok) AS BIGINT) DIV COUNT(*)").alias(
+            "acc_ppm"
+        ),
+        F.sum("sim_micros").cast("long").alias("sim_micros_sum"),
+    )
+
+
+# -- funnel stage-transition latency -------------------------------------
+
+
+@query(
+    "x_funnel_latency",
+    category="analytics",
+    oracle=(
+        "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "           WHERE event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1 "
+        "      FROM events e JOIN s1 ON e.user_id = s1.user_id "
+        "      AND e.ts > s1.t1 WHERE e.event_type = 'click' GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2 "
+        "      FROM events e JOIN s2 ON e.user_id = s2.user_id "
+        "      AND e.ts > s2.t2 WHERE e.event_type = 'purchase' GROUP BY 1), "
+        "d AS (SELECT 'view->click' AS transition, user_id, "
+        "        CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) AS delta_us "
+        "      FROM s2 "
+        "      UNION ALL "
+        "      SELECT 'click->purchase', user_id, "
+        "        CAST(epoch_us(t3) - epoch_us(t2) AS BIGINT) FROM s3), "
+        "r AS (SELECT transition, delta_us, "
+        "  row_number() OVER (PARTITION BY transition "
+        "    ORDER BY delta_us, user_id) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY transition) AS n FROM d) "
+        "SELECT transition, CAST(MAX(n) AS BIGINT) AS n_users, "
+        "CAST(MIN(delta_us) AS BIGINT) AS min_us, "
+        "CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) "
+        "  AS BIGINT) AS median_us, "
+        "CAST(MAX(CASE WHEN rn = least(n, greatest(1, (9 * (n + 1)) // 10)) "
+        "  THEN delta_us END) AS BIGINT) AS p90_us, "
+        "CAST(MAX(delta_us) AS BIGINT) AS max_us "
+        "FROM r GROUP BY 1"
+    ),
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for each funnel transition —
+    x_funnel_conversion tells you HOW MANY users advance; this tells
+    you HOW LONG the advance takes (min / exact lower-median / exact
+    p90 / max, microseconds), the numbers an activation team actually
+    stares at.  Quantiles are EXACT order statistics at explicit ranks
+    (median at (n+1) div 2, p90 at clamp(9(n+1) div 10)), not an
+    approximate percentile sketch, with a (delta, user) tie-break so
+    both engines pick identical rows.
+
+    Scale shape: the stage anchors reuse x_funnel_conversion's
+    shrinking aggregate-join chain (hash aggregates on user_id, AQE
+    broadcasts the later joins); the rank window partitions by
+    transition over already-stage-sized rows.  All integer micros —
+    positive, so floor-div and DIV agree."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    d1 = s2.select(
+        F.lit("view->click").alias("transition"),
+        "user_id",
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("delta_us"),
+    )
+    d2 = s3.select(
+        F.lit("click->purchase").alias("transition"),
+        "user_id",
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("delta_us"),
+    )
+    d = d1.unionByName(d2)
+    from pyspark.sql import Window
+
+    byt = Window.partitionBy("transition")
+    r = d.select(
+        "transition",
+        "delta_us",
+        F.row_number()
+        .over(byt.orderBy("delta_us", "user_id"))
+        .alias("rn"),
+        F.count("*").over(byt).alias("n"),
+    )
+    return r.groupBy("transition").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.min("delta_us").cast("long").alias("min_us"),
+        F.max(
+            F.expr("CASE WHEN rn = (n + 1) DIV 2 THEN delta_us END")
+        ).cast("long").alias("median_us"),
+        F.max(
+            F.expr(
+                "CASE WHEN rn = least(n, greatest(1, (9 * (n + 1)) DIV 10)) "
+                "THEN delta_us END"
+            )
+        ).cast("long").alias("p90_us"),
+        F.max("delta_us").cast("long").alias("max_us"),
     )

@@ -373,6 +373,8 @@ _R7_BACKLOG = [
     "x_agg_skyline",
     "x_privacy_rr_freq",
     "x_ml_logreg_step",
+    "x_eval_calibration",
+    "x_funnel_latency",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
