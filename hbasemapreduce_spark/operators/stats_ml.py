@@ -2526,3 +2526,125 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("p90_us"),
         F.max("delta_us").cast("long").alias("max_us"),
     )
+
+
+# -- sample-ratio-mismatch guardrail -------------------------------------
+
+
+@query(
+    "x_stats_srm",
+    category="stats_ml",
+    oracle=(
+        f"WITH e AS (SELECT event_type, (user_id * {_KNUTH}) % 2 AS variant "
+        "           FROM events), "
+        "m AS (SELECT event_type, "
+        "  CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS obs_a, "
+        "  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS obs_b "
+        "  FROM e GROUP BY 1) "
+        "SELECT event_type, obs_a, obs_b, "
+        "CAST(1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "  // (obs_a + obs_b) AS BIGINT) AS chi2_micro, "
+        "CAST((1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "  // (obs_a + obs_b)) >= 3841459 AS BOOLEAN) AS srm_alarm "
+        "FROM m"
+    ),
+)
+def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B assignment
+    x_stats_abtest reads: under a healthy 50/50 hash split the
+    one-degree chi-square statistic (obs_a - obs_b)^2 / n stays small;
+    chi2 >= 3.841459 (p < 0.05) flags a broken randomizer, lossy
+    logging, or a variant-correlated filter — the first dashboard an
+    experimentation platform checks before believing any t-stat.
+
+    Exactness: counts are exact bigints off ONE conditional aggregate
+    pass (the abtest single-fact-pass shape); the statistic is held as
+    an integer in MICRO units via a non-negative floor division
+    ((obs_a-obs_b)^2 * 1e6 fits int64 into the trillions of rows per
+    type), and the alarm compares against the 3.841459 critical value
+    in the same micro units — no float anywhere.
+
+    Scale shape: one fact-scan hash aggregate, |types| rows out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("user_id") * _KNUTH) % 2).alias("variant"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("obs_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("obs_b"),
+    )
+    chi2 = F.expr(
+        "1000000 * (obs_a - obs_b) * (obs_a - obs_b) DIV (obs_a + obs_b)"
+    )
+    return m.select(
+        "event_type",
+        "obs_a",
+        "obs_b",
+        chi2.alias("chi2_micro"),
+        (chi2 >= 3_841_459).alias("srm_alarm"),
+    )
+
+
+# -- leave-one-out target encoding ---------------------------------------
+
+
+@query(
+    "x_feature_target_enc",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_id, event_type, "
+        "  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "g AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS s FROM e GROUP BY 1, 2) "
+        "SELECT e.event_id, e.event_type, e.hr, "
+        "CASE WHEN g.n > 1 THEN (g.s - e.cents) // (g.n - 1) END "
+        "  AS loo_enc_cents, "
+        "g.n AS level_n "
+        "FROM e JOIN g ON e.event_type = g.event_type AND e.hr = g.hr"
+    ),
+)
+def feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the (event_type, hour) feature
+    level against value-cents — the categorical-feature trick every
+    tabular training pipeline uses (CatBoost's core idea): each row's
+    feature becomes the mean target of its level EXCLUDING the row
+    itself, killing the self-leakage that makes naive target encoding
+    overfit.  Singleton levels get NULL identically on both engines
+    (the honest answer; production backfills with the global prior).
+
+    Exactness: level sums/counts are exact bigints off ONE aggregate;
+    the encoding (s - own) / (n - 1) is a floor division of
+    NON-NEGATIVE cents (value >= 0 in this corpus), so // and DIV
+    agree and the output is integer cents — no float path at all.
+
+    Scale shape: one hash aggregate to the |types| x 24 level grid,
+    broadcast back onto the fact rows — the encode pass touches each
+    row once with zero extra shuffle; output is row-grain, as a
+    feature materialization must be."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return e.join(F.broadcast(g), ["event_type", "hr"]).select(
+        "event_id",
+        "event_type",
+        "hr",
+        F.expr(
+            "CASE WHEN n > 1 THEN (s - cents) DIV (n - 1) END"
+        ).alias("loo_enc_cents"),
+        F.col("n").alias("level_n"),
+    )

@@ -375,6 +375,8 @@ _R7_BACKLOG = [
     "x_ml_logreg_step",
     "x_eval_calibration",
     "x_funnel_latency",
+    "x_stats_srm",
+    "x_feature_target_enc",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
