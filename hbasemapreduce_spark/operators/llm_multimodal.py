@@ -225,3 +225,138 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v) AS BIGINT)"
         ).alias("energy"),
     )
+
+
+_PHASH_BYTES = 256  # 16x16 "gray image" prefix; 2x2-byte blocks -> 64 bits
+_PHASH_MAX_HAM = 6  # report pairs within this Hamming distance
+
+
+@query(
+    "x_multimodal_phash_dedup",
+    category="llm_multimodal",
+    oracle=(
+        "WITH p AS (SELECT doc_id, text AS img FROM documents "
+        f"  WHERE octet_length(CAST(text AS BLOB)) >= {_PHASH_BYTES}), "
+        "blk AS (SELECT doc_id, k, CAST(list_sum(list_transform("
+        "    [0, 1, 16, 17], "
+        "    o -> ascii(substr(img, CAST((k // 8) * 32 + (k % 8) * 2 "
+        "         + o + 1 AS INT), 1)))) AS BIGINT) AS bsum "
+        "  FROM p, unnest(range(0, 64)) AS t(k)), "
+        "tot AS (SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS total "
+        "  FROM blk GROUP BY 1), "
+        "bits AS (SELECT b.doc_id, b.k // 16 AS band, "
+        "  CASE WHEN 64 * b.bsum > t.total THEN 1 ELSE 0 END "
+        "    << CAST(b.k % 16 AS INT) AS bv "
+        "  FROM blk b JOIN tot t USING (doc_id)), "
+        "bands AS (SELECT doc_id, band, CAST(SUM(bv) AS BIGINT) AS v "
+        "  FROM bits GROUP BY 1, 2), "
+        "sig AS (SELECT doc_id, "
+        "  CAST(SUM(CASE WHEN band = 0 THEN v ELSE 0 END) AS BIGINT) AS b0, "
+        "  CAST(SUM(CASE WHEN band = 1 THEN v ELSE 0 END) AS BIGINT) AS b1, "
+        "  CAST(SUM(CASE WHEN band = 2 THEN v ELSE 0 END) AS BIGINT) AS b2, "
+        "  CAST(SUM(CASE WHEN band = 3 THEN v ELSE 0 END) AS BIGINT) AS b3 "
+        "  FROM bands GROUP BY 1), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v "
+        "  AND a.doc_id < b.doc_id), "
+        "ham AS (SELECT c.doc_a, c.doc_b, "
+        "  CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1)) "
+        "     + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) "
+        "    AS BIGINT) AS hamming "
+        "  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id "
+        "  JOIN sig sb ON c.doc_b = sb.doc_id) "
+        f"SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_MAX_HAM}"
+    ),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary media — the
+    image-dedup step of a multimodal curation pipeline, run here on the
+    payload's first 256 bytes as a 16x16 gray 'image' (a real pHash
+    swaps in a DCT over decoded pixels; the signature/banding/verify
+    dataflow is exactly this).  Average-hash signature: 2x2-byte block
+    sums thresholded against the global block mean (compared as exact
+    integers, 64*block > total — no division), packed into four 16-bit
+    bands; candidate pairs must share at least one identical band
+    (the SimHash/LSH banding discipline — NEVER all-pairs), then
+    verified by exact Hamming distance over the four bands via
+    bit_count(xor), keeping pairs within distance 6.
+
+    Scale shape: signature extraction is a per-row JVM projection
+    (bounded 64-block fold); the candidate join is a bucketed
+    self-equi-join on (band, value) — 2^16 buckets per band bound the
+    collision rate; the verify join is equi on doc_id.  All integer
+    arithmetic, fully hash-checkable."""
+    p = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.encode("text", "UTF-8")) >= _PHASH_BYTES)
+        .select("doc_id", F.col("text").alias("img"))
+    )
+    blk = p.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+        "img",
+    ).select(
+        "doc_id",
+        "k",
+        F.expr(
+            "CAST(aggregate(transform(array(0, 1, 16, 17), "
+            "o -> ascii(substring(img, CAST((k DIV 8) * 32 + (k % 8) * 2 "
+            "+ o + 1 AS INT), 1))), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
+        ).alias("bsum"),
+    )
+    tot = blk.groupBy("doc_id").agg(F.sum("bsum").alias("total"))
+    bits = blk.join(tot, "doc_id").select(
+        "doc_id",
+        (F.col("k") / 16).cast("long").alias("band"),
+        F.expr(
+            "shiftleft(CASE WHEN 64 * bsum > total THEN 1 ELSE 0 END, "
+            "CAST(k % 16 AS INT))"
+        )
+        .cast("long")
+        .alias("bv"),
+    )
+    bands = bits.groupBy("doc_id", "band").agg(
+        F.sum("bv").cast("long").alias("v")
+    )
+    sig = bands.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("band") == i, F.col("v")).otherwise(0))
+            .cast("long")
+            .alias(f"b{i}")
+            for i in range(4)
+        ]
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "v"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "v"
+    )
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+    )
+    ham = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) "
+                "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    return ham.filter(F.col("hamming") <= _PHASH_MAX_HAM)

@@ -377,6 +377,7 @@ _R7_BACKLOG = [
     "x_funnel_latency",
     "x_stats_srm",
     "x_feature_target_enc",
+    "x_multimodal_phash_dedup",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
