@@ -316,8 +316,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bv"),
     )
-    bands = bits.groupBy("doc_id", "band").agg(
-        F.sum("bv").cast("long").alias("v")
+    # Lazy localCheckpoint: the band table feeds both candidate-join
+    # sides and both signature pivots — without it the 64-block
+    # extraction subtree executes four times (the dedup_minhash
+    # recompute fix, functions/minhash.py).
+    bands = (
+        bits.groupBy("doc_id", "band")
+        .agg(F.sum("bv").cast("long").alias("v"))
+        .localCheckpoint(eager=False)
     )
     sig = bands.groupBy("doc_id").agg(
         *[
