@@ -2648,3 +2648,156 @@ def feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loo_enc_cents"),
         F.col("n").alias("level_n"),
     )
+
+
+# -- regression metrics (exact integer SSE / MAE / R^2) ------------------
+
+
+@query(
+    "x_eval_regression",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_id, event_type, "
+        "  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "g AS (SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS s FROM e GROUP BY 1, 2), "
+        "p AS (SELECT e.event_type, e.cents, "
+        "  (g.s - e.cents) // (g.n - 1) AS pred "
+        "  FROM e JOIN g ON e.event_type = g.event_type AND e.hr = g.hr "
+        "  WHERE g.n > 1), "
+        "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS s, "
+        "  CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2, "
+        "  CAST(SUM(CAST(cents - pred AS HUGEINT) * (cents - pred)) "
+        "    AS HUGEINT) AS sse, "
+        "  CAST(SUM(abs(cents - pred)) AS BIGINT) AS sae "
+        "  FROM p GROUP BY 1) "
+        "SELECT event_type, n, CAST(sse AS BIGINT) AS sse, sae, "
+        "sae // n AS mae_cents, "
+        "1000000 - CAST(1000000 * sse "
+        "  // (s2 - CAST(s AS HUGEINT) * s // n) AS BIGINT) AS r2_micro "
+        "FROM t"
+    ),
+)
+def eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression scorecard (SSE / MAE / R^2) for the leave-one-out
+    target encoder used as a value predictor — the regression half of
+    the eval suite beside x_eval_classification.  The predictor is
+    x_feature_target_enc's integer-cents encoding, so every residual
+    is an EXACT integer and the scorecard needs no float sums (a float
+    SSE would be partition-order-dependent; this one is
+    order-independent by construction).
+
+    Exactness: residual squares and the raw second moment route
+    through DECIMAL(38,0)/HUGEINT (cents^2 passes int64 at warehouse
+    row counts); MAE and the unexplained-variance ratio are
+    NON-NEGATIVE floor divisions (SST >= 0, SSE >= 0), and R^2 =
+    1e6 - unexplained_micro is derived by exact subtraction AFTER the
+    division so a worse-than-mean predictor goes negative identically
+    in both engines.  SST uses the one-pass identity
+    s2 - s^2/n in the same integer space.
+
+    Scale shape: the encode pass is x_feature_target_enc's broadcast
+    level grid; the scorecard is ONE hash aggregate over row-grain
+    residuals, |types| rows out."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    p = (
+        e.join(F.broadcast(g), ["event_type", "hr"])
+        .filter(F.col("n") > 1)
+        .select(
+            "event_type",
+            "cents",
+            F.expr("(s - cents) DIV (n - 1)").alias("pred"),
+        )
+    )
+    t = p.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
+        F.sum(
+            F.expr("CAST(cents - pred AS DECIMAL(38,0)) * (cents - pred)")
+        ).alias("sse"),
+        F.sum(F.abs(F.col("cents") - F.col("pred"))).cast("long").alias("sae"),
+    )
+    return t.select(
+        "event_type",
+        "n",
+        F.col("sse").cast("long").alias("sse"),
+        "sae",
+        F.expr("sae DIV n").alias("mae_cents"),
+        F.expr(
+            "1000000 - CAST(1000000 * sse "
+            "DIV (s2 - CAST(s AS DECIMAL(38,0)) * s DIV n) AS BIGINT)"
+        ).alias("r2_micro"),
+    )
+
+
+# -- user-journey transition matrix --------------------------------------
+
+
+@query(
+    "x_path_transitions",
+    category="stats_ml",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, "
+        "  lag(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY ts, event_id) AS prev_type "
+        "  FROM events), "
+        "t AS (SELECT prev_type AS src, event_type AS dst, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM o "
+        "  WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "s AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_total "
+        "  FROM t GROUP BY 1) "
+        "SELECT t.src, t.dst, t.cnt, s.out_total, "
+        "1000000 * t.cnt // s.out_total AS prob_ppm "
+        "FROM t JOIN s USING (src)"
+    ),
+)
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event journeys
+    — P(next event type | current), the 'what do users do after X'
+    model behind path analysis, next-action prediction, and journey
+    Sankey charts.  Consecutive-event pairs come from ONE lag window
+    per user ordered by (ts, event_id) — a total order, so both
+    engines pair identical neighbors even under timestamp ties.
+
+    Scale shape: the window shuffles once on user_id (each user's
+    history sorts locally — bounded by per-user activity, never global
+    row count); the transition rollup is a hash aggregate to the
+    |types|^2 grid and the row-probability join touches |types|^2
+    rows.  Counts and ppm floor divisions only — fully hash-checkable."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    t = (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    s = t.groupBy("src").agg(F.sum("cnt").cast("long").alias("out_total"))
+    return t.join(F.broadcast(s), "src").select(
+        "src",
+        "dst",
+        "cnt",
+        "out_total",
+        F.expr("1000000 * cnt DIV out_total").alias("prob_ppm"),
+    )

@@ -378,6 +378,8 @@ _R7_BACKLOG = [
     "x_stats_srm",
     "x_feature_target_enc",
     "x_multimodal_phash_dedup",
+    "x_eval_regression",
+    "x_path_transitions",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -294,6 +294,9 @@ _BNLJ_WHITELIST = {
     "x_stats_cramers_v",  # margin-table grid spine + 1-row totals scalar
     "x_stream_dup_rate",  # 1-row max-ts scalar (finalization cut)
     "x_basket_lift",      # 1-row basket-total scalar (lift denominator)
+    "x_eval_classification",  # inherits the classifier's 1-row centroid scalar
+    "x_eval_calibration",     # inherits the classifier's 1-row centroid scalar
+    "x_privacy_rr_freq",  # 1-row domain-list + 1-row total scalars
 }
 
 
