@@ -2801,3 +2801,81 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_total",
         F.expr("1000000 * cnt DIV out_total").alias("prob_ppm"),
     )
+
+
+# -- experiment power / sample-size calculator ---------------------------
+
+# Standard normal quantiles shared as exact literals by both engines:
+# z_{0.975} (two-sided alpha = 5%) and z_{0.80} (80% power).
+_POWER_Z_ALPHA = 1.959964
+_POWER_Z_BETA = 0.841621
+_POWER_MDE_REL = 0.01  # minimum detectable effect: 1% of the mean
+
+
+@query(
+    "x_stats_power",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS s, "
+        "  CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) "
+        "    AS s2 FROM e GROUP BY 1 HAVING COUNT(*) >= 2), "
+        "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
+        "  CAST(s AS DOUBLE) AS sd, CAST(CAST(s2 AS BIGINT) AS DOUBLE) "
+        "    AS s2d FROM m) "
+        "SELECT event_type, n, sd / nd AS mean_cents, "
+        "(s2d - sd * sd / nd) / (nd - 1) AS var_cents2, "
+        f"CAST(ceil(2 * ({_POWER_Z_ALPHA} + {_POWER_Z_BETA}) "
+        f"  * ({_POWER_Z_ALPHA} + {_POWER_Z_BETA}) "
+        "  * ((s2d - sd * sd / nd) / (nd - 1)) "
+        f"  / (({_POWER_MDE_REL} * sd / nd) * ({_POWER_MDE_REL} * sd / nd))) "
+        "  AS BIGINT) AS n_required_per_arm "
+        "FROM d"
+    ),
+)
+def stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric sample-size calculator — how many users per arm an
+    A/B test needs to detect a 1% lift at alpha=5% / 80% power,
+    n = 2 (z_a + z_b)^2 sigma^2 / delta^2 — the question every
+    experiment review asks BEFORE x_stats_abtest reads the result and
+    x_stats_srm audits the split (this key completes that trio).
+
+    Determinism: count/sum/sum-of-squares are exact integers off ONE
+    aggregate pass (squares through DECIMAL(38,0) — cents^2 passes
+    int64 at warehouse row counts, then collapse to BIGINT before the
+    double cast so the conversion is the correctly-rounded int64 path,
+    never the double-rounding HUGEINT one); mean, variance, and the
+    power formula are the identical IEEE tree with shared z-quantile
+    literals, and ceil of bit-identical doubles is bit-identical.
+
+    Scale shape: one fact-scan hash aggregate, |types| rows out."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    m = (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * cents")).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("long").cast("double")
+    mean = sd / nd
+    var = (s2d - sd * sd / nd) / (nd - 1)
+    z = _POWER_Z_ALPHA + _POWER_Z_BETA
+    delta = _POWER_MDE_REL * sd / nd
+    return m.select(
+        "event_type",
+        "n",
+        mean.alias("mean_cents"),
+        var.alias("var_cents2"),
+        F.ceil(2 * z * z * var / (delta * delta)).alias("n_required_per_arm"),
+    )

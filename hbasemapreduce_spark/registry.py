@@ -380,6 +380,7 @@ _R7_BACKLOG = [
     "x_multimodal_phash_dedup",
     "x_eval_regression",
     "x_path_transitions",
+    "x_stats_power",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
