@@ -1185,3 +1185,210 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"1000000 * n_hits DIV {_K}").alias("recall_ppm"),
         )
     )
+
+
+# -- MMR diversified re-ranking ------------------------------------------
+
+_MMR_CANDS = 8  # relevance candidates per query before diversification
+_MMR_PICKS = 3  # diversified picks (greedy MMR unrolled)
+
+# Candidate CTE shared shape: per-query top-8 by 6-dp sim with the
+# sim also held as exact integer micros.
+_MMR_CAND_SQL = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+    "  FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e "
+    "  WHERE vec_id < 10), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  round(list_cosine_similarity(q.q_emb, e.emb), 6) AS sim "
+    "  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+    "cand AS (SELECT query_id, neighbor_id, "
+    "  CAST(round(sim * 1000000) AS BIGINT) AS sim_micros, "
+    "  row_number() OVER (PARTITION BY query_id "
+    "    ORDER BY sim DESC, neighbor_id) AS rnk "
+    f"  FROM scored QUALIFY rnk <= {_MMR_CANDS}), "
+    "pairs AS (SELECT a.query_id, a.neighbor_id AS a_id, "
+    "  b.neighbor_id AS b_id, "
+    "  CAST(round(round(list_cosine_similarity(ea.emb, eb.emb), 6) "
+    "    * 1000000) AS BIGINT) AS psim_micros "
+    "  FROM cand a JOIN cand b ON a.query_id = b.query_id "
+    "  AND a.neighbor_id <> b.neighbor_id "
+    "  JOIN e ea ON a.neighbor_id = ea.vec_id "
+    "  JOIN e eb ON b.neighbor_id = eb.vec_id), "
+    "s1 AS (SELECT query_id, neighbor_id AS s1_id, "
+    "  sim_micros AS s1_score FROM cand WHERE rnk = 1), "
+    "c2 AS (SELECT c.query_id, c.neighbor_id, "
+    "  c.sim_micros - p.psim_micros AS score, "
+    "  row_number() OVER (PARTITION BY c.query_id ORDER BY "
+    "    c.sim_micros - p.psim_micros DESC, c.neighbor_id) AS rn "
+    "  FROM cand c JOIN s1 ON c.query_id = s1.query_id "
+    "  AND c.neighbor_id <> s1.s1_id "
+    "  JOIN pairs p ON p.query_id = c.query_id "
+    "  AND p.a_id = c.neighbor_id AND p.b_id = s1.s1_id), "
+    "s2 AS (SELECT query_id, neighbor_id AS s2_id, score AS s2_score "
+    "  FROM c2 WHERE rn = 1), "
+    "c3 AS (SELECT c.query_id, c.neighbor_id, "
+    "  c.sim_micros - greatest(p1.psim_micros, p2.psim_micros) AS score, "
+    "  row_number() OVER (PARTITION BY c.query_id ORDER BY "
+    "    c.sim_micros - greatest(p1.psim_micros, p2.psim_micros) DESC, "
+    "    c.neighbor_id) AS rn "
+    "  FROM cand c "
+    "  JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.s1_id "
+    "  JOIN s2 ON c.query_id = s2.query_id AND c.neighbor_id <> s2.s2_id "
+    "  JOIN pairs p1 ON p1.query_id = c.query_id "
+    "  AND p1.a_id = c.neighbor_id AND p1.b_id = s1.s1_id "
+    "  JOIN pairs p2 ON p2.query_id = c.query_id "
+    "  AND p2.a_id = c.neighbor_id AND p2.b_id = s2.s2_id), "
+    "s3 AS (SELECT query_id, neighbor_id AS s3_id, score AS s3_score "
+    "  FROM c3 WHERE rn = 1)"
+)
+
+
+@query(
+    "x_rank_mmr",
+    category="llm_sim",
+    oracle=(
+        "WITH "
+        + _MMR_CAND_SQL
+        + " SELECT query_id, 1 AS pick, s1_id AS neighbor_id, "
+        "  s1_score AS mmr_score_micros FROM s1 "
+        "UNION ALL SELECT query_id, 2, s2_id, s2_score FROM s2 "
+        "UNION ALL SELECT query_id, 3, s3_id, s3_score FROM s3"
+    ),
+)
+def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily pick 3 results balancing relevance
+    against redundancy — score = sim(q,d) - max sim(d, already-picked)
+    (lambda = 1/2, both terms in the same micro units) — the
+    diversification pass RAG retrieval and dedup-aware search run on
+    top of a top-k candidate list.  The greedy loop is UNROLLED: each
+    pick is one window argmax over the candidate set, so three picks
+    are three declarative stages, no iteration or driver round-trip.
+
+    Determinism: all similarities are the proven 6-dp-rounded doubles
+    converted once to exact integer micros, so every MMR score is
+    exact integer arithmetic with a neighbor_id tie-break — fully
+    hash-checkable.
+
+    Scale shape: candidates are the brute-force top-8 per query
+    (broadcast query set, the sim_cosine_topk path — swap in
+    x_sim_ivf's probe at scale); the pairwise-sim table is
+    |queries| x 8 x 7 — candidate-bounded, never corpus-bounded; each
+    pick is a window over <= 8 rows per query."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    cand = brute_force_topk(e, q, k=_MMR_CANDS).select(
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        F.round(F.col("sim") * 1_000_000, 0).cast("long").alias("sim_micros"),
+    ).localCheckpoint(eager=False)
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a_id"))
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b_id"))
+    pairs = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            (F.round(F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+                     * 1_000_000, 0))
+            .cast("long")
+            .alias("psim_micros"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s1 = cand.filter(F.col("rnk") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        F.col("sim_micros").alias("s1_score"),
+    )
+    w = Window.partitionBy("query_id")
+    c2 = (
+        cand.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(
+            pairs.select("query_id", F.col("a_id").alias("neighbor_id"),
+                         F.col("b_id").alias("s1_id"), "psim_micros"),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("sim_micros") - F.col("psim_micros")).alias("score"),
+        )
+    )
+    c2 = c2.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("score").desc(), F.col("neighbor_id")))
+        .alias("rn"),
+    )
+    s2 = c2.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s2_id"),
+        F.col("score").alias("s2_score"),
+    )
+    c3 = (
+        cand.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(s2, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s2_id"))
+        .join(
+            pairs.select("query_id", F.col("a_id").alias("neighbor_id"),
+                         F.col("b_id").alias("s1_id"),
+                         F.col("psim_micros").alias("p1")),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .join(
+            pairs.select("query_id", F.col("a_id").alias("neighbor_id"),
+                         F.col("b_id").alias("s2_id"),
+                         F.col("psim_micros").alias("p2")),
+            ["query_id", "neighbor_id", "s2_id"],
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("sim_micros") - F.greatest("p1", "p2")).alias("score"),
+        )
+    )
+    c3 = c3.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(F.col("score").desc(), F.col("neighbor_id")))
+        .alias("rn"),
+    )
+    s3 = c3.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("s3_id"),
+        F.col("score").alias("s3_score"),
+    )
+    out1 = s1.select(
+        "query_id",
+        F.lit(1).alias("pick"),
+        F.col("s1_id").alias("neighbor_id"),
+        F.col("s1_score").alias("mmr_score_micros"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.lit(2).alias("pick"),
+        F.col("s2_id").alias("neighbor_id"),
+        F.col("s2_score").alias("mmr_score_micros"),
+    )
+    out3 = s3.select(
+        "query_id",
+        F.lit(3).alias("pick"),
+        F.col("s3_id").alias("neighbor_id"),
+        F.col("s3_score").alias("mmr_score_micros"),
+    )
+    return out1.unionByName(out2).unionByName(out3)

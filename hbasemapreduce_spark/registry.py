@@ -381,6 +381,7 @@ _R7_BACKLOG = [
     "x_eval_regression",
     "x_path_transitions",
     "x_stats_power",
+    "x_rank_mmr",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
