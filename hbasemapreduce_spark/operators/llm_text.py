@@ -147,6 +147,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
 
 
+# CTE chain ending in ``langid_pred`` (doc_id, lang, predicted_lang) —
+# shared between the x_text_langid oracle and x_eval_langid's, which
+# rolls the same predictions into a confusion matrix.
+LANGID_PRED_SQL = (
+    "tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
+    "            FROM documents), "
+    "cnts AS (SELECT lang, token, COUNT(*) AS cnt FROM tf GROUP BY 1, 2), "
+    "prof AS (SELECT lang AS p_lang, token FROM ("
+    "  SELECT lang, token, row_number() OVER ("
+    "    PARTITION BY lang ORDER BY cnt DESC, token) AS rn FROM cnts) "
+    "  WHERE rn <= 20), "
+    "pl AS (SELECT p_lang, list(token) AS p_terms FROM prof GROUP BY 1), "
+    "scored AS (SELECT d.doc_id, d.lang, p.p_lang, "
+    "  len(list_intersect(list_distinct(string_split(d.text, ' ')), "
+    "      p.p_terms)) AS score "
+    "  FROM documents d CROSS JOIN pl p), "
+    "langid_pred AS (SELECT doc_id, lang, p_lang AS predicted_lang FROM ("
+    "  SELECT doc_id, lang, p_lang, row_number() OVER ("
+    "    PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn FROM scored) "
+    "  WHERE rn = 1)"
+)
+
+
 @query(
     "x_text_langid",
     category="llm_text",
@@ -154,22 +177,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cnt DESC, token) profile ranking, (score DESC, lang) argmax — is
     # total and engine-portable, so the full prediction set hash-checks.
     oracle=(
-        "WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS token "
-        "            FROM documents), "
-        "cnts AS (SELECT lang, token, COUNT(*) AS cnt FROM tf GROUP BY 1, 2), "
-        "prof AS (SELECT lang AS p_lang, token FROM ("
-        "  SELECT lang, token, row_number() OVER ("
-        "    PARTITION BY lang ORDER BY cnt DESC, token) AS rn FROM cnts) "
-        "  WHERE rn <= 20), "
-        "pl AS (SELECT p_lang, list(token) AS p_terms FROM prof GROUP BY 1), "
-        "scored AS (SELECT d.doc_id, d.lang, p.p_lang, "
-        "  len(list_intersect(list_distinct(string_split(d.text, ' ')), "
-        "      p.p_terms)) AS score "
-        "  FROM documents d CROSS JOIN pl p) "
-        "SELECT doc_id, lang, p_lang AS predicted_lang FROM ("
-        "  SELECT doc_id, lang, p_lang, row_number() OVER ("
-        "    PARTITION BY doc_id ORDER BY score DESC, p_lang) AS rn FROM scored) "
-        "WHERE rn = 1"
+        "WITH " + LANGID_PRED_SQL + " SELECT doc_id, lang, predicted_lang "
+        "FROM langid_pred"
     ),
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,4 +1272,51 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         sgn.groupBy("doc_id", "idx")
         .agg(F.sum("sg").cast("long").alias("weight"))
         .filter(F.col("weight") != 0)
+    )
+
+
+# -- language-ID evaluation ----------------------------------------------
+
+
+@query(
+    "x_eval_langid",
+    category="llm_text",
+    oracle=(
+        "WITH "
+        + LANGID_PRED_SQL
+        + ", conf AS (SELECT lang, predicted_lang, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM langid_pred GROUP BY 1, 2), "
+        "tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_total "
+        "  FROM conf GROUP BY 1) "
+        "SELECT c.lang, c.predicted_lang, c.cnt, t.lang_total, "
+        "1000000 * c.cnt // t.lang_total AS share_ppm "
+        "FROM conf c JOIN tot t USING (lang)"
+    ),
+)
+def eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the shipped n-gram language identifier
+    against the corpus's ground-truth ``lang`` column — the eval a
+    curation pipeline runs before trusting langid-based routing or
+    filtering (the diagonal's share_ppm IS per-language recall).
+    Completes the pattern of evaluating shipped operators on shipped
+    data: x_eval_classification does this for the embedding
+    classifier, this key does it for the text one.
+
+    Scale shape: rides x_text_langid's broadcast-profile scoring pass;
+    the rollup is one hash aggregate to the |langs|^2 grid, totals
+    joined back broadcast.  Counts and non-negative ppm floor
+    divisions only."""
+    pred = text_langid(spark, sf_dir)
+    conf = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = conf.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("lang_total")
+    )
+    return conf.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted_lang",
+        "cnt",
+        "lang_total",
+        F.expr("1000000 * cnt DIV lang_total").alias("share_ppm"),
     )

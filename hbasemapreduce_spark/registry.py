@@ -382,6 +382,7 @@ _R7_BACKLOG = [
     "x_path_transitions",
     "x_stats_power",
     "x_rank_mmr",
+    "x_eval_langid",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
