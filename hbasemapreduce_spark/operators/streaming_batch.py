@@ -513,3 +513,93 @@ def stream_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("hs") + 3600) * 1_000_000 <= F.col("mu") - 3_600_000_000)
         .select("hs", "n_events", "n_keys", "dup_events", "dup_ppm")
     )
+
+
+def srm_expr(ev: DataFrame) -> DataFrame:
+    """Shared batch/stream expression behind x_stream_srm: hourly
+    sample-ratio-mismatch monitoring per event type.  ONE stateful
+    conditional aggregate per (hour, type) — obs_a/obs_b from the
+    portable variant hash — then the stateless chi-square projection in
+    exact micro units (the x_stats_srm arithmetic, hour-grained)."""
+    v = ev.select(
+        "ts",
+        "event_type",
+        ((F.col("user_id") * 2654435761) % 2).alias("variant"),
+    )
+    chi2 = F.expr(
+        "1000000 * (obs_a - obs_b) * (obs_a - obs_b) DIV (obs_a + obs_b)"
+    )
+    return (
+        v.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("obs_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("obs_b"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("hs"),
+            "event_type",
+            "obs_a",
+            "obs_b",
+            chi2.alias("chi2_micro"),
+            (chi2 >= 3_841_459).alias("srm_alarm"),
+        )
+    )
+
+
+@query(
+    "x_stream_srm",
+    category="stream",
+    oracle=(
+        "WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS mu "
+        "  FROM events), "
+        "v AS (SELECT CAST(floor(epoch(date_trunc('hour', "
+        "    CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hs, event_type, "
+        "  (user_id * 2654435761) % 2 AS variant FROM events), "
+        "m AS (SELECT hs, event_type, "
+        "  CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS obs_a, "
+        "  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "    AS obs_b FROM v GROUP BY 1, 2) "
+        "SELECT hs, event_type, obs_a, obs_b, "
+        "CAST(1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "  // (obs_a + obs_b) AS BIGINT) AS chi2_micro, "
+        "CAST((1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "  // (obs_a + obs_b)) >= 3841459 AS BOOLEAN) AS srm_alarm "
+        "FROM m CROSS JOIN mx "
+        "WHERE (hs + 3600) * 1000000 <= mu - 3600000000"
+    ),
+)
+def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the HOURLY sample-ratio-mismatch monitor — the
+    live version of x_stats_srm's experiment guardrail: a broken
+    randomizer or variant-correlated logging loss shows up within the
+    hour it starts, not at the end-of-experiment readout.  Same exact
+    micro-unit chi-square, same 3.841459 alarm threshold, hour-grained.
+
+    Append-mode finalization is part of the twin contract: an hour
+    emits once the 1-hour watermark passes its end, so the batch form
+    keeps exactly the hours with hour_end <= max_ts - 1h; the
+    streaming run (streaming/mirrors.py srm_stream — the 17th
+    equality-proven twin, tests/test_streaming.py) maintains ONE state
+    row per open (hour, type), watermark-evicted.
+
+    Scale shape: one conditional hash aggregate with map-side
+    partials; everything after is a stateless projection."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("mu")
+    )
+    return (
+        srm_expr(ev)
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("hs") + 3600) * 1_000_000 <= F.col("mu") - 3_600_000_000
+        )
+        .select(
+            "hs", "event_type", "obs_a", "obs_b", "chi2_micro", "srm_alarm"
+        )
+    )

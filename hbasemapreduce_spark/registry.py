@@ -383,6 +383,7 @@ _R7_BACKLOG = [
     "x_stats_power",
     "x_rank_mmr",
     "x_eval_langid",
+    "x_stream_srm",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

@@ -614,3 +614,16 @@ def dup_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_dup_rate"] = dup_rate_stream
+
+
+def srm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_srm: the identical conditional
+    aggregate + chi-square projection (operators/streaming_batch.py
+    srm_expr) over the event stream with a 1-hour watermark — hourly
+    sample-ratio-mismatch alarms emitted as each hour finalizes."""
+    from ..operators.streaming_batch import srm_expr
+
+    return srm_expr(events_stream(spark, sf_dir).withWatermark("ts", "1 hour"))
+
+
+MIRRORS["x_stream_srm"] = srm_stream

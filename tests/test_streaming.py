@@ -209,3 +209,15 @@ def test_stream_dup_rate_matches_batch(spark):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert g == b and len(g) > 0
+
+
+def test_stream_srm_matches_batch(spark):
+    """The hourly sample-ratio-mismatch monitor in append mode equals
+    the batch twin exactly, including the withheld trailing hour."""
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_srm", output_mode="append")
+    from hbasemapreduce_spark.registry import all_specs
+
+    want = all_specs()["x_stream_srm"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) > 0
