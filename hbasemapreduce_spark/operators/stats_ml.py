@@ -2879,3 +2879,142 @@ def stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_cents2"),
         F.ceil(2 * z * z * var / (delta * delta)).alias("n_required_per_arm"),
     )
+
+
+# -- regression stump (variance-reduction split search) ------------------
+
+
+@query(
+    "x_ml_var_stump",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  CAST(hour(ts) AS BIGINT) AS hour, "
+        "  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, "
+        "  LEAST(CAST(FLOOR(value / 20) AS BIGINT), 9) AS vbucket "
+        "  FROM events), "
+        "f AS (SELECT 'hour' AS feature, hour AS bin, cents FROM ev "
+        "  UNION ALL SELECT 'dow', dow, cents FROM ev "
+        "  UNION ALL SELECT 'vbucket', vbucket, cents FROM ev), "
+        "g AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(cents) AS BIGINT) AS s FROM f GROUP BY 1, 2), "
+        "c AS (SELECT feature, bin, "
+        "  CAST(SUM(n) OVER w AS BIGINT) AS nl, "
+        "  CAST(SUM(s) OVER w AS BIGINT) AS sl "
+        "  FROM g WINDOW w AS (PARTITION BY feature ORDER BY bin "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "t AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt, "
+        "  CAST(SUM(s) AS BIGINT) AS st FROM g GROUP BY 1), "
+        "cand AS (SELECT c.feature, c.bin AS threshold, nl, sl, "
+        "  t.nt - nl AS nr, t.st - sl AS sr "
+        "  FROM c JOIN t USING (feature) "
+        "  WHERE nl > 0 AND t.nt - nl > 0), "
+        "sc AS (SELECT feature, threshold, nl, sl, nr, sr, "
+        "  (CAST(sl AS HUGEINT) * nr - CAST(sr AS HUGEINT) * nl) "
+        "  * (CAST(sl AS HUGEINT) * nr - CAST(sr AS HUGEINT) * nl) "
+        "  // (CAST(nl AS HUGEINT) * nr) AS score FROM cand) "
+        "SELECT feature, threshold, nl AS n_left, sl AS sum_left, "
+        "  nr AS n_right, sr AS sum_right, "
+        "  sl // nl AS mean_left_cents, sr // nr AS mean_right_cents "
+        "FROM (SELECT *, row_number() OVER (ORDER BY score DESC, feature, "
+        "  threshold) AS rn FROM sc) WHERE rn = 1"
+    ),
+)
+def ml_var_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 REGRESSION tree training by exhaustive variance-
+    reduction split search over the (hour, dow, value-bucket) feature
+    grid against value-cents — the regression sibling of
+    x_ml_gini_stump and the literal inner loop of gradient boosting
+    (each GBDT round fits exactly this stump to residuals; rounds
+    compose across jobs).  SSE reduction ranks splits by
+    (sL*nR - sR*nL)^2 / (nL*nR) — the n-free form of the two-sample
+    variance identity — so the search needs only the histogram's
+    (count, sum) prefix pairs, never a second data pass.
+
+    Exactness: the score lives in DECIMAL(38,0)/HUGEINT (d^2 reaches
+    ~10^32 at this scale) and is ONLY used for ordering — exact
+    integer comparison in both engines, (score DESC, feature,
+    threshold) total order — while every EMITTED column is an int64
+    count/sum or a non-negative cents floor division (the stump's
+    leaf predictions), keeping the output off the HUGEINT->double
+    conversion path entirely.
+
+    Scale shape: ONE (feature, bin) histogram aggregate over the fact
+    stream (map-side partials; grid is 24+7+10 bins), prefix sums and
+    the split search on the bounded grid — the LightGBM
+    histogram-builder shape as a declarative plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.hour("ts").cast("long").alias("hour"),
+        (F.dayofweek(F.col("ts").cast("date")) + 1).cast("long").alias("dow"),
+        F.least(
+            F.floor(F.col("value") / 20).cast("long"), F.lit(9).cast("long")
+        ).alias("vbucket"),
+    )
+    f = None
+    for feat in ("hour", "dow", "vbucket"):
+        part = ev.select(
+            F.lit(feat).alias("feature"),
+            F.col(feat).alias("bin"),
+            "cents",
+        )
+        f = part if f is None else f.unionByName(part)
+    g = f.groupBy("feature", "bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w).cast("long").alias("nl"),
+        F.sum("s").over(w).cast("long").alias("sl"),
+    )
+    t = g.groupBy("feature").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    cand = (
+        c.join(F.broadcast(t), "feature")
+        .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "feature",
+            F.col("bin").alias("threshold"),
+            "nl",
+            "sl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("st") - F.col("sl")).alias("sr"),
+        )
+    )
+    sc = cand.select(
+        "*",
+        F.expr(
+            "(CAST(sl AS DECIMAL(38,0)) * nr - CAST(sr AS DECIMAL(38,0)) * nl) "
+            "* (CAST(sl AS DECIMAL(38,0)) * nr - CAST(sr AS DECIMAL(38,0)) * nl) "
+            "DIV (CAST(nl AS DECIMAL(38,0)) * nr)"
+        ).alias("score"),
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), "feature", "threshold")
+    )
+    return (
+        sc.select("*", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            "threshold",
+            F.col("nl").alias("n_left"),
+            F.col("sl").alias("sum_left"),
+            F.col("nr").alias("n_right"),
+            F.col("sr").alias("sum_right"),
+            F.expr("sl DIV nl").alias("mean_left_cents"),
+            F.expr("sr DIV nr").alias("mean_right_cents"),
+        )
+    )

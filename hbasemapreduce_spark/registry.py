@@ -384,6 +384,7 @@ _R7_BACKLOG = [
     "x_rank_mmr",
     "x_eval_langid",
     "x_stream_srm",
+    "x_ml_var_stump",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
