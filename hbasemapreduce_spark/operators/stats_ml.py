@@ -3018,3 +3018,195 @@ def ml_var_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sr DIV nr").alias("mean_right_cents"),
         )
     )
+
+
+# -- one gradient-boosting round (stump -> residuals -> stump) -----------
+
+_BOOST_OFF = 100_000  # residual offset keeping round-2 sums non-negative
+
+
+def _stump_cte_sql(src: str, sfx: str, cents: str) -> str:
+    """CTE chain for one histogram split search over ``src`` (which
+    must expose hour/dow/vbucket plus the ``cents`` target), ending in
+    ``best{sfx}`` = the single winning split with leaf sums.  Shared
+    by the x_ml_var_stump twin logic and both x_ml_boost_round rounds
+    (score is offset-invariant: replacing s by s + C*n leaves
+    sL*nR - sR*nL unchanged, so the same chain ranks residual
+    histograms correctly)."""
+    return (
+        f"f{sfx} AS (SELECT 'hour' AS feature, hour AS bin, {cents} AS c "
+        f"  FROM {src} "
+        f"  UNION ALL SELECT 'dow', dow, {cents} FROM {src} "
+        f"  UNION ALL SELECT 'vbucket', vbucket, {cents} FROM {src}), "
+        f"g{sfx} AS (SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"  CAST(SUM(c) AS BIGINT) AS s FROM f{sfx} GROUP BY 1, 2), "
+        f"c{sfx} AS (SELECT feature, bin, "
+        "  CAST(SUM(n) OVER w AS BIGINT) AS nl, "
+        "  CAST(SUM(s) OVER w AS BIGINT) AS sl "
+        f"  FROM g{sfx} WINDOW w AS (PARTITION BY feature ORDER BY bin "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        f"t{sfx} AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt, "
+        f"  CAST(SUM(s) AS BIGINT) AS st FROM g{sfx} GROUP BY 1), "
+        f"sc{sfx} AS (SELECT c.feature, c.bin AS threshold, nl, sl, "
+        "  t.nt - nl AS nr, t.st - sl AS sr, "
+        "  (CAST(sl AS HUGEINT) * (t.nt - nl) "
+        "    - CAST(t.st - sl AS HUGEINT) * nl) "
+        "  * (CAST(sl AS HUGEINT) * (t.nt - nl) "
+        "    - CAST(t.st - sl AS HUGEINT) * nl) "
+        "  // (CAST(nl AS HUGEINT) * (t.nt - nl)) AS score "
+        f"  FROM c{sfx} c JOIN t{sfx} t USING (feature) "
+        "  WHERE nl > 0 AND t.nt - nl > 0), "
+        f"best{sfx} AS (SELECT feature, threshold, nl, sl, nr, sr FROM ("
+        "  SELECT *, row_number() OVER (ORDER BY score DESC, feature, "
+        f"    threshold) AS rn FROM sc{sfx}) WHERE rn = 1)"
+    )
+
+
+@query(
+    "x_ml_boost_round",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  CAST(hour(ts) AS BIGINT) AS hour, "
+        "  CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow, "
+        "  LEAST(CAST(FLOOR(value / 20) AS BIGINT), 9) AS vbucket "
+        "  FROM events), "
+        + _stump_cte_sql("ev", "1", "cents")
+        + ", ev2 AS (SELECT ev.hour, ev.dow, ev.vbucket, "
+        "  ev.cents - (CASE WHEN (CASE b.feature WHEN 'hour' THEN ev.hour "
+        "      WHEN 'dow' THEN ev.dow ELSE ev.vbucket END) <= b.threshold "
+        f"    THEN b.sl // b.nl ELSE b.sr // b.nr END) + {_BOOST_OFF} "
+        "    AS r_off "
+        "  FROM ev CROSS JOIN best1 b), "
+        + _stump_cte_sql("ev2", "2", "r_off")
+        + " SELECT 1 AS round, feature, threshold, nl AS n_left, "
+        "  nr AS n_right, sl // nl AS leaf_left_cents, "
+        "  sr // nr AS leaf_right_cents FROM best1 "
+        "UNION ALL SELECT 2, feature, threshold, nl, nr, "
+        f"  sl // nl - {_BOOST_OFF}, sr // nr - {_BOOST_OFF} FROM best2"
+    ),
+)
+def ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full gradient-boosting round, declaratively: fit the
+    variance-reduction stump (x_ml_var_stump's search), subtract its
+    leaf predictions to form residuals, fit a SECOND stump to those
+    residuals — all one dataflow with no driver round-trip, proving
+    the GBDT composition story the stump docstrings promise (round 3+
+    repeats the same chain).
+
+    Exactness: residuals are shifted by a constant offset so every
+    round-2 sum stays NON-NEGATIVE (floor-div and DIV agree), which is
+    free because the split score (sL*nR - sR*nL)^2/(nL*nR) is
+    OFFSET-INVARIANT — replacing s with s + C*n cancels exactly — so
+    round 2 ranks true residual splits; leaf values un-shift by the
+    same constant.  Scores stay in DECIMAL(38,0)/HUGEINT for ordering
+    only; all emitted columns are int64.
+
+    Scale shape: two histogram aggregates over the fact stream with a
+    1-row broadcast (the winning split) between them — each round is
+    x_ml_var_stump's one-pass budget, and rounds chain linearly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.hour("ts").cast("long").alias("hour"),
+        (F.dayofweek(F.col("ts").cast("date")) + 1).cast("long").alias("dow"),
+        F.least(
+            F.floor(F.col("value") / 20).cast("long"), F.lit(9).cast("long")
+        ).alias("vbucket"),
+    )
+
+    from pyspark.sql import Window
+
+    def split_search(src: DataFrame, cents_col: str) -> DataFrame:
+        f = None
+        for feat in ("hour", "dow", "vbucket"):
+            part = src.select(
+                F.lit(feat).alias("feature"),
+                F.col(feat).alias("bin"),
+                F.col(cents_col).alias("c"),
+            )
+            f = part if f is None else f.unionByName(part)
+        g = f.groupBy("feature", "bin").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+        w = (
+            Window.partitionBy("feature")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = g.select(
+            "feature",
+            "bin",
+            F.sum("n").over(w).cast("long").alias("nl"),
+            F.sum("s").over(w).cast("long").alias("sl"),
+        )
+        t = g.groupBy("feature").agg(
+            F.sum("n").cast("long").alias("nt"),
+            F.sum("s").cast("long").alias("st"),
+        )
+        sc = (
+            c.join(F.broadcast(t), "feature")
+            .filter((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+            .select(
+                "feature",
+                F.col("bin").alias("threshold"),
+                "nl",
+                "sl",
+                (F.col("nt") - F.col("nl")).alias("nr"),
+                (F.col("st") - F.col("sl")).alias("sr"),
+            )
+            .select(
+                "*",
+                F.expr(
+                    "(CAST(sl AS DECIMAL(38,0)) * nr "
+                    "- CAST(sr AS DECIMAL(38,0)) * nl) "
+                    "* (CAST(sl AS DECIMAL(38,0)) * nr "
+                    "- CAST(sr AS DECIMAL(38,0)) * nl) "
+                    "DIV (CAST(nl AS DECIMAL(38,0)) * nr)"
+                ).alias("score"),
+            )
+        )
+        rn = F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "feature", "threshold")
+        )
+        return (
+            sc.select("*", rn.alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("feature", "threshold", "nl", "sl", "nr", "sr")
+        )
+
+    best1 = split_search(ev, "cents")
+    feat_val = F.expr(
+        "CASE feature WHEN 'hour' THEN hour WHEN 'dow' THEN dow "
+        "ELSE vbucket END"
+    )
+    pred = F.when(
+        feat_val <= F.col("threshold"), F.expr("sl DIV nl")
+    ).otherwise(F.expr("sr DIV nr"))
+    ev2 = ev.crossJoin(F.broadcast(best1)).select(
+        "hour",
+        "dow",
+        "vbucket",
+        (F.col("cents") - pred + _BOOST_OFF).alias("r_off"),
+    )
+    best2 = split_search(ev2, "r_off")
+    out1 = best1.select(
+        F.lit(1).alias("round"),
+        "feature",
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        F.expr("sl DIV nl").alias("leaf_left_cents"),
+        F.expr("sr DIV nr").alias("leaf_right_cents"),
+    )
+    out2 = best2.select(
+        F.lit(2).alias("round"),
+        "feature",
+        "threshold",
+        F.col("nl").alias("n_left"),
+        F.col("nr").alias("n_right"),
+        (F.expr("sl DIV nl") - _BOOST_OFF).alias("leaf_left_cents"),
+        (F.expr("sr DIV nr") - _BOOST_OFF).alias("leaf_right_cents"),
+    )
+    return out1.unionByName(out2)

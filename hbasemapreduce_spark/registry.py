@@ -385,6 +385,7 @@ _R7_BACKLOG = [
     "x_eval_langid",
     "x_stream_srm",
     "x_ml_var_stump",
+    "x_ml_boost_round",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
