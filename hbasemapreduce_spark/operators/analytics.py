@@ -1386,3 +1386,78 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (numer.cast("double") / F.lit(15.0)).alias("est_true"),
         )
     )
+
+
+# -- windowed funnel (conversion within a deadline) ----------------------
+
+
+@query(
+    "x_funnel_window",
+    category="analytics",
+    oracle=(
+        "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "           WHERE event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+        "      AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000 "
+        "      WHERE e.event_type = 'click' GROUP BY 1), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        "      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+        "      AND epoch_us(e.ts) <= epoch_us(s2.t2) + 86400000000 "
+        "      WHERE e.event_type = 'purchase' GROUP BY 1) "
+        "SELECT 1 AS stage, 'view' AS event_type, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_users FROM s1 "
+        "UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2 "
+        "UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3"
+    ),
+)
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-constrained funnel: view -> click -> purchase where
+    each step must land within 24 HOURS of the previous stage's
+    anchor — the 'did they convert promptly' variant product teams
+    compare against x_funnel_conversion's unconstrained counts (the
+    gap between the two IS the stale-conversion share), with
+    x_funnel_latency completing the trio by measuring the delays
+    themselves.
+
+    Scale shape: identical to x_funnel_conversion — per-stage hash
+    aggregate on user_id + equi-join on user_id with the deadline as
+    an extra residual predicate on the SAME join (never a range-only
+    join); stages only shrink, AQE broadcasts the later joins.
+    Deadline arithmetic is exact integer micros."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    stage = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("anchor"))
+    )
+    stages = [stage]
+    for ev_type in _FUNNEL[1:]:
+        stage = (
+            ev.filter(F.col("event_type") == ev_type)
+            .join(stage.select("user_id", "anchor"), "user_id")
+            .filter(
+                (F.col("ts") > F.col("anchor"))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros("anchor") + 86_400_000_000
+                )
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("anchor"))
+        )
+        stages.append(stage)
+    counted = [
+        s.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(t).alias("event_type"),
+            "n_users",
+        )
+        for i, (t, s) in enumerate(zip(_FUNNEL, stages))
+    ]
+    out = counted[0]
+    for c in counted[1:]:
+        out = out.unionByName(c)
+    return out

@@ -3210,3 +3210,114 @@ def ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("sr DIV nr") - _BOOST_OFF).alias("leaf_right_cents"),
     )
     return out1.unionByName(out2)
+
+
+# -- delete-one-bucket jackknife for ratio metrics -----------------------
+
+_JK_B = 32  # user buckets; delete-one-bucket jackknife replicates
+
+
+@query(
+    "x_stats_jackknife",
+    category="stats_ml",
+    oracle=(
+        "WITH u AS (SELECT event_type, user_id, "
+        f"  (user_id * {_KNUTH}) % {_JK_B} AS b, "
+        "  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "    AS BIGINT) AS uc "
+        "  FROM events GROUP BY 1, 2, 3), "
+        "bk AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS n_b, "
+        "  CAST(SUM(uc) AS BIGINT) AS s_b FROM u GROUP BY 1, 2), "
+        "t AS (SELECT event_type, CAST(SUM(n_b) AS BIGINT) AS n, "
+        "  CAST(SUM(s_b) AS BIGINT) AS s FROM bk GROUP BY 1), "
+        "r AS (SELECT bk.event_type, bk.b, "
+        "  CAST(round(100.0 * CAST(t.s - bk.s_b AS DOUBLE) "
+        "    / CAST(t.n - bk.n_b AS DOUBLE)) AS BIGINT) AS x "
+        "  FROM bk JOIN t USING (event_type) WHERE t.n - bk.n_b > 0), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb, "
+        "  CAST(SUM(x) AS BIGINT) AS sx, "
+        "  CAST(SUM(x * x) AS BIGINT) AS sxx FROM r GROUP BY 1) "
+        "SELECT m.event_type, t.n AS n_users, t.s AS sum_cents, "
+        "CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS ratio_cents, "
+        "m.nb * m.sxx - m.sx * m.sx AS jk_var_num, "
+        "sqrt(CAST((m.nb - 1) * (m.nb * m.sxx - m.sx * m.sx) AS DOUBLE)) "
+        "  / (CAST(m.nb AS DOUBLE) * 100.0) AS jk_se_cents "
+        "FROM m JOIN t USING (event_type)"
+    ),
+)
+def stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    (revenue cents per active user, per event type) — the
+    experimentation-platform standard for ratio metrics, where the
+    naive per-row variance is simply wrong because users, not events,
+    are the independent unit.  Users hash into 32 buckets; replicate b
+    recomputes the ratio with bucket b deleted — (S - s_b)/(N - n_b),
+    one number per bucket off ONE bucket-level aggregate, never a
+    re-scan — and SE = sqrt((B-1)/B * sum (R_b - R_bar)^2).
+
+    Determinism: each replicate ratio is one IEEE division of exact
+    int64s (bitwise stable) quantized to CENTI-CENTS (an exact integer
+    both engines round identically), so the spread moments sum as
+    exact bigints in any order — B*sxx - sx^2 stays under int64 by
+    construction of the quantization — and the final sqrt is the
+    IEEE-correctly-rounded function of an exactly-converted integer.
+    No order-dependent float sum anywhere.
+
+    Scale shape: user rollup (hash aggregate), bucket rollup (B x
+    |types| rows), totals joined back broadcast — the replicate table
+    never exceeds B rows per type at any corpus size."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.pmod(F.col("user_id") * _KNUTH, F.lit(_JK_B)).alias("b"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "user_id", "b")
+        .agg(F.sum("cents").cast("long").alias("uc"))
+    )
+    bk = u.groupBy("event_type", "b").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("uc").cast("long").alias("s_b"),
+    )
+    t = bk.groupBy("event_type").agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("s_b").cast("long").alias("s"),
+    )
+    r = (
+        bk.join(F.broadcast(t), "event_type")
+        .filter(F.col("n") - F.col("n_b") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(
+                100.0
+                * (F.col("s") - F.col("s_b")).cast("double")
+                / (F.col("n") - F.col("n_b")).cast("double")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    var_num = F.col("nb") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("s").alias("sum_cents"),
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "ratio_cents"
+        ),
+        var_num.alias("jk_var_num"),
+        (
+            F.sqrt(((F.col("nb") - 1) * var_num).cast("double"))
+            / (F.col("nb").cast("double") * 100.0)
+        ).alias("jk_se_cents"),
+    )
