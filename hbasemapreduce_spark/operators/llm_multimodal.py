@@ -231,11 +231,11 @@ _PHASH_BYTES = 256  # 16x16 "gray image" prefix; 2x2-byte blocks -> 64 bits
 _PHASH_MAX_HAM = 6  # report pairs within this Hamming distance
 
 
-@query(
-    "x_multimodal_phash_dedup",
-    category="llm_multimodal",
-    oracle=(
-        "WITH p AS (SELECT doc_id, text AS img FROM documents "
+# CTE chain ending in ``ham`` (doc_a, doc_b, hamming) — shared between
+# the x_multimodal_phash_dedup oracle and x_dedup_phash_clusters'
+# (clustering.py), which runs connected components over the same pairs.
+PHASH_HAM_SQL = (
+    "p AS (SELECT doc_id, text AS img FROM documents "
         f"  WHERE octet_length(CAST(text AS BLOB)) >= {_PHASH_BYTES}), "
         "blk AS (SELECT doc_id, k, CAST(list_sum(list_transform("
         "    [0, 1, 16, 17], "
@@ -264,8 +264,18 @@ _PHASH_MAX_HAM = 6  # report pairs within this Hamming distance
         "     + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) "
         "    AS BIGINT) AS hamming "
         "  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id "
-        "  JOIN sig sb ON c.doc_b = sb.doc_id) "
-        f"SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_MAX_HAM}"
+        "  JOIN sig sb ON c.doc_b = sb.doc_id)"
+)
+
+
+@query(
+    "x_multimodal_phash_dedup",
+    category="llm_multimodal",
+    oracle=(
+        "WITH "
+        + PHASH_HAM_SQL
+        + f" SELECT doc_a, doc_b, hamming FROM ham "
+        f"WHERE hamming <= {_PHASH_MAX_HAM}"
     ),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

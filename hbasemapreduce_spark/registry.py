@@ -393,6 +393,7 @@ _R7_BACKLOG = [
     "x_ml_boost_round",
     "x_funnel_window",
     "x_stats_jackknife",
+    "x_dedup_phash_clusters",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
