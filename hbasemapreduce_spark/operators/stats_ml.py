@@ -3321,3 +3321,63 @@ def stats_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nb").cast("double") * 100.0)
         ).alias("jk_se_cents"),
     )
+
+
+# -- rank-based quantile normalization -----------------------------------
+
+
+@query(
+    "x_feature_quantile_norm",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_id, event_type, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "r AS (SELECT event_id, event_type, cents, "
+        "  CAST(rank() OVER (PARTITION BY event_type ORDER BY cents) "
+        "    AS BIGINT) AS rk, "
+        "  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n "
+        "  FROM e) "
+        "SELECT event_id, event_type, cents, rk, "
+        "CASE WHEN n > 1 THEN 1000000 * (rk - 1) // (n - 1) ELSE 0 END "
+        "  AS qnorm_ppm "
+        "FROM r"
+    ),
+)
+def feature_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of value within each event
+    type — percent_rank as an EXACT ppm integer, the distribution-free
+    feature transform (robust to outliers and unit changes) tabular
+    pipelines apply before mixing heterogeneous metrics.  Ties share a
+    rank (RANK, not ROW_NUMBER), so equal inputs get equal outputs —
+    the property that makes the transform a function of the value, and
+    what makes it hash-checkable without a row tie-break.
+
+    Scale shape: ONE rank window per type (sort bounded by the type
+    partition), row-grain output as a feature materialization must be;
+    the ppm division is non-negative so floor-div and DIV agree."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    byt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.rank().over(byt.orderBy("cents")).cast("long").alias("rk"),
+        F.count("*").over(byt).cast("long").alias("n"),
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        "cents",
+        "rk",
+        F.expr(
+            "CASE WHEN n > 1 THEN 1000000 * (rk - 1) DIV (n - 1) "
+            "ELSE 0 END"
+        ).alias("qnorm_ppm"),
+    )

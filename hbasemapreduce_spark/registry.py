@@ -394,6 +394,7 @@ _R7_BACKLOG = [
     "x_funnel_window",
     "x_stats_jackknife",
     "x_dedup_phash_clusters",
+    "x_feature_quantile_norm",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
