@@ -3381,3 +3381,125 @@ def feature_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 0 END"
         ).alias("qnorm_ppm"),
     )
+
+
+# -- CUPED variance reduction --------------------------------------------
+
+
+@query(
+    "x_stats_cuped",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, user_id, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day "
+        "  FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "u AS (SELECT event_type, user_id, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE day <= mid), 0) "
+        "    AS BIGINT) AS x, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE day > mid), 0) "
+        "    AS BIGINT) AS y "
+        "  FROM ev CROSS JOIN b GROUP BY 1, 2), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "  CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "  CAST(SUM(y * y) AS BIGINT) AS syy "
+        "  FROM u GROUP BY 1 HAVING COUNT(*) >= 2), "
+        "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
+        "  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
+        "  CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, "
+        "  CAST(syy AS DOUBLE) AS syyd FROM m) "
+        "SELECT event_type, n, "
+        "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS theta, "
+        "(nd * syyd - syd * syd) / (nd * (nd - 1)) AS var_y, "
+        "((nd * syyd - syd * syd) - (nd * sxyd - sxd * syd) "
+        "  * (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) "
+        "  / (nd * (nd - 1)) AS var_adj, "
+        "((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) "
+        "  / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS rho2 "
+        "FROM d WHERE nd * sxxd - sxd * sxd > 0 "
+        "AND nd * syyd - syd * syd > 0"
+    ),
+)
+def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13)
+    per event type: use each user's PRE-period spend (first calendar
+    half, the x_stats_ks_drift midpoint split) as the control
+    covariate for their experiment-period spend — theta = cov(Y,X) /
+    var(X), adjusted variance var(Y) - cov^2/var(X), and rho^2 = the
+    fraction of metric variance the covariate removes, which is
+    exactly the sample-size saving x_stats_power would bank.  The
+    modern experimentation stack's biggest single win, computed here
+    at warehouse scale.
+
+    Determinism: per-user pre/post sums are exact bigints (user-level
+    rollup — users, not events, are the independent unit, the
+    x_stats_jackknife discipline), the five cross-moments are exact
+    int64 sums off ONE aggregate, and every output is the identical
+    int64->double IEEE expression tree in both engines.  Degenerate
+    groups (zero variance either side, n < 2) are filtered by the
+    same guard in both.
+
+    Scale shape: one user-grain rollup (hash aggregate), one moment
+    aggregate, |types| rows out; the calendar midpoint is a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    b = ev.agg(
+        F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") <= F.col("mid"), F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("day") > F.col("mid"), F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = (
+        u.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).cast("long").alias("sx"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(x * x).cast("long").alias("sxx"),
+            F.sum(x * y).cast("long").alias("sxy"),
+            F.sum(y * y).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    cov = nd * sxyd - sxd * syd
+    return m.filter((vx > 0) & (vy > 0)).select(
+        "event_type",
+        "n",
+        (cov / vx).alias("theta"),
+        (vy / (nd * (nd - 1))).alias("var_y"),
+        ((vy - cov * cov / vx) / (nd * (nd - 1))).alias("var_adj"),
+        ((cov * cov) / (vx * vy)).alias("rho2"),
+    )

@@ -395,6 +395,7 @@ _R7_BACKLOG = [
     "x_stats_jackknife",
     "x_dedup_phash_clusters",
     "x_feature_quantile_norm",
+    "x_stats_cuped",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
