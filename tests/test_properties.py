@@ -1981,3 +1981,77 @@ def test_cusum_equals_direct_max_recursion(spark):
             s = max(0, s + (cs[r.hr] - k - 1))
             assert r.cusum == s, (etype, r.hr, r.cusum, s)
             assert r.alarm == (s > k), (etype, r.hr)
+
+
+# -- late-round-6 cross-operator equivalences ----------------------------
+
+
+def test_boost_round_one_equals_var_stump(spark):
+    """x_ml_boost_round's round-1 row IS x_ml_var_stump's winner — the
+    composition claim checked, not narrated (the pretrain-chain test
+    discipline)."""
+    stump = q(spark, "x_ml_var_stump").collect()[0]
+    r1 = [r for r in q(spark, "x_ml_boost_round").collect() if r["round"] == 1][0]
+    assert (r1["feature"], r1["threshold"]) == (stump["feature"], stump["threshold"])
+    assert (r1["n_left"], r1["n_right"]) == (stump["n_left"], stump["n_right"])
+    assert r1["leaf_left_cents"] == stump["mean_left_cents"]
+    assert r1["leaf_right_cents"] == stump["mean_right_cents"]
+
+
+def test_bootstrap_ci_ordered_and_brackets_nothing_absurd(spark):
+    """Poisson-bootstrap CI endpoints come from ordered replicate
+    statistics, so lo <= hi always; the point estimate is a cents mean
+    inside the replicate range's ballpark (within 10x either way)."""
+    for r in q(spark, "x_stats_bootstrap").collect():
+        assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+        assert r["ci_lo_cents"] * 0.1 <= r["mean_cents"] <= r["ci_hi_cents"] * 10
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    """MMR's first pick has no redundancy penalty yet, so per query it
+    must equal the plain cosine top-1 (sim_cosine_topk rnk=1)."""
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in q(spark, "sim_cosine_topk").collect()
+        if r["rnk"] == 1
+    }
+    picks1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in q(spark, "x_rank_mmr").collect()
+        if r["pick"] == 1
+    }
+    assert picks1 == top1
+    # and the 3 picks per query are distinct
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for r in q(spark, "x_rank_mmr").collect():
+        assert r["neighbor_id"] not in seen[r["query_id"]]
+        seen[r["query_id"]].add(r["neighbor_id"])
+
+
+def test_phash_clusters_cover_exactly_the_pair_endpoints(spark):
+    """Every doc in a phash near-dup pair lands in exactly one cluster
+    whose id is <= its own (min-label CC), and no other doc appears."""
+    pairs = q(spark, "x_multimodal_phash_dedup").collect()
+    endpoints = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    rows = q(spark, "x_dedup_phash_clusters").collect()
+    assert {r["doc_id"] for r in rows} == endpoints
+    assert all(r["cluster_id"] <= r["doc_id"] for r in rows)
+
+
+def test_funnel_window_bounded_by_unconstrained_funnel(spark):
+    """The 24h-deadline funnel can never convert MORE users per stage
+    than the unconstrained funnel."""
+    free = {r["stage"]: r["n_users"] for r in q(spark, "x_funnel_conversion").collect()}
+    tight = {r["stage"]: r["n_users"] for r in q(spark, "x_funnel_window").collect()}
+    assert tight[1] == free[1]  # stage 1 has no deadline
+    assert all(tight[s] <= free[s] for s in free)
+
+
+def test_cuped_never_increases_variance(spark):
+    """var(Y - theta X) = var(Y) - cov^2/var(X) <= var(Y), and rho2 in
+    [0, 1] — the whole point of CUPED, by construction."""
+    for r in q(spark, "x_stats_cuped").collect():
+        assert r["var_adj"] <= r["var_y"] + 1e-9
+        assert -1e-9 <= r["rho2"] <= 1.0 + 1e-9
