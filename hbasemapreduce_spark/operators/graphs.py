@@ -710,3 +710,78 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             h1.select(F.lit("hub"), F.col("cust"), F.col("h"))
         )
     )
+
+
+# -- degree assortativity ------------------------------------------------
+
+
+@query(
+    "x_graph_assortativity",
+    category="graph",
+    oracle=(
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        "WITH deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "  FROM edges GROUP BY 1), "
+        "de AS (SELECT da.d AS x, db.d AS y FROM edges e "
+        "  JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "  CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "  CAST(SUM(y * y) AS BIGINT) AS syy FROM de), "
+        "d2 AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, "
+        "  CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, "
+        "  CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM m) "
+        "SELECT n AS n_directed_edges, "
+        "(nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) "
+        "  * (nd * syyd - syd * syd)) AS assortativity "
+        "FROM d2)"
+    ),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase graph:
+    the Pearson correlation of endpoint degrees over directed edges —
+    positive means hubs buy with hubs (social-network shape), negative
+    means hubs connect to the periphery (catalog/star shape).  The
+    one-number structural summary that tells you whether degree-based
+    sampling or hub-pruning will distort the graph, completing the
+    graph-science panel beside modularity, k-core, and triangles.
+
+    Determinism: degrees are exact integer counts, the five
+    cross-moments exact int64 sums off ONE pass over the edge list
+    (symmetric edges make x/y moments mirror-consistent), and the
+    correlation is the identical int64->double IEEE tree both engines
+    — sqrt is correctly rounded by IEEE 754.
+
+    Scale shape: one degree aggregate, two equi-joins of the edge list
+    against the |nodes| degree table, one 1-row moment aggregate —
+    edge-list-linear, no quadratic step."""
+    edges = _undirected_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    de = edges.join(da, "src").join(db, "dst").select("x", "y")
+    x, y = F.col("x"), F.col("y")
+    m = de.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        (
+            (nd * sxyd - sxd * syd)
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        ).alias("assortativity"),
+    )

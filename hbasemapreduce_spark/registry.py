@@ -397,6 +397,7 @@ _R7_BACKLOG = [
     "x_dedup_phash_clusters",
     "x_feature_quantile_norm",
     "x_stats_cuped",
+    "x_graph_assortativity",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
