@@ -3503,3 +3503,98 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((vy - cov * cov / vx) / (nd * (nd - 1))).alias("var_adj"),
         ((cov * cov) / (vx * vy)).alias("rho2"),
     )
+
+
+# -- median-of-means robust estimator ------------------------------------
+
+_MOM_B = 32  # estimator buckets
+
+
+@query(
+    "x_agg_median_of_means",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        f"  (event_id * {_KNUTH}) % {_MOM_B} AS b, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "bk AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS n_b, "
+        "  CAST(SUM(cents) AS BIGINT) AS s_b, "
+        "  CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mean_b "
+        "  FROM e GROUP BY 1, 2), "
+        "r AS (SELECT event_type, mean_b, "
+        "  row_number() OVER (PARTITION BY event_type "
+        "    ORDER BY mean_b, b) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY event_type) AS nb FROM bk), "
+        "t AS (SELECT event_type, CAST(SUM(n_b) AS BIGINT) AS n, "
+        "  CAST(SUM(s_b) AS BIGINT) AS s FROM bk GROUP BY 1) "
+        "SELECT r.event_type, t.n, CAST(MAX(r.nb) AS BIGINT) AS n_buckets, "
+        "CAST(MAX(CASE WHEN rn = (nb + 1) // 2 THEN mean_b END) AS BIGINT) "
+        "  AS mom_cents, "
+        "t.s // t.n AS mean_cents "
+        "FROM r JOIN t USING (event_type) "
+        "GROUP BY r.event_type, t.n, t.s"
+    ),
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust mean estimator per event type: rows hash
+    into 32 buckets, each bucket contributes its mean, the estimate is
+    the MEDIAN of the bucket means — sub-Gaussian concentration under
+    heavy tails where the plain mean is hostage to outliers (the
+    robust-statistics workhorse; the plain mean rides along so the gap
+    IS the outlier influence).  Completes the robust panel beside
+    x_stats_mad (median/MAD outliers) and x_stats_jackknife (which
+    reuses this same delete/bucket discipline for variance).
+
+    Determinism: bucket assignment is the portable Knuth hash; bucket
+    means are NON-NEGATIVE integer floor divisions of exact sums, so
+    the (mean, bucket)-ordered median rank is total and integer-exact
+    — no float anywhere.
+
+    Scale shape: one (type, bucket) hash aggregate with map-side
+    partials, a rank window over <= 32 rows per type, totals joined
+    at |types| rows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("event_id") * _KNUTH, F.lit(_MOM_B)).alias("b"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    bk = e.groupBy("event_type", "b").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("cents").cast("long").alias("s_b"),
+        F.expr("CAST(SUM(cents) AS BIGINT) DIV COUNT(*)").alias("mean_b"),
+    )
+    byt = Window.partitionBy("event_type")
+    r = bk.select(
+        "event_type",
+        "mean_b",
+        F.row_number()
+        .over(byt.orderBy("mean_b", "b"))
+        .alias("rn"),
+        F.count("*").over(byt).alias("nb"),
+    )
+    t = bk.groupBy("event_type").agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("s_b").cast("long").alias("s"),
+    )
+    return (
+        r.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "n", "s")
+        .agg(
+            F.max("nb").cast("long").alias("n_buckets"),
+            F.max(
+                F.expr("CASE WHEN rn = (nb + 1) DIV 2 THEN mean_b END")
+            )
+            .cast("long")
+            .alias("mom_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_buckets",
+            "mom_cents",
+            F.expr("s DIV n").alias("mean_cents"),
+        )
+    )

@@ -398,6 +398,7 @@ _R7_BACKLOG = [
     "x_feature_quantile_norm",
     "x_stats_cuped",
     "x_graph_assortativity",
+    "x_agg_median_of_means",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
