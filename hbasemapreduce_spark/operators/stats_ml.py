@@ -3598,3 +3598,178 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s DIV n").alias("mean_cents"),
         )
     )
+
+
+# -- inter-event burstiness ----------------------------------------------
+
+
+@query(
+    "x_time_burstiness",
+    category="stats_ml",
+    oracle=(
+        "WITH o AS (SELECT event_type, "
+        "  (epoch_us(CAST(ts AS TIMESTAMP)) "
+        "  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER ("
+        "    PARTITION BY event_type ORDER BY ts, event_id)) "
+        "  // 1000000 AS gap_s "
+        "  FROM events), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(gap_s) AS BIGINT) AS s, "
+        "  CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2 "
+        "  FROM o WHERE gap_s IS NOT NULL GROUP BY 1 "
+        "  HAVING COUNT(*) >= 2), "
+        "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
+        "  CAST(s AS DOUBLE) AS sd, CAST(s2 AS DOUBLE) AS s2d, s FROM m) "
+        "SELECT event_type, n, s AS sum_gap_s, "
+        "sd / nd AS mean_gap_s, "
+        "sqrt((s2d - sd * sd / nd) / (nd - 1)) AS sd_gap_s, "
+        "(sqrt((s2d - sd * sd / nd) / (nd - 1)) - sd / nd) "
+        "/ (sqrt((s2d - sd * sd / nd) / (nd - 1)) + sd / nd) "
+        "  AS burstiness "
+        "FROM d"
+    ),
+)
+def time_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness coefficient B = (sigma - mu)/(sigma + mu)
+    of inter-event gaps per type: -1 = metronome, 0 = Poisson, ->1 =
+    bursty — the point-process diagnostic that says whether traffic
+    smoothing, batching, or burst-aware capacity is the right lever,
+    complementing x_time_autocorr (rhythm) and x_time_peaks (spikes).
+
+    Determinism: gaps come from the (ts, event_id)-total-ordered lag
+    window, floored to whole SECONDS (a non-negative integer division
+    both engines share) so the squared-gap sum stays comfortably in
+    int64 even on sparse corpora where micro-gaps overflow it; the
+    int64->double conversions are correctly rounded and mean/sd/B are
+    the identical IEEE tree, sqrt correctly rounded.
+
+    Scale shape: one lag window per type + one moment aggregate,
+    |types| rows out."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER ("
+            "PARTITION BY event_type ORDER BY ts, event_id)) DIV 1000000"
+        ).alias("gap_s"),
+    )
+    m = (
+        o.filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = sd / nd
+    sdev = F.sqrt((s2d - sd * sd / nd) / (nd - 1))
+    return m.select(
+        "event_type",
+        "n",
+        F.col("s").alias("sum_gap_s"),
+        mean.alias("mean_gap_s"),
+        sdev.alias("sd_gap_s"),
+        ((sdev - mean) / (sdev + mean)).alias("burstiness"),
+    )
+
+
+# -- winsorized mean -----------------------------------------------------
+
+
+@query(
+    "x_agg_winsorized_mean",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT event_type, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "r AS (SELECT event_type, cents, "
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn, "
+        "  COUNT(*) OVER (PARTITION BY event_type) AS n FROM e), "
+        "lim AS (SELECT event_type, "
+        "  CAST(MAX(CASE WHEN rn = greatest(1, (5 * n + 99) // 100) "
+        "    THEN cents END) AS BIGINT) AS lo, "
+        "  CAST(MAX(CASE WHEN rn = least(n, (95 * n) // 100 + 1) "
+        "    THEN cents END) AS BIGINT) AS hi, "
+        "  CAST(MAX(n) AS BIGINT) AS n FROM r GROUP BY 1) "
+        "SELECT e.event_type, lim.n, lim.lo AS p5_cents, lim.hi AS p95_cents, "
+        "CAST(SUM(least(greatest(e.cents, lim.lo), lim.hi)) AS BIGINT) "
+        "  // lim.n AS winsorized_mean_cents, "
+        "CAST(SUM(e.cents) AS BIGINT) // lim.n AS mean_cents "
+        "FROM e JOIN lim USING (event_type) "
+        "GROUP BY e.event_type, lim.n, lim.lo, lim.hi"
+    ),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean per event type: clamp values to the exact
+    rank-based [p5, p95] order statistics, then average — the
+    outlier-capped metric revenue dashboards quote when a single
+    whale order would otherwise move the line; the plain mean rides
+    along so the gap IS the tail influence (the x_agg_median_of_means
+    presentation discipline, different estimator family: clamping vs
+    bucketing).
+
+    Determinism: the clamp bounds are EXACT order statistics at
+    explicit integer ranks (ceil(5n/100) clamped to >= 1 and
+    floor(95n/100)+1 clamped to <= n), clamping and the final means
+    are all non-negative integer arithmetic — no float anywhere.
+
+    Scale shape: one rank window per type, the bounds collapse to
+    |types| rows joined back broadcast, one clamped aggregate pass."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    byt = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(byt.orderBy("cents")).alias("rn"),
+        F.count("*").over(byt).alias("n"),
+    )
+    lim = r.groupBy("event_type").agg(
+        F.max(
+            F.expr(
+                "CASE WHEN rn = greatest(1, (5 * n + 99) DIV 100) "
+                "THEN cents END"
+            )
+        )
+        .cast("long")
+        .alias("lo"),
+        F.max(
+            F.expr(
+                "CASE WHEN rn = least(n, (95 * n) DIV 100 + 1) "
+                "THEN cents END"
+            )
+        )
+        .cast("long")
+        .alias("hi"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return (
+        e.join(F.broadcast(lim), "event_type")
+        .groupBy("event_type", "n", F.col("lo").alias("p5_cents"),
+                 F.col("hi").alias("p95_cents"))
+        .agg(
+            F.expr(
+                "CAST(SUM(least(greatest(cents, lo), hi)) AS BIGINT) DIV n"
+            ).alias("winsorized_mean_cents"),
+            F.expr("CAST(SUM(cents) AS BIGINT) DIV n").alias("mean_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p5_cents",
+            "p95_cents",
+            "winsorized_mean_cents",
+            "mean_cents",
+        )
+    )

@@ -399,6 +399,8 @@ _R7_BACKLOG = [
     "x_stats_cuped",
     "x_graph_assortativity",
     "x_agg_median_of_means",
+    "x_time_burstiness",
+    "x_agg_winsorized_mean",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
