@@ -1461,3 +1461,59 @@ def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counted[1:]:
         out = out.unionByName(c)
     return out
+
+
+# -- pseudonymization with integrity audit -------------------------------
+
+_PSEUDO_M = 2_147_483_647  # Mersenne prime 2^31-1; coprime multiplier hash
+
+
+@query(
+    "x_privacy_pseudonymize",
+    category="analytics",
+    oracle=(
+        "WITH ev AS (SELECT event_type, user_id, "
+        f"  (user_id * 2654435761 + 40503) % {_PSEUDO_M} AS pseudo "
+        "  FROM events), "
+        "u AS (SELECT event_type, user_id, MIN(pseudo) AS pseudo, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_ev FROM ev GROUP BY 1, 2) "
+        "SELECT event_type, "
+        "CAST(SUM(n_ev) AS BIGINT) AS n_events, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(COUNT(DISTINCT pseudo) AS BIGINT) AS n_pseudonyms, "
+        "CAST(COUNT(*) - COUNT(DISTINCT pseudo) AS BIGINT) AS collisions "
+        "FROM u GROUP BY 1"
+    ),
+)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization audit: replace user ids with a
+    keyed multiplicative hash into a 2^31-1 pseudonym space and report,
+    per event type, exactly what a privacy review asks — how many
+    events/users were re-keyed and whether any two users COLLIDED onto
+    one pseudonym (a collision silently merges two people's histories:
+    worse for analytics AND for privacy accounting).  Completes the
+    privacy family: x_privacy_kanon audits quasi-identifiers,
+    x_privacy_rr_freq randomizes responses, this key re-keys subjects.
+
+    Scale shape: the pseudonym is a pure projection; the audit is one
+    user-grain rollup then one |types|-bounded aggregate whose
+    COUNT(DISTINCT) runs over user-grain rows, not events.  In
+    production the same projection feeds the export sink; the audit
+    rides the same scan.  All integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        ((F.col("user_id") * 2654435761 + 40503) % _PSEUDO_M).alias("pseudo"),
+    )
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.min("pseudo").alias("pseudo"),
+        F.count("*").cast("long").alias("n_ev"),
+    )
+    return u.groupBy("event_type").agg(
+        F.sum("n_ev").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_users"),
+        F.countDistinct("pseudo").cast("long").alias("n_pseudonyms"),
+        (F.count("*") - F.countDistinct("pseudo"))
+        .cast("long")
+        .alias("collisions"),
+    )

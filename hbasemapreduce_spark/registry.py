@@ -401,6 +401,7 @@ _R7_BACKLOG = [
     "x_agg_median_of_means",
     "x_time_burstiness",
     "x_agg_winsorized_mean",
+    "x_privacy_pseudonymize",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
