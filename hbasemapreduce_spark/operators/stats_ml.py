@@ -3773,3 +3773,115 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cents",
         )
     )
+
+
+# -- SAX symbolic series encoding ----------------------------------------
+
+# N(0,1) quartile breakpoints for a 4-symbol alphabet (Lin et al. 2003)
+_SAX_B1, _SAX_B2, _SAX_B3 = -0.6745, 0.0, 0.6745
+
+
+@query(
+    "x_time_sax",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) "
+        "    AS BIGINT) AS hr, "
+        "  CAST(100 * SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+        "    AS BIGINT)) // COUNT(*) AS BIGINT) AS hci "
+        "  FROM events GROUP BY 1, 2), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS mh, "
+        "  CAST(SUM(hci) AS BIGINT) AS s, "
+        "  CAST(SUM(hci * hci) AS BIGINT) AS s2 FROM h GROUP BY 1 "
+        "  HAVING COUNT(*) >= 2), "
+        "z AS (SELECT h.event_type, h.hr, h.hci, "
+        "  (CAST(h.hci AS DOUBLE) - CAST(m.s AS DOUBLE) "
+        "    / CAST(m.mh AS DOUBLE)) "
+        "  / sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s AS DOUBLE) "
+        "    * CAST(m.s AS DOUBLE) / CAST(m.mh AS DOUBLE)) "
+        "    / (CAST(m.mh AS DOUBLE) - 1)) AS zd "
+        "  FROM h JOIN m USING (event_type)), "
+        "sym AS (SELECT event_type, hr, hr // 86400 AS day, "
+        f"  CASE WHEN zd < {_SAX_B1} THEN 'a' "
+        f"       WHEN zd < {_SAX_B2} THEN 'b' "
+        f"       WHEN zd < {_SAX_B3} THEN 'c' ELSE 'd' END AS s "
+        "  FROM z) "
+        "SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_hours, "
+        "string_agg(s, '' ORDER BY hr) AS sax_word "
+        "FROM sym GROUP BY 1, 2"
+    ),
+)
+def time_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic encoding (Lin, Keogh et al., DMKD 2003) of each
+    type's hourly revenue series: z-normalize the hourly means, map
+    them through the N(0,1) quartile breakpoints to a 4-letter
+    alphabet, and emit one WORD per (type, day) — the representation
+    behind time-series motif discovery, anomaly grep ('find days that
+    read like abba'), and whole-series indexing, here as a declarative
+    plan.
+
+    Determinism: hourly means are exact centi-cent integers (floor
+    division of exact sums), per-type moments are exact int64 sums
+    over those integers, the z-score is the identical int64->double
+    IEEE tree, and breakpoint comparison of bit-identical doubles is
+    bit-identical (a zero-variance series yields NaN z-scores, which
+    both engines order above every breakpoint -> constant 'd' words);
+    the day word concatenates symbols in exact hr order.
+
+    Scale shape: hourly aggregate (map-side partials), |types|-row
+    moment table broadcast back, word assembly groups |hours| rows by
+    (type, day) — nothing row-grain leaves the first aggregate."""
+    from pyspark.sql import Window  # noqa: F401  (uniform import style)
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr"),
+        )
+        .agg(
+            F.expr(
+                "CAST(100 * SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 "
+                "AS BIGINT)) DIV COUNT(*) AS BIGINT)"
+            ).alias("hci")
+        )
+    )
+    m = (
+        h.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("mh"),
+            F.sum("hci").cast("long").alias("s"),
+            F.sum(F.col("hci") * F.col("hci")).cast("long").alias("s2"),
+        )
+        .filter(F.col("mh") >= 2)
+    )
+    mhd = F.col("mh").cast("double")
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    zd = (F.col("hci").cast("double") - sd / mhd) / F.sqrt(
+        (s2d - sd * sd / mhd) / (mhd - 1)
+    )
+    sym = (
+        h.join(F.broadcast(m), "event_type")
+        .select(
+            "event_type",
+            "hr",
+            F.expr("hr DIV 86400").alias("day"),
+            F.when(zd < _SAX_B1, "a")
+            .when(zd < _SAX_B2, "b")
+            .when(zd < _SAX_B3, "c")
+            .otherwise("d")
+            .alias("s"),
+        )
+    )
+    return sym.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("hr", "s"))),
+                lambda x: x["s"],
+            ),
+        ).alias("sax_word"),
+    )

@@ -402,6 +402,7 @@ _R7_BACKLOG = [
     "x_time_burstiness",
     "x_agg_winsorized_mean",
     "x_privacy_pseudonymize",
+    "x_time_sax",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
