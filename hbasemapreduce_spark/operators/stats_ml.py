@@ -3885,3 +3885,118 @@ def time_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sax_word"),
     )
+
+
+# -- difference-in-differences -------------------------------------------
+
+
+@query(
+    "x_stats_did",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, "
+        f"  (user_id * {_KNUTH}) % 2 AS variant, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day "
+        "  FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "m AS (SELECT event_type, "
+        "  CAST(COUNT(*) FILTER (WHERE variant = 0 AND day <= mid) "
+        "    AS BIGINT) AS n_a0, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE variant = 0 "
+        "    AND day <= mid), 0) AS BIGINT) AS s_a0, "
+        "  CAST(COUNT(*) FILTER (WHERE variant = 0 AND day > mid) "
+        "    AS BIGINT) AS n_a1, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE variant = 0 "
+        "    AND day > mid), 0) AS BIGINT) AS s_a1, "
+        "  CAST(COUNT(*) FILTER (WHERE variant = 1 AND day <= mid) "
+        "    AS BIGINT) AS n_b0, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE variant = 1 "
+        "    AND day <= mid), 0) AS BIGINT) AS s_b0, "
+        "  CAST(COUNT(*) FILTER (WHERE variant = 1 AND day > mid) "
+        "    AS BIGINT) AS n_b1, "
+        "  CAST(COALESCE(SUM(cents) FILTER (WHERE variant = 1 "
+        "    AND day > mid), 0) AS BIGINT) AS s_b1 "
+        "  FROM ev CROSS JOIN b GROUP BY 1) "
+        "SELECT event_type, n_a0, s_a0, n_a1, s_a1, "
+        "  n_b0, s_b0, n_b1, s_b1, "
+        "(CAST(s_b1 AS DOUBLE) / n_b1 - CAST(s_b0 AS DOUBLE) / n_b0) "
+        "- (CAST(s_a1 AS DOUBLE) / n_a1 - CAST(s_a0 AS DOUBLE) / n_a0) "
+        "  AS did_cents "
+        "FROM m WHERE n_a0 >= 1 AND n_a1 >= 1 AND n_b0 >= 1 AND n_b1 >= 1"
+    ),
+)
+def stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per metric: treatment
+    effect = (B_post - B_pre) - (A_post - A_pre) over the hash-variant
+    split and the calendar-midpoint period split — the causal workhorse
+    when randomization is imperfect or a pre-period trend must be
+    netted out, completing the experimentation suite's causal corner
+    beside CUPED (which reduces variance with the same pre-period).
+
+    Determinism: all eight cell counts/sums are exact bigints off ONE
+    conditional aggregate pass (the x_stats_abtest single-fact-pass
+    discipline — no joins between cells), and the estimate is the
+    identical int64->double IEEE tree; empty cells are filtered by the
+    same guard in both engines.
+
+    Scale shape: one fact-scan hash aggregate with a 1-row broadcast
+    midpoint, |types| rows out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("user_id") * _KNUTH) % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    b = ev.agg(F.expr("(MIN(day) + MAX(day)) DIV 2").alias("mid"))
+
+    def cell(vcond, pcond, agg):
+        c = (F.col("variant") == vcond) & pcond
+        if agg == "n":
+            return F.count(F.when(c, 1)).cast("long")
+        return F.coalesce(F.sum(F.when(c, F.col("cents"))), F.lit(0)).cast(
+            "long"
+        )
+
+    pre = F.col("day") <= F.col("mid")
+    post = F.col("day") > F.col("mid")
+    m = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            cell(0, pre, "n").alias("n_a0"),
+            cell(0, pre, "s").alias("s_a0"),
+            cell(0, post, "n").alias("n_a1"),
+            cell(0, post, "s").alias("s_a1"),
+            cell(1, pre, "n").alias("n_b0"),
+            cell(1, pre, "s").alias("s_b0"),
+            cell(1, post, "n").alias("n_b1"),
+            cell(1, post, "s").alias("s_b1"),
+        )
+    )
+    did = (
+        F.col("s_b1").cast("double") / F.col("n_b1")
+        - F.col("s_b0").cast("double") / F.col("n_b0")
+    ) - (
+        F.col("s_a1").cast("double") / F.col("n_a1")
+        - F.col("s_a0").cast("double") / F.col("n_a0")
+    )
+    return m.filter(
+        (F.col("n_a0") >= 1)
+        & (F.col("n_a1") >= 1)
+        & (F.col("n_b0") >= 1)
+        & (F.col("n_b1") >= 1)
+    ).select(
+        "event_type",
+        "n_a0",
+        "s_a0",
+        "n_a1",
+        "s_a1",
+        "n_b0",
+        "s_b0",
+        "n_b1",
+        "s_b1",
+        did.alias("did_cents"),
+    )

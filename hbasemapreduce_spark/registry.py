@@ -403,6 +403,7 @@ _R7_BACKLOG = [
     "x_agg_winsorized_mean",
     "x_privacy_pseudonymize",
     "x_time_sax",
+    "x_stats_did",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation

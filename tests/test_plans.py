@@ -301,6 +301,7 @@ _BNLJ_WHITELIST = {
     "x_ml_boost_round",   # 1-row winning-split scalar between rounds
     "x_stream_srm",       # 1-row max-ts scalar (finalization cut)
     "x_stats_cuped",      # 1-row calendar-midpoint scalar (ks_drift pattern)
+    "x_stats_did",        # 1-row calendar-midpoint scalar (ks_drift pattern)
 }
 
 
