@@ -4000,3 +4000,89 @@ def stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_b1",
         did.alias("did_cents"),
     )
+
+
+# -- forecast accuracy (seasonal-naive WAPE) -----------------------------
+
+
+@query(
+    "x_eval_forecast",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) "
+        "    AS BIGINT) AS hr, "
+        "  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "    AS BIGINT) AS cents FROM events GROUP BY 1, 2), "
+        "j AS (SELECT a.event_type, a.hr, a.cents AS actual, "
+        "  f.cents AS forecast "
+        "  FROM h a JOIN h f ON a.event_type = f.event_type "
+        "  AND f.hr = a.hr - 604800) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours, "
+        "CAST(SUM(actual) AS BIGINT) AS sum_actual, "
+        "CAST(SUM(abs(actual - forecast)) AS BIGINT) AS sum_abs_err, "
+        "CAST(1000000 * SUM(abs(actual - forecast)) // SUM(actual) "
+        "  AS BIGINT) AS wape_ppm, "
+        "CAST(SUM(actual - forecast) AS BIGINT) AS bias_cents "
+        "FROM j GROUP BY 1 HAVING SUM(actual) > 0"
+    ),
+)
+def eval_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scorecard for the SEASONAL-NAIVE baseline
+    (this hour's revenue forecast = the same hour LAST WEEK): WAPE in
+    exact ppm and the signed bias — the floor every real forecasting
+    model must beat, and the eval harness that scores it; swapping a
+    model's prediction table for the lag join changes nothing
+    downstream.  Completes the eval suite's time-series corner beside
+    classification / regression / ranking / retrieval.
+
+    Determinism: hourly revenue is an exact cents sum; the forecast is
+    an equi-self-join on (type, hr - 168h) — integer arithmetic only —
+    and WAPE is a non-negative ppm floor division (SUM(actual) > 0
+    guarded identically); bias is an exact signed bigint SUM, never a
+    division, so no negative floor/trunc hazard exists.
+
+    Scale shape: one hourly aggregate (map-side partials), one
+    co-partitioned self-equi-join on (type, hour), one |types|-row
+    rollup."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr"),
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = h.select("event_type", "hr", F.col("cents").alias("actual"))
+    f = h.select(
+        "event_type",
+        (F.col("hr") + 604_800).alias("hr"),
+        F.col("cents").alias("forecast"),
+    )
+    j = a.join(f, ["event_type", "hr"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("actual").cast("long").alias("sum_actual"),
+            F.sum(F.abs(F.col("actual") - F.col("forecast")))
+            .cast("long")
+            .alias("sum_abs_err"),
+            F.sum(F.col("actual") - F.col("forecast"))
+            .cast("long")
+            .alias("bias_cents"),
+        )
+        .filter(F.col("sum_actual") > 0)
+        .select(
+            "event_type",
+            "n_hours",
+            "sum_actual",
+            "sum_abs_err",
+            F.expr("1000000 * sum_abs_err DIV sum_actual").alias("wape_ppm"),
+            "bias_cents",
+        )
+    )

@@ -404,6 +404,7 @@ _R7_BACKLOG = [
     "x_privacy_pseudonymize",
     "x_time_sax",
     "x_stats_did",
+    "x_eval_forecast",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
