@@ -734,8 +734,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, "
         "  CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM m) "
         "SELECT n AS n_directed_edges, "
-        "(nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) "
-        "  * (nd * syyd - syd * syd)) AS assortativity "
+        "CASE WHEN nd * sxxd - sxd * sxd > 0 "
+        "  AND nd * syyd - syd * syd > 0 "
+        "  THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) "
+        "  * (nd * syyd - syd * syd)) END AS assortativity "
         "FROM d2)"
     ),
 )
@@ -778,10 +780,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxxd = F.col("sxx").cast("double")
     sxyd = F.col("sxy").cast("double")
     syyd = F.col("syy").cast("double")
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    # a degree-REGULAR surviving graph (it happens: at sf0.1 the
+    # support threshold leaves all-equal degrees) has zero variance —
+    # assortativity is undefined there, NULL in both engines, never a
+    # divide-by-zero under ANSI mode
     return m.select(
         F.col("n").alias("n_directed_edges"),
-        (
-            (nd * sxyd - sxd * syd)
-            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+        F.when(
+            (vx > 0) & (vy > 0),
+            (nd * sxyd - sxd * syd) / F.sqrt(vx * vy),
         ).alias("assortativity"),
     )
