@@ -4086,3 +4086,101 @@ def eval_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bias_cents",
         )
     )
+
+
+# -- ROC-AUC of classifier confidence (exact Mann-Whitney) ---------------
+
+
+@query(
+    "x_eval_auc",
+    category="stats_ml",
+    oracle=(
+        "WITH "
+        + CENTROID_CONFUSION_SQL
+        + ", win AS (SELECT label, c_label AS predicted, sim "
+        "  FROM ranked WHERE rn = 1), "
+        "s AS (SELECT label, "
+        "  CAST(round(sim * 1000000) AS BIGINT) AS sm, "
+        "  CASE WHEN predicted = label THEN 1 ELSE 0 END AS ok FROM win), "
+        "g AS (SELECT label, sm, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "  CAST(SUM(ok) AS BIGINT) AS pos FROM s GROUP BY 1, 2), "
+        "r AS (SELECT label, cnt, pos, "
+        "  2 * (SUM(cnt) OVER (PARTITION BY label ORDER BY sm) - cnt) "
+        "    + cnt + 1 AS r2 FROM g) "
+        "SELECT label, CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS n_correct, "
+        "CAST(SUM(pos * r2) - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u2, "
+        "CASE WHEN SUM(pos) > 0 AND SUM(cnt) > SUM(pos) THEN "
+        "  CAST(1000000 * (SUM(pos * r2) - SUM(pos) * (SUM(pos) + 1)) "
+        "    // (2 * SUM(pos) * (SUM(cnt) - SUM(pos))) AS BIGINT) "
+        "END AS auc_ppm "
+        "FROM r GROUP BY label"
+    ),
+)
+def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-true-label ROC-AUC of the nearest-centroid classifier's
+    winning similarity as a correct-vs-incorrect discriminator — the
+    'is the model's confidence worth thresholding on?' number that
+    pairs with x_eval_calibration: calibration asks whether 0.9 means
+    90% right, AUC asks whether ranking by confidence separates hits
+    from misses at all.
+
+    Exactness: AUC is computed as the Mann-Whitney U statistic over
+    the 6-dp-stable sim micros, with ties handled by DOUBLED average
+    ranks (tie group spanning ranks lo..hi has 2*avg = lo + hi =
+    2*cum_before + cnt + 1 — always an integer), so
+    U2 = 2*U = sum(pos * r2) - n_pos*(n_pos+1) is an exact bigint and
+    AUC_ppm = 1e6 * U2 // (2 * n_pos * n_neg).  U2 >= 0 by
+    construction (positive ranks are at least 1..n_pos), so DuckDB's
+    flooring // and Spark's truncating DIV agree; degenerate groups
+    (all correct or all incorrect) return NULL identically via the
+    same guarded CASE on both engines.
+
+    Scale shape: rides _centroid_predictions' zero-extra-shuffle
+    scoring pass; the rank pass first collapses the corpus to
+    (label, sim_micros) groups — a hash aggregate bounded by
+    |labels| x 2e6 distinct micro values regardless of corpus size —
+    then runs ONE window partitioned by label over that bounded table
+    (parallel across labels, never a global sort of the corpus) and a
+    |labels|-row rollup."""
+    from pyspark.sql import Window
+
+    win = _centroid_predictions(spark, sf_dir)
+    s = win.select(
+        "label",
+        F.round(F.col("sim") * 1_000_000, 0).cast("long").alias("sm"),
+        F.when(F.col("predicted") == F.col("label"), 1).otherwise(0).alias("ok"),
+    )
+    g = s.groupBy("label", "sm").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("ok").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("label")
+        .orderBy("sm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "label",
+        "cnt",
+        "pos",
+        (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+    )
+    agg = r.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_correct"),
+        (F.sum(F.col("pos") * F.col("r2")) - F.sum("pos") * (F.sum("pos") + 1))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "label",
+        "n",
+        "n_correct",
+        "u2",
+        F.expr(
+            "CASE WHEN n_correct > 0 AND n > n_correct THEN "
+            "CAST(1000000 * u2 DIV (2 * n_correct * (n - n_correct)) AS BIGINT) "
+            "END"
+        ).alias("auc_ppm"),
+    )

@@ -405,6 +405,7 @@ _R7_BACKLOG = [
     "x_time_sax",
     "x_stats_did",
     "x_eval_forecast",
+    "x_eval_auc",
 ]
 
 # Historical: the r5 rotation's deferred set, retained as documentation
