@@ -423,28 +423,36 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_NPROBE = 6  # lists probed per source vector (of nlist = ceil(n/25))
 
+# CTE chain ending in the ranked IVF-probed neighbour table ``r``
+# (src, dst, sim, rk) — shared between the x_sim_knn_graph_ivf oracle
+# below and x_ml_knn_classify's, which votes over the rk <= 3 edges.
+KNN_IVF_GRAPH_SQL = (
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+    f"cent AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % {_IVF_STRIDE} = 0), "
+    "sc AS ("
+    "  SELECT e.vec_id, e.emb, cent_id, row_number() OVER ("
+    "    PARTITION BY e.vec_id "
+    "    ORDER BY round(list_cosine_similarity(e.emb, c_emb), 6) DESC, cent_id) AS pr "
+    "  FROM e CROSS JOIN cent), "
+    "assigned AS (SELECT vec_id AS dst, emb AS d_emb, cent_id FROM sc WHERE pr = 1), "
+    f"probes AS (SELECT vec_id AS src, emb AS q_emb, cent_id FROM sc WHERE pr <= {_KNN_NPROBE}), "
+    "cand AS ("
+    "  SELECT p.src, a.dst, "
+    "  round(list_cosine_similarity(p.q_emb, a.d_emb), 6) AS sim "
+    "  FROM probes p JOIN assigned a USING (cent_id) WHERE a.dst <> p.src), "
+    "r AS ("
+    "  SELECT src, dst, sim, "
+    "  row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk FROM cand)"
+)
+
 
 @query(
     "x_sim_knn_graph_ivf",
     category="llm_sim",
     oracle=(
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
-        f"cent AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id % {_IVF_STRIDE} = 0), "
-        "sc AS ("
-        "  SELECT e.vec_id, e.emb, cent_id, row_number() OVER ("
-        "    PARTITION BY e.vec_id "
-        "    ORDER BY round(list_cosine_similarity(e.emb, c_emb), 6) DESC, cent_id) AS pr "
-        "  FROM e CROSS JOIN cent), "
-        "assigned AS (SELECT vec_id AS dst, emb AS d_emb, cent_id FROM sc WHERE pr = 1), "
-        f"probes AS (SELECT vec_id AS src, emb AS q_emb, cent_id FROM sc WHERE pr <= {_KNN_NPROBE}), "
-        "cand AS ("
-        "  SELECT p.src, a.dst, "
-        "  round(list_cosine_similarity(p.q_emb, a.d_emb), 6) AS sim "
-        "  FROM probes p JOIN assigned a USING (cent_id) WHERE a.dst <> p.src), "
-        "r AS ("
-        "  SELECT src, dst, sim, "
-        "  row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk FROM cand) "
-        "SELECT src, dst, sim, rk FROM r WHERE rk <= 3"
+        "WITH "
+        + KNN_IVF_GRAPH_SQL
+        + " SELECT src, dst, sim, rk FROM r WHERE rk <= 3"
     ),
 )
 def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
