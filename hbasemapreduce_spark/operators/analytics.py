@@ -1095,10 +1095,10 @@ _PARETO_TOPK = 10
         "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
         "  CAST(SUM(cents) AS BIGINT) AS total_cents FROM u GROUP BY 1) "
         "SELECT r.event_type, t.n_users, t.total_cents, "
-        f"  CAST(1000000 * SUM(CASE WHEN rnk <= {_PARETO_TOPK} THEN cents ELSE 0 END) "
+        f"  CAST(CAST(1000000 AS HUGEINT) * SUM(CASE WHEN rnk <= {_PARETO_TOPK} THEN cents ELSE 0 END) "
         "    // t.total_cents AS BIGINT) AS top10_share_ppm, "
-        "  CAST(MIN(CASE WHEN 1000000 * cum_cents >= "
-        f"    {_PARETO_TARGET_PPM} * t.total_cents THEN rnk END) AS BIGINT) "
+        "  CAST(MIN(CASE WHEN CAST(1000000 AS HUGEINT) * cum_cents >= "
+        f"    CAST({_PARETO_TARGET_PPM} AS HUGEINT) * t.total_cents THEN rnk END) AS BIGINT) "
         "    AS users_to_80pct "
         "FROM r JOIN t ON r.event_type = t.event_type "
         "GROUP BY r.event_type, t.n_users, t.total_cents"
@@ -1114,7 +1114,9 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-user totals are exact DECIMAL(18,2) sums converted
     once to integer cents; shares and the 80% crossing are integer
     cross-products (1e6 * cum >= 8e5 * total — no ratio ever
-    materialized), and the (cents DESC, user_id) order is total, so
+    materialized) routed through DECIMAL(38,0)/HUGEINT so warehouse-
+    scale cent totals cannot overflow int64, and the (cents DESC,
+    user_id) order is total, so
     ranks are engine-independent.
 
     Scale shape: one fact-scan hash aggregate to (type, user), ONE
@@ -1147,12 +1149,12 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n_users", "total_cents")
         .agg(
             F.expr(
-                f"CAST(1000000 * SUM(CASE WHEN rnk <= {_PARETO_TOPK} "
+                f"CAST(CAST(1000000 AS DECIMAL(38,0)) * SUM(CASE WHEN rnk <= {_PARETO_TOPK} "
                 "THEN cents ELSE 0 END) DIV total_cents AS BIGINT)"
             ).alias("top10_share_ppm"),
             F.expr(
-                "CAST(MIN(CASE WHEN 1000000 * cum_cents >= "
-                f"{_PARETO_TARGET_PPM} * total_cents THEN rnk END) AS BIGINT)"
+                "CAST(MIN(CASE WHEN CAST(1000000 AS DECIMAL(38,0)) * cum_cents >= "
+                f"CAST({_PARETO_TARGET_PPM} AS DECIMAL(38,0)) * total_cents THEN rnk END) AS BIGINT)"
             ).alias("users_to_80pct"),
         )
     )
@@ -1198,7 +1200,8 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair aggregate is basket-size-bounded (see
     x_basket_pairs); item supports are an item-bounded dictionary
-    joined twice (broadcast), and the basket total is a 1-row
+    joined twice (size-adaptive — AQE broadcasts when small, shuffles
+    when |parts| outgrows the driver), and the basket total is a 1-row
     broadcast scalar."""
     items = (
         load_table(spark, sf_dir, "lineitem")
@@ -1219,8 +1222,10 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
     sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        # item-support dictionary grows with |parts| (tens of millions of
+        # rows at large sf) — no forced broadcast; AQE picks the strategy
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -1300,18 +1305,18 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RR_H2 = 2246822519  # second hash prime (public xxhash constant)
 _RR_KEEP_PPM = 750_000  # report truth with prob 3/4; lie uniform over k
-_RR_K = 5  # segment domain size
 
 
 @query(
     "x_privacy_rr_freq",
     category="analytics",
     oracle=(
-        "WITH sl AS (SELECT list(s ORDER BY s) AS segs FROM "
+        "WITH sl AS (SELECT list(s ORDER BY s) AS segs, "
+        "  CAST(COUNT(*) AS BIGINT) AS k FROM "
         "  (SELECT DISTINCT c_mktsegment AS s FROM customer)), "
         "rep AS (SELECT CASE WHEN (c_custkey * 2654435761) % 1000000 "
         f"    < {_RR_KEEP_PPM} THEN c_mktsegment "
-        f"    ELSE segs[CAST((c_custkey * {_RR_H2}) % {_RR_K} AS INT) + 1] "
+        f"    ELSE segs[CAST((c_custkey * {_RR_H2}) % k AS INT) + 1] "
         "  END AS seg FROM customer CROSS JOIN sl), "
         "obs AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS obs_cnt FROM rep "
         "  GROUP BY 1), "
@@ -1319,10 +1324,11 @@ _RR_K = 5  # segment domain size
         "  AS true_cnt FROM customer GROUP BY 1), "
         "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer) "
         "SELECT t.seg, t.true_cnt, COALESCE(o.obs_cnt, 0) AS obs_cnt, tot.n, "
-        "20 * COALESCE(o.obs_cnt, 0) - tot.n AS est_numer, "
-        "CAST(20 * COALESCE(o.obs_cnt, 0) - tot.n AS DOUBLE) / 15.0 "
-        "  AS est_true "
-        "FROM tru t LEFT JOIN obs o ON t.seg = o.seg CROSS JOIN tot"
+        "4 * sl.k * COALESCE(o.obs_cnt, 0) - tot.n AS est_numer, "
+        "CAST(4 * sl.k * COALESCE(o.obs_cnt, 0) - tot.n AS DOUBLE) "
+        "  / CAST(3 * sl.k AS DOUBLE) AS est_true "
+        "FROM tru t LEFT JOIN obs o ON t.seg = o.seg CROSS JOIN tot "
+        "CROSS JOIN sl"
     ),
 )
 def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,22 +1336,29 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimation over market segments — the local-differential-privacy
     primitive behind RAPPOR-style telemetry: each row reports its true
     category with probability 3/4, otherwise a uniform draw from the
-    k=5 domain, and the aggregator inverts the known noise channel to
-    recover unbiased counts: t_hat = (obs - n*p/k) / (1-p), which for
-    p=1/4, k=5 reduces to the exact rational (20*obs - n) / 15.
+    data-derived k-category domain, and the aggregator inverts the
+    known noise channel to recover unbiased counts:
+    t_hat = (obs - n*p/k) / (1-p), which for p=1/4 is the exact
+    rational (4k*obs - n) / 3k.
     Ground-truth counts ride along so the estimator error is visible.
 
     Determinism: both the report/lie coin and the lie's category are
     portable integer hashes of the row key (no RNG); the estimator
     numerator is an exact bigint and the estimate ONE IEEE division by
-    the literal 15.0 — bitwise identical in both engines.
+    the exactly-representable integer 3k — bitwise identical in both
+    engines.
 
     Scale shape: the k-element domain list is a tiny broadcast; the
     report pass is a pure projection; obs/true/total are three hash
     aggregates with map-side partials, joined at |k| rows."""
     cust = load_table(spark, sf_dir, "customer")
+    # k is DATA-DERIVED (the distinct-segment count), never hardcoded:
+    # the lie index, the inversion numerator 4k*obs - n, and the
+    # denominator 3k all follow the collected domain size, so a corpus
+    # with any segment cardinality inverts the correct channel.
     sl = cust.agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segs")
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segs"),
+        F.countDistinct("c_mktsegment").cast("long").alias("k"),
     )
     rep = cust.crossJoin(F.broadcast(sl)).select(
         F.when(
@@ -1355,7 +1368,7 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.element_at(
                 "segs",
-                ((F.col("c_custkey") * _RR_H2) % _RR_K).cast("int") + 1,
+                ((F.col("c_custkey") * _RR_H2) % F.col("k")).cast("int") + 1,
             )
         )
         .alias("seg")
@@ -1365,10 +1378,11 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("true_cnt")
     )
     tot = cust.agg(F.count("*").cast("long").alias("n"))
-    numer = 20 * F.col("obs_cnt") - F.col("n")
+    numer = 4 * F.col("k") * F.col("obs_cnt") - F.col("n")
     return (
         tru.join(F.broadcast(obs), "seg", "left")
         .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sl.select("k")))
         .select(
             "seg",
             "true_cnt",
@@ -1376,6 +1390,7 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "obs_cnt"
             ),
             "n",
+            "k",
         )
         .select(
             "seg",
@@ -1383,7 +1398,9 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "obs_cnt",
             "n",
             numer.alias("est_numer"),
-            (numer.cast("double") / F.lit(15.0)).alias("est_true"),
+            (numer.cast("double") / (3 * F.col("k")).cast("double")).alias(
+                "est_true"
+            ),
         )
     )
 

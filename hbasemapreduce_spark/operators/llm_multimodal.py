@@ -167,15 +167,18 @@ _AUDIO_FRAME = 64  # bytes per analysis frame (a stand-in sample rate)
     "x_multimodal_audio_energy",
     category="llm_multimodal",
     oracle=(
-        "WITH p AS (SELECT doc_id, text AS pcm, "
+        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h, "
         "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
         f"f AS (SELECT doc_id, n, i AS frame_idx FROM p, "
         f"  LATERAL (SELECT unnest(range(0, n // {_AUDIO_FRAME})) AS i) r), "
         "s AS (SELECT doc_id, frame_idx, "
-        f"  CAST(list_sum(list_transform(range(1, {_AUDIO_FRAME} + 1), "
-        f"    j -> ascii(substr(p.pcm, CAST(frame_idx * {_AUDIO_FRAME} + j AS INT), 1)) "
-        f"       * ascii(substr(p.pcm, CAST(frame_idx * {_AUDIO_FRAME} + j AS INT), 1)))) "
-        "    AS BIGINT) AS energy "
+        "  CAST(list_sum(list_transform(list_transform("
+        f"    range(0, {_AUDIO_FRAME}), "
+        "    j -> (instr('0123456789ABCDEF', substr(p.h, "
+        f"      CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 1 AS INT), 1)) - 1) * 16 "
+        "       + (instr('0123456789ABCDEF', substr(p.h, "
+        f"      CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 2 AS INT), 1)) - 1)), "
+        "    b -> b * b)) AS BIGINT) AS energy "
         "  FROM f JOIN p USING (doc_id, n)) "
         f"SELECT doc_id, frame_idx, CAST({_AUDIO_FRAME} AS BIGINT) AS n_samples, "
         "energy FROM s"
@@ -188,8 +191,11 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     each frame reduced to its exact integer ENERGY (sum of squared
     sample values) — the per-frame feature a voice-activity or silence
     filter runs before any model sees the audio.  Unlike the
-    image-decode stub, nothing here is stubbed: byte-level math is
-    deterministic, so the whole modality path is hash-checked.
+    image-decode stub, nothing here is stubbed: samples are read from
+    the UTF-8 byte stream via its hex encoding (two ASCII chars per
+    byte), so multibyte characters can never misalign a frame, and the
+    byte-level math is deterministic — the whole modality path is
+    hash-checked.
 
     Scale shape: pure per-row projection (frame explode + a bounded
     64-element fold, all JVM codegen — no Python, no shuffle); the
@@ -199,12 +205,12 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching the frame/partition shape."""
     p = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.col("text").alias("pcm"),
+        F.hex(F.encode("text", "UTF-8")).alias("h"),
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n"),
     )
     frames = p.select(
         "doc_id",
-        "pcm",
+        "h",
         F.explode(
             # sequence(0, -1) DESCENDS — explicit empty guard for
             # payloads shorter than one frame
@@ -220,8 +226,11 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.lit(_AUDIO_FRAME).cast("long").alias("n_samples"),
         F.expr(
-            f"CAST(aggregate(transform(sequence(1, {_AUDIO_FRAME}), "
-            f"j -> ascii(substring(pcm, CAST(frame_idx * {_AUDIO_FRAME} AS INT) + j, 1))), "
+            f"CAST(aggregate(transform(sequence(0, {_AUDIO_FRAME} - 1), "
+            "j -> (instr('0123456789ABCDEF', substring(h, "
+            f"CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 1 AS INT), 1)) - 1) * 16 "
+            "+ (instr('0123456789ABCDEF', substring(h, "
+            f"CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 2 AS INT), 1)) - 1)), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v) AS BIGINT)"
         ).alias("energy"),
     )

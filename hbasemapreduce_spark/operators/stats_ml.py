@@ -2947,7 +2947,7 @@ def ml_var_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         F.hour("ts").cast("long").alias("hour"),
-        (F.dayofweek(F.col("ts").cast("date")) + 1).cast("long").alias("dow"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
         F.least(
             F.floor(F.col("value") / 20).cast("long"), F.lit(9).cast("long")
         ).alias("vbucket"),
@@ -3109,7 +3109,7 @@ def ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         F.hour("ts").cast("long").alias("hour"),
-        (F.dayofweek(F.col("ts").cast("date")) + 1).cast("long").alias("dow"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
         F.least(
             F.floor(F.col("value") / 20).cast("long"), F.lit(9).cast("long")
         ).alias("vbucket"),

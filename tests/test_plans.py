@@ -296,6 +296,7 @@ _BNLJ_WHITELIST = {
     "x_basket_lift",      # 1-row basket-total scalar (lift denominator)
     "x_eval_classification",  # inherits the classifier's 1-row centroid scalar
     "x_eval_calibration",     # inherits the classifier's 1-row centroid scalar
+    "x_eval_auc",             # inherits the classifier's 1-row centroid scalar
     "x_privacy_rr_freq",  # 1-row domain-list + 1-row total scalars
     "x_eval_langid",      # inherits x_text_langid's bounded profile broadcast
     "x_ml_boost_round",   # 1-row winning-split scalar between rounds
