@@ -2,9 +2,12 @@
 
 Multimodal payloads are opaque ``binary`` columns with typed metadata
 (SURVEY.md / task brief).  The container has no image/audio libraries,
-so the *decode* step is a clearly-marked stub; everything Spark-side —
-binary schema, Arrow batch transfer, mapInPandas plumbing, partitioning
-— is real and oracle-checked where deterministic.
+but uncompressed rasters need none: ``decode_image`` is a REAL
+pure-numpy decoder for binary PPM (P6) and 24-bit BMP, hash-verified
+end-to-end by x_multimodal_decode; everything Spark-side — binary
+schema, Arrow batch transfer, mapInPandas plumbing, partitioning — is
+real and oracle-checked where deterministic.  Only compressed formats
+(JPEG/PNG) are out of scope, rejected with a clear error.
 
 - multimodal_join:          text table x vector table in one plan (oracle)
 - multimodal_binary_stats:  binary payloads through an Arrow-batched
@@ -25,14 +28,87 @@ from ..registry import query
 
 
 def decode_image(payload: bytes) -> dict:
-    """STUB: real image decoding needs PIL/libjpeg, absent from this
-    container.  The Spark-side plumbing (binary column -> Arrow batch ->
-    pandas -> typed metadata) is exercised by extract_binary_metadata.
+    """Pure-numpy decoder for the two classic UNCOMPRESSED raster
+    formats — binary PPM (P6) and 24-bit uncompressed BMP.  Both are
+    header + raw RGB bytes, so no imaging library is needed; compressed
+    formats (JPEG/PNG) are rejected with a clear error rather than
+    stubbed.  Returns ``{"format", "width", "height", "pixels"}`` with
+    pixels a (height, width, 3) uint8 RGB array.
+
+    PPM P6: ASCII header "P6 <w> <h> <maxval>" with '#' comments and
+    arbitrary whitespace, one whitespace byte, then w*h*3 raw bytes in
+    row-major top-down RGB order (maxval must be <= 255).
+
+    BMP: 'BM' magic, pixel-data offset at byte 10, BITMAPINFOHEADER
+    (width int32 @18, height int32 @22, bpp uint16 @28 == 24,
+    compression uint32 @30 == 0), rows padded to 4-byte stride and
+    stored BOTTOM-UP in BGR order — both quirks undone here.
     """
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; plug a real decoder into extract_binary_metadata"
-    )
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        pos = 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            if start == pos:
+                raise ValueError("malformed PPM header")
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte separates header and data
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        need = w * h * 3
+        data = payload[pos : pos + need]
+        if len(data) < need:
+            raise ValueError("truncated PPM pixel data")
+        px = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        return {"format": "ppm", "width": w, "height": h, "pixels": px}
+
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError("only 24-bit uncompressed BMP supported")
+        top_down = h < 0
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4
+        data = payload[off : off + stride * h]
+        if len(data) < stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if not top_down:
+            px = px[::-1]  # bottom-up -> top-down
+        return {"format": "bmp", "width": w, "height": h, "pixels": np.ascontiguousarray(px)}
+
+    raise ValueError("unsupported image format (PPM P6 and 24-bit BMP only)")
+
+
+def weave_ppm(data: bytes, w: int, h: int) -> bytes:
+    """Deterministically weave a binary-PPM (P6) image from arbitrary
+    payload bytes: the w*h*3 pixel bytes are the payload cycled to
+    length.  This is the corpus-side fake for a container with no image
+    files — the DECODER above is real, and the closed-form byte math of
+    the weave is what makes its output oracle-checkable."""
+    need = w * h * 3
+    if not data:
+        body = b"\x00" * need
+    else:
+        reps = -(-need // len(data))
+        body = (data * reps)[:need]
+    return b"P6\n%d %d\n255\n" % (w, h) + body
 
 
 def extract_binary_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,6 +233,94 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         plan_resize,
         schema="doc_id long, src_w long, src_h long, out_w long, out_h long",
+    )
+
+
+def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: weave a P6 PPM from each payload, decode it
+    with the REAL decoder, and reduce the pixel array to exact integer
+    stats.  Per-image python is the honest shape here — decoding is
+    inherently per-image — and the Arrow batch boundary keeps transfer
+    vectorized."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, hs, sums, frs, lbs = [], [], [], [], [], []
+        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(data)
+            n = len(data)
+            w = 4 + n % 12
+            h = 4 + (n * 31 % 1009) % 12
+            img = decode_image(weave_ppm(data, w, h))
+            px = img["pixels"].astype(np.int64)
+            ids.append(doc_id)
+            ws.append(img["width"])
+            hs.append(img["height"])
+            sums.append(int(px.sum()))
+            frs.append(int(px[0, 0, 0]))
+            lbs.append(int(px[-1, -1, 2]))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "width": ws,
+                "height": hs,
+                "px_sum": sums,
+                "first_r": frs,
+                "last_b": lbs,
+            }
+        )
+
+
+@query(
+    "x_multimodal_decode",
+    category="llm_multimodal",
+    oracle=(
+        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, "
+        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
+        "d AS (SELECT doc_id, hx, n, 4 + n % 12 AS w, "
+        "  4 + (n * 31 % 1009) % 12 AS h FROM p), "
+        "e AS (SELECT doc_id, hx, n, w, h, w * h * 3 AS need FROM d), "
+        "f AS (SELECT doc_id, w, h, n, need, "
+        "  COALESCE(list_sum(list_transform(range(0, n), "
+        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))), 0) AS sum_all, "
+        "  COALESCE(list_sum(list_transform(range(0, need % n), "
+        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))), 0) AS pre_rem, "
+        "  list_sum(list_transform([CAST(0 AS BIGINT)], "
+        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))) AS first_r, "
+        "  list_sum(list_transform([(need - 1) % n], "
+        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))) AS last_b "
+        "  FROM e) "
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "CAST((need // n) * sum_all + pre_rem AS BIGINT) AS px_sum, "
+        "CAST(first_r AS BIGINT) AS first_r, CAST(last_b AS BIGINT) AS last_b "
+        "FROM f"
+    ),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode, hash-verified: each document's
+    bytes are woven into a binary-PPM (P6) image (pixel bytes = payload
+    cycled to w*h*3), decoded by ``decode_image`` — an actual header
+    parser + raster reader, not byte math — and reduced to exact pixel
+    stats.  The oracle recomputes the stats from the weave's closed
+    form (cycle count x total byte sum + prefix remainder, via hex-pair
+    byte extraction), so a hash match proves the decoder's header
+    parse, dimension handling, and pixel layout are correct.  The same
+    decoder handles 24-bit BMP (stride padding, bottom-up rows) —
+    unit-tested in tests/test_multimodal.py since no BMP weave exists
+    in the corpus.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; output
+    is 6 ints per document.  On a real corpus the weave disappears and
+    the decode consumes the binary column directly — identical plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        decode_pixel_stats,
+        schema=(
+            "doc_id long, width long, height long, px_sum long, "
+            "first_r long, last_b long"
+        ),
     )
 
 

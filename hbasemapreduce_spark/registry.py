@@ -406,7 +406,21 @@ _R7_BACKLOG = [
     "x_stats_did",
     "x_eval_forecast",
     "x_eval_auc",
+    # new in r7 (after the r7 window was frozen) — first-eligible in r8:
+    "x_multimodal_decode",
 ]
+
+# Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
+# never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
+# prepared _R5_WINDOW — the 12 TPC-H ports, the 10 r4 operators, the
+# displaced r2-era keys, and x_sim_knn_graph_ivf, all waiting since
+# round 4 — is promoted verbatim.  All 50 are first-timers; every key
+# carries a full-hash oracle except x_sim_ann_lsh (rows-only by design,
+# SURVEY §2 note — LSH bucket membership is seed-dependent).  The
+# _R7_BACKLOG keys follow immediately in emission order as the hedge
+# for a missing/late r7 artifact, same discipline as r5/r6.
+_R7_WINDOW = list(_R5_WINDOW)
+
 
 # Historical: the r5 rotation's deferred set, retained as documentation
 # of how _R6_WINDOW/_R7_BACKLOG were derived (window ∪ r7-backlog must
@@ -506,18 +520,21 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R6_WINDOW)
-    # Hedge: if the driver's r5 correctness pass has not happened yet,
-    # the r5-window keys are the next-most-valuable evidence targets, so
-    # they follow immediately after the r6 window in emission order.
-    r5_tail = [k for k in _R5_WINDOW if k not in window]
+    window = set(_R7_WINDOW)
+    # Hedge: the never-driver-checked backlog keys are the
+    # next-most-valuable evidence targets, so they follow immediately
+    # after the r7 window in emission order (a >50-key driver window or
+    # a re-run picks them up first).
+    backlog_tail = [k for k in _R7_BACKLOG if k not in window]
     rest_contract = [k for k in _CONTRACT_PRIORITY if k not in window]
     extras = sorted(
         k
         for k in _REGISTRY
-        if k not in CONTRACT_KEYS and k not in window and k not in set(r5_tail)
+        if k not in CONTRACT_KEYS
+        and k not in window
+        and k not in set(backlog_tail)
     )
-    order = [*_R6_WINDOW, *r5_tail, *rest_contract, *extras]
+    order = [*_R7_WINDOW, *backlog_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

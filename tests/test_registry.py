@@ -4,7 +4,7 @@
 The driver's CORRECTNESS check covers exactly the FIRST 50 keys of
 ``queries()`` in emission order (proven in r2: CORRECTNESS_r02's key set
 equals the r2 registry's first 50).  Emission order is therefore part of
-the contract surface, and the intended r6 window is pinned here exactly
+the contract surface, and the intended r7 window is pinned here exactly
 so no future registration can reshuffle it.
 
 Also hosts the all-keys plan-analysis smoke gate (VERDICT r3 item 3):
@@ -26,6 +26,7 @@ from hbasemapreduce_spark.registry import (
     _R6_BACKLOG,
     _R6_WINDOW,
     _R7_BACKLOG,
+    _R7_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -56,51 +57,46 @@ def test_all_contract_keys_registered():
     assert CONTRACT_KEYS <= set(all_specs())
 
 
-def test_r6_window_is_pinned_exactly():
-    assert len(_R6_WINDOW) == DRIVER_WINDOW
-    assert len(set(_R6_WINDOW)) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == _R6_WINDOW
+def test_r7_window_is_pinned_exactly():
+    # VERDICT r6 item 2: the r7 window is the 50 _R5_WINDOW keys that
+    # were skipped when the r5 driver artifacts never landed.
+    assert _R7_WINDOW == _R5_WINDOW
+    assert len(_R7_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R7_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R7_WINDOW
 
 
-def test_r6_window_keys_never_driver_checked():
-    # Every r6 slot is spent on a key with NO r1-r4 driver evidence and
-    # outside the r5 window (those keys get their evidence from the r5
-    # artifact when it lands).
-    checked_r1_r4 = set()
-    for r in (1, 2, 3, 4):
-        p = _REPO / f"CORRECTNESS_r0{r}.json"
-        checked_r1_r4 |= set(json.loads(p.read_text()).keys())
-    assert not (set(_R6_WINDOW) & checked_r1_r4)
-    assert not (set(_R6_WINDOW) & set(_R5_WINDOW))
+def test_r7_window_keys_never_driver_checked():
+    # Every r7 slot is spent on a first-timer: no key in the window has
+    # evidence in ANY landed correctness artifact (r1-r4, r6; r5 never
+    # landed — that is exactly why these keys rotate in).
+    assert not (set(_R7_WINDOW) & _driver_checked_keys())
 
 
-def test_r5_window_keys_follow_r6_window():
-    # Hedge for a missing/late r5 driver artifact: the r5-window keys
-    # occupy emission positions 51-100 so they are the first keys a
-    # larger-than-50 driver window (or a re-run) would pick up.
+def test_r7_backlog_keys_follow_r7_window():
+    # Hedge for a missing/late r7 driver artifact: the never-checked
+    # backlog keys occupy emission positions 51+ so they are the first
+    # keys a larger-than-50 driver window (or a re-run) would pick up.
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R5_WINDOW)] == _R5_WINDOW
+    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R7_BACKLOG)] == _R7_BACKLOG
 
 
 def test_rotation_plan_covers_all_unchecked():
-    # (r5 window ∪ r6 window ∪ r7 backlog) must equal the full set of
-    # keys without r1-r4 driver evidence — nothing silently dropped.
-    # New keys added during round 6 must be appended to _R7_BACKLOG to
-    # keep this invariant.
-    checked_r1_r4 = set()
-    for r in (1, 2, 3, 4):
-        p = _REPO / f"CORRECTNESS_r0{r}.json"
-        checked_r1_r4 |= set(json.loads(p.read_text()).keys())
-    unchecked = set(all_specs()) - checked_r1_r4
-    assert unchecked == set(_R5_WINDOW) | set(_R6_WINDOW) | set(_R7_BACKLOG)
-    assert not (set(_R6_WINDOW) & set(_R7_BACKLOG))
+    # (r7 window ∪ r7 backlog) must equal the full set of keys without
+    # driver evidence from any landed artifact — nothing silently
+    # dropped.  New keys added during round 7 must be appended to
+    # _R7_BACKLOG to keep this invariant.
+    unchecked = set(all_specs()) - _driver_checked_keys()
+    assert unchecked == set(_R7_WINDOW) | set(_R7_BACKLOG)
+    assert not (set(_R7_WINDOW) & set(_R7_BACKLOG))
 
 
 def test_r6_window_plus_r7_backlog_cover_r6_backlog():
-    # The r6 window + r7 backlog cover the r5 rotation's deferred set
-    # (_R6_BACKLOG) exactly once each — the committed plan was followed.
-    # (_R7_BACKLOG may additionally hold keys first registered during
-    # round 6; those are outside _R6_BACKLOG by construction.)
+    # Historical invariant: the r6 window + r7 backlog cover the r5
+    # rotation's deferred set (_R6_BACKLOG) exactly once each — the
+    # committed plan was followed.  (_R7_BACKLOG may additionally hold
+    # keys first registered during rounds 6-7; those are outside
+    # _R6_BACKLOG by construction.)
     assert set(_R6_BACKLOG) <= set(_R6_WINDOW) | set(_R7_BACKLOG)
     assert not (set(_R6_WINDOW) & set(_R7_BACKLOG))
     assert len(set(_R6_WINDOW) & set(_R6_BACKLOG)) + len(
@@ -108,15 +104,18 @@ def test_r6_window_plus_r7_backlog_cover_r6_backlog():
     ) == len(_R6_BACKLOG)
 
 
-def test_r6_window_keys_all_have_oracles():
-    # Every r6 slot carries a full-hash oracle — rows-only keys were
-    # deliberately deferred because the driver check is weakest there.
+def test_r7_window_oracles():
+    # Every r7 slot carries a full-hash oracle except x_sim_ann_lsh —
+    # rows-only by design (SURVEY §2: LSH bucket membership is
+    # seed-dependent), kept in the window because VERDICT r6 item 2
+    # orders the _R5_WINDOW promoted verbatim.
     specs = all_specs()
-    assert all(specs[k].oracle is not None for k in _R6_WINDOW)
+    missing = [k for k in _R7_WINDOW if specs[k].oracle is None]
+    assert missing == ["x_sim_ann_lsh"]
 
 
 def test_out_of_window_contract_keys_are_fresh():
-    # All 60 contract keys sit outside the r6 window; each must carry
+    # All 60 contract keys sit outside the r7 window; each must carry
     # r3-or-r4 driver evidence (they do — that's why they rotated out).
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
