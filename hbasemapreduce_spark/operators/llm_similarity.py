@@ -1121,7 +1121,9 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stats_ml import _assign, _collapse, kmeans_centroids
 
     e = _pq_micros_table(spark, sf_dir)
-    coarse = _collapse(kmeans_centroids(spark, sf_dir, e)).localCheckpoint(
+    coarse = _collapse(
+        kmeans_centroids(spark, sf_dir, e, checkpoint=False)
+    ).localCheckpoint(
         eager=False  # read by corpus assignment AND query-probe selection
     )
     books = pq_codebooks(e)
@@ -1161,9 +1163,8 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-query distance tables: 4 arrays of 4 sub-distances, indexed by
     # sub-code (codebook cids are exactly 0..3, each seed keeps itself)
-    tabs = probes
+    tabs = probes.crossJoin(F.broadcast(books))
     for s in range(_PQ_M):
-        tabs = tabs.crossJoin(F.broadcast(books[s]))
         qsub = F.slice(F.col("qm"), s * _PQ_DSUB + 1, _PQ_DSUB)
 
         def tab_entry(c, qsub=None, _q=qsub):
