@@ -354,12 +354,12 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial frame dropped, as a hop-aligned analysis window would), and
     each frame reduced to its exact integer ENERGY (sum of squared
     sample values) — the per-frame feature a voice-activity or silence
-    filter runs before any model sees the audio.  Unlike the
-    image-decode stub, nothing here is stubbed: samples are read from
-    the UTF-8 byte stream via its hex encoding (two ASCII chars per
-    byte), so multibyte characters can never misalign a frame, and the
-    byte-level math is deterministic — the whole modality path is
-    hash-checked.
+    filter runs before any model sees the audio.  Nothing here
+    is faked: samples are the UTF-8 BYTE values (extracted via an
+    ISO-8859-1 char-per-byte decode — one linear pass per row), so
+    multibyte characters can never misalign a frame, and the byte-level
+    math is deterministic — the whole modality path is hash-checked
+    (the DuckDB twin reads the same bytes via hex pairs).
 
     Scale shape: pure per-row projection (frame explode + a bounded
     64-element fold, all JVM codegen — no Python, no shuffle); the
@@ -367,36 +367,41 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     A real 16-bit/stereo decode swaps the byte fold for an Arrow
     mapInPandas kernel (the x_multimodal_binary_stats path) without
     touching the frame/partition shape."""
+    # Byte extraction: decode the UTF-8 payload as ISO-8859-1 (every
+    # byte 0..255 maps to exactly one char) and split to a char array —
+    # ONE linear pass per row yields the byte-value array via ascii().
+    # The hex-substring alternative re-scans the string per access
+    # (UTF8String substring is O(position)), measured quadratic per
+    # document: 11.7 s at sf0.1 vs ~1 s for this shape.
     p = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.hex(F.encode("text", "UTF-8")).alias("h"),
+        F.transform(
+            F.split(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"), ""),
+            lambda c: F.ascii(c).cast("long"),
+        ).alias("bs"),
         F.length(F.encode("text", "UTF-8")).cast("long").alias("n"),
     )
-    frames = p.select(
+    # ALL frame energies in one per-doc HOF pass, exploding only the
+    # energy longs afterwards — exploding frame indexes first would
+    # copy the byte array once per frame row.  sequence(0, -1) DESCENDS,
+    # hence the explicit empty guard for sub-frame payloads.
+    per_doc = p.select(
         "doc_id",
-        "h",
-        F.explode(
-            # sequence(0, -1) DESCENDS — explicit empty guard for
-            # payloads shorter than one frame
-            F.expr(
-                f"CASE WHEN n >= {_AUDIO_FRAME} THEN "
-                f"sequence(0, CAST(n DIV {_AUDIO_FRAME} AS INT) - 1) "
-                "ELSE array() END"
-            )
-        ).alias("frame_idx"),
+        F.expr(
+            f"transform(CASE WHEN n >= {_AUDIO_FRAME} THEN "
+            f"sequence(0, CAST(n DIV {_AUDIO_FRAME} AS INT) - 1) "
+            "ELSE array() END, "
+            f"f -> CAST(aggregate(slice(bs, f * {_AUDIO_FRAME} + 1, {_AUDIO_FRAME}), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS BIGINT))"
+        ).alias("es"),
     )
-    return frames.select(
+    return per_doc.select(
+        "doc_id", F.posexplode("es").alias("frame_idx", "energy")
+    ).select(
         "doc_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.lit(_AUDIO_FRAME).cast("long").alias("n_samples"),
-        F.expr(
-            f"CAST(aggregate(transform(sequence(0, {_AUDIO_FRAME} - 1), "
-            "j -> (instr('0123456789ABCDEF', substring(h, "
-            f"CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 1 AS INT), 1)) - 1) * 16 "
-            "+ (instr('0123456789ABCDEF', substring(h, "
-            f"CAST((frame_idx * {_AUDIO_FRAME} + j) * 2 + 2 AS INT), 1)) - 1)), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v) AS BIGINT)"
-        ).alias("energy"),
+        "energy",
     )
 
 

@@ -313,15 +313,15 @@ _R6_WINDOW = [
     "x_udf_arrow",
 ]
 
-# Never-driver-checked keys deliberately deferred to the round-7 window
-# (see _R6_WINDOW comment for the selection rationale).  Listed so the
-# next rotation starts from a committed plan, not git archaeology.
-# Now 71 entries (the 25 late-r6 operators appended below) — more than
-# one 50-key window; the r7 rotation should lead with the oldest
-# deferrals and the architecturally substantive late-r6 keys
-# (boost_round, var_stump, cuped, bootstrap, jackknife, MMR, the phash
-# pair+cluster chain, stream_srm) over small single-shape projections,
-# same discipline as r5/r6.
+# Never-driver-checked keys NOT in the r7 window (the window itself is
+# the promoted _R5_WINDOW, see _R7_WINDOW below).  Listed so the next
+# rotation starts from a committed plan, not git archaeology: the r8
+# window should lead with the oldest deferrals and the architecturally
+# substantive late-r6 keys (boost_round, var_stump, cuped, bootstrap,
+# jackknife, MMR, the phash pair+cluster chain, stream_srm) over small
+# single-shape projections, same discipline as r5/r6.  81 entries —
+# more than one 50-key window; these follow the r7 window in emission
+# order as the hedge.
 _R7_BACKLOG = [
     # rows-only by design — the driver check is weakest here:
     "x_agg_sketch_hll",
