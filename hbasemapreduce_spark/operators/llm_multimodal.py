@@ -477,21 +477,29 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length(F.encode("text", "UTF-8")) >= _PHASH_BYTES)
-        .select("doc_id", F.col("text").alias("img"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.split(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"), ""),
+                lambda c: F.ascii(c).cast("long"),
+            ).alias("bs"),
+        )
     )
+    # all 64 block sums in one per-doc HOF pass over a byte-value array
+    # (one ISO-8859-1 decode + split per row), then posexplode the sums
+    # — exploding k first would copy the payload string into all 64
+    # block rows (the x_multimodal_audio_energy lesson)
     blk = p.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
-        "img",
-    ).select(
-        "doc_id",
-        "k",
-        F.expr(
-            "CAST(aggregate(transform(array(0, 1, 16, 17), "
-            "o -> ascii(substring(img, CAST((k DIV 8) * 32 + (k % 8) * 2 "
-            "+ o + 1 AS INT), 1))), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"
-        ).alias("bsum"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), k -> "
+                "CAST(aggregate(transform(array(0, 1, 16, 17), "
+                "o -> element_at(bs, CAST((k DIV 8) * 32 + (k % 8) * 2 "
+                "+ o + 1 AS INT))), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT))"
+            )
+        ).alias("k", "bsum"),
     )
     tot = blk.groupBy("doc_id").agg(F.sum("bsum").alias("total"))
     bits = blk.join(tot, "doc_id").select(
