@@ -274,7 +274,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: local-supplier revenue — the full 6-table star.
-    The fact table (lineitem) joins four broadcast dims plus orders;
+    The fact table (lineitem) joins its dims hint-free (AQE picks
+    broadcast per side while each fits) plus orders;
     the c_nationkey = s_nationkey constraint lands as a join filter,
     not a cross product.  Decimal-sandwich revenue at scale 6 (exact
     for products of 2-dp inputs)."""
@@ -579,7 +580,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion revenue share): conditional aggregate
     ratio over a fact-dim join.  The month filter prunes the fact scan
-    (pushed to parquet), part is a broadcast dim, and the two revenue
+    (pushed to parquet), part joins unhinted (sf-linear; AQE broadcasts
+    it while it fits), and the two revenue
     sums ride ONE aggregate pass (map-side partials).  Both sums use
     the scale-6 decimal sandwich (exact for products of 2-dp inputs),
     and the final ratio is (100 * a) / b in double on both engines —
@@ -592,7 +594,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(promo.cast("decimal(18,6)")).cast("double").alias("a"),
             F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("b"),
@@ -765,7 +767,8 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (map-side partials; posting lists sorted per-group, not
     globally); the query path explodes only the REQUESTED postings —
     cardinality = matching keys, not table size — and the key-fetch is
-    a broadcast hash join of that small hit set against the base table,
+    an equi-join of that hit set against the base table (AQE broadcasts
+    it while it fits; the set is sf-linear, so no forced hint),
     i.e., point-gets batched into one scan, never a second full pass."""
     part = load_table(spark, sf_dir, "part")
     idx = (
@@ -776,7 +779,7 @@ def index_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = idx.select("p_brand", F.explode("keys").alias("p_partkey"))
     return (
         part.drop("p_brand")  # fetch side; the index supplies the indexed value
-        .join(F.broadcast(hits), "p_partkey")
+        .join(hits, "p_partkey")
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
 
@@ -846,7 +849,8 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR of three brand/size/quantity conjunctions across both join
     sides.  Catalyst can't push the whole disjunction below the join,
     but it CAN derive and push the per-side implied filters — p_brand
-    IN (...) onto the broadcast part scan and l_quantity BETWEEN
+    IN (...) onto the part scan (a constant FRACTION of part, so it is
+    left to AQE to broadcast while it fits) and l_quantity BETWEEN
     1 AND 30 onto the fact scan — so the join sees only candidate rows
     and the residual OR evaluates inside whole-stage codegen, never in
     Python.  One aggregate, map-side partials, decimal-sandwich sum."""
@@ -861,7 +865,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(branch)
         .agg(dec_sum(revenue, "revenue", scale=6))
     )
@@ -900,8 +904,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     order ("some other supplier exists" = n_supp >= 2) and n_late =
     distinct LATE suppliers ("no other late supplier" = n_late = 1,
     and that one is necessarily l1's own).  The qualifying-order set is
-    tiny, so AQE broadcasts it back onto the late rows; supplier is a
-    broadcast dim; the top-25 is a TakeOrderedAndProject with a total
+    tiny, so AQE broadcasts it back onto the late rows; supplier joins
+    unhinted (sf-linear; AQE broadcasts it while it fits); the top-25
+    is a TakeOrderedAndProject with a total
     tie-broken ordering.  The oracle keeps the EXISTS formulation, so
     the differential test also proves the rewrite is semantics-
     preserving."""
@@ -923,7 +928,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.filter(F.col("late"))
         .join(qual, F.col("l_orderkey") == F.col("q_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -977,7 +982,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    up = li.join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey")).select(
+    up = li.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey",
         "l_suppkey",
         F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit"),
@@ -989,9 +994,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 990)
     return (
-        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            load_table(spark, sf_dir, "supplier"),
             F.col("best_suppkey") == F.col("s_suppkey"),
         )
         .select("p_partkey", "p_name", "s_name", "best_unit")

@@ -17,12 +17,19 @@ of 2-dp inputs), ratios divide the exact sums as doubles (same IEEE
 operands -> same double in both engines), counts are exact, and no
 query emits a raw timestamp or relies on row order.
 
-Scale shapes: every dimension side that survives its filter is
-broadcast; every aggregate is a map-side-partial hash aggregate keyed
-on bounded domains (priority, nation, year, brand/size buckets); the
-only corpus-sized shuffles are the fact-fact equi-joins on orderkey
-(q4, q13), which is the join key the fact tables would be bucketed on
-in a production layout.
+Scale shapes: broadcast HINTS are reserved for relations whose size is
+bounded by a DOMAIN, not by the scale factor — nation (25 rows),
+region (5), and single-row scalar aggregates.  supplier / customer /
+part and their filtered subsets grow linearly with sf (a brand or
+nation filter keeps a constant FRACTION), so forcing them into a
+broadcast would OOM a 100 TB run; those joins carry no hint and AQE
+converts them to broadcast at runtime for as long as the filtered side
+actually fits (r7 change — previously hinted, which pinned the
+small-sf plan shape at every sf).  Every aggregate is a
+map-side-partial hash aggregate keyed on bounded domains (priority,
+nation, year, brand/size buckets); the only corpus-sized shuffles are
+the fact-fact equi-joins on orderkey (q4, q13), which is the join key
+the fact tables would be bucketed on in a production layout.
 """
 
 from __future__ import annotations
@@ -117,9 +124,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -182,10 +189,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     m = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust_am, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             "supp_nation",
@@ -232,8 +239,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit", scale=6))
@@ -275,7 +282,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     v = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -395,7 +402,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("m"))
         .join(
-            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            load_table(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
@@ -430,9 +437,9 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        li.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            part.select("p_partkey", "p_brand", "p_size"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_size")
@@ -464,7 +471,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the per-part average is computed over the FULL lineitem
     (as the spec's correlated subquery demands) but it collapses to one
     row per part before the join-back; the brand/type filter then
-    shrinks the probe side to a broadcast."""
+    shrinks the probe side to a size AQE broadcasts while it fits
+    (no forced hint — part grows with sf)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
@@ -475,7 +483,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "SMALL")
     )
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(pa, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -514,7 +522,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     heavy = (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
         .filter(F.col("qty") > F.lit(100).cast("decimal(18,2)"))
