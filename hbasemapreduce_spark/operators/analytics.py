@@ -458,7 +458,8 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and within that to per-token blocks — the standard blocking shape
     for record linkage at 100 TB, where raw rows are billions but
     distinct join keys are orders of magnitude fewer.  The count-back
-    joins broadcast the (small) name-level aggregate."""
+    joins carry no broadcast hint — the name-level aggregate grows
+    with |part|, so AQE broadcasts it only while it actually fits."""
     names = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_name")
@@ -478,8 +479,8 @@ def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"))
     nb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"))
     return (
-        close.join(F.broadcast(na), "name_a")
-        .join(F.broadcast(nb), "name_b")
+        close.join(na, "name_a")
+        .join(nb, "name_b")
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
 

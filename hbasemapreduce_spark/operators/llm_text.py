@@ -1097,7 +1097,10 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, fully hash-checkable.
 
     Scale shape: one tokenize aggregate to (doc, term) tf, a
-    vocabulary-bounded df dictionary joined back as a broadcast, and a
+    vocabulary-sized df dictionary joined back hint-free (raw-token
+    vocabularies keep growing at web scale — urls, hashes, typos — so
+    AQE broadcasts the dictionary only while it fits, exactly as the
+    x_basket_lift item-support join), and a
     WindowGroupLimit top-3 per doc — at 100 TB the only corpus-sized
     jobs are the tf aggregate and the final per-doc window, both
     partitioned on doc_id.  The df >= 2 floor drops hapax noise before
@@ -1115,7 +1118,7 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     wgt = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -102,8 +102,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM-style rarity scoring: corpus term frequencies joined
     back onto every token occurrence, aggregated per doc.  The
-    frequency table is vocabulary-sized (content-bounded, not
-    corpus-bounded) -> broadcast; the 100 TB side is never shuffled.
+    frequency table is vocabulary-sized and joined hint-free — a raw
+    web-scale token vocabulary keeps growing (urls, hashes, typos), so
+    AQE broadcasts it only while it actually fits, and the token
+    equi-join degrades gracefully to a shuffle join beyond that.
     Integer sums keep the oracle hash exact; the avg is one int/int
     division at the end."""
     tok = load_table(spark, sf_dir, "documents").select(
@@ -111,7 +113,7 @@ def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = tok.groupBy("token").agg(F.count("*").alias("cf"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .groupBy("doc_id")
         .agg(
             F.sum("cf").alias("sum_tok_freq"),

@@ -202,11 +202,21 @@ def test_knn_graph_ivf_candidates_are_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_unigram_lm_broadcasts_vocabulary(spark):
-    # The vocabulary frequency table is content-bounded -> must
-    # broadcast; shuffling the exploded token stream to a sort-merge
-    # join would move the whole corpus.
-    plan = plan_of(spark, "x_text_unigram_lm")
+def test_unigram_lm_broadcasts_vocabulary_via_aqe(spark):
+    # The vocabulary frequency table carries NO broadcast hint (r7: a
+    # raw web-scale token vocabulary keeps growing, so pinning the
+    # broadcast would OOM exactly like the x_basket_lift item
+    # dictionary ADVICE r6 flagged).  The scale contract is therefore
+    # AQE's: at a sf where the vocabulary fits, the EXECUTED adaptive
+    # plan must still converge to a broadcast join — proving the
+    # hint-free formulation keeps the small-dictionary fast path.
+    df = all_specs()["x_text_unigram_lm"].fn(spark, SF_DIR)
+    df.collect()  # executing df's own plan finalizes its AQE stages
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
 
 
