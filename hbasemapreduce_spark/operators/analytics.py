@@ -1278,7 +1278,10 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     over |distinct prices| rows, not row count; were the level table
     itself huge, the prefix max decomposes into per-range maxima plus
     broadcast offsets like every parallel prefix scan (the x_time_cusum
-    machinery).  All arithmetic is exact bigint cents."""
+    machinery).  The survivor join-back carries no broadcast hint: a
+    skyline is data-dependent (correlated price/size data makes it
+    sf-linear), so AQE broadcasts it only while it actually fits.  All
+    arithmetic is exact bigint cents."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         (F.col("p_retailprice").cast("decimal(12,2)") * 100)
@@ -1297,7 +1300,7 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run").isNull() | (F.col("best") > F.col("run")))
         .select("price_cents", F.col("best").alias("p_size"))
     )
-    return p.join(F.broadcast(kept), ["price_cents", "p_size"]).select(
+    return p.join(kept, ["price_cents", "p_size"]).select(
         "p_partkey", "price_cents", "p_size"
     )
 

@@ -202,15 +202,24 @@ def test_knn_graph_ivf_candidates_are_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_unigram_lm_broadcasts_vocabulary_via_aqe(spark):
-    # The vocabulary frequency table carries NO broadcast hint (r7: a
-    # raw web-scale token vocabulary keeps growing, so pinning the
-    # broadcast would OOM exactly like the x_basket_lift item
+@pytest.mark.parametrize(
+    "key",
+    [
+        "x_text_unigram_lm",  # token-frequency dictionary
+        "x_text_keywords",    # document-frequency dictionary
+        "x_join_fuzzy",       # name-level aggregate (grows with |part|)
+        "x_agg_skyline",      # Pareto front (sf-linear on correlated data)
+    ],
+)
+def test_data_dependent_dims_broadcast_via_aqe(spark, key):
+    # These dimension tables carry NO broadcast hint (r7: vocabularies,
+    # name aggregates and skylines all grow with the data, so pinning
+    # the broadcast would OOM exactly like the x_basket_lift item
     # dictionary ADVICE r6 flagged).  The scale contract is therefore
-    # AQE's: at a sf where the vocabulary fits, the EXECUTED adaptive
+    # AQE's: at a sf where the dimension fits, the EXECUTED adaptive
     # plan must still converge to a broadcast join — proving the
-    # hint-free formulation keeps the small-dictionary fast path.
-    df = all_specs()["x_text_unigram_lm"].fn(spark, SF_DIR)
+    # hint-free formulation keeps the small-dimension fast path.
+    df = all_specs()[key].fn(spark, SF_DIR)
     df.collect()  # executing df's own plan finalizes its AQE stages
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
