@@ -642,7 +642,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with the edge list plus a hash aggregate on the other side
     (map-side partials carry the shuffle); the renormalizer is a 1-row
     broadcast total.  The distinct (cust, part) edge derivation is
-    localCheckpointed because all four half-steps re-read it.  Hot
+    localCheckpointed because all four half-steps re-read it, and each
+    half-step's raw vector is lazily checkpointed inside renorm (see
+    comment there).  Bench attribution (r7, sf0.1): ~2.9 s, of which
+    the orders-by-lineitem distinct edge shuffle alone measures
+    ~1.3 s; the rest is three vector half-steps' small shuffles plus
+    checkpoint materialization.  Structural for an iterative graph
+    pass, not a plan defect.  Hot
     parts are aggregate skew — AQE splits them.  Spark-side 10^12 * x
     products stay under 2^63 because every renormalized mass is
     <= 10^12; the DuckDB twin routes the same products through HUGEINT
@@ -668,6 +674,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def renorm(df: DataFrame, key: str, col: str) -> DataFrame:
+        # lazy checkpoint of the half-step's raw score vector: renorm
+        # consumes it twice (the L1 total and the join-back) and every
+        # later half-step re-reads the renormed result — without the
+        # cut, Spark unrolls the full prior-iteration lineage per
+        # consumer (no common-subplan sharing), turning 3 edge joins
+        # into 20.  The checkpoint is score-vector-sized (one row per
+        # cust/part), never edge-sized.
+        df = df.localCheckpoint(eager=False)
         t = df.agg(F.sum(col).alias("t"))
         return (
             df.crossJoin(F.broadcast(t))
