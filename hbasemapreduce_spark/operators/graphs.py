@@ -357,7 +357,19 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_dedup_clusters, which needs the convergence loop).  Rounds are
     bounded (3), so the unrolled plan is static; unreached nodes simply
     never appear, no infinity sentinel needed.  MIN is idempotent and
-    order-independent — bit-identical at any partition count."""
+    order-independent — bit-identical at any partition count.
+
+    Lineage note (measured, r7): each round consumes dist twice (relax
+    join + union), so the STATIC plan unrolls to 1+2+4 = 7 edge joins;
+    at runtime AQE's exchange reuse deduplicates the repeats
+    (ReusedExchange nodes in the final adaptive plan) and the query
+    runs ~3.1 s at sf0.1.  The alternative — a per-round lazy
+    localCheckpoint like x_graph_hits' renorm — collapses the static
+    plan to 3 joins but measures ~3.5 s here: the round-boundary
+    materialization blocks stage pipelining and costs more than the
+    reuse saves.  Chosen: the hint-free unroll, trusting exchange
+    reuse; revisit only if a profile shows the duplicate relaxations
+    actually re-executing."""
     edges = _undirected_edges(spark, sf_dir, _BFS_SUPPORT)
     dist = (
         edges.select(F.col("src").alias("node"))
