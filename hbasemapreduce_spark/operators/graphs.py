@@ -371,13 +371,27 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse; revisit only if a profile shows the duplicate relaxations
     actually re-executing."""
     edges = _undirected_edges(spark, sf_dir, _BFS_SUPPORT)
-    dist = (
+    seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .filter(F.col("node") % _BFS_SEED_MOD == 0)
         .withColumn("hops", F.lit(0).cast("long"))
     )
-    for _ in range(_BFS_HOPS):
+    return bfs_hops(edges, seeds)
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, *, rounds: int = _BFS_HOPS
+) -> DataFrame:
+    """Bounded multi-source BFS core — `rounds` synchronous unit-weight
+    Bellman-Ford relaxations of a (node, hops) seed table over a
+    (src, dst) edge list; see x_graph_bfs for semantics and scale
+    shape.  Exposed separately so the randomized differential test
+    (tests/test_random_differential.py) can drive it with arbitrary
+    seeded graphs against a pure-Python reimplementation of the same
+    relaxation recurrence."""
+    dist = seeds
+    for _ in range(rounds):
         relaxed = dist.join(edges, F.col("node") == F.col("src")).select(
             F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
         )
@@ -673,8 +687,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    return co_hits_integer(e)
+
+
+def co_hits_integer(e: DataFrame) -> DataFrame:
+    """Integer co-HITS core over a distinct (cust, part) bipartite edge
+    list — two mutually-reinforcing half-step rounds, L1-renormalized
+    to total mass 10^12 in exact integer arithmetic; see x_graph_hits
+    for semantics and scale shape.  Exposed separately so the
+    randomized differential test (tests/test_random_differential.py)
+    can drive it with arbitrary seeded bipartite graphs against a
+    pure-Python reimplementation of the same integer recurrence.  The
+    edge list is lazily checkpointed here (all four half-steps re-read
+    it)."""
+    e = e.localCheckpoint(eager=False)
     n_cust = e.select("cust").distinct().agg(
         F.expr(f"CAST({_SCALE} AS BIGINT) DIV COUNT(*)").alias("b")
     )

@@ -312,3 +312,94 @@ def test_kcore_matches_pure_python_peel(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r.node: r.deg for r in kcore_core(df).collect()}
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_bfs_hops_matches_pure_python(spark):
+    # Seeded random digraphs + random seed sets vs a pure-Python twin
+    # of the SAME bounded synchronous relaxation (3 rounds, previous
+    # round's full distance table relaxed over every edge).  Integer
+    # hop counts leave no tolerance — a frontier bug, an off-by-one
+    # hop, or a MIN lost in the union fails exactly.
+    from hbasemapreduce_spark.operators.graphs import bfs_hops
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n, m = 60, 220
+        edges = sorted(
+            {
+                (int(a), int(b))
+                for a, b in rng.integers(0, n, (m, 2))
+                if a != b
+            }
+        )
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        seeds = [v for v in nodes if v % 9 == trial]
+        if not seeds:
+            continue
+
+        dist = {v: 0 for v in seeds}
+        for _ in range(3):
+            new = dict(dist)
+            for s, d in edges:
+                if s in dist and dist[s] + 1 < new.get(d, 1 << 60):
+                    new[d] = dist[s] + 1
+            dist = new
+
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        s_df = spark.createDataFrame(
+            [(v, 0) for v in seeds], "node long, hops long"
+        )
+        got = {r.node: r.hops for r in bfs_hops(e_df, s_df).collect()}
+        assert got == dist, f"trial {trial}"
+
+
+def test_co_hits_integer_matches_pure_python(spark):
+    # Seeded random bipartite graphs vs a pure-Python twin of the same
+    # integer co-HITS recurrence (uniform hub start, a = E^T h,
+    # h = E a, a again; every half-step L1-renormalized to 10^12 by
+    # floor division).  Bit-exact integers: a wrong renorm order, a
+    # rounding instead of floor, or a lost half-step fails exactly.
+    from hbasemapreduce_spark.operators.graphs import co_hits_integer
+
+    rng = np.random.default_rng(19)
+    scale = 10**12
+    for trial in range(3):
+        edges = sorted(
+            {
+                (int(c), 1000 + int(p))
+                for c, p in zip(
+                    rng.integers(0, 25, 150), rng.integers(0, 40, 150)
+                )
+            }
+        )
+
+        def renorm(scores):
+            t = sum(scores.values())
+            return {k: (scale * v) // t for k, v in scores.items()}
+
+        def auth_step(h):
+            a = Counter()
+            for c, p in edges:
+                a[p] += h[c]
+            return renorm(a)
+
+        def hub_step(a):
+            h = Counter()
+            for c, p in edges:
+                h[c] += a[p]
+            return renorm(h)
+
+        custs = sorted({c for c, _ in edges})
+        h0 = {c: scale // len(custs) for c in custs}
+        a1 = auth_step(h0)
+        h1 = hub_step(a1)
+        a2 = auth_step(h1)
+        expected = {("auth", p): v for p, v in a2.items()} | {
+            ("hub", c): v for c, v in h1.items()
+        }
+
+        e_df = spark.createDataFrame(edges, "cust long, part long")
+        got = {
+            (r.kind, r.node): r.score for r in co_hits_integer(e_df).collect()
+        }
+        assert got == expected, f"trial {trial}"
