@@ -403,3 +403,47 @@ def test_co_hits_integer_matches_pure_python(spark):
             (r.kind, r.node): r.score for r in co_hits_integer(e_df).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_min_label_components_matches_union_find(spark):
+    # Seeded random pair lists vs a pure-Python union-find: every
+    # endpoint must get the exact minimum id of its connected
+    # component.  Exercises the convergence loop itself (the riskiest
+    # code path: the every-other-round driver check and the chg flag),
+    # not just one propagation round.  max_rounds is generous because
+    # plain min-label propagation needs rounds >= the min node's
+    # eccentricity, and a sparse random graph can contain long chains.
+    from hbasemapreduce_spark.operators.clustering import min_label_components
+
+    rng = np.random.default_rng(29)
+    for trial, (n, m) in enumerate([(50, 40), (60, 90), (80, 30)]):
+        pairs = sorted(
+            {
+                (int(a), int(b)) if a < b else (int(b), int(a))
+                for a, b in rng.integers(0, n, (m, 2))
+                if a != b
+            }
+        )
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = {}
+        for v in parent:
+            comp.setdefault(find(v), []).append(v)
+        expected = {
+            v: min(members) for members in comp.values() for v in members
+        }
+
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r.id: r.label
+            for r in min_label_components(df, max_rounds=100).collect()
+        }
+        assert got == expected, f"trial {trial}"
