@@ -515,9 +515,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train_frames(spark: SparkSession, sf_dir: str):
-    """The shared BPE training loop: returns (per-round best-pair
-    frames, the vocabulary symbol table AFTER all merges) — consumed by
-    x_text_bpe_train (the merges) and x_text_bpe_apply (the encoder)."""
+    """The shared BPE training loop over the documents corpus: returns
+    (per-round best-pair frames, the vocabulary symbol table AFTER all
+    merges) — consumed by x_text_bpe_train (the merges) and
+    x_text_bpe_apply (the encoder)."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -525,6 +526,17 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    return bpe_train_core(w)
+
+
+def bpe_train_core(w: DataFrame, rounds: int = _BPE_ROUNDS):
+    """BPE training core over an arbitrary (word, freq) table —
+    `rounds` merge rounds of count-pairs -> argmax -> run-parity greedy
+    merge; see x_text_bpe_train for the algorithm and determinism
+    notes.  Exposed separately so the randomized differential test
+    (tests/test_random_differential.py) can drive it with seeded
+    random vocabularies against a pure-Python reimplementation of the
+    same greedy recurrence."""
     syms = w.select(
         "word",
         "freq",
@@ -536,7 +548,7 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str):
 
     wword = Window.partitionBy("word").orderBy("pos")
     bests = []
-    for rank in range(1, _BPE_ROUNDS + 1):
+    for rank in range(1, rounds + 1):
         p = syms.withColumn("nxt", F.lead("sym").over(wword))
         cnt = (
             p.filter(F.col("nxt").isNotNull())

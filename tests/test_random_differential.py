@@ -447,3 +447,61 @@ def test_min_label_components_matches_union_find(spark):
             for r in min_label_components(df, max_rounds=100).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_bpe_train_core_matches_pure_python(spark):
+    # Seeded random vocabularies (4-letter alphabet, heavy pair ties)
+    # vs a pure-Python Sennrich BPE: per round, count adjacent pairs
+    # weighted by word freq, take the (cnt DESC, pa, pb) argmax, merge
+    # greedily left-to-right non-overlapping.  The run-parity window
+    # trick must reproduce the sequential greedy schedule exactly —
+    # including inside runs like 'aaaa' where overlap handling is the
+    # whole point.
+    from hbasemapreduce_spark.operators.llm_text import bpe_train_core
+
+    rng = np.random.default_rng(31)
+    alphabet = "abcd"
+    for trial in range(3):
+        words = {
+            "".join(alphabet[j] for j in rng.integers(0, 4, int(ln))): int(f)
+            for ln, f in zip(rng.integers(2, 9, 30), rng.integers(1, 9, 30))
+        }
+
+        def bpe_py(word_freq, rounds=3):
+            syms = {w: list(w) for w in word_freq}
+            merges = []
+            for rank in range(1, rounds + 1):
+                cnt = Counter()
+                for w, f in word_freq.items():
+                    s = syms[w]
+                    for i in range(len(s) - 1):
+                        cnt[(s[i], s[i + 1])] += f
+                if not cnt:
+                    break
+                (pa, pb), c = min(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+                merges.append((rank, pa, pb, c))
+                for w in syms:
+                    s, out, i = syms[w], [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == pa and s[i + 1] == pb:
+                            out.append(pa + pb)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    syms[w] = out
+            return merges
+
+        expected = bpe_py(words)
+        wdf = spark.createDataFrame(
+            list(words.items()), "word string, freq long"
+        )
+        bests, _ = bpe_train_core(wdf)
+        got = [
+            (r.merge_rank, r.left_sym, r.right_sym, r.cnt)
+            for b in bests
+            for r in b.collect()
+        ]
+        assert got == expected, f"trial {trial}"
