@@ -505,3 +505,84 @@ def test_bpe_train_core_matches_pure_python(spark):
             for r in b.collect()
         ]
         assert got == expected, f"trial {trial}"
+
+
+def test_hilbert_map_matches_textbook_xy2d(spark):
+    # Third opinion for the Hilbert curve: the Spark numpy fold and the
+    # DuckDB CTE chain are generated from the SAME level parameters, so
+    # the oracle check cannot catch a common-mode bug in the rotation
+    # algebra.  Here: seeded random points vs the textbook scalar xy2d
+    # routine (Wikipedia / Hacker's Delight form) written independently
+    # of the vectorized derivation.
+    from hbasemapreduce_spark.functions.zorder import ZBITS, hilbert_map
+
+    def xy2d(x, y, bits=ZBITS):
+        d, s = 0, 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = np.random.default_rng(37)
+    pts = [(int(i), int(x), int(y)) for i, (x, y) in enumerate(
+        rng.integers(0, 1 << ZBITS, (200, 2))
+    )]
+    # include the corners and the diagonal seam
+    top = (1 << ZBITS) - 1
+    pts += [(1000 + j, x, y) for j, (x, y) in enumerate(
+        [(0, 0), (0, top), (top, 0), (top, top), (1, 0), (0, 1)]
+    )]
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = {
+        r.pid: r.hv
+        for r in hilbert_map(df, "x", "y", keep=["pid"]).collect()
+    }
+    for pid, x, y in pts:
+        assert got[pid] == xy2d(x, y), (pid, x, y)
+
+
+def test_winnow_fingerprints_match_naive_python(spark):
+    # Third opinion for winnowing: the HOF form and the Arrow deque
+    # form are already property-tested equal to EACH OTHER; this pins
+    # both to a naive pure-Python winnow (hashlib md5, slice-min per
+    # window, first-occurrence distinct) on seeded random strings —
+    # including ties from repeated substrings, and the short-string
+    # empty guards.
+    from hashlib import md5
+
+    from hbasemapreduce_spark.functions.text import winnow_fingerprints
+
+    rng = np.random.default_rng(41)
+    k, w = 8, 16
+    texts = []
+    for i in range(20):
+        n = int(rng.integers(0, 120))
+        # tiny alphabet -> repeated k-grams -> min ties inside windows
+        texts.append((i, "".join("ab c"[j] for j in rng.integers(0, 4, n))))
+    texts += [(100, ""), (101, "short"), (102, "a" * (k + w - 2)), (103, "a" * (k + w - 1))]
+
+    def naive(t):
+        if len(t) < k + w - 1:
+            return []
+        grams = [md5(t[i : i + k].encode()).hexdigest() for i in range(len(t) - k + 1)]
+        mins = [min(grams[j : j + w]) for j in range(len(grams) - w + 1)]
+        out, seen = [], set()
+        for g in mins:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.fps)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    for i, t in texts:
+        assert got[i] == naive(t), i
