@@ -586,3 +586,45 @@ def test_winnow_fingerprints_match_naive_python(spark):
     }
     for i, t in texts:
         assert got[i] == naive(t), i
+
+
+def test_kmeans_centroids_matches_pure_python_lloyd(spark):
+    # One exact-integer Lloyd round on seeded random vectors vs a
+    # pure-Python twin: seed centroids are the k lowest vec_ids,
+    # assignment argmin is (d2, cid) lexicographic, and the new
+    # centroid is the per-dimension floor-div mean.  Bit-exact int64 —
+    # a tie broken the other way or a DIV/round slip fails exactly.
+    # Micros stay non-negative so Spark's truncating DIV equals
+    # Python's floor //.
+    from hbasemapreduce_spark.operators.stats_ml import _KM_K, kmeans_centroids
+
+    rng = np.random.default_rng(43)
+    for trial in range(2):
+        vecs = {
+            vid: [int(v) for v in rng.integers(0, 2_000_000, 4)]
+            for vid in range(40)
+        }
+
+        cents = {vid: m for vid, m in vecs.items() if vid < _KM_K}
+        assign = {
+            vid: min(
+                (sum((a - b) ** 2 for a, b in zip(m, cm)), cid)
+                for cid, cm in cents.items()
+            )[1]
+            for vid, m in vecs.items()
+        }
+        expected = {}
+        for cid in set(assign.values()):
+            members = [vecs[v] for v in vecs if assign[v] == cid]
+            expected[cid] = [
+                sum(col) // len(members) for col in zip(*members)
+            ]
+
+        e = spark.createDataFrame(
+            [(vid, m) for vid, m in vecs.items()], "vec_id long, m array<long>"
+        )
+        got = {
+            r.cid: list(r.cm)
+            for r in kmeans_centroids(spark, "", e=e).collect()
+        }
+        assert got == expected, f"trial {trial}"
