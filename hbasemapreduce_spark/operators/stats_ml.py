@@ -1907,6 +1907,20 @@ def time_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
+    return cusum_chart(h)
+
+
+def cusum_chart(h: DataFrame) -> DataFrame:
+    """CUSUM chart core over an arbitrary (event_type, hr, c) count
+    series — see x_time_cusum for semantics; the reflection identity
+    replaces the sequential max(0, ...) recurrence with two chained
+    window frames.  Exposed separately so the randomized differential
+    test (tests/test_random_differential.py) can drive it with seeded
+    random series against the textbook sequential recurrence, which
+    neither engine executes (both use the identity, so the oracle
+    alone cannot catch a common-mode error in it)."""
+    from pyspark.sql import Window
+
     t = h.groupBy("event_type").agg(
         F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("k"),
         F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("alarm_h"),

@@ -628,3 +628,35 @@ def test_kmeans_centroids_matches_pure_python_lloyd(spark):
             for r in kmeans_centroids(spark, "", e=e).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_cusum_chart_matches_sequential_recurrence(spark):
+    # Both engines compute the CUSUM via the reflection identity
+    # (S_t = P_t - min(0, min prefix P)), so the oracle cannot catch a
+    # common-mode error in the identity itself.  Here: seeded random
+    # hourly count series vs the textbook sequential recurrence
+    # S_t = max(0, S_{t-1} + (c_t - k - 1)) with the same integer
+    # allowance k = floor(mean) and alarm threshold h = k.
+    from hbasemapreduce_spark.operators.stats_ml import cusum_chart
+
+    rng = np.random.default_rng(47)
+    rows = []
+    series = {}
+    for et in ("a", "b", "c"):
+        hrs = sorted(int(x) for x in rng.choice(200, size=40, replace=False))
+        cs = [int(c) for c in rng.integers(1, 30, len(hrs))]
+        series[et] = list(zip(hrs, cs))
+        rows += [(et, hr, c) for hr, c in series[et]]
+
+    df = spark.createDataFrame(rows, "event_type string, hr long, c long")
+    got = {
+        (r.event_type, r.hr): (r.cusum, r.alarm)
+        for r in cusum_chart(df).collect()
+    }
+
+    for et, pts in series.items():
+        k = sum(c for _, c in pts) // len(pts)
+        s = 0
+        for hr, c in pts:
+            s = max(0, s + (c - k - 1))
+            assert got[(et, hr)] == (s, s > k), (et, hr)
