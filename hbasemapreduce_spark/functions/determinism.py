@@ -63,3 +63,18 @@ def fmt_date(col: Column | str, alias: str) -> Column:
 # epoch_us(ts)) — helpers for them sat unused here and drifted from
 # practice, so they were removed rather than left as a second source
 # of truth.
+
+
+def srm_chi2_micro() -> Column:
+    """One-degree chi-square of a 50/50 split in exact MICRO units:
+    1e6 * (obs_a - obs_b)^2 DIV (obs_a + obs_b), the mid-product routed
+    through DECIMAL(38,0) because a BROKEN randomizer — the case the
+    SRM alarm exists for — makes the delta ~ n, and 1e6 * delta^2
+    passes int64 already at delta > 3e6 rows.  The divided-out result
+    is <= 1e6 * n, bigint to ~9e12 rows per group.  Shared by
+    x_stats_srm and the x_stream_srm batch/stream expression; the
+    DuckDB twin spells the same shape with HUGEINT."""
+    return F.expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * (obs_a - obs_b) "
+        "* (obs_a - obs_b) DIV (obs_a + obs_b) AS BIGINT)"
+    )

@@ -1559,16 +1559,20 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(SUM(neg) AS BIGINT) AS n FROM g GROUP BY 1), "
         "cand AS (SELECT c.feature, c.bin AS threshold, "
         "  pl, nl, t.p - pl AS pr, t.n - nl AS nr, t.p + t.n AS tot, "
-        "  1000000 - (pl*pl + nl*nl) * 1000000 // ((pl+nl)*(pl+nl)) AS gl, "
-        "  1000000 - ((t.p-pl)*(t.p-pl) + (t.n-nl)*(t.n-nl)) * 1000000 "
-        "    // ((t.p+t.n-pl-nl)*(t.p+t.n-pl-nl)) AS gr "
+        "  1000000 - CAST((CAST(pl AS HUGEINT)*pl + CAST(nl AS HUGEINT)*nl) "
+        "    * 1000000 // (CAST(pl+nl AS HUGEINT)*(pl+nl)) AS BIGINT) AS gl, "
+        "  1000000 - CAST((CAST(t.p-pl AS HUGEINT)*(t.p-pl) "
+        "      + CAST(t.n-nl AS HUGEINT)*(t.n-nl)) * 1000000 "
+        "    // (CAST(t.p+t.n-pl-nl AS HUGEINT)*(t.p+t.n-pl-nl)) AS BIGINT) AS gr "
         "  FROM c JOIN t USING (feature) "
         "  WHERE pl + nl > 0 AND t.p + t.n - pl - nl > 0), "
         "sc AS (SELECT feature, threshold, pl + nl AS n_left, pl AS pos_left, "
         "  pr + nr AS n_right, pr AS pos_right, "
         "  ((pl+nl) * gl + (pr+nr) * gr) // tot AS weighted_micro "
         "  FROM cand), "
-        "parent AS (SELECT 1000000 - (p*p + n*n) * 1000000 // ((p+n)*(p+n)) "
+        "parent AS (SELECT 1000000 - CAST((CAST(p AS HUGEINT)*p "
+        "    + CAST(n AS HUGEINT)*n) * 1000000 "
+        "  // (CAST(p+n AS HUGEINT)*(p+n)) AS BIGINT) "
         "  AS parent_micro FROM (SELECT CAST(SUM(y) AS BIGINT) AS p, "
         "  CAST(COUNT(*) - SUM(y) AS BIGINT) AS n FROM ev)) "
         "SELECT feature, threshold, n_left, pos_left, n_right, pos_right, "
@@ -1586,7 +1590,11 @@ def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature give every 'bin <= t' candidate split, weighted Gini
     impurity in micro-scaled EXACT integer arithmetic (each side's
     impurity is one integer division; ties break on (feature,
-    threshold)), global argmin = the trained stump.
+    threshold)), global argmin = the trained stump.  The impurity
+    mid-products route through DECIMAL(38,0)/HUGEINT (the
+    x_ml_var_stump discipline): 1e6 * (pl^2 + nl^2) passes int64
+    already at ~3e6 rows on one split side; the divided-out micro
+    impurities are <= 1e6 and come back as bigints.
 
     Scale shape: the only corpus-sized job is the (feature, bin) class
     count — 3 features x <= 24 bins regardless of row count; the split
@@ -1640,11 +1648,14 @@ def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.col("nl")).alias("nr"),
             (F.col("p") + F.col("n")).alias("tot"),
             F.expr(
-                "1000000 - (pl*pl + nl*nl) * 1000000 DIV ((pl+nl)*(pl+nl))"
+                "1000000 - CAST((CAST(pl AS DECIMAL(38,0))*pl "
+                "+ CAST(nl AS DECIMAL(38,0))*nl) * 1000000 "
+                "DIV (CAST(pl+nl AS DECIMAL(38,0))*(pl+nl)) AS BIGINT)"
             ).alias("gl"),
             F.expr(
-                "1000000 - ((p-pl)*(p-pl) + (n-nl)*(n-nl)) * 1000000 "
-                "DIV ((p+n-pl-nl)*(p+n-pl-nl))"
+                "1000000 - CAST((CAST(p-pl AS DECIMAL(38,0))*(p-pl) "
+                "+ CAST(n-nl AS DECIMAL(38,0))*(n-nl)) * 1000000 "
+                "DIV (CAST(p+n-pl-nl AS DECIMAL(38,0))*(p+n-pl-nl)) AS BIGINT)"
             ).alias("gr"),
         )
     )
@@ -1662,7 +1673,9 @@ def ml_gini_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("y")).cast("long").alias("n"),
     ).select(
         F.expr(
-            "1000000 - (p*p + n*n) * 1000000 DIV ((p+n)*(p+n))"
+            "1000000 - CAST((CAST(p AS DECIMAL(38,0))*p "
+            "+ CAST(n AS DECIMAL(38,0))*n) * 1000000 "
+            "DIV (CAST(p+n AS DECIMAL(38,0))*(p+n)) AS BIGINT)"
         ).alias("parent_micro")
     )
     wr = Window.orderBy("weighted_micro", "feature", "threshold")
@@ -2614,9 +2627,9 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    AS obs_b "
         "  FROM e GROUP BY 1) "
         "SELECT event_type, obs_a, obs_b, "
-        "CAST(1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "CAST(CAST(1000000 AS HUGEINT) * (obs_a - obs_b) * (obs_a - obs_b) "
         "  // (obs_a + obs_b) AS BIGINT) AS chi2_micro, "
-        "CAST((1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "CAST((CAST(1000000 AS HUGEINT) * (obs_a - obs_b) * (obs_a - obs_b) "
         "  // (obs_a + obs_b)) >= 3841459 AS BOOLEAN) AS srm_alarm "
         "FROM m"
     ),
@@ -2631,10 +2644,14 @@ def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are exact bigints off ONE conditional aggregate
     pass (the abtest single-fact-pass shape); the statistic is held as
-    an integer in MICRO units via a non-negative floor division
-    ((obs_a-obs_b)^2 * 1e6 fits int64 into the trillions of rows per
-    type), and the alarm compares against the 3.841459 critical value
-    in the same micro units — no float anywhere.
+    an integer in MICRO units via a non-negative floor division, and
+    the alarm compares against the 3.841459 critical value in the same
+    micro units — no float anywhere.  The 1e6 * delta^2 mid-product
+    routes through DECIMAL(38,0)/HUGEINT (the x_basket_lift
+    discipline): a BROKEN randomizer — the very case this alarm exists
+    for — makes delta ~ n, and 1e6 * delta^2 passes int64 already at
+    delta > 3e6 rows.  The divided-out result is <= 1e6 * n, int64 to
+    ~9e12 rows per type.
 
     Scale shape: one fact-scan hash aggregate, |types| rows out."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -2649,9 +2666,9 @@ def stats_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("obs_b"),
     )
-    chi2 = F.expr(
-        "1000000 * (obs_a - obs_b) * (obs_a - obs_b) DIV (obs_a + obs_b)"
-    )
+    from ..functions.determinism import srm_chi2_micro
+
+    chi2 = srm_chi2_micro()
     return m.select(
         "event_type",
         "obs_a",
@@ -4179,9 +4196,11 @@ def eval_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    + cnt + 1 AS r2 FROM g) "
         "SELECT label, CAST(SUM(cnt) AS BIGINT) AS n, "
         "CAST(SUM(pos) AS BIGINT) AS n_correct, "
-        "CAST(SUM(pos * r2) - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u2, "
+        "CAST(SUM(CAST(pos AS HUGEINT) * r2) "
+        "  - SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u2, "
         "CASE WHEN SUM(pos) > 0 AND SUM(cnt) > SUM(pos) THEN "
-        "  CAST(1000000 * (SUM(pos * r2) - SUM(pos) * (SUM(pos) + 1)) "
+        "  CAST(1000000 * (SUM(CAST(pos AS HUGEINT) * r2) "
+        "      - SUM(pos) * (SUM(pos) + 1)) "
         "    // (2 * SUM(pos) * (SUM(cnt) - SUM(pos))) AS BIGINT) "
         "END AS auc_ppm "
         "FROM r GROUP BY label"
@@ -4199,8 +4218,12 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-dp-stable sim micros, with ties handled by DOUBLED average
     ranks (tie group spanning ranks lo..hi has 2*avg = lo + hi =
     2*cum_before + cnt + 1 — always an integer), so
-    U2 = 2*U = sum(pos * r2) - n_pos*(n_pos+1) is an exact bigint and
-    AUC_ppm = 1e6 * U2 // (2 * n_pos * n_neg).  U2 >= 0 by
+    U2 = 2*U = sum(pos * r2) - n_pos*(n_pos+1) and
+    AUC_ppm = 1e6 * U2 // (2 * n_pos * n_neg).  U2 and both products
+    around it reach ~n^2, so the whole chain routes through
+    DECIMAL(38,0)/HUGEINT (the x_basket_lift discipline) and the ppm
+    statistic stays exact at any corpus size; the exposed u2 COLUMN is
+    a bigint cast, exact to n ~ 4e9 rows per label.  U2 >= 0 by
     construction (positive ranks are at least 1..n_pos), so DuckDB's
     flooring // and Spark's truncating DIV agree; degenerate groups
     (all correct or all incorrect) return NULL identically via the
@@ -4239,18 +4262,23 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = r.groupBy("label").agg(
         F.sum("cnt").cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_correct"),
-        (F.sum(F.col("pos") * F.col("r2")) - F.sum("pos") * (F.sum("pos") + 1))
-        .cast("long")
-        .alias("u2"),
+        # per-row products, the rank-sum, and the correction term all
+        # reach ~n^2 — DECIMAL(38,0)/HUGEINT routed (u2d), with the
+        # exposed u2 column a documented-saturation bigint cast
+        (
+            F.sum(F.expr("CAST(pos AS DECIMAL(38,0)) * r2"))
+            - F.sum("pos").cast("decimal(38,0)") * (F.sum("pos") + 1)
+        ).alias("u2d"),
     )
     return agg.select(
         "label",
         "n",
         "n_correct",
-        "u2",
+        F.col("u2d").cast("long").alias("u2"),
         F.expr(
             "CASE WHEN n_correct > 0 AND n > n_correct THEN "
-            "CAST(1000000 * u2 DIV (2 * n_correct * (n - n_correct)) AS BIGINT) "
-            "END"
+            "CAST(1000000 * u2d "
+            "DIV (CAST(2 AS DECIMAL(38,0)) * n_correct * (n - n_correct)) "
+            "AS BIGINT) END"
         ).alias("auc_ppm"),
     )

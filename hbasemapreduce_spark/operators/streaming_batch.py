@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.determinism import srm_chi2_micro
 from ..functions.sessionize import sessionize
 from ..registry import query
 
@@ -526,9 +527,7 @@ def srm_expr(ev: DataFrame) -> DataFrame:
         "event_type",
         ((F.col("user_id") * 2654435761) % 2).alias("variant"),
     )
-    chi2 = F.expr(
-        "1000000 * (obs_a - obs_b) * (obs_a - obs_b) DIV (obs_a + obs_b)"
-    )
+    chi2 = srm_chi2_micro()
     return (
         v.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -565,9 +564,9 @@ def srm_expr(ev: DataFrame) -> DataFrame:
         "  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) "
         "    AS obs_b FROM v GROUP BY 1, 2) "
         "SELECT hs, event_type, obs_a, obs_b, "
-        "CAST(1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "CAST(CAST(1000000 AS HUGEINT) * (obs_a - obs_b) * (obs_a - obs_b) "
         "  // (obs_a + obs_b) AS BIGINT) AS chi2_micro, "
-        "CAST((1000000 * (obs_a - obs_b) * (obs_a - obs_b) "
+        "CAST((CAST(1000000 AS HUGEINT) * (obs_a - obs_b) * (obs_a - obs_b) "
         "  // (obs_a + obs_b)) >= 3841459 AS BOOLEAN) AS srm_alarm "
         "FROM m CROSS JOIN mx "
         "WHERE (hs + 3600) * 1000000 <= mu - 3600000000"

@@ -2057,3 +2057,42 @@ def test_cuped_never_increases_variance(spark):
     for r in q(spark, "x_stats_cuped").collect():
         assert r["var_adj"] <= r["var_y"] + 1e-9
         assert -1e-9 <= r["rho2"] <= 1.0 + 1e-9
+
+
+def test_srm_chi2_exact_at_broken_randomizer_scale(spark):
+    # The SRM alarm exists to catch a BROKEN randomizer, where the
+    # variant delta is ~n rather than ~sqrt(n).  1e6 * delta^2 passes
+    # int64 already at delta > 3e6, so the shared expression must
+    # route the mid-product through DECIMAL(38,0) — drive it with a
+    # fully-broken 5e9-row group and check the exact closed form.
+    from hbasemapreduce_spark.functions.determinism import srm_chi2_micro
+
+    df = spark.createDataFrame(
+        [("a", 5_000_000_000, 0), ("b", 3_000_000, 3_000_000)],
+        "event_type string, obs_a long, obs_b long",
+    )
+    rows = {
+        r.event_type: r.chi2
+        for r in df.select("event_type", srm_chi2_micro().alias("chi2")).collect()
+    }
+    # 1e6 * (5e9)^2 / 5e9 = 1e6 * 5e9 — exact, and far beyond the
+    # pre-fix ANSI overflow point
+    assert rows["a"] == 1_000_000 * 5_000_000_000
+    assert rows["b"] == 0
+
+
+def test_gini_micro_exact_at_billion_row_splits(spark):
+    # Same guard for the stump impurities: (pl^2 + nl^2) * 1e6 passes
+    # int64 at ~3e6 rows per side.  Evaluate the operator's exact
+    # expression shape at billion-row counts and check the closed form
+    # 1e6 - 1e6*(pl^2+nl^2)//(pl+nl)^2.
+    pl, nl = 4_000_000_000, 1_000_000_000
+    df = spark.createDataFrame([(pl, nl)], "pl long, nl long")
+    got = df.select(
+        F.expr(
+            "1000000 - CAST((CAST(pl AS DECIMAL(38,0))*pl "
+            "+ CAST(nl AS DECIMAL(38,0))*nl) * 1000000 "
+            "DIV (CAST(pl+nl AS DECIMAL(38,0))*(pl+nl)) AS BIGINT)"
+        ).alias("g")
+    ).collect()[0].g
+    assert got == 1_000_000 - (pl * pl + nl * nl) * 1_000_000 // ((pl + nl) ** 2)
