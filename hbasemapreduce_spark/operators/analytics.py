@@ -704,7 +704,8 @@ def win_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr, "
         "  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
-        "  CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt * cnt) AS BIGINT) AS ss "
+        "  CAST(SUM(cnt) AS BIGINT) AS s, "
+        "  CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS ss "
         "  FROM h GROUP BY 1), "
         "lim AS (SELECT event_type, "
         "  CAST(s AS DOUBLE) / n + 3 * sqrt((CAST(ss AS DOUBLE) "
@@ -720,9 +721,10 @@ def stats_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
     'traffic spiked at 14:00' detector a pipeline health monitor runs
     over its ingest counters.
 
-    Exactness: hourly counts are bigints, so the control limit's
-    moment sums (S, SS) are EXACT integers; ucl = S/n + 3*sqrt((SS -
-    S^2/n)/n) is a FIXED tree of correctly-rounded IEEE ops over
+    Exactness: hourly counts are bigints and the moment sums (S, SS)
+    are EXACT integers — SS routed through DECIMAL(38,0)/HUGEINT since
+    cnt^2 sums pass int64 at ~3e9 events/hour; ucl = S/n + 3*sqrt((SS
+    - S^2/n)/n) is a FIXED tree of correctly-rounded IEEE ops over
     exactly-converted operands (incl. the IEEE-correct sqrt) —
     bit-identical limits, bit-identical breach sets, both engines.
 
@@ -742,7 +744,9 @@ def stats_spc(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = h.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        # cnt^2 summed over hours reaches ~(rows/hour)^2 * hours —
+        # DECIMAL(38,0)/HUGEINT routed like every squared-count moment
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).alias("ss"),
     )
     ucl = F.col("s").cast("double") / F.col("n") + 3 * F.sqrt(
         (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
@@ -1181,7 +1185,7 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1000000 * s_ab // sa.s AS conf_a2b_ppm, "
         "1000000 * s_ab // sb.s AS conf_b2a_ppm, "
         "CAST(CAST(1000000 AS HUGEINT) * s_ab * n.n_baskets "
-        "  // (sa.s * sb.s) AS BIGINT) AS lift_micro "
+        "  // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_micro "
         "FROM pairs JOIN isup sa ON part_a = sa.l_partkey "
         "JOIN isup sb ON part_b = sb.l_partkey CROSS JOIN n"
     ),
@@ -1237,8 +1241,10 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * s_ab DIV s_a").alias("conf_a2b_ppm"),
             F.expr("1000000 * s_ab DIV s_b").alias("conf_b2a_ppm"),
             F.expr(
+                # the divisor is a count-by-count product too: two
+                # ~3e9-support items would overflow a bare s_a * s_b
                 "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_ab * n_baskets "
-                "DIV (s_a * s_b) AS BIGINT)"
+                "DIV (CAST(s_a AS DECIMAL(38,0)) * s_b) AS BIGINT)"
             ).alias("lift_micro"),
         )
     )

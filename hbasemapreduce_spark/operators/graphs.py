@@ -779,10 +779,11 @@ def co_hits_integer(e: DataFrame) -> DataFrame:
         "de AS (SELECT da.d AS x, db.d AS y FROM edges e "
         "  JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node), "
         "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "  CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
-        "  CAST(SUM(y * y) AS BIGINT) AS syy FROM de), "
+        "  CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, "
+        "  CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, "
+        "  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "  CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "  CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy FROM de), "
         "d2 AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, "
         "  CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, "
         "  CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM m) "
@@ -803,11 +804,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling or hub-pruning will distort the graph, completing the
     graph-science panel beside modularity, k-core, and triangles.
 
-    Determinism: degrees are exact integer counts, the five
-    cross-moments exact int64 sums off ONE pass over the edge list
-    (symmetric edges make x/y moments mirror-consistent), and the
-    correlation is the identical int64->double IEEE tree both engines
-    — sqrt is correctly rounded by IEEE 754.
+    Determinism: degrees are exact integer counts and the five
+    cross-moments exact DECIMAL(38,0)/HUGEINT sums off ONE pass over
+    the edge list (a hub degree of 1e8 makes d^2 1e16 per edge row, so
+    even the plain degree sums pass int64 at scale; symmetric edges
+    make x/y moments mirror-consistent).  The correlation is the
+    identical exact-int->double IEEE tree on both engines — below 2^63
+    bit-identical to the old int64 path, beyond it both engines still
+    agree to the last ulp instead of overflowing; sqrt is correctly
+    rounded by IEEE 754.
 
     Scale shape: one degree aggregate, two equi-joins of the edge list
     against the |nodes| degree table, one 1-row moment aggregate —
@@ -822,11 +827,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("x"), F.col("y")
     m = de.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(x).cast("long").alias("sx"),
-        F.sum(y).cast("long").alias("sy"),
-        F.sum(x * x).cast("long").alias("sxx"),
-        F.sum(x * y).cast("long").alias("sxy"),
-        F.sum(y * y).cast("long").alias("syy"),
+        # per-edge degrees square and cross: a 1e8-degree hub makes
+        # x*x 1e16 PER ROW, so every moment (even the plain sums —
+        # SUM(x) = sum of d^2 over nodes) routes through
+        # DECIMAL(38,0)/HUGEINT before the double conversion
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

@@ -775,8 +775,9 @@ _COLL_TOPN = 30
         "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM ex), "
         "scored AS ("
         f"  SELECT b.w1, b.w2, b.c_xy, "
-        "    ((10000 * b.c_xy * t.n_tok) // (nb.n_big * u1.c)) * t.n_tok // u2.c "
-        "    AS lift_bp "
+        "    CAST(((CAST(10000 AS HUGEINT) * b.c_xy * t.n_tok) "
+        "      // (CAST(nb.n_big AS HUGEINT) * u1.c)) * t.n_tok // u2.c "
+        "    AS BIGINT) AS lift_bp "
         "  FROM big b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok "
         f"  CROSS JOIN tot t CROSS JOIN nb WHERE b.c_xy >= {_COLL_MIN_COUNT}) "
         "SELECT w1, w2, c_xy, lift_bp, rnk FROM ("
@@ -796,10 +797,11 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking on PMI while staying transcendental-free (the x_rank_bm25
     discipline).  The rational is evaluated as a STAGED integer floor
     division — (10^4 * c_xy * N_tok // (N_big * c_x)) * N_tok // c_y —
-    so every intermediate stays far inside bigint at any corpus size
-    where counts fit bigint, and both engines floor identical positive
-    operands (Spark DIV truncates, DuckDB // floors; equal on
-    non-negatives).
+    with the raw products routed through DECIMAL(38,0)/HUGEINT
+    (10^4 * c_xy * N_tok reaches ~1e23 at web-scale token counts, far
+    past int64; the staged quotients come back as bigints), and both
+    engines floor identical positive operands (Spark DIV truncates,
+    DuckDB // floors; equal on non-negatives).
 
     Scale shape: bigrams come from zip_with over the token array —
     ZERO shuffle to generate; then three hash aggregates (bigram
@@ -832,7 +834,9 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = ex.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
     nb = ex.agg(F.count("*").alias("n_big"))
     lift_bp = F.expr(
-        "((10000 * c_xy * n_tok) DIV (n_big * c1)) * n_tok DIV c2"
+        "CAST(CAST(CAST(10000 AS DECIMAL(38,0)) * c_xy * n_tok "
+        "DIV (CAST(n_big AS DECIMAL(38,0)) * c1) AS DECIMAL(38,0)) "
+        "* n_tok DIV c2 AS BIGINT)"
     )
     scored = (
         big.filter(F.col("c_xy") >= _COLL_MIN_COUNT)

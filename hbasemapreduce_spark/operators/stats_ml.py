@@ -128,7 +128,7 @@ def stats_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(SUM(x) AS DOUBLE) AS sx, "
         "  CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy, "
         "  CAST(SUM(CAST(x * y AS DECIMAL(24,2))) AS DOUBLE) AS sxy, "
-        "  CAST(SUM(x * x) AS DOUBLE) AS sxx "
+        "  CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx "
         "  FROM e GROUP BY 1) "
         "SELECT event_type, n, "
         "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope, "
@@ -143,9 +143,11 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     float moments in partition order).
 
     x is the integer epoch-day (exact bigint), y is the 2-dp value, so
-    every moment sum is exact: Sx/Sxx in plain bigint, Sy/Sxy through
-    the decimal sandwich (day * 2-dp value is exact at scale 2; 24
-    digits of headroom for the day magnitude).  The closed-form
+    every moment sum is exact: Sx in plain bigint, Sxx through
+    DECIMAL(38,0)/HUGEINT (day^2 ~ 4e8 per row passes a long sum at
+    ~2e10 rows per type), Sy/Sxy through the decimal sandwich (day *
+    2-dp value is exact at scale 2; 24 digits of headroom for the day
+    magnitude).  The closed-form
     slope/intercept doubles then start from identical inputs in both
     engines.  One aggregate pass, map-side partials, |event_types|
     output rows."""
@@ -161,7 +163,9 @@ def stats_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x).cast("double").alias("sx"),
         F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
         F.sum((x * y).cast("decimal(24,2)")).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
+        # epoch-day^2 ~ 4e8 per row: the plain-long sum passes int64 at
+        # ~2e10 rows per type — decimal-routed like the other moments
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("double").alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1066,14 +1070,18 @@ def stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q AS (SELECT event_type, x, y FROM p WHERE y IS NOT NULL AND gap = 1), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
-        "  CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy "
-        "  FROM q GROUP BY 1 HAVING COUNT(*) >= 2) "
+        "  CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "  CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy "
+        "  FROM q GROUP BY 1 HAVING COUNT(*) >= 2), "
+        "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
+        "  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
+        "  CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, "
+        "  CAST(syy AS DOUBLE) AS syyd FROM m) "
         "SELECT event_type, n, "
-        "CAST(n * sxy - sx * sy AS DOUBLE) / "
-        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
-        " sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf1 "
-        "FROM m"
+        "(nd * sxyd - sxd * syd) / "
+        "(sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)) AS acf1 "
+        "FROM d"
     ),
 )
 def time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,18 +1126,21 @@ def time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            # count-squared moments pass int64 at ~3e9 events/hour —
+            # DECIMAL(38,0)/HUGEINT routed, then the x_stats_cuped-style
+            # double algebra (identical IEEE tree both engines)
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         )
         .filter(F.col("n") >= 2)
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    ) * F.sqrt(nd * F.col("syy").cast("double") - syd * syd)
     return m.select("event_type", "n", (num / den).alias("acf1"))
 
 
@@ -1142,10 +1153,13 @@ def time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r AS (SELECT event_type, c, CAST(row_number() OVER ("
         "  PARTITION BY event_type ORDER BY c, user_id) AS BIGINT) AS i FROM u), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
-        "  CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(i * c) AS BIGINT) AS sic "
+        "  CAST(SUM(c) AS BIGINT) AS s, "
+        "  CAST(SUM(CAST(i AS HUGEINT) * c) AS HUGEINT) AS sic "
         "  FROM r GROUP BY 1) "
         "SELECT event_type, n, s AS n_events, "
-        "CAST(2 * sic - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini "
+        "(2 * CAST(sic AS DOUBLE) "
+        "  - (CAST(n AS DOUBLE) + 1) * CAST(s AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini "
         "FROM m"
     ),
 )
@@ -1179,11 +1193,13 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = r.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("i") * F.col("c")).alias("sic"),
+        # rank * count reaches ~n_users * per-user activity per row and
+        # ~n^2 summed — DECIMAL(38,0)/HUGEINT routed; the rank formula
+        # then runs in doubles with the identical tree on both engines
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * c")).alias("sic"),
     )
-    gini = (2 * F.col("sic") - (F.col("n") + 1) * F.col("s")).cast("double") / (
-        F.col("n") * F.col("s")
-    ).cast("double")
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    gini = (2 * F.col("sic").cast("double") - (nd + 1) * sd) / (nd * sd)
     return m.select("event_type", "n", F.col("s").alias("n_events"), gini.alias("gini"))
 
 
@@ -1194,11 +1210,12 @@ def stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH u AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c "
         "  FROM events GROUP BY 1, 2), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, "
-        "  CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS sc2 "
+        "  CAST(SUM(c) AS BIGINT) AS n, "
+        "  CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2 "
         "  FROM u GROUP BY 1) "
         "SELECT event_type, n_users, n AS n_events, "
-        "1.0 - CAST(sc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson "
-        "FROM m"
+        "1.0 - CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) "
+        "AS simpson FROM m"
     ),
 )
 def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,9 +1228,13 @@ def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini measures inequality of the activity CURVE, Simpson the
     collision probability a sampler cares about.
 
-    All moments exact bigints (c <= N ~ 1.5e6 at sf0.1, c^2 well in
-    range); ONE final division of exactly-converted doubles.  Fact
-    scan -> (type, user) aggregate -> |types|-row rollup."""
+    Exactness: the c^2 sum and the N^2 denominator both reach ~N^2, so
+    sc2 routes through DECIMAL(38,0)/HUGEINT and N^2 is a product of
+    two exactly-converted doubles (identical IEEE multiply both
+    engines; below 2^63 the values equal today's int64 path bit for
+    bit, beyond it the engines still agree to the last ulp instead of
+    overflowing).  ONE final division.  Fact scan -> (type, user)
+    aggregate -> |types|-row rollup."""
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")
@@ -1222,11 +1243,11 @@ def agg_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = u.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sc2"),
     )
     simpson = F.lit(1.0) - F.col("sc2").cast("double") / (
-        F.col("n") * F.col("n")
-    ).cast("double")
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
     return m.select(
         "event_type", "n_users", F.col("n").alias("n_events"), simpson.alias("simpson")
     )
@@ -1984,14 +2005,15 @@ def cusum_chart(h: DataFrame) -> DataFrame:
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "  CAST(SUM(x1 * x1) AS BIGINT) AS a, "
         "  CAST(SUM(x1 * x2) AS BIGINT) AS b, "
-        "  CAST(SUM(x2 * x2) AS BIGINT) AS c, "
+        "  CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS ch, "
         "  CAST(SUM(x1 * yc) AS BIGINT) AS p, "
-        "  CAST(SUM(x2 * yc) AS BIGINT) AS q "
+        "  CAST(SUM(CAST(x2 AS HUGEINT) * yc) AS HUGEINT) AS qh "
         "  FROM e GROUP BY 1), "
-        "d AS (SELECT event_type, n, a, b, c, p, q, "
+        "d AS (SELECT event_type, n, a, b, "
+        "  CAST(ch AS BIGINT) AS c, p, CAST(qh AS BIGINT) AS q, "
         "  CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS ad, "
-        "  CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd, "
-        "  CAST(p AS DOUBLE) AS pd, CAST(q AS DOUBLE) AS qd FROM m) "
+        "  CAST(b AS DOUBLE) AS bd, CAST(ch AS DOUBLE) AS cd, "
+        "  CAST(p AS DOUBLE) AS pd, CAST(qh AS DOUBLE) AS qd FROM m) "
         "SELECT event_type, n, a, b, c, p, q, "
         "(ad + nd) * (cd + nd) - bd * bd AS det, "
         "((cd + nd) * pd - bd * qd) / ((ad + nd) * (cd + nd) - bd * bd) "
@@ -2011,15 +2033,21 @@ def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines actually fit when features correlate, as hour and
     calendar day do here).
 
-    Exactness: all five moments are exact bigints off ONE aggregate
-    pass; each moment is then cast int64→double (correctly rounded in
-    every IEEE engine — unlike HUGEINT/DECIMAL(38,0)→double, which
-    DuckDB double-rounds at the 2^64 limb boundary) and the
-    determinant/adjugate arithmetic runs in doubles with the identical
-    expression tree on both engines, so the coefficients match
-    bitwise — x_stats_linreg's proven discipline.  Moments are emitted
-    alongside the coefficients so the oracle checks the exact
-    integers too.
+    Exactness: all five moments are exact integers off ONE aggregate
+    pass — a, b, p in plain bigint (hour <= 23 keeps them small), c
+    and q through DECIMAL(38,0)/HUGEINT because epoch-day^2 and
+    epoch-day*cents pass a long sum at ~2e10 rows per type.  Each
+    moment is then cast to double: int64→double is correctly rounded
+    in every IEEE engine; the decimal→double casts for c/q are
+    bit-identical to the old int64 path below 2^63 (DuckDB's
+    HUGEINT→double double-rounding only bites at the 2^64 limb
+    boundary), and beyond it both engines still agree to the last ulp
+    instead of overflowing.  The determinant/adjugate arithmetic runs
+    in doubles with the identical expression tree on both engines, so
+    the coefficients match bitwise — x_stats_linreg's proven
+    discipline.  Moments are emitted alongside the coefficients so the
+    oracle checks the exact integers too (c/q as documented-saturation
+    bigint casts).
 
     Scale shape: one fact-scan hash aggregate (map-side partials),
     |types| output rows, no second pass — the x_stats_linreg budget
@@ -2035,23 +2063,31 @@ def ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1, x2, yc = F.col("x1"), F.col("x2"), F.col("yc")
     m = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
+        # x1 = hour (<= 23): a and p stay comfortably in int64; x2 =
+        # epoch-day (~2e4) makes c = SUM(x2^2) and q = SUM(x2*yc) pass
+        # int64 at ~2e10 rows per type — decimal-routed, with the
+        # exposed bigint columns a documented-saturation cast
         F.sum(x1 * x1).cast("long").alias("a"),
         F.sum(x1 * x2).cast("long").alias("b"),
-        F.sum(x2 * x2).cast("long").alias("c"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * x2")).alias("ch"),
         F.sum(x1 * yc).cast("long").alias("p"),
-        F.sum(x2 * yc).cast("long").alias("q"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * yc")).alias("qh"),
     )
     nd, ad, bd = [F.col(k).cast("double") for k in ("n", "a", "b")]
-    cd, pd_, qd = [F.col(k).cast("double") for k in ("c", "p", "q")]
+    cd, pd_, qd = [
+        F.col("ch").cast("double"),
+        F.col("p").cast("double"),
+        F.col("qh").cast("double"),
+    ]
     det = (ad + nd) * (cd + nd) - bd * bd
     return m.select(
         "event_type",
         "n",
         "a",
         "b",
-        "c",
+        F.col("ch").cast("long").alias("c"),
         "p",
-        "q",
+        F.col("qh").cast("long").alias("q"),
         det.alias("det"),
         (((cd + nd) * pd_ - bd * qd) / det).alias("beta_hour"),
         (((ad + nd) * qd - bd * pd_) / det).alias("beta_day"),
@@ -2370,13 +2406,13 @@ def stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
         "  CAST(SUM(x1 * x1) AS BIGINT) AS a, "
         "  CAST(SUM(x1 * x2) AS BIGINT) AS b, "
-        "  CAST(SUM(x2 * x2) AS BIGINT) AS c, "
+        "  CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS ch, "
         "  CAST(SUM(x1 * s) AS BIGINT) AS g1, "
         "  CAST(SUM(x2 * s) AS BIGINT) AS g2 "
         "  FROM e GROUP BY 1), "
-        "d AS (SELECT dow, n, n_pos, a, b, c, g1, g2, "
+        "d AS (SELECT dow, n, n_pos, a, b, CAST(ch AS BIGINT) AS c, g1, g2, "
         "  CAST(n AS DOUBLE) AS nd, CAST(a AS DOUBLE) AS ad, "
-        "  CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd, "
+        "  CAST(b AS DOUBLE) AS bd, CAST(ch AS DOUBLE) AS cd, "
         "  CAST(g1 AS DOUBLE) AS gd1, CAST(g2 AS DOUBLE) AS gd2 FROM m) "
         "SELECT dow, n, n_pos, a, b, c, g1, g2, "
         "2 * ((cd + 4 * nd) * gd1 - bd * gd2) / "
@@ -2400,10 +2436,12 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees (x_ml_gini_stump), and now a GLM.
 
     Exactness: signed labels s = 2y-1 keep every moment an exact
-    bigint off ONE aggregate pass; int64->double conversions are
-    correctly rounded and the 2x2 adjugate solve is the identical IEEE
-    expression tree in both engines, so betas match bitwise.  The
-    determinant is strictly positive (Cauchy-Schwarz + 4n).
+    integer off ONE aggregate pass — epoch-day^2 through
+    DECIMAL(38,0)/HUGEINT (the x_ml_ridge routing), the rest plain
+    bigint; the exact-int->double conversions are correctly rounded
+    and the 2x2 adjugate solve is the identical IEEE expression tree
+    in both engines, so betas match bitwise.  The determinant is
+    strictly positive (Cauchy-Schwarz + 4n).
 
     Scale shape: one fact-scan hash aggregate with map-side partials,
     7 output rows, no second pass.  (dow is Spark's 1=Sunday..7
@@ -2425,12 +2463,14 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(s == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(x1 * x1).cast("long").alias("a"),
         F.sum(x1 * x2).cast("long").alias("b"),
-        F.sum(x2 * x2).cast("long").alias("c"),
+        # epoch-day^2 passes a long sum at ~2e10 rows per cohort — the
+        # x_ml_ridge decimal routing, bigint output cast documented there
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * x2")).alias("ch"),
         F.sum(x1 * s).cast("long").alias("g1"),
         F.sum(x2 * s).cast("long").alias("g2"),
     )
     nd, ad, bd = [F.col(k).cast("double") for k in ("n", "a", "b")]
-    cd = F.col("c").cast("double")
+    cd = F.col("ch").cast("double")
     gd1, gd2 = F.col("g1").cast("double"), F.col("g2").cast("double")
     det = (ad + 4 * nd) * (cd + 4 * nd) - bd * bd
     return m.select(
@@ -2439,7 +2479,7 @@ def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "a",
         "b",
-        "c",
+        F.col("ch").cast("long").alias("c"),
         "g1",
         "g2",
         (2 * ((cd + 4 * nd) * gd1 - bd * gd2) / det).alias("beta_hour"),
@@ -3490,9 +3530,9 @@ def feature_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM ev CROSS JOIN b GROUP BY 1, 2), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "  CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "  CAST(SUM(x * y) AS BIGINT) AS sxy, "
-        "  CAST(SUM(y * y) AS BIGINT) AS syy "
+        "  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
+        "  CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, "
+        "  CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy "
         "  FROM u GROUP BY 1 HAVING COUNT(*) >= 2), "
         "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
         "  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, "
@@ -3568,9 +3608,11 @@ def stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum(x).cast("long").alias("sx"),
             F.sum(y).cast("long").alias("sy"),
-            F.sum(x * x).cast("long").alias("sxx"),
-            F.sum(x * y).cast("long").alias("sxy"),
-            F.sum(y * y).cast("long").alias("syy"),
+            # per-user period cents squared passes int64 PER ROW for a
+            # ~3e9-cent whale user — DECIMAL(38,0)/HUGEINT routed
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+            F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -3702,7 +3744,7 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM events), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
         "  CAST(SUM(gap_s) AS BIGINT) AS s, "
-        "  CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2 "
+        "  CAST(SUM(CAST(gap_s AS HUGEINT) * gap_s) AS HUGEINT) AS s2 "
         "  FROM o WHERE gap_s IS NOT NULL GROUP BY 1 "
         "  HAVING COUNT(*) >= 2), "
         "d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, "
@@ -3747,7 +3789,9 @@ def time_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("gap_s").cast("long").alias("s"),
-            F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+            # squared gaps sum past int64 at corpus row counts —
+            # DECIMAL(38,0)/HUGEINT routed like every squared moment
+            F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")).alias("s2"),
         )
         .filter(F.col("n") >= 2)
     )
@@ -3880,7 +3924,8 @@ _SAX_B1, _SAX_B2, _SAX_B3 = -0.6745, 0.0, 0.6745
         "  FROM events GROUP BY 1, 2), "
         "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS mh, "
         "  CAST(SUM(hci) AS BIGINT) AS s, "
-        "  CAST(SUM(hci * hci) AS BIGINT) AS s2 FROM h GROUP BY 1 "
+        "  CAST(SUM(CAST(hci AS HUGEINT) * hci) AS HUGEINT) AS s2 "
+        "  FROM h GROUP BY 1 "
         "  HAVING COUNT(*) >= 2), "
         "z AS (SELECT h.event_type, h.hr, h.hci, "
         "  (CAST(h.hci AS DOUBLE) - CAST(m.s AS DOUBLE) "
@@ -3939,7 +3984,9 @@ def time_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("mh"),
             F.sum("hci").cast("long").alias("s"),
-            F.sum(F.col("hci") * F.col("hci")).cast("long").alias("s2"),
+            # squared hourly cent-indexes sum past int64 over the hour
+            # grid — DECIMAL(38,0)/HUGEINT routed
+            F.sum(F.expr("CAST(hci AS DECIMAL(38,0)) * hci")).alias("s2"),
         )
         .filter(F.col("mh") >= 2)
     )
