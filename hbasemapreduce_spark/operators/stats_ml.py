@@ -2803,8 +2803,9 @@ def feature_target_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  FROM p GROUP BY 1) "
         "SELECT event_type, n, CAST(sse AS BIGINT) AS sse, sae, "
         "sae // n AS mae_cents, "
-        "1000000 - CAST(1000000 * sse "
-        "  // (s2 - CAST(s AS HUGEINT) * s // n) AS BIGINT) AS r2_micro "
+        "CASE WHEN s2 - CAST(s AS HUGEINT) * s // n > 0 THEN "
+        "  1000000 - CAST(1000000 * sse "
+        "    // (s2 - CAST(s AS HUGEINT) * s // n) AS BIGINT) END AS r2_micro "
         "FROM t"
     ),
 )
@@ -2863,9 +2864,13 @@ def eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sse").cast("long").alias("sse"),
         "sae",
         F.expr("sae DIV n").alias("mae_cents"),
+        # SST = 0 (a type whose cents are constant) would be an ANSI
+        # divide-by-zero crash, not a wrong number — R^2 is undefined
+        # there, NULL in both engines (the x_eval_auc guard convention)
         F.expr(
+            "CASE WHEN s2 - CAST(s AS DECIMAL(38,0)) * s DIV n > 0 THEN "
             "1000000 - CAST(1000000 * sse "
-            "DIV (s2 - CAST(s AS DECIMAL(38,0)) * s DIV n) AS BIGINT)"
+            "DIV (s2 - CAST(s AS DECIMAL(38,0)) * s DIV n) AS BIGINT) END"
         ).alias("r2_micro"),
     )
 
