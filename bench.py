@@ -91,6 +91,7 @@ def io_probe(scratch: str = _SCRATCH, probe_mib: int = 16) -> dict:
         "read_mbps": round(probe_mib / max(r_sec, 1e-9), 1),
         "load1": round(os.getloadavg()[0], 1),
         "cpu_probe_sec": cpu_probe(),
+        "cpu_probe_mt_sec": cpu_probe_mt(),
     }
 
 
@@ -113,6 +114,44 @@ def cpu_probe() -> float:
         s = 0
         for i in range(2_000_000):  # interpreter speed (pure Python)
             s += i
+        best = min(best, time.perf_counter() - t)
+    return round(best, 3)
+
+
+def cpu_probe_mt(threads: int = 32) -> float:
+    """Multi-threaded CPU probe (seconds, lower = faster): `threads`
+    concurrent numpy sorts (GIL-released), sized to saturate every
+    vCPU at once.  Round-7 finding: a box window measured 0.98 s/q vs
+    the 0.80 record with IDENTICAL single-thread cpu_probe — the
+    single-thread probe cannot see hypervisor steal that only appears
+    under full 32-thread load, which is exactly the load every Spark
+    stage applies.  Compare rounds by BOTH probes: if cpu_probe holds
+    but cpu_probe_mt inflates, whole-run deltas are steal, not code."""
+    import threading
+
+    import numpy as np
+
+    base = np.random.default_rng(7).random(2_000_000)
+    arrays = [base.copy() for _ in range(threads)]  # memcpy, not re-gen
+
+    def work(a):
+        for _ in range(6):  # ~0.3 s of full-width saturation per rep
+            np.sort(a)
+
+    warm = [threading.Thread(target=np.sort, args=(a,)) for a in arrays]
+    for th in warm:  # fault pages in parallel before timing
+        th.start()
+    for th in warm:
+        th.join()
+
+    best = float("inf")
+    for _ in range(2):  # min-of-2: the probe itself is ~0.5 s
+        ts = [threading.Thread(target=work, args=(a,)) for a in arrays]
+        t = time.perf_counter()
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
         best = min(best, time.perf_counter() - t)
     return round(best, 3)
 
@@ -298,6 +337,10 @@ def main() -> None:
         "io_w_mbps": [probe_pre["write_mbps"], probe_post["write_mbps"]],
         "load1": [probe_pre["load1"], probe_post["load1"]],
         "cpu_sec": [probe_pre["cpu_probe_sec"], probe_post["cpu_probe_sec"]],
+        "cpu_mt_sec": [
+            probe_pre["cpu_probe_mt_sec"],
+            probe_post["cpu_probe_mt_sec"],
+        ],
         "sink_split": sink_split,
     }
     line = json.dumps(summary, separators=(",", ":"))
