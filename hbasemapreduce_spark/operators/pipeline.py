@@ -1031,8 +1031,10 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_tokens, "
         "        CAST(COUNT(*) AS BIGINT) AS n_src FROM per) "
         "SELECT source, n_docs, n_tokens, "
-        "  1000000 * n_tokens // t_tokens AS share_ppm, "
-        "  ((t_tokens // n_src) * 10000) // n_tokens AS repeat_bp "
+        "  CASE WHEN t_tokens > 0 "
+        "    THEN 1000000 * n_tokens // t_tokens END AS share_ppm, "
+        "  CASE WHEN n_tokens > 0 "
+        "    THEN ((t_tokens // n_src) * 10000) // n_tokens END AS repeat_bp "
         "FROM per CROSS JOIN tot"
     ),
 )
@@ -1068,8 +1070,17 @@ def data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.expr("1000000 * n_tokens DIV t_tokens").alias("share_ppm"),
-        F.expr("((t_tokens DIV n_src) * 10000) DIV n_tokens").alias("repeat_bp"),
+        # a source whose documents are all empty text has n_tokens = 0
+        # (web scrapes produce these constantly) — its repeat factor is
+        # undefined, NULL in both engines, never an ANSI crash
+        F.expr(
+            "CASE WHEN t_tokens > 0 "
+            "THEN 1000000 * n_tokens DIV t_tokens END"
+        ).alias("share_ppm"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 "
+            "THEN ((t_tokens DIV n_src) * 10000) DIV n_tokens END"
+        ).alias("repeat_bp"),
     )
 
 
