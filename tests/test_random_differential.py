@@ -660,3 +660,63 @@ def test_cusum_chart_matches_sequential_recurrence(spark):
         for hr, c in pts:
             s = max(0, s + (c - k - 1))
             assert got[(et, hr)] == (s, s > k), (et, hr)
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    # The tolerance variant's subtle semantics: the match is the
+    # latest PRIOR right row, and if THAT row is too old the result
+    # is NULL — not "the latest right row within the window".  pandas
+    # merge_asof(tolerance=...) defines exactly this; drive the same
+    # asof machinery + post-filter shape x_join_asof_tolerance uses
+    # against it on seeded random streams.
+    rng = np.random.default_rng(53)
+    n_l, n_r, n_keys = 300, 120, 6
+    tol_s = 900
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_l),
+            "t": pd.to_datetime(rng.integers(0, 20_000, n_l), unit="s"),
+            "lid": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_r),
+            "t": pd.to_datetime(rng.integers(0, 20_000, n_r), unit="s"),
+            "rid": np.arange(n_r),
+            "val": rng.integers(0, 1000, n_r),
+        }
+    )
+    right_dedup = right.sort_values("rid").groupby(["k", "t"], as_index=False).last()
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right_dedup.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=tol_s),
+    ).sort_values("lid")[["lid", "val"]]
+
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right_dedup),
+        left_key=F.col("k"),
+        right_key=F.col("k"),
+        left_time=F.col("t"),
+        right_time=F.col("t"),
+        payload={"val": F.col("val"), "matched_t": F.col("t")},
+        right_tiebreak=[F.col("rid")],
+    )
+    within = F.col("matched_t") >= F.col("t") - F.expr(
+        f"INTERVAL {tol_s} SECOND"
+    )
+    got = (
+        out.select("lid", F.when(within, F.col("val")).alias("val"))
+        .toPandas()
+        .sort_values("lid")
+    )
+    e, g = expected.reset_index(drop=True), got.reset_index(drop=True)
+    assert len(e) == len(g)
+    for i in range(len(e)):
+        ev, gv = e["val"].iloc[i], g["val"].iloc[i]
+        assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
