@@ -315,8 +315,14 @@ def main() -> None:
         if m
     ]
     nxt = (max(rounds) + 1) if rounds else 1
-    with open(os.path.join(here, f"BENCH_DETAIL_r{nxt:02d}.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # only the canonical sf belongs in the round archive: a builder-side
+    # sf0.001 verification drive must not clobber the sf0.1 record
+    # (it did once, r7 — restored from git)
+    if abs(float(detail.get("sf", 0)) - 0.1) < 1e-9:
+        with open(
+            os.path.join(here, f"BENCH_DETAIL_r{nxt:02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     # Earlier line: full per-query map for humans / logs that keep stdout.
     print("DETAIL " + json.dumps(detail, separators=(",", ":")))
 
