@@ -82,6 +82,110 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_join_asof_nearest",
+    category="join",
+    oracle=(
+        "WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t "
+        "  FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT event_id AS view_id, user_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS vt FROM events "
+        "  WHERE event_type = 'view'), "
+        "ranked AS ("
+        "  SELECT p.event_id, v.view_id, abs(v.vt - p.t) AS dist_us, "
+        "  row_number() OVER (PARTITION BY p.event_id ORDER BY "
+        "    abs(v.vt - p.t), "
+        "    CASE WHEN v.vt <= p.t THEN 0 ELSE 1 END, "
+        "    CASE WHEN v.vt <= p.t THEN -v.view_id ELSE v.view_id END) AS rn "
+        "  FROM p JOIN v ON v.user_id = p.user_id) "
+        "SELECT p.event_id, r.view_id AS matched_view_id, r.dist_us "
+        "FROM p LEFT JOIN ranked r ON r.event_id = p.event_id AND r.rn = 1"
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour as-of join: each purchase matched to the
+    user's closest view in time, in EITHER direction — the pandas
+    ``merge_asof(direction='nearest')`` semantics that backward-only
+    join_asof and the tolerance variant don't cover (attribution
+    windows where the instrumented view may log slightly AFTER the
+    purchase it caused).
+
+    Tie rules are total and documented: equal distance prefers the
+    backward (earlier) match; equal timestamps within a direction break
+    by view_id (max for backward — the asof convention of "latest
+    wins" — min for forward).
+
+    Scale shape: the same union-tag machinery as join_asof, but with
+    BOTH directions read off ONE (user, time, side, id) sort — a
+    backward ``last(ignorenulls)`` frame and a forward
+    ``first(ignorenulls)`` frame.  Spark plans a single Exchange+Sort
+    feeding both frames (the x_time_interp budget): one shuffle, linear
+    state, no inequality join, no per-row candidate explosion.  The
+    oracle is the naive all-pairs ranked spec, so the hash match proves
+    the two-frame formulation picks the identical nearest match."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("vt"),
+    )
+    pay = F.struct(F.col("view_id"), F.col("vt"))
+    pay_type = v.select(pay.alias("_pay")).schema["_pay"].dataType
+    left = p.select(
+        F.col("user_id").alias("_k"),
+        F.col("t").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct("event_id", "t").alias("_left"),
+    )
+    right = v.select(
+        F.col("user_id").alias("_k"),
+        F.col("vt").alias("_t"),
+        F.lit(0).alias("_side"),
+        pay.alias("_pay"),
+        F.col("view_id").alias("_tb"),
+        F.lit(None).cast("struct<event_id:bigint,t:bigint>").alias("_left"),
+    )
+    # Right rows sort BEFORE left rows at equal time (side 0 < 1), so a
+    # view at exactly the purchase time lands in the backward frame
+    # (dist 0) and the forward frame is strictly-after.  Within right
+    # rows the view_id order makes last()=max (backward) and
+    # first()=min (forward) — the documented tie rules.
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first()]
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).select(
+        "*",
+        F.last("_pay", ignorenulls=True).over(wb).alias("_bk"),
+        F.first("_pay", ignorenulls=True).over(wf).alias("_fw"),
+    )
+    t = F.col("_left.t")
+    bd = t - F.col("_bk.vt")
+    fd = F.col("_fw.vt") - t
+    take_back = F.col("_bk").isNotNull() & (
+        F.col("_fw").isNull() | (bd <= fd)
+    )
+    chosen = F.when(take_back, F.col("_bk")).otherwise(F.col("_fw"))
+    dist = F.when(take_back, bd).otherwise(fd)
+    return merged.filter(F.col("_side") == 1).select(
+        F.col("_left.event_id").alias("event_id"),
+        chosen["view_id"].alias("matched_view_id"),
+        dist.alias("dist_us"),
+    )
+
+
+@query(
     "x_time_gap_histogram",
     category="analytics",
     oracle=(
