@@ -409,6 +409,7 @@ _R7_BACKLOG = [
     # new in r7 (after the r7 window was frozen) — first-eligible in r8:
     "x_multimodal_decode",
     "x_join_asof_nearest",
+    "x_privacy_dp_counts",
 ]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
