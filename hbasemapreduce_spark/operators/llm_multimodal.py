@@ -111,6 +111,46 @@ def weave_ppm(data: bytes, w: int, h: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + body
 
 
+def weave_bmp(data: bytes, w: int, h: int) -> bytes:
+    """Deterministically weave a 24-bit uncompressed BMP whose LOGICAL
+    image (row-major top-down RGB) is the payload cycled to w*h*3 bytes
+    — the same logical weave as ``weave_ppm``, but encoded with every
+    BMP quirk the decoder must undo: BGR channel order, rows stored
+    BOTTOM-UP, and each row padded to a 4-byte stride.  Decoding the
+    woven file must therefore reproduce the cycled payload exactly,
+    which is what makes the BMP path oracle-checkable."""
+    import numpy as np
+
+    need = w * h * 3
+    if not data:
+        body = np.zeros(need, dtype=np.uint8)
+    else:
+        reps = -(-need // len(data))
+        body = np.frombuffer((data * reps)[:need], dtype=np.uint8)
+    logical = body.reshape(h, w, 3)  # top-down RGB
+    bgr_bottom_up = logical[::-1, :, ::-1]  # the two stored-order quirks
+    stride = ((w * 3 + 3) // 4) * 4
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, : w * 3] = bgr_bottom_up.reshape(h, w * 3)
+    pix = padded.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel-data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive => bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi x/y
+        + (0).to_bytes(4, "little") * 2  # palette sizes
+    )
+    return header + pix
+
+
 def extract_binary_metadata(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-payload metadata from binary blobs.
 
@@ -317,6 +357,106 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.mapInPandas(
         decode_pixel_stats,
+        schema=(
+            "doc_id long, width long, height long, px_sum long, "
+            "first_r long, last_b long"
+        ),
+    )
+
+
+_HEX_BYTE = (
+    "(instr('0123456789ABCDEF', substr(hx, CAST(2 * {i} + 1 AS INT), 1)) - 1) * 16 "
+    "+ (instr('0123456789ABCDEF', substr(hx, CAST(2 * {i} + 2 AS INT), 1)) - 1)"
+)
+
+
+def _px_stats_oracle(w_sql: str, h_sql: str) -> str:
+    """The x_multimodal_decode closed-form oracle, parameterized by the
+    dimension formulas: the woven image's pixel array is the payload
+    cycled to w*h*3 bytes regardless of container format, so px_sum =
+    (full cycles) x (total byte sum) + (prefix remainder sum), and the
+    corner pixels are single indexed bytes — all via hex-pair byte
+    extraction on the BLOB."""
+    b = _HEX_BYTE.format(i="i")
+    return (
+        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, "
+        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
+        f"d AS (SELECT doc_id, hx, n, {w_sql} AS w, {h_sql} AS h FROM p), "
+        "e AS (SELECT doc_id, hx, n, w, h, w * h * 3 AS need FROM d), "
+        "f AS (SELECT doc_id, w, h, n, need, "
+        f"  COALESCE(list_sum(list_transform(range(0, n), i -> {b})), 0) AS sum_all, "
+        f"  COALESCE(list_sum(list_transform(range(0, need % n), i -> {b})), 0) AS pre_rem, "
+        f"  list_sum(list_transform([CAST(0 AS BIGINT)], i -> {b})) AS first_r, "
+        f"  list_sum(list_transform([(need - 1) % n], i -> {b})) AS last_b "
+        "  FROM e) "
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        "CAST((need // n) * sum_all + pre_rem AS BIGINT) AS px_sum, "
+        "CAST(first_r AS BIGINT) AS first_r, CAST(last_b AS BIGINT) AS last_b "
+        "FROM f"
+    )
+
+
+def decode_pixel_stats_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: weave a 24-bit BMP from each payload, decode
+    it with the REAL decoder, and reduce to exact integer pixel stats.
+    The weave encodes BGR + bottom-up rows + stride padding; the stats
+    are over the DECODED (logical RGB top-down) array, so any mistake
+    in undoing those quirks shifts px_sum/first_r/last_b and fails the
+    oracle hash."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, hs, sums, frs, lbs = [], [], [], [], [], []
+        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(data)
+            n = len(data)
+            w = 4 + n % 11
+            h = 4 + (n * 37 % 1013) % 11
+            img = decode_image(weave_bmp(data, w, h))
+            if img["format"] != "bmp" or img["width"] != w or img["height"] != h:
+                raise ValueError(f"BMP decode mismatch for doc {doc_id}")
+            px = img["pixels"].astype(np.int64)
+            ids.append(doc_id)
+            ws.append(img["width"])
+            hs.append(img["height"])
+            sums.append(int(px.sum()))
+            frs.append(int(px[0, 0, 0]))
+            lbs.append(int(px[-1, -1, 2]))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "width": ws,
+                "height": hs,
+                "px_sum": sums,
+                "first_r": frs,
+                "last_b": lbs,
+            }
+        )
+
+
+@query(
+    "x_multimodal_decode_bmp",
+    category="llm_multimodal",
+    oracle=_px_stats_oracle("4 + n % 11", "4 + (n * 37 % 1013) % 11"),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP half of the real-decoder evidence: x_multimodal_decode
+    hash-verifies the PPM path; this key drives the SAME decoder
+    through a woven 24-bit BMP — BGR channel order, bottom-up row
+    storage, and 4-byte stride padding all encoded by ``weave_bmp``
+    and undone by ``decode_image`` — and hash-checks the decoded pixel
+    stats against the weave's container-independent closed form.  The
+    dimension formulas differ from the PPM key's (w via n%11, h via
+    n*37%1013) so the two keys exercise different shapes, including
+    stride-padded widths (w*3 % 4 != 0 for 3 of every 4 widths).
+
+    Scale shape: identical to x_multimodal_decode — one Arrow-batched
+    mapInPandas pass, no shuffle, 6 ints out per document."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        decode_pixel_stats_bmp,
         schema=(
             "doc_id long, width long, height long, px_sum long, "
             "first_r long, last_b long"

@@ -410,6 +410,7 @@ _R7_BACKLOG = [
     "x_multimodal_decode",
     "x_join_asof_nearest",
     "x_privacy_dp_counts",
+    "x_multimodal_decode_bmp",
 ]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts

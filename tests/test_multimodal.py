@@ -91,3 +91,25 @@ def test_bmp_wrong_bpp_rejected():
     raw[28:30] = (32).to_bytes(2, "little")
     with pytest.raises(ValueError, match="24-bit"):
         decode_image(bytes(raw))
+
+
+def test_weave_bmp_roundtrip_equals_logical_weave():
+    # weave_bmp encodes BGR + bottom-up + stride padding; decoding must
+    # recover the LOGICAL cycled-payload array — i.e. exactly what
+    # weave_ppm produces for the same payload and dims.
+    from hbasemapreduce_spark.operators.llm_multimodal import weave_bmp, weave_ppm
+
+    for payload in (b"hello, weave", b"\x00\xff" * 7, b"x"):
+        for w, h in ((3, 2), (4, 4), (5, 7), (14, 6)):  # odd widths pad
+            via_bmp = decode_image(weave_bmp(payload, w, h))
+            via_ppm = decode_image(weave_ppm(payload, w, h))
+            assert via_bmp["format"] == "bmp"
+            assert (via_bmp["width"], via_bmp["height"]) == (w, h)
+            assert (via_bmp["pixels"] == via_ppm["pixels"]).all()
+
+
+def test_weave_bmp_empty_payload_is_black():
+    from hbasemapreduce_spark.operators.llm_multimodal import weave_bmp
+
+    d = decode_image(weave_bmp(b"", 5, 3))
+    assert d["pixels"].sum() == 0 and d["pixels"].shape == (3, 5, 3)
