@@ -86,3 +86,91 @@ def asof_join(
         F.col("_left.*"), *[F.col(f"_m.{n}").alias(n) for n in pay_names]
     )
     return out
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: Column,
+    right_key: Column,
+    left_time: Column,
+    right_time: Column,
+    payload: dict[str, Column],
+    right_tiebreak: Column | None = None,
+    dist_col: str = "_nearest_dist",
+) -> DataFrame:
+    """For each left row, attach the payload of the NEAREST right row in
+    time — either direction — plus its absolute distance as ``dist_col``
+    (the pandas ``merge_asof(direction='nearest')`` semantics).
+
+    Times must be NUMERIC (e.g. ``unix_micros``) — distance is plain
+    bigint subtraction, never float.  Tie rules are total: equal
+    distance prefers the backward (earlier) match; equal right
+    timestamps break by ``right_tiebreak`` (max wins backward — the
+    asof "latest wins" convention — min wins forward).
+
+    Scale shape: the same union-tag machinery as :func:`asof_join`, but
+    BOTH directions are read off ONE (key, time, side, tiebreak) sort —
+    a backward ``last(ignorenulls)`` frame and a forward
+    ``first(ignorenulls)`` frame over the same window ordering.  Spark
+    plans a single Exchange+Sort feeding one Window node: one shuffle,
+    linear state, no inequality join, no candidate explosion."""
+    pay_names = list(payload)
+    # The carried struct always includes the right time (for the
+    # distance) — same one-struct rationale as asof_join.
+    pay = F.struct(
+        right_time.cast("long").alias("_rt"),
+        *[c.alias(n) for n, c in payload.items()],
+    )
+    pay_type = right.select(pay.alias("_pay")).schema["_pay"].dataType
+    tb_type = (
+        right.select(right_tiebreak.alias("_tb")).schema["_tb"].dataType
+        if right_tiebreak is not None
+        else "long"
+    )
+    l_tagged = left.select(
+        left_key.cast("long").alias("_k"),
+        left_time.cast("long").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(pay_type).alias("_pay"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+        F.struct(*left.columns).alias("_left"),
+    )
+    r_tagged = right.select(
+        right_key.cast("long").alias("_k"),
+        right_time.cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        pay.alias("_pay"),
+        (right_tiebreak if right_tiebreak is not None else F.lit(0)).alias("_tb"),
+        F.lit(None).cast(l_tagged.schema["_left"].dataType).alias("_left"),
+    )
+    # Right rows sort BEFORE left rows at equal time (side 0 < 1): a
+    # right row at exactly the left time lands in the backward frame
+    # (dist 0) and the forward frame is strictly-after.
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first()]
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = l_tagged.unionByName(r_tagged).select(
+        "*",
+        F.last("_pay", ignorenulls=True).over(wb).alias("_bk"),
+        F.first("_pay", ignorenulls=True).over(wf).alias("_fw"),
+    )
+    bd = F.col("_t") - F.col("_bk._rt")
+    fd = F.col("_fw._rt") - F.col("_t")
+    take_back = F.col("_bk").isNotNull() & (F.col("_fw").isNull() | (bd <= fd))
+    chosen = F.when(take_back, F.col("_bk")).otherwise(F.col("_fw"))
+    dist = F.when(take_back, bd).otherwise(fd)
+    return merged.filter(F.col("_side") == 1).select(
+        F.col("_left.*"),
+        *[chosen[n].alias(n) for n in pay_names],
+        dist.alias(dist_col),
+    )

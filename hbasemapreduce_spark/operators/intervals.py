@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.asof import asof_join
+from ..functions.asof import asof_join, asof_nearest_join
 from ..registry import query
 
 
@@ -131,58 +131,18 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros(F.col("ts")).alias("vt"),
     )
-    pay = F.struct(F.col("view_id"), F.col("vt"))
-    pay_type = v.select(pay.alias("_pay")).schema["_pay"].dataType
-    left = p.select(
-        F.col("user_id").alias("_k"),
-        F.col("t").alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(pay_type).alias("_pay"),
-        F.lit(None).cast("long").alias("_tb"),
-        F.struct("event_id", "t").alias("_left"),
+    out = asof_nearest_join(
+        p,
+        v,
+        left_key=F.col("user_id"),
+        right_key=F.col("user_id"),
+        left_time=F.col("t"),
+        right_time=F.col("vt"),
+        payload={"matched_view_id": F.col("view_id")},
+        right_tiebreak=F.col("view_id"),
+        dist_col="dist_us",
     )
-    right = v.select(
-        F.col("user_id").alias("_k"),
-        F.col("vt").alias("_t"),
-        F.lit(0).alias("_side"),
-        pay.alias("_pay"),
-        F.col("view_id").alias("_tb"),
-        F.lit(None).cast("struct<event_id:bigint,t:bigint>").alias("_left"),
-    )
-    # Right rows sort BEFORE left rows at equal time (side 0 < 1), so a
-    # view at exactly the purchase time lands in the backward frame
-    # (dist 0) and the forward frame is strictly-after.  Within right
-    # rows the view_id order makes last()=max (backward) and
-    # first()=min (forward) — the documented tie rules.
-    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first()]
-    wb = (
-        Window.partitionBy("_k")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("_k")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    merged = left.unionByName(right).select(
-        "*",
-        F.last("_pay", ignorenulls=True).over(wb).alias("_bk"),
-        F.first("_pay", ignorenulls=True).over(wf).alias("_fw"),
-    )
-    t = F.col("_left.t")
-    bd = t - F.col("_bk.vt")
-    fd = F.col("_fw.vt") - t
-    take_back = F.col("_bk").isNotNull() & (
-        F.col("_fw").isNull() | (bd <= fd)
-    )
-    chosen = F.when(take_back, F.col("_bk")).otherwise(F.col("_fw"))
-    dist = F.when(take_back, bd).otherwise(fd)
-    return merged.filter(F.col("_side") == 1).select(
-        F.col("_left.event_id").alias("event_id"),
-        chosen["view_id"].alias("matched_view_id"),
-        dist.alias("dist_us"),
-    )
+    return out.select("event_id", "matched_view_id", "dist_us")
 
 
 @query(

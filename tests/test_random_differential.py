@@ -720,3 +720,100 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark):
     for i in range(len(e)):
         ev, gv = e["val"].iloc[i], g["val"].iloc[i]
         assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    # Nearest-direction semantics: the closest right row in ABSOLUTE
+    # distance, backward preferred on exact ties — pandas
+    # merge_asof(direction='nearest') implements the same preference
+    # (backward when distances are equal), so it is a true third
+    # opinion for asof_nearest_join on streams with forward-only
+    # matches, backward-only matches, exact-timestamp hits and
+    # equidistant ties (integer times make ties likely).
+    from hbasemapreduce_spark.functions.asof import asof_nearest_join
+
+    rng = np.random.default_rng(101)
+    n_l, n_r, n_keys = 300, 120, 6
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_l),
+            "t": rng.integers(0, 2_000, n_l),  # small domain -> ties
+            "lid": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_r),
+            "t": rng.integers(0, 2_000, n_r),
+            "rid": np.arange(n_r),
+            "val": rng.integers(0, 1000, n_r),
+        }
+    )
+    # pandas breaks equal right timestamps by row position, our join by
+    # the tiebreak column; dedup per (k, t) removes the ambiguity the
+    # same way the backward/tolerance differentials do.
+    right_dedup = right.sort_values("rid").groupby(["k", "t"], as_index=False).last()
+    expected = pd.merge_asof(
+        left.sort_values(["t", "lid"]).astype({"t": "int64"}),
+        right_dedup.sort_values("t").astype({"t": "int64"}),
+        on="t",
+        by="k",
+        direction="nearest",
+    ).sort_values("lid")[["lid", "val"]]
+
+    got = (
+        asof_nearest_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right_dedup),
+            left_key=F.col("k"),
+            right_key=F.col("k"),
+            left_time=F.col("t"),
+            right_time=F.col("t"),
+            payload={"val": F.col("val")},
+            right_tiebreak=F.col("rid"),
+        )
+        .select("lid", "val")
+        .toPandas()
+        .sort_values("lid")
+    )
+    e, g = expected.reset_index(drop=True), got.reset_index(drop=True)
+    assert len(e) == len(g) == n_l
+    for i in range(len(e)):
+        ev, gv = e["val"].iloc[i], g["val"].iloc[i]
+        assert (pd.isna(ev) and pd.isna(gv)) or ev == gv, (i, ev, gv)
+
+
+def test_dp_noise_is_two_sided_geometric(spark):
+    # Third opinion on the geometric-mechanism noise: recompute sign *
+    # v2(u) in pure Python bit arithmetic for every group and check the
+    # operator's noisy - true deltas, then verify the CONSTRUCTION's
+    # distribution exactly over an exhaustive small universe (among any
+    # 2^20 consecutive even/odd-mixed integers, the 2-adic valuation
+    # census is exactly geometric — no sampling, a counting identity).
+    from hbasemapreduce_spark.operators.analytics import _KNUTH, _DP_V2_CAP
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    def py_noise(u: int) -> int:
+        mag = 0
+        for k in range(1, _DP_V2_CAP + 1):
+            mag += 1 if u % (1 << k) == 0 else 0
+        sign = 1 if u % (1 << 22) < (1 << 21) else -1
+        return sign * mag
+
+    out = all_specs()["x_privacy_dp_counts"].fn(spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        u = ((r.c_nationkey + 1) * _KNUTH) % (1 << 32)
+        assert r.noisy_cnt - r.true_cnt == py_noise(u), r
+
+    # Counting identity: over u = 1..2^16, #{v2(u) == m} == 2^(16-m-1)
+    # for m < 16 — the geometric law P(|z|=m after sign) needs exactly
+    # this census.  (u=2^16 itself is the single v2==16 element.)
+    census = Counter()
+    for u in range(1, (1 << 16) + 1):
+        v = (u & -u).bit_length() - 1
+        census[min(v, _DP_V2_CAP)] += 1
+    for m in range(0, 16):
+        assert census[m] == 1 << (16 - m - 1), (m, census[m])
