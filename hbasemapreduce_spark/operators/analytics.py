@@ -1417,27 +1417,33 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- geometric-mechanism DP counts ---------------------------------------
 
-# Two-sided geometric noise, built from EXACT integer bit arithmetic so
+# Discrete-Laplace noise, built from EXACT integer bit arithmetic so
 # both engines draw the identical value: for a uniform 32-bit u, the
 # 2-adic valuation v2(u) (count of trailing zero bits) is geometric —
-# P(v2 >= k) = 2^-k — and one high bit far from the low bits supplies
-# the sign.  P(z=0) = 1/2, P(z=+-m) = 2^-(m+1): every unit shift of the
-# output changes the probability by a factor of exactly 2, i.e. the
-# geometric mechanism (Ghosh-Roughgarden-Sundararajan 2009) at
-# epsilon = ln 2 for a sensitivity-1 count.
-_DP_V2_CAP = 20  # magnitude cap: P(exceed) = 2^-20, and u=0 stays finite
+# P(v2 = m) = 2^-(m+1) — and the DIFFERENCE of two independent
+# geometric(1/2) draws is exactly the discrete Laplace law
+# P(z) = (1/3) * 2^-|z| (Inusah & Kozubowski 2006): every unit shift
+# changes the probability by a factor of EXACTLY 2, i.e. the geometric
+# mechanism (Ghosh-Roughgarden-Sundararajan 2009) at epsilon = ln 2
+# for a sensitivity-1 count.  (A sign-bit * magnitude construction
+# does NOT give this: it puts 1/2 at zero and 2^-(m+2) at +-m, making
+# the 0 <-> +-1 ratio 4 = e^(2 ln 2) — twice the epsilon.)
+_DP_V2_CAP = 20  # per-draw cap: P(exceed) = 2^-20, and u=0 stays finite
+_DP_H2 = 2246822519  # second hash prime for the independent draw
 
 
-def _dp_noise_sql(u: str) -> str:
-    """SQL for sign * v2(u), identical text for Spark SQL and DuckDB."""
-    mag = " + ".join(
+def _dp_v2_sql(u: str) -> str:
+    """SQL for v2(u) (capped), identical text for Spark SQL and DuckDB:
+    the 2-adic valuation as a sum of exact divisibility tests."""
+    return "(" + " + ".join(
         f"(CASE WHEN {u} % {1 << k} = 0 THEN 1 ELSE 0 END)"
         for k in range(1, _DP_V2_CAP + 1)
-    )
-    # sign = bit 21 of u (u mod 2^22 < 2^21 <=> bit 21 is 0), spelled
-    # with %/< only — Spark's DIV and DuckDB's // don't share syntax
-    sign = f"(CASE WHEN {u} % 4194304 < 2097152 THEN 1 ELSE -1 END)"
-    return f"{sign} * ({mag})"
+    ) + ")"
+
+
+def _dp_noise_sql(u1: str, u2: str) -> str:
+    """SQL for v2(u1) - v2(u2) — one discrete-Laplace draw."""
+    return f"{_dp_v2_sql(u1)} - {_dp_v2_sql(u2)}"
 
 
 @query(
@@ -1447,30 +1453,32 @@ def _dp_noise_sql(u: str) -> str:
         "WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_cnt "
         "  FROM customer GROUP BY 1), "
         f"h AS (SELECT c_nationkey, true_cnt, "
-        f"  ((c_nationkey + 1) * {_KNUTH}) % 4294967296 AS u FROM g) "
+        f"  ((c_nationkey + 1) * {_KNUTH}) % 4294967296 AS u1, "
+        f"  ((c_nationkey + 1) * {_DP_H2}) % 4294967296 AS u2 FROM g) "
         f"SELECT c_nationkey, true_cnt, "
-        f"true_cnt + {_dp_noise_sql('u')} AS noisy_cnt FROM h"
+        f"true_cnt + {_dp_noise_sql('u1', 'u2')} AS noisy_cnt FROM h"
     ),
 )
 def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation customer counts released through the geometric
     mechanism (the discrete analogue of Laplace noise — Ghosh et al.
-    2009): each count gets additive two-sided geometric noise with
-    P(z=0)=1/2, P(z=±m)=2^-(m+1), which bounds every unit shift's
-    probability ratio by exactly 2 — an ε = ln 2 differentially-private
-    release for the sensitivity-1 count.  x_privacy_rr_freq is the
-    LOCAL-DP input-perturbation primitive; this is its central-DP
+    2009): each count gets additive discrete-Laplace noise
+    P(z) = (1/3)·2^-|z|, drawn as the DIFFERENCE of two independent
+    geometric(1/2) draws — which bounds every unit shift's probability
+    ratio by exactly 2, an ε = ln 2 differentially-private release for
+    the sensitivity-1 count.  x_privacy_rr_freq is the LOCAL-DP
+    input-perturbation primitive; this is its central-DP
     output-perturbation sibling.  True counts ride along (rr_freq's
     precedent) so the noise error is visible; negative noisy counts are
     kept — post-hoc clamping is a consumer choice, not the mechanism's.
 
-    Determinism: the noise stream is a keyed PRG — sign and magnitude
-    are bit fields of a Knuth-hashed group key, so both engines draw
-    the identical value (a production release swaps in a secret-keyed
-    PRF; the distributional shape and the ε accounting are unchanged).
-    The magnitude is the 2-adic valuation of the hash — P(v2 ≥ k) =
-    2^-k, geometric by construction — computed as a sum of exact
-    integer divisibility tests: no float log, no RNG, no
+    Determinism: the noise stream is a keyed PRG — each geometric draw
+    is the 2-adic valuation of a hash of the group key (P(v2=m) =
+    2^-(m+1), geometric by construction), computed as a sum of exact
+    integer divisibility tests, with two hash primes supplying the two
+    draws.  Both engines draw the identical value (a production release
+    swaps in a secret-keyed PRF; the distributional shape and the ε
+    accounting are unchanged).  No float log, no RNG, no
     engine-specific hash.
 
     Scale shape: ONE hash aggregate with map-side partials; the noise
@@ -1481,11 +1489,12 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("long").alias("true_cnt"))
     )
-    u = f"((c_nationkey + 1) * {_KNUTH}) % 4294967296"
+    u1 = f"(((c_nationkey + 1) * {_KNUTH}) % 4294967296)"
+    u2 = f"(((c_nationkey + 1) * {_DP_H2}) % 4294967296)"
     return g.select(
         "c_nationkey",
         "true_cnt",
-        F.expr(f"true_cnt + {_dp_noise_sql(f'({u})')}").alias("noisy_cnt"),
+        F.expr(f"true_cnt + {_dp_noise_sql(u1, u2)}").alias("noisy_cnt"),
     )
 
 

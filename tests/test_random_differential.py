@@ -784,29 +784,35 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
 
 
 def test_dp_noise_is_two_sided_geometric(spark):
-    # Third opinion on the geometric-mechanism noise: recompute sign *
-    # v2(u) in pure Python bit arithmetic for every group and check the
-    # operator's noisy - true deltas, then verify the CONSTRUCTION's
-    # distribution exactly over an exhaustive small universe (among any
-    # 2^20 consecutive even/odd-mixed integers, the 2-adic valuation
-    # census is exactly geometric — no sampling, a counting identity).
-    from hbasemapreduce_spark.operators.analytics import _KNUTH, _DP_V2_CAP
+    # Third opinion on the geometric-mechanism noise: recompute
+    # v2(u1) - v2(u2) in pure Python bit arithmetic for every group and
+    # check the operator's noisy - true deltas, then verify the
+    # CONSTRUCTION's per-draw distribution exactly over an exhaustive
+    # small universe (the 2-adic valuation census is exactly geometric —
+    # no sampling, a counting identity; the difference of two such
+    # draws is the discrete Laplace (1/3)·2^-|z| by the standard
+    # convolution).
+    from hbasemapreduce_spark.operators.analytics import (
+        _DP_H2,
+        _DP_V2_CAP,
+        _KNUTH,
+    )
     from hbasemapreduce_spark.registry import all_specs
 
     from .conftest import SF_DIR
 
-    def py_noise(u: int) -> int:
+    def v2(u: int) -> int:
         mag = 0
         for k in range(1, _DP_V2_CAP + 1):
             mag += 1 if u % (1 << k) == 0 else 0
-        sign = 1 if u % (1 << 22) < (1 << 21) else -1
-        return sign * mag
+        return mag
 
     out = all_specs()["x_privacy_dp_counts"].fn(spark, SF_DIR).collect()
     assert len(out) > 0
     for r in out:
-        u = ((r.c_nationkey + 1) * _KNUTH) % (1 << 32)
-        assert r.noisy_cnt - r.true_cnt == py_noise(u), r
+        u1 = ((r.c_nationkey + 1) * _KNUTH) % (1 << 32)
+        u2 = ((r.c_nationkey + 1) * _DP_H2) % (1 << 32)
+        assert r.noisy_cnt - r.true_cnt == v2(u1) - v2(u2), r
 
     # Counting identity: over u = 1..2^16, #{v2(u) == m} == 2^(16-m-1)
     # for m < 16 — the geometric law P(|z|=m after sign) needs exactly
