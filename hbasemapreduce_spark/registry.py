@@ -411,6 +411,7 @@ _R7_BACKLOG = [
     "x_join_asof_nearest",
     "x_privacy_dp_counts",
     "x_multimodal_decode_bmp",
+    "x_sim_ann_lsh_portable",
 ]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
