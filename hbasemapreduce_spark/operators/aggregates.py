@@ -124,10 +124,90 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct", category="agg", oracle=None)  # rows-only: HLL++ != DuckDB's sketch
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users (HLL++): constant memory at 100 TB,
-    where exact countDistinct would shuffle every key."""
+    where exact countDistinct would shuffle every key.  Full-hash twin:
+    x_agg_distinct_kmv (a portable k-minimum-values sketch)."""
     return load_table(spark, sf_dir, "events").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
+    )
+
+
+_KMV_K = 64  # sketch size; relative error ~ 1/sqrt(k) ~ 12%
+_KMV_DOMAIN = 1 << 48  # 12 hex chars of md5
+
+
+def _kmv_hex12_duck(expr: str) -> str:
+    """12 hex chars of ``expr`` parsed to BIGINT in DuckDB (no base-16
+    conv(): spell out the digits, same trick as x_filter_bloom)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) "
+        f"* {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return "CAST(" + terms + " AS BIGINT)"
+
+
+@query(
+    "x_agg_distinct_kmv",
+    category="agg",
+    oracle=(
+        "WITH d AS (SELECT DISTINCT l_returnflag AS grp, l_partkey FROM lineitem), "
+        "hd AS (SELECT DISTINCT grp, "
+        f"  {_kmv_hex12_duck('md5(CAST(l_partkey AS VARCHAR))')} AS h FROM d), "
+        "rk AS (SELECT grp, h, row_number() OVER ("
+        "  PARTITION BY grp ORDER BY h) AS rn FROM hd), "
+        f"kth AS (SELECT grp, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k "
+        f"  FROM rk WHERE rn <= {_KMV_K} GROUP BY grp), "
+        "tru AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_true FROM d GROUP BY grp) "
+        "SELECT t.grp, t.n_true, k.h_k, "
+        f"CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} // k.h_k AS est_kmv "
+        "FROM tru t JOIN kth k ON t.grp = k.grp"
+    ),
+)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_approx_distinct's full-hash twin (the portable-twin strategy
+    applied to the sketch family): a k-minimum-values distinct-count
+    sketch (Bar-Yossef et al. 2002) — keep the k smallest 48-bit md5
+    hashes of the distinct values per group; the k-th minimum estimates
+    density, n̂ = (k-1)·2^48 / h_k.  Unlike HLL++ the whole sketch is
+    engine-portable exact integers (md5 hex parsed base-16, floor
+    division for the estimate), so estimate AND sketch content
+    hash-check against DuckDB; true counts ride along so the ~1/√k
+    error is visible.
+
+    Scale shape: distinct → per-group bottom-k window (Spark rewrites
+    the rank<=k filter to WindowGroupLimit: per-partition partial
+    top-k BEFORE the shuffle) → |groups|-row join.  KMV sketches also
+    MERGE by k-smallest-of-union — the same partial-aggregate shape
+    HLL uses, so the 100 TB story (combine per partition, merge tiny
+    states) is identical, with the k-th-minimum here materialized via
+    the window for oracle checkability."""
+    d = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("grp"), "l_partkey")
+        .distinct()
+    )
+    hd = d.select(
+        "grp",
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kth = (
+        hd.select("grp", "h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("grp")
+        .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"))
+    )
+    tru = d.groupBy("grp").agg(F.count("*").cast("long").alias("n_true"))
+    return tru.join(kth, "grp").select(
+        "grp",
+        "n_true",
+        "h_k",
+        F.expr(f"CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} DIV h_k").alias(
+            "est_kmv"
+        ),
     )
 
 

@@ -412,6 +412,7 @@ _R7_BACKLOG = [
     "x_privacy_dp_counts",
     "x_multimodal_decode_bmp",
     "x_sim_ann_lsh_portable",
+    "x_agg_distinct_kmv",
 ]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts

@@ -2114,3 +2114,13 @@ def test_lsh_portable_twin_recall_vs_brute_force(spark):
     ]
     recall = sum(1 for p in got if p in exact) / len(exact)
     assert recall >= 0.6, f"portable LSH recall {recall:.2f}"
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    # KMV with k=64 has relative stddev ~ 1/sqrt(k) ~ 0.125; assert a
+    # 3-sigma-ish bound so hash luck can't flake the suite (measured
+    # 0.10 at sf0.001, 0.165 at sf0.01 — same value universe per
+    # group, so per-group estimates coincide by construction).
+    for r in SPECS["x_agg_distinct_kmv"].fn(spark, SF_DIR).collect():
+        rel = abs(r.est_kmv - r.n_true) / r.n_true
+        assert rel <= 0.4, f"{r.grp}: KMV rel error {rel:.3f} (true {r.n_true}, est {r.est_kmv})"
