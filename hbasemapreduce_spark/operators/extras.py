@@ -210,8 +210,13 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-then-join here compresses ingest + query into one driver
     call so the driver can check it end-to-end.
     """
+    # The pid suffix keeps two pytest/bench PROCESSES sharing this cwd's
+    # warehouse from racing on the same table directory (observed as a
+    # one-off failure when two suites ran concurrently); within a
+    # process the name is stable so re-runs overwrite, not accumulate.
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    orders_t, cust_t = f"b_orders_{sfx}", f"b_customer_{sfx}"
+    orders_t = f"b_orders_{sfx}_{os.getpid()}"
+    cust_t = f"b_customer_{sfx}_{os.getpid()}"
     # A managed table's directory outlives the in-memory catalog that
     # knew about it (fresh session -> LOCATION_ALREADY_EXISTS): drop
     # from the catalog AND clear the stale location before writing.
