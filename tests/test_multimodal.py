@@ -113,3 +113,44 @@ def test_weave_bmp_empty_payload_is_black():
 
     d = decode_image(weave_bmp(b"", 5, 3))
     assert d["pixels"].sum() == 0 and d["pixels"].shape == (3, 5, 3)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        st.binary(min_size=0, max_size=64),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_weave_decode_roundtrip_fuzz(payload, w, h):
+        # Fuzz the full encode->decode loop for BOTH container formats:
+        # decoded pixels must equal the cycled payload (the weave's
+        # closed form) for every (payload, w, h) — including the pad-
+        # heavy widths (w*3 % 4 != 0) and the empty payload.
+        from hbasemapreduce_spark.operators.llm_multimodal import (
+            weave_bmp,
+            weave_ppm,
+        )
+
+        need = w * h * 3
+        if payload:
+            reps = -(-need // len(payload))
+            expect = np.frombuffer(
+                (payload * reps)[:need], dtype=np.uint8
+            ).reshape(h, w, 3)
+        else:
+            expect = np.zeros((h, w, 3), dtype=np.uint8)
+        for weave, fmt in ((weave_ppm, "ppm"), (weave_bmp, "bmp")):
+            d = decode_image(weave(payload, w, h))
+            assert d["format"] == fmt
+            assert (d["width"], d["height"]) == (w, h)
+            assert (d["pixels"] == expect).all(), fmt
