@@ -414,6 +414,10 @@ _R7_BACKLOG = [
     "x_sim_ann_lsh_portable",
     "x_agg_distinct_kmv",
 ]
+# r8 rotation (for the next round's builder): window := the first 50
+# entries of _R7_BACKLOG above — they are already next in emission
+# order, so the rotation is `_R8_WINDOW = _R7_BACKLOG[:50]` plus the
+# usual backlog re-derivation and test re-pin (tests/test_registry.py).
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
