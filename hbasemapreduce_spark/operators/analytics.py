@@ -1418,7 +1418,7 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- geometric-mechanism DP counts ---------------------------------------
 
 # Discrete-Laplace noise, built from EXACT integer bit arithmetic so
-# both engines draw the identical value: for a uniform 32-bit u, the
+# both engines draw the identical value: for a uniform integer u, the
 # 2-adic valuation v2(u) (count of trailing zero bits) is geometric —
 # P(v2 = m) = 2^-(m+1) — and the DIFFERENCE of two independent
 # geometric(1/2) draws is exactly the discrete Laplace law
@@ -1428,8 +1428,15 @@ def privacy_rr_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for a sensitivity-1 count.  (A sign-bit * magnitude construction
 # does NOT give this: it puts 1/2 at zero and 2^-(m+2) at +-m, making
 # the 0 <-> +-1 ratio 4 = e^(2 ln 2) — twice the epsilon.)
-_DP_V2_CAP = 20  # per-draw cap: P(exceed) = 2^-20, and u=0 stays finite
-_DP_H2 = 2246822519  # second hash prime for the independent draw
+#
+# The draws MUST come from a MIXING hash.  A multiplicative Knuth hash
+# is useless here: odd * key mod 2^32 PRESERVES the key's 2-adic
+# valuation, so two such "independent" draws are always equal and the
+# noise cancels to exactly zero (caught in review; the first shipped
+# spelling had this bug).  md5 — the house portable-hash idiom — mixes
+# low bits properly; each draw parses 12 hex chars (48 bits) of
+# md5(salt || key) in both engines.
+_DP_V2_CAP = 20  # per-draw cap: P(exceed) = 2^-20, keeps u=0 finite
 
 
 def _dp_v2_sql(u: str) -> str:
@@ -1441,9 +1448,24 @@ def _dp_v2_sql(u: str) -> str:
     ) + ")"
 
 
-def _dp_noise_sql(u1: str, u2: str) -> str:
-    """SQL for v2(u1) - v2(u2) — one discrete-Laplace draw."""
-    return f"{_dp_v2_sql(u1)} - {_dp_v2_sql(u2)}"
+def _dp_hash_duck(salt: str, key: str) -> str:
+    """48-bit integer from md5(salt || key) in DuckDB (no base-16
+    conv(): spell out the hex digits)."""
+    expr = f"md5('{salt}' || CAST({key} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) "
+        f"* {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return "CAST(" + terms + " AS BIGINT)"
+
+
+def _dp_hash_spark(salt: str, key: str) -> str:
+    """The same 48-bit draw in Spark SQL via conv(md5-hex, 16, 10)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}', CAST({key} AS STRING))), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
 
 
 @query(
@@ -1453,10 +1475,10 @@ def _dp_noise_sql(u1: str, u2: str) -> str:
         "WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_cnt "
         "  FROM customer GROUP BY 1), "
         f"h AS (SELECT c_nationkey, true_cnt, "
-        f"  ((c_nationkey + 1) * {_KNUTH}) % 4294967296 AS u1, "
-        f"  ((c_nationkey + 1) * {_DP_H2}) % 4294967296 AS u2 FROM g) "
+        f"  {_dp_hash_duck('dpA-', 'c_nationkey')} AS u1, "
+        f"  {_dp_hash_duck('dpB-', 'c_nationkey')} AS u2 FROM g) "
         f"SELECT c_nationkey, true_cnt, "
-        f"true_cnt + {_dp_noise_sql('u1', 'u2')} AS noisy_cnt FROM h"
+        f"true_cnt + {_dp_v2_sql('u1')} - {_dp_v2_sql('u2')} AS noisy_cnt FROM h"
     ),
 )
 def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1473,13 +1495,17 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept — post-hoc clamping is a consumer choice, not the mechanism's.
 
     Determinism: the noise stream is a keyed PRG — each geometric draw
-    is the 2-adic valuation of a hash of the group key (P(v2=m) =
-    2^-(m+1), geometric by construction), computed as a sum of exact
-    integer divisibility tests, with two hash primes supplying the two
-    draws.  Both engines draw the identical value (a production release
-    swaps in a secret-keyed PRF; the distributional shape and the ε
-    accounting are unchanged).  No float log, no RNG, no
-    engine-specific hash.
+    is the 2-adic valuation of 48 md5 bits of the salted group key
+    (P(v2=m) = 2^-(m+1), geometric by construction), computed as a sum
+    of exact integer divisibility tests, with two salts supplying the
+    two draws.  md5 is the load-bearing choice: a multiplicative hash
+    PRESERVES the key's 2-adic valuation (odd*k mod 2^32), which made
+    the first spelling's two draws always cancel — noise ≡ 0 — with
+    the oracle agreeing on the broken result; only a mixing hash makes
+    the valuation actually geometric.  Both engines draw the identical
+    value (a production release swaps in a secret-keyed PRF; the
+    distributional shape and the ε accounting are unchanged).  No
+    float log, no RNG, no engine-specific hash.
 
     Scale shape: ONE hash aggregate with map-side partials; the noise
     is a per-group projection over |groups| rows.  At 100 TB the plan
@@ -1489,12 +1515,14 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("long").alias("true_cnt"))
     )
-    u1 = f"(((c_nationkey + 1) * {_KNUTH}) % 4294967296)"
-    u2 = f"(((c_nationkey + 1) * {_DP_H2}) % 4294967296)"
+    u1 = _dp_hash_spark("dpA-", "c_nationkey")
+    u2 = _dp_hash_spark("dpB-", "c_nationkey")
     return g.select(
         "c_nationkey",
         "true_cnt",
-        F.expr(f"true_cnt + {_dp_noise_sql(u1, u2)}").alias("noisy_cnt"),
+        F.expr(
+            f"true_cnt + {_dp_v2_sql(f'({u1})')} - {_dp_v2_sql(f'({u2})')}"
+        ).alias("noisy_cnt"),
     )
 
 

@@ -784,19 +784,17 @@ def test_asof_nearest_matches_pandas_merge_asof(spark):
 
 
 def test_dp_noise_is_two_sided_geometric(spark):
-    # Third opinion on the geometric-mechanism noise: recompute
-    # v2(u1) - v2(u2) in pure Python bit arithmetic for every group and
-    # check the operator's noisy - true deltas, then verify the
-    # CONSTRUCTION's per-draw distribution exactly over an exhaustive
-    # small universe (the 2-adic valuation census is exactly geometric —
-    # no sampling, a counting identity; the difference of two such
-    # draws is the discrete Laplace (1/3)·2^-|z| by the standard
-    # convolution).
-    from hbasemapreduce_spark.operators.analytics import (
-        _DP_H2,
-        _DP_V2_CAP,
-        _KNUTH,
-    )
+    # Third opinion on the geometric-mechanism noise: recompute the
+    # draws INDEPENDENTLY with hashlib (not the engines' md5), assert
+    # the noise is NOT degenerate (the first shipped spelling used a
+    # multiplicative hash, which PRESERVES 2-adic valuation — both
+    # draws always cancelled and noise was identically zero while the
+    # oracle agreed; this test must never pass on an all-zero noise
+    # stream again), then census the ACTUAL salted-md5 draw stream to
+    # confirm the valuation law is geometric.
+    import hashlib
+
+    from hbasemapreduce_spark.operators.analytics import _DP_V2_CAP
     from hbasemapreduce_spark.registry import all_specs
 
     from .conftest import SF_DIR
@@ -807,19 +805,26 @@ def test_dp_noise_is_two_sided_geometric(spark):
             mag += 1 if u % (1 << k) == 0 else 0
         return mag
 
+    def draw(salt: str, key: int) -> int:
+        return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:12], 16)
+
     out = all_specs()["x_privacy_dp_counts"].fn(spark, SF_DIR).collect()
     assert len(out) > 0
+    noises = []
     for r in out:
-        u1 = ((r.c_nationkey + 1) * _KNUTH) % (1 << 32)
-        u2 = ((r.c_nationkey + 1) * _DP_H2) % (1 << 32)
-        assert r.noisy_cnt - r.true_cnt == v2(u1) - v2(u2), r
+        expect = v2(draw("dpA-", r.c_nationkey)) - v2(draw("dpB-", r.c_nationkey))
+        got = r.noisy_cnt - r.true_cnt
+        assert got == expect, r
+        noises.append(got)
+    # Degeneracy guard: a broken hash that cancels (or never perturbs)
+    # must fail loudly.  P(all 25 draws are zero) = 3^-25 for the true
+    # law — not a flake risk.
+    assert any(n != 0 for n in noises), "DP noise is degenerate (all zero)"
 
-    # Counting identity: over u = 1..2^16, #{v2(u) == m} == 2^(16-m-1)
-    # for m < 16 — the geometric law P(|z|=m after sign) needs exactly
-    # this census.  (u=2^16 itself is the single v2==16 element.)
-    census = Counter()
-    for u in range(1, (1 << 16) + 1):
-        v = (u & -u).bit_length() - 1
-        census[min(v, _DP_V2_CAP)] += 1
-    for m in range(0, 16):
-        assert census[m] == 1 << (16 - m - 1), (m, census[m])
+    # Census the REAL draw stream (4096 salted-md5 hashes): the
+    # valuation law must be geometric — P(v2=0)=1/2, P(v2=1)=1/4 —
+    # within wide 5-sigma-ish tolerances (sigma ~ 0.008 at n=4096).
+    census = Counter(v2(draw("dpA-", k)) for k in range(4096))
+    assert abs(census[0] / 4096 - 0.5) < 0.05, census[0]
+    assert abs(census[1] / 4096 - 0.25) < 0.05, census[1]
+    assert abs(census[2] / 4096 - 0.125) < 0.04, census[2]
