@@ -156,11 +156,13 @@ def _kmv_hex12_duck(expr: str) -> str:
         f"  {_kmv_hex12_duck('md5(CAST(l_partkey AS VARCHAR))')} AS h FROM d), "
         "rk AS (SELECT grp, h, row_number() OVER ("
         "  PARTITION BY grp ORDER BY h) AS rn FROM hd), "
-        f"kth AS (SELECT grp, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k "
+        f"kth AS (SELECT grp, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k, "
+        f"  CAST(COUNT(*) AS BIGINT) AS n_seen "
         f"  FROM rk WHERE rn <= {_KMV_K} GROUP BY grp), "
         "tru AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_true FROM d GROUP BY grp) "
         "SELECT t.grp, t.n_true, k.h_k, "
-        f"CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} // k.h_k AS est_kmv "
+        "CASE WHEN k.h_k IS NULL THEN k.n_seen "
+        f"ELSE CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} // k.h_k END AS est_kmv "
         "FROM tru t JOIN kth k ON t.grp = k.grp"
     ),
 )
@@ -198,16 +200,24 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         hd.select("grp", "h", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _KMV_K)
         .groupBy("grp")
-        .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"))
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+            F.count("*").cast("long").alias("n_seen"),
+        )
     )
     tru = d.groupBy("grp").agg(F.count("*").cast("long").alias("n_true"))
+    # Undersized sketch (< k distinct hashes in the group): the sketch
+    # holds EVERY hash, so the exact count n_seen is the estimate — the
+    # standard KMV fallback; without it h_k is NULL and the estimate
+    # silently nulls out.
     return tru.join(kth, "grp").select(
         "grp",
         "n_true",
         "h_k",
-        F.expr(f"CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} DIV h_k").alias(
-            "est_kmv"
-        ),
+        F.expr(
+            "CASE WHEN h_k IS NULL THEN n_seen "
+            f"ELSE CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} DIV h_k END"
+        ).alias("est_kmv"),
     )
 
 
