@@ -276,91 +276,53 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: weave a P6 PPM from each payload, decode it
-    with the REAL decoder, and reduce the pixel array to exact integer
-    stats.  Per-image python is the honest shape here — decoding is
-    inherently per-image — and the Arrow batch boundary keeps transfer
-    vectorized."""
+# Dimension formulas for the two decode keys: DIFFERENT moduli so the
+# container formats are exercised on different shapes (the BMP one
+# hits stride-padded widths for 3 of every 4 values).  The SQL and
+# Python spellings must stay in lockstep — both derive from n alone.
+_PPM_DIMS_SQL = ("4 + n % 12", "4 + (n * 31 % 1009) % 12")
+_BMP_DIMS_SQL = ("4 + n % 11", "4 + (n * 37 % 1013) % 11")
+
+
+def _PPM_DIMS(n: int) -> tuple[int, int]:
+    return 4 + n % 12, 4 + (n * 31 % 1009) % 12
+
+
+def _BMP_DIMS(n: int) -> tuple[int, int]:
+    return 4 + n % 11, 4 + (n * 37 % 1013) % 11
+
+
+def _decode_stats_frame(pdf: pd.DataFrame, weave, dims, fmt: str) -> pd.DataFrame:
+    """Shared worker core for both decode keys: weave each payload into
+    a `fmt` container at the key's dimensions, decode it with the REAL
+    decoder, reduce to exact integer pixel stats.  Per-image python is
+    the honest shape here — decoding is inherently per-image — and the
+    Arrow batch boundary keeps transfer vectorized."""
     import numpy as np
 
-    for pdf in batches:
-        ids, ws, hs, sums, frs, lbs = [], [], [], [], [], []
-        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(data)
-            n = len(data)
-            w = 4 + n % 12
-            h = 4 + (n * 31 % 1009) % 12
-            img = decode_image(weave_ppm(data, w, h))
-            px = img["pixels"].astype(np.int64)
-            ids.append(doc_id)
-            ws.append(img["width"])
-            hs.append(img["height"])
-            sums.append(int(px.sum()))
-            frs.append(int(px[0, 0, 0]))
-            lbs.append(int(px[-1, -1, 2]))
-        yield pd.DataFrame(
-            {
-                "doc_id": ids,
-                "width": ws,
-                "height": hs,
-                "px_sum": sums,
-                "first_r": frs,
-                "last_b": lbs,
-            }
-        )
-
-
-@query(
-    "x_multimodal_decode",
-    category="llm_multimodal",
-    oracle=(
-        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, "
-        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
-        "d AS (SELECT doc_id, hx, n, 4 + n % 12 AS w, "
-        "  4 + (n * 31 % 1009) % 12 AS h FROM p), "
-        "e AS (SELECT doc_id, hx, n, w, h, w * h * 3 AS need FROM d), "
-        "f AS (SELECT doc_id, w, h, n, need, "
-        "  COALESCE(list_sum(list_transform(range(0, n), "
-        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))), 0) AS sum_all, "
-        "  COALESCE(list_sum(list_transform(range(0, need % n), "
-        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))), 0) AS pre_rem, "
-        "  list_sum(list_transform([CAST(0 AS BIGINT)], "
-        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))) AS first_r, "
-        "  list_sum(list_transform([(need - 1) % n], "
-        "    i -> (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1))) AS last_b "
-        "  FROM e) "
-        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
-        "CAST((need // n) * sum_all + pre_rem AS BIGINT) AS px_sum, "
-        "CAST(first_r AS BIGINT) AS first_r, CAST(last_b AS BIGINT) AS last_b "
-        "FROM f"
-    ),
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end REAL image decode, hash-verified: each document's
-    bytes are woven into a binary-PPM (P6) image (pixel bytes = payload
-    cycled to w*h*3), decoded by ``decode_image`` — an actual header
-    parser + raster reader, not byte math — and reduced to exact pixel
-    stats.  The oracle recomputes the stats from the weave's closed
-    form (cycle count x total byte sum + prefix remainder, via hex-pair
-    byte extraction), so a hash match proves the decoder's header
-    parse, dimension handling, and pixel layout are correct.  The same
-    decoder handles 24-bit BMP (stride padding, bottom-up rows) —
-    unit-tested in tests/test_multimodal.py since no BMP weave exists
-    in the corpus.
-
-    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; output
-    is 6 ints per document.  On a real corpus the weave disappears and
-    the decode consumes the binary column directly — identical plan."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    return docs.mapInPandas(
-        decode_pixel_stats,
-        schema=(
-            "doc_id long, width long, height long, px_sum long, "
-            "first_r long, last_b long"
-        ),
+    ids, ws, hs, sums, frs, lbs = [], [], [], [], [], []
+    for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+        data = bytes(data)
+        w, h = dims(len(data))
+        img = decode_image(weave(data, w, h))
+        if img["format"] != fmt or img["width"] != w or img["height"] != h:
+            raise ValueError(f"{fmt} decode mismatch for doc {doc_id}")
+        px = img["pixels"].astype(np.int64)
+        ids.append(doc_id)
+        ws.append(img["width"])
+        hs.append(img["height"])
+        sums.append(int(px.sum()))
+        frs.append(int(px[0, 0, 0]))
+        lbs.append(int(px[-1, -1, 2]))
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "width": ws,
+            "height": hs,
+            "px_sum": sums,
+            "first_r": frs,
+            "last_b": lbs,
+        }
     )
 
 
@@ -371,7 +333,7 @@ _HEX_BYTE = (
 
 
 def _px_stats_oracle(w_sql: str, h_sql: str) -> str:
-    """The x_multimodal_decode closed-form oracle, parameterized by the
+    """The decode keys' closed-form oracle, parameterized by the
     dimension formulas: the woven image's pixel array is the payload
     cycled to w*h*3 bytes regardless of container format, so px_sum =
     (full cycles) x (total byte sum) + (prefix remainder sum), and the
@@ -396,6 +358,47 @@ def _px_stats_oracle(w_sql: str, h_sql: str) -> str:
     )
 
 
+def decode_pixel_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: weave a P6 PPM from each payload, decode it
+    with the REAL decoder, and reduce the pixel array to exact integer
+    stats (shared core: ``_decode_stats_frame``)."""
+    for pdf in batches:
+        yield _decode_stats_frame(pdf, weave_ppm, _PPM_DIMS, "ppm")
+
+
+@query(
+    "x_multimodal_decode",
+    category="llm_multimodal",
+    oracle=_px_stats_oracle(*_PPM_DIMS_SQL),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode, hash-verified: each document's
+    bytes are woven into a binary-PPM (P6) image (pixel bytes = payload
+    cycled to w*h*3), decoded by ``decode_image`` — an actual header
+    parser + raster reader, not byte math — and reduced to exact pixel
+    stats.  The oracle recomputes the stats from the weave's closed
+    form (cycle count x total byte sum + prefix remainder, via hex-pair
+    byte extraction), so a hash match proves the decoder's header
+    parse, dimension handling, and pixel layout are correct.  The same
+    decoder's 24-bit-BMP path (stride padding, bottom-up BGR rows) is
+    hash-verified by the sibling key x_multimodal_decode_bmp and
+    unit/fuzz-tested in tests/test_multimodal.py.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; output
+    is 6 ints per document.  On a real corpus the weave disappears and
+    the decode consumes the binary column directly — identical plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        decode_pixel_stats,
+        schema=(
+            "doc_id long, width long, height long, px_sum long, "
+            "first_r long, last_b long"
+        ),
+    )
+
+
 def decode_pixel_stats_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: weave a 24-bit BMP from each payload, decode
     it with the REAL decoder, and reduce to exact integer pixel stats.
@@ -403,41 +406,14 @@ def decode_pixel_stats_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     are over the DECODED (logical RGB top-down) array, so any mistake
     in undoing those quirks shifts px_sum/first_r/last_b and fails the
     oracle hash."""
-    import numpy as np
-
     for pdf in batches:
-        ids, ws, hs, sums, frs, lbs = [], [], [], [], [], []
-        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(data)
-            n = len(data)
-            w = 4 + n % 11
-            h = 4 + (n * 37 % 1013) % 11
-            img = decode_image(weave_bmp(data, w, h))
-            if img["format"] != "bmp" or img["width"] != w or img["height"] != h:
-                raise ValueError(f"BMP decode mismatch for doc {doc_id}")
-            px = img["pixels"].astype(np.int64)
-            ids.append(doc_id)
-            ws.append(img["width"])
-            hs.append(img["height"])
-            sums.append(int(px.sum()))
-            frs.append(int(px[0, 0, 0]))
-            lbs.append(int(px[-1, -1, 2]))
-        yield pd.DataFrame(
-            {
-                "doc_id": ids,
-                "width": ws,
-                "height": hs,
-                "px_sum": sums,
-                "first_r": frs,
-                "last_b": lbs,
-            }
-        )
+        yield _decode_stats_frame(pdf, weave_bmp, _BMP_DIMS, "bmp")
 
 
 @query(
     "x_multimodal_decode_bmp",
     category="llm_multimodal",
-    oracle=_px_stats_oracle("4 + n % 11", "4 + (n * 37 % 1013) % 11"),
+    oracle=_px_stats_oracle(*_BMP_DIMS_SQL),
 )
 def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BMP half of the real-decoder evidence: x_multimodal_decode
