@@ -220,12 +220,28 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A managed table's directory outlives the in-memory catalog that
     # knew about it (fresh session -> LOCATION_ALREADY_EXISTS): drop
     # from the catalog AND clear the stale location before writing.
+    import glob
     import shutil
+    import time
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for t in (orders_t, cust_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    # Sweep other pids' leftovers so the warehouse doesn't grow without
+    # bound across runs; the 1-hour age guard keeps the sweep from
+    # racing a LIVE concurrent process (whose dirs are seconds old —
+    # the race this pid suffix exists to prevent).
+    cutoff = time.time() - 3600
+    for d in glob.glob(os.path.join(warehouse, f"b_orders_{sfx}_*")) + glob.glob(
+        os.path.join(warehouse, f"b_customer_{sfx}_*")
+    ):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # raced with another cleaner — fine
     (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
