@@ -426,6 +426,93 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_oracle() -> str:
+    """DuckDB spec for the portable CMS: same sketch, same estimates,
+    same ranked heavy-hitter report — md5 in place of xxhash64."""
+    from .llm_dedup import _hex6_sql
+
+    def bkt(r: int) -> str:
+        return f"({_hex6_sql('h', 6 * r + 1)} % {_CMS_W})"
+
+    rows = ", ".join(
+        f"({r}, {bkt(r)})" for r in range(_CMS_D)
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "t AS (SELECT tok, md5('cms-' || tok) AS h FROM toks WHERE tok <> ''), "
+        f"pos AS (SELECT tok, rb.r, rb.bkt FROM t, LATERAL (VALUES {rows}) rb(r, bkt)), "
+        "sketch AS (SELECT r, bkt, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM pos GROUP BY 1, 2), "
+        "total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t), "
+        "cand AS (SELECT DISTINCT tok, r, bkt FROM pos), "
+        "est AS (SELECT tok, MIN(c) AS est FROM cand JOIN sketch USING (r, bkt) "
+        "  GROUP BY tok), "
+        f"heavy AS (SELECT tok, est FROM est CROSS JOIN total "
+        f"  WHERE est >= n // {_HEAVY_DIV}) "
+        "SELECT tok, est, CAST(row_number() OVER (ORDER BY est DESC, tok) "
+        "AS BIGINT) AS rk FROM heavy"
+    )
+
+
+@query("x_agg_sketch_cms_portable", category="agg", oracle=_cms_oracle())
+def agg_sketch_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_agg_sketch_cms's full-hash twin — the last sketch family to
+    get one (minhash, simhash, LSH and approx-distinct all have
+    driver-hash-checkable portable twins; CMS was rows-only ONLY
+    because DuckDB lacks xxhash64).  Same d x w = 4 x 1024 sketch,
+    same min-estimate query, same ranked heavy-hitter report; the d
+    row positions are disjoint 24-bit spans of ONE md5 per token
+    occurrence (the Kirsch-Mitzenmacher trick of deriving d hash
+    functions from one strong hash), parsed base-16 identically in
+    both engines.  One md5 per occurrence, not d.
+
+    Scale shape: identical to the xxhash64 original — one explode +
+    hash aggregate into d*w bounded counters (map-side partials), the
+    counter table broadcast, candidates equi-join it.  The CMS
+    one-sided guarantee (est >= true, heavy hitters never hidden) is
+    asserted for THIS sketch in tests/test_properties.py alongside the
+    original's."""
+    from pyspark.sql import Window
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.md5(F.concat(F.lit("cms-"), F.col("tok"))))
+    )
+    buckets = F.explode(
+        F.expr(
+            f"transform(sequence(0, {_CMS_D - 1}), r -> struct(r AS r, "
+            f"pmod(CAST(conv(substring(h, r * 6 + 1, 6), 16, 10) AS BIGINT), "
+            f"{_CMS_W}) AS bkt))"
+        )
+    ).alias("rb")
+    sketch = (
+        toks.select(buckets)
+        .select(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    cand = (
+        toks.select("tok", "h")
+        .distinct()
+        .select("tok", buckets)
+        .select("tok", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["r", "bkt"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+    )
+    w = Window.orderBy(F.desc("est"), F.asc("tok"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= F.expr(f"n DIV {_HEAVY_DIV}"))
+        .select("tok", "est", F.row_number().over(w).cast("long").alias("rk"))
+    )
+
+
 @query("x_agg_sketch_hll", category="agg", oracle=None)  # rows-only: sketch estimates
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches builtins): per-type

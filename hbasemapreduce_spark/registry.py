@@ -413,6 +413,7 @@ _R7_BACKLOG = [
     "x_multimodal_decode_bmp",
     "x_sim_ann_lsh_portable",
     "x_agg_distinct_kmv",
+    "x_agg_sketch_cms_portable",
 ]
 # r8 rotation (for the next round's builder): window := the first 50
 # entries of _R7_BACKLOG above — they are already next in emission

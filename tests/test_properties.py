@@ -4,6 +4,7 @@ at ANY scale factor, complementing the value-exact oracle tests.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hbasemapreduce_spark.catalog import load_table
@@ -493,8 +494,12 @@ def test_importance_sampling_rate_tracks_weight(spark):
     assert abs(len(sampled) - expected) <= 5 * sd + 1
 
 
-def test_cms_never_underestimates_and_reports_all_heavy(spark):
-    # Count-Min guarantees, checked against the exact wordcount:
+@pytest.mark.parametrize(
+    "cms_key", ["x_agg_sketch_cms", "x_agg_sketch_cms_portable"]
+)
+def test_cms_never_underestimates_and_reports_all_heavy(spark, cms_key):
+    # Count-Min guarantees, checked against the exact wordcount for
+    # BOTH the xxhash64 original and its md5 portable twin:
     #  - est(t) >= true count for EVERY reported token (one-sided,
     #    deterministic — not probabilistic);
     #  - every truly-heavy token (true count >= total DIV 50) MUST be
@@ -503,7 +508,7 @@ def test_cms_never_underestimates_and_reports_all_heavy(spark):
     #    3x slack — collisions on this vocab are rare-to-none).
     true = {r.token: r.cnt for r in q(spark, "wordcount").collect()}
     total = sum(true.values())
-    rows = SPECS["x_agg_sketch_cms"].fn(spark, SF_DIR).collect()
+    rows = SPECS[cms_key].fn(spark, SF_DIR).collect()
     assert rows
     est = {r.tok: r.est for r in rows}
     for t, e in est.items():
