@@ -282,6 +282,7 @@ _BNLJ_WHITELIST = {
     "x_graph_pagerank",   # 1-row base-rank scalar (10^12 DIV n_nodes)
     "x_graph_triangles",  # 4x 1-row census scalars cross-joined
     "x_agg_sketch_cms",   # 1-row total-tokens scalar threshold
+    "x_agg_sketch_cms_portable",  # same 1-row total scalar as its twin
     "x_ml_centroid_classify",  # 1-row centroid-ARRAY scalar (|labels|-bounded)
     "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
     "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
