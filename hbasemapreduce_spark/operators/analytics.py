@@ -1449,15 +1449,11 @@ def _dp_v2_sql(u: str) -> str:
 
 
 def _dp_hash_duck(salt: str, key: str) -> str:
-    """48-bit integer from md5(salt || key) in DuckDB (no base-16
-    conv(): spell out the hex digits)."""
-    expr = f"md5('{salt}' || CAST({key} AS VARCHAR))"
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) "
-        f"* {16 ** (11 - i)}"
-        for i in range(12)
-    )
-    return "CAST(" + terms + " AS BIGINT)"
+    """48-bit integer from md5(salt || key) in DuckDB — the shared
+    12-hex-char parse (one definition, aggregates._kmv_hex12_duck)."""
+    from .aggregates import _kmv_hex12_duck
+
+    return _kmv_hex12_duck(f"md5('{salt}' || CAST({key} AS VARCHAR))")
 
 
 def _dp_hash_spark(salt: str, key: str) -> str:
@@ -1515,14 +1511,19 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("long").alias("true_cnt"))
     )
-    u1 = _dp_hash_spark("dpA-", "c_nationkey")
-    u2 = _dp_hash_spark("dpB-", "c_nationkey")
-    return g.select(
-        "c_nationkey",
-        "true_cnt",
-        F.expr(
-            f"true_cnt + {_dp_v2_sql(f'({u1})')} - {_dp_v2_sql(f'({u2})')}"
-        ).alias("noisy_cnt"),
+    # Project each hash ONCE (mirrors the oracle's CTE `h`): inlining
+    # the md5 expr into all 20 divisibility tests would evaluate it up
+    # to 40x per row and bloat the generated SQL the same factor.
+    return (
+        g.withColumn("u1", F.expr(_dp_hash_spark("dpA-", "c_nationkey")))
+        .withColumn("u2", F.expr(_dp_hash_spark("dpB-", "c_nationkey")))
+        .select(
+            "c_nationkey",
+            "true_cnt",
+            F.expr(
+                f"true_cnt + {_dp_v2_sql('u1')} - {_dp_v2_sql('u2')}"
+            ).alias("noisy_cnt"),
+        )
     )
 
 

@@ -233,9 +233,20 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # racing a LIVE concurrent process (whose dirs are seconds old —
     # the race this pid suffix exists to prevent).
     cutoff = time.time() - 3600
-    for d in glob.glob(os.path.join(warehouse, f"b_orders_{sfx}_*")) + glob.glob(
+    stale = glob.glob(os.path.join(warehouse, f"b_orders_{sfx}_*")) + glob.glob(
         os.path.join(warehouse, f"b_customer_{sfx}_*")
-    ):
+    )
+    # Also the un-suffixed names the pre-pid scheme wrote — never
+    # matched by the `_*` glob, they would otherwise leak forever.
+    stale += [
+        p
+        for p in (
+            os.path.join(warehouse, f"b_orders_{sfx}"),
+            os.path.join(warehouse, f"b_customer_{sfx}"),
+        )
+        if os.path.isdir(p)
+    ]
+    for d in stale:
         try:
             if os.path.getmtime(d) < cutoff:
                 spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
