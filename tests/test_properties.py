@@ -2129,3 +2129,24 @@ def test_kmv_estimate_within_error_bound(spark):
     for r in SPECS["x_agg_distinct_kmv"].fn(spark, SF_DIR).collect():
         rel = abs(r.est_kmv - r.n_true) / r.n_true
         assert rel <= 0.4, f"{r.grp}: KMV rel error {rel:.3f} (true {r.n_true}, est {r.est_kmv})"
+
+
+def test_rr_estimator_inverts_the_channel(spark):
+    # Semantic checks the DuckDB oracle can't provide (it recomputes the
+    # same formula — the engine-agreement blindness lesson from the DP
+    # key's review): the report pass must conserve mass (every customer
+    # reports exactly one category), the inversion must preserve the
+    # total EXACTLY (sum over k categories of (4k*obs - n)/(3k) =
+    # (4k*n - k*n)/(3k) = n, an algebraic identity), and each
+    # category's estimate must land within ~3 sigma of ground truth
+    # (sigma_est = (4/3)*sqrt(n*q*(1-q)) ~ 6.5 at n=150; measured max
+    # error 4.33).
+    rows = SPECS["x_privacy_rr_freq"].fn(spark, SF_DIR).collect()
+    assert rows
+    n = rows[0].n
+    assert sum(r.obs_cnt for r in rows) == n
+    assert abs(sum(r.est_true for r in rows) - n) < 1e-9 * n
+    for r in rows:
+        assert abs(r.est_true - r.true_cnt) <= 20, (
+            f"{r.seg}: est {r.est_true} vs true {r.true_cnt}"
+        )
