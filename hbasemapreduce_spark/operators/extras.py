@@ -248,9 +248,29 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for d in stale:
         try:
-            if os.path.getmtime(d) < cutoff:
-                spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
-                shutil.rmtree(d, ignore_errors=True)
+            if os.path.getmtime(d) >= cutoff:
+                continue
+            # Liveness check (ADVICE r7 item 2): a >1h-old dir can still
+            # belong to a LIVE long-running session (e.g. a full pytest
+            # + bench run with >1h between its write and a re-join).
+            # Only reap dirs whose embedded pid is dead.  The legacy
+            # un-suffixed names (exactly b_{orders,customer}_{sfx},
+            # whose trailing sf digits would misparse as a pid) carry no
+            # owner at all — the scheme that wrote them is gone, so
+            # they are always safe to reap.
+            base = os.path.basename(d)
+            is_legacy = base in (f"b_orders_{sfx}", f"b_customer_{sfx}")
+            pid_part = base.rsplit("_", 1)[-1]
+            if not is_legacy and pid_part.isdigit() and int(pid_part) != os.getpid():
+                try:
+                    os.kill(int(pid_part), 0)
+                    continue  # owner alive — leave its tables alone
+                except ProcessLookupError:
+                    pass  # owner dead — safe to reap
+                except PermissionError:
+                    continue  # pid exists under another uid — leave it
+            spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
+            shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass  # raced with another cleaner — fine
     (

@@ -375,6 +375,22 @@ def sim_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # Plane-budget guard (ADVICE r7 item 3): each md5 plane carries 128
+    # bits, so dims > 128 would read past the literal on BOTH engines —
+    # divergently (Spark packed-word element_at -> null dot -> bit 0;
+    # DuckDB substr -> '' -> -1 component), surfacing only as an opaque
+    # oracle hash mismatch.  Fail loudly at the first wide row instead.
+    e = e.filter(
+        F.when(F.size("emb") <= 128, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("x_sim_ann_lsh_portable: embedding dim "),
+                    F.size("emb").cast("string"),
+                    F.lit(" exceeds the 128-bit md5 plane budget"),
+                )
+            )
+        )
+    )
     qd = (
         e.withColumn("m", F.array_max(F.transform("emb", lambda x: F.abs(x))))
         .withColumn("qv", F.expr(f"transform(emb, x -> {_LSHP_QUANT})"))

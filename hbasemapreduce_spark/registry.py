@@ -415,10 +415,107 @@ _R7_BACKLOG = [
     "x_agg_distinct_kmv",
     "x_agg_sketch_cms_portable",
 ]
-# r8 rotation (for the next round's builder): window := the first 50
-# entries of _R7_BACKLOG above — they are already next in emission
-# order, so the rotation is `_R8_WINDOW = _R7_BACKLOG[:50]` plus the
-# usual backlog re-derivation and test re-pin (tests/test_registry.py).
+# Round-8 driver window (VERDICT r7 item 1).  The r7 driver artifact
+# landed green (CORRECTNESS_r07.json: 50/50), so the window rotates to
+# the first 50 _R7_BACKLOG entries — they were already next in emission
+# order, making the rotation exactly the plan staged at the end of r7.
+# Three keys are rows-only by design (x_agg_sketch_hll, x_dedup_simhash,
+# x_agg_sketch_cms — sketch/bucket membership is seed-dependent; each
+# has a full-hash portable twin already driver-checked in r6/r7); the
+# other 47 carry full-hash oracles.  This window contains every operator
+# touched by the r6 ADVICE fixes that still lacked driver confirmation
+# in-window (x_win_pareto, x_multimodal_audio_energy, x_basket_lift,
+# x_eval_classification) — the rest (x_ml_var_stump, x_ml_boost_round,
+# x_privacy_rr_freq) lead the r8 backlog / staged r9 window.
+_R8_WINDOW = list(_R7_BACKLOG[:50])
+
+# First-timers remaining after the r8 window (37 at rotation time).
+# New keys registered during round 8 are appended HERE so the
+# rotation-coverage invariant (tests/test_registry.py) stays true:
+# unchecked-by-any-driver-artifact == _R8_WINDOW ∪ _R8_BACKLOG.
+_R8_BACKLOG = list(_R7_BACKLOG[50:])
+
+# Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
+# carry driver evidence, but the oldest is 4-5 rounds stale (48 keys
+# last checked r3, 12 r4) while the code under them has since been
+# refactored onto shared helpers.  Once the first-timer backlog drains,
+# windows refill from this list: every contract key, ordered
+# oldest-driver-evidence-first (r3 before r4, ties broken by
+# _CONTRACT_PRIORITY order).  Derived from the landed CORRECTNESS
+# artifacts and pinned against them in tests/test_registry.py.
+_CONTRACT_REFRESH = [
+    # -- last driver-checked in r3 --
+    "distinct_rows",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array",
+    "scalar_map",
+    "dedup_exact",
+    "dedup_minhash",
+    "multimodal_join",
+    "scan_project",
+    "scan_range",
+    "sink_partitioned",
+    "source_json_lines",
+    "sort_orderby",
+    "topk_global",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "win_rank",
+    "win_topk_per_group",
+    "win_running_sum",
+    "win_lag_delta",
+    "win_moving_avg",
+    "wordcount",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_late_data",
+    "stream_dedup",
+    "sim_cosine_topk",
+    "text_stats",
+    "text_tf_topterms",
+    "udf_scalar_pandas",
+    "udaf_grouped_pandas",
+    "udtf_explode_like",
+    "scan_full",
+    "scan_prefix",
+    "filter_value",
+    "filter_compound",
+    "filter_regex",
+    "filter_in",
+    "filter_null",
+    "page_limit",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    # -- last driver-checked in r4 --
+    "join_anti",
+    "join_star",
+    "join_theta_range",
+    "join_asof",
+    "agg_rowcount",
+    "agg_cellcount",
+    "agg_group_sum",
+    "agg_multi",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+]
+
+# Staged r9 window (VERDICT r7 item 2: stage the next rotation in the
+# same commit).  Computed, not hard-coded, so it stays true as round-8
+# keys are appended to _R8_BACKLOG: the remaining first-timers lead,
+# then the contract refresh fills the window.  Emission order places
+# _R8_BACKLOG then _CONTRACT_REFRESH right after the r8 window, so
+# positions 51..100 of queries() ARE this list — a >50-key driver
+# window or an early r9 run picks it up with no further rotation edit.
+_R9_WINDOW = [*_R8_BACKLOG, *_CONTRACT_REFRESH][:50]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
@@ -530,13 +627,14 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R7_WINDOW)
-    # Hedge: the never-driver-checked backlog keys are the
-    # next-most-valuable evidence targets, so they follow immediately
-    # after the r7 window in emission order (a >50-key driver window or
-    # a re-run picks them up first).
-    backlog_tail = [k for k in _R7_BACKLOG if k not in window]
-    rest_contract = [k for k in _CONTRACT_PRIORITY if k not in window]
+    window = set(_R8_WINDOW)
+    # Hedge + r9 staging: the remaining never-driver-checked keys are
+    # the next-most-valuable evidence targets, so they follow
+    # immediately after the r8 window, then the contract keys in
+    # oldest-evidence-first refresh order — emission positions 51..100
+    # are therefore exactly the staged _R9_WINDOW.
+    backlog_tail = [k for k in _R8_BACKLOG if k not in window]
+    rest_contract = [k for k in _CONTRACT_REFRESH if k not in window]
     extras = sorted(
         k
         for k in _REGISTRY
@@ -544,7 +642,7 @@ def all_specs() -> dict[str, QuerySpec]:
         and k not in window
         and k not in set(backlog_tail)
     )
-    order = [*_R7_WINDOW, *backlog_tail, *rest_contract, *extras]
+    order = [*_R8_WINDOW, *backlog_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

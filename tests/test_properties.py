@@ -2138,15 +2138,20 @@ def test_rr_estimator_inverts_the_channel(spark):
     # reports exactly one category), the inversion must preserve the
     # total EXACTLY (sum over k categories of (4k*obs - n)/(3k) =
     # (4k*n - k*n)/(3k) = n, an algebraic identity), and each
-    # category's estimate must land within ~3 sigma of ground truth
-    # (sigma_est = (4/3)*sqrt(n*q*(1-q)) ~ 6.5 at n=150; measured max
-    # error 4.33).
+    # category's estimate must land within ~3 sigma of ground truth.
+    # The bound is DERIVED from n (ADVICE r7 item 1): sigma_est =
+    # (4/3)*sqrt(n*q*(1-q)) <= (4/3)*sqrt(n/4) = (2/3)*sqrt(n), so
+    # 3 sigma = 2*sqrt(n) (+2 slack for the integer-rational rounding
+    # in the estimator) scales correctly when SF_DIR points at a larger
+    # scale factor (error grows ~sqrt(n), not constant).  Measured max
+    # error 4.33 at n=150 where the bound is 26.5.
     rows = SPECS["x_privacy_rr_freq"].fn(spark, SF_DIR).collect()
     assert rows
     n = rows[0].n
+    bound = 2.0 * n**0.5 + 2.0
     assert sum(r.obs_cnt for r in rows) == n
     assert abs(sum(r.est_true for r in rows) - n) < 1e-9 * n
     for r in rows:
-        assert abs(r.est_true - r.true_cnt) <= 20, (
-            f"{r.seg}: est {r.est_true} vs true {r.true_cnt}"
+        assert abs(r.est_true - r.true_cnt) <= bound, (
+            f"{r.seg}: est {r.est_true} vs true {r.true_cnt} (bound {bound:.1f})"
         )

@@ -22,11 +22,15 @@ import pathlib
 
 from hbasemapreduce_spark.registry import (
     _CONTRACT_PRIORITY,
+    _CONTRACT_REFRESH,
     _R5_WINDOW,
     _R6_BACKLOG,
     _R6_WINDOW,
     _R7_BACKLOG,
     _R7_WINDOW,
+    _R8_BACKLOG,
+    _R8_WINDOW,
+    _R9_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -36,14 +40,19 @@ DRIVER_WINDOW = 50
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def _driver_checked_keys() -> set[str]:
+def _driver_checked_keys(before_round: int | None = None) -> set[str]:
     """Union of keys with driver correctness evidence, all rounds so far.
 
-    Globs CORRECTNESS_r0*.json so the invariants below stay true both
-    before and after the driver's r5 artifact lands (it had not yet at
-    the start of round 6)."""
+    Globs CORRECTNESS_r*.json (two-digit rounds included).  Pass
+    ``before_round`` to bound the evidence at a rotation point: the
+    "window keys are first-timers" invariants are statements about the
+    evidence AT STAGING TIME, so they must not be falsified the moment
+    the current round's own artifact lands (the r7 failure mode —
+    ADVICE r7 item 4)."""
     keys: set[str] = set()
-    for p in _REPO.glob("CORRECTNESS_r0*.json"):
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        if before_round is not None and int(p.stem.split("_r")[1]) >= before_round:
+            continue
         keys |= set(json.loads(p.read_text()).keys())
     return keys
 
@@ -57,38 +66,80 @@ def test_all_contract_keys_registered():
     assert CONTRACT_KEYS <= set(all_specs())
 
 
-def test_r7_window_is_pinned_exactly():
-    # VERDICT r6 item 2: the r7 window is the 50 _R5_WINDOW keys that
-    # were skipped when the r5 driver artifacts never landed.
-    assert _R7_WINDOW == _R5_WINDOW
-    assert len(_R7_WINDOW) == DRIVER_WINDOW
-    assert len(set(_R7_WINDOW)) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == _R7_WINDOW
+def test_r8_window_is_pinned_exactly():
+    # VERDICT r7 item 1: the r8 window is the plan staged at the end of
+    # r7 — the first 50 _R7_BACKLOG entries, promoted verbatim now that
+    # CORRECTNESS_r07.json landed green.
+    assert _R8_WINDOW == _R7_BACKLOG[:DRIVER_WINDOW]
+    assert len(_R8_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R8_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R8_WINDOW
 
 
-def test_r7_window_keys_never_driver_checked():
-    # Every r7 slot is spent on a first-timer: no key in the window has
-    # evidence in ANY landed correctness artifact (r1-r4, r6; r5 never
-    # landed — that is exactly why these keys rotate in).
-    assert not (set(_R7_WINDOW) & _driver_checked_keys())
+def test_r8_window_keys_never_driver_checked():
+    # Every r8 slot is spent on a first-timer: no key in the window had
+    # evidence in any artifact landed BEFORE the rotation (r1-r4, r6,
+    # r7; r5 never landed).  Bounded at round 8 so the r8 artifact
+    # itself cannot falsify this staging-time statement.
+    assert not (set(_R8_WINDOW) & _driver_checked_keys(before_round=8))
 
 
-def test_r7_backlog_keys_follow_r7_window():
-    # Hedge for a missing/late r7 driver artifact: the never-checked
+def test_r7_window_now_driver_checked():
+    # Rotation precondition: the keys that just rotated OUT did so
+    # because the r7 driver artifact landed and covered all of them.
+    assert set(_R7_WINDOW) <= _driver_checked_keys()
+
+
+def test_r8_backlog_keys_follow_r8_window():
+    # Hedge for a missing/late r8 driver artifact: the never-checked
     # backlog keys occupy emission positions 51+ so they are the first
     # keys a larger-than-50 driver window (or a re-run) would pick up.
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R7_BACKLOG)] == _R7_BACKLOG
+    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R8_BACKLOG)] == _R8_BACKLOG
 
 
 def test_rotation_plan_covers_all_unchecked():
-    # (r7 window ∪ r7 backlog) must equal the full set of keys without
-    # driver evidence from any landed artifact — nothing silently
-    # dropped.  New keys added during round 7 must be appended to
-    # _R7_BACKLOG to keep this invariant.
-    unchecked = set(all_specs()) - _driver_checked_keys()
-    assert unchecked == set(_R7_WINDOW) | set(_R7_BACKLOG)
-    assert not (set(_R7_WINDOW) & set(_R7_BACKLOG))
+    # (r8 window ∪ r8 backlog) must equal the full set of keys without
+    # pre-rotation driver evidence — nothing silently dropped.  New
+    # keys added during round 8 must be appended to _R8_BACKLOG to keep
+    # this invariant.  Bounded at round 8 (staging-time statement).
+    unchecked = set(all_specs()) - _driver_checked_keys(before_round=8)
+    assert unchecked == set(_R8_WINDOW) | set(_R8_BACKLOG)
+    assert not (set(_R8_WINDOW) & set(_R8_BACKLOG))
+
+
+def test_r9_window_is_staged():
+    # VERDICT r7 item 2: the r9 plan ships in the same commit as the r8
+    # rotation.  The staged window = remaining first-timers + the start
+    # of the contract refresh, and emission positions 51..100 are
+    # exactly that list, so an early/oversized driver run needs no
+    # further rotation edit.
+    assert len(_R9_WINDOW) == DRIVER_WINDOW
+    assert _R9_WINDOW == [*_R8_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
+    specs = list(all_specs())
+    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R9_WINDOW
+
+
+def test_contract_refresh_order_matches_artifacts():
+    # _CONTRACT_REFRESH is all 60 contract keys, ordered
+    # oldest-driver-evidence-first (ties broken by _CONTRACT_PRIORITY
+    # position) — re-derived here from the artifacts the list was
+    # staged against (rounds <= 7, frozen so a future artifact that
+    # re-checks contract keys cannot falsify this pin at landing time;
+    # the list itself is re-derived at the next refresh rotation).
+    assert sorted(_CONTRACT_REFRESH) == sorted(_CONTRACT_PRIORITY)
+    latest: dict[str, int] = {}
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(p.stem.split("_r")[1])
+        if rnd > 7:
+            continue
+        for k in json.loads(p.read_text()):
+            latest[k] = max(latest.get(k, 0), rnd)
+    expected = sorted(
+        _CONTRACT_PRIORITY,
+        key=lambda k: (latest.get(k, 0), _CONTRACT_PRIORITY.index(k)),
+    )
+    assert _CONTRACT_REFRESH == expected
 
 
 def test_r6_window_plus_r7_backlog_cover_r6_backlog():
@@ -102,6 +153,17 @@ def test_r6_window_plus_r7_backlog_cover_r6_backlog():
     assert len(set(_R6_WINDOW) & set(_R6_BACKLOG)) + len(
         set(_R7_BACKLOG) & set(_R6_BACKLOG)
     ) == len(_R6_BACKLOG)
+
+
+def test_r8_window_oracles():
+    # Every r8 slot carries a full-hash oracle except the three
+    # rows-only-by-design sketch keys (seed-dependent bucket/sketch
+    # membership — each has a full-hash portable twin already
+    # driver-checked: x_agg_distinct_kmv r7, x_dedup_simhash_portable
+    # r6, x_agg_sketch_cms_portable r7).
+    specs = all_specs()
+    missing = [k for k in _R8_WINDOW if specs[k].oracle is None]
+    assert missing == ["x_agg_sketch_hll", "x_dedup_simhash", "x_agg_sketch_cms"]
 
 
 def test_r7_window_oracles():
