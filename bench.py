@@ -17,10 +17,13 @@ Timing rules (SURVEY.md §5.5): one action per query via a noop-format
 write (full plan executes, nothing is collected to the driver — collect
 would measure Python serialization, not the engine), no caching, warm
 session (JVM startup excluded; reported separately as "startup_sec").
-Contention guard (VERDICT r2 item 6): queries whose first pass exceeds
-1 s get two more passes and report the MEDIAN of 3, so a single noisy
-neighbour on the box can't fabricate a 5x "regression" on an untouched
-file; sub-second queries keep the single-pass number to bound runtime.
+Contention guard (VERDICT r2 item 6, two-phase since r8): phase 1 takes
+one guaranteed pass over every key; phase 2 re-times every key over 1 s
+cheapest-first with two more passes (reporting the MEDIAN of 3) until
+the wall budget runs out, so a single noisy neighbour on the box can't
+fabricate a 5x "regression" on an untouched file and the budget buys
+medians on the MOST keys rather than depth on whichever slow keys come
+first.  Sub-second queries keep the single-pass number to bound runtime.
 """
 
 from __future__ import annotations
@@ -216,28 +219,51 @@ def time_queries(
     # always completes; median-of-3 re-timing stops once the loop has
     # spent the budget (those keys report their single first pass,
     # `passes` records which).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "700"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     t_loop = time.perf_counter()
 
     timings: dict[str, float] = {}
     passes: dict[str, int] = {}
     errors: dict[str, str] = {}
+
+    # Two-phase schedule (VERDICT r7 item 8: BENCH_r07 carried 184/287
+    # keys at passes=1 because interleaved re-timing burned the budget
+    # on whichever slow keys came FIRST in emission order).  Phase 1
+    # takes exactly one guaranteed pass over every key; phase 2 spends
+    # whatever budget remains adding 2 more passes to every key over
+    # the re-time threshold, CHEAPEST FIRST — maximizing the COUNT of
+    # keys that report a median rather than the depth on a few.  Keys
+    # over ALWAYS_RETIME_SEC are re-timed even after the budget is
+    # spent (VERDICT r6 item 3: a >2.5 s single pass on a busy box is
+    # indistinguishable from a regression).
     for key in specs:
         try:
-            first = run_once(key)
-            in_budget = (time.perf_counter() - t_loop) < budget
-            if first > ALWAYS_RETIME_SEC or (
-                first > RETIME_THRESHOLD_SEC and in_budget
-            ):
-                samples = [first] + [run_once(key) for _ in range(RETIME_PASSES - 1)]
-                timings[key] = round(statistics.median(samples), 3)
-                passes[key] = len(samples)
-            else:
-                timings[key] = round(first, 3)
-                passes[key] = 1
+            timings[key] = round(run_once(key), 3)
+            passes[key] = 1
         except Exception as e:  # noqa: BLE001 — isolate ANY per-query failure
             errors[key] = f"{type(e).__name__}: {e}"[:300]
             print(f"ERROR {key}: {errors[key]}", file=sys.stderr)
+
+    retime = sorted(
+        (k for k, t in timings.items() if t > RETIME_THRESHOLD_SEC),
+        key=lambda k: timings[k],
+    )
+    for key in retime:
+        in_budget = (time.perf_counter() - t_loop) < budget
+        if not in_budget and timings[key] <= ALWAYS_RETIME_SEC:
+            continue
+        try:
+            samples = [timings[key]] + [
+                run_once(key) for _ in range(RETIME_PASSES - 1)
+            ]
+            timings[key] = round(statistics.median(samples), 3)
+            passes[key] = len(samples)
+        except Exception as e:  # noqa: BLE001 — keep the phase-1 timing
+            print(
+                f"RETIME ERROR {key} (phase-1 timing kept): "
+                f"{type(e).__name__}: {e}"[:300],
+                file=sys.stderr,
+            )
     return timings, passes, errors
 
 

@@ -1252,3 +1252,102 @@ def source_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"), dec_sum("o_totalprice", "sum_price")
     )
+
+
+_ZM_ZONES = 64
+_ZM_LO = 9862  # epoch day of 1997-01-01 (predicate lower bound)
+_ZM_HI = 10226  # epoch day of 1997-12-31 (predicate upper bound)
+
+
+@query(
+    "x_layout_zonemap",
+    category="sink",
+    oracle=(
+        "WITH r AS (SELECT datediff('day', DATE '1970-01-01', "
+        "    CAST(l_shipdate AS DATE)) AS d, l_orderkey, l_linenumber "
+        "  FROM lineitem), "
+        "z AS (SELECT d, "
+        f"  ntile({_ZM_ZONES}) OVER (ORDER BY l_orderkey, l_linenumber) "
+        "    AS zone_ingest, "
+        f"  ntile({_ZM_ZONES}) OVER (ORDER BY d, l_orderkey, l_linenumber) "
+        "    AS zone_sorted FROM r), "
+        "u AS (SELECT 'ingest' AS layout, zone_ingest AS zone, d FROM z "
+        "  UNION ALL SELECT 'shipdate_sorted', zone_sorted, d FROM z), "
+        "zm AS (SELECT layout, zone, MIN(d) AS mn, MAX(d) AS mx, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY 1, 2) "
+        "SELECT layout, "
+        f"CAST(COUNT(*) AS BIGINT) AS zones_total, "
+        f"CAST(SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI} THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS zones_pruned, "
+        "CAST(SUM(cnt) AS BIGINT) AS rows_total, "
+        f"CAST(SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI} THEN cnt ELSE 0 END) "
+        "  AS BIGINT) AS rows_skipped, "
+        f"CAST(SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI} THEN cnt ELSE 0 END) "
+        "  AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS skip_ratio "
+        "FROM zm GROUP BY layout"
+    ),
+)
+def layout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) audit: how many zones a literal
+    l_shipdate range predicate can prune under two physical layouts of
+    the SAME table — raw ingest order vs shipdate-sorted.  This is the
+    quantified version of the x_layout_zorder story: parquet/Iceberg
+    file skipping is only as good as the min/max ENVELOPES, and on an
+    unsorted layout every zone's envelope spans the whole date domain
+    (skip_ratio ~ 0) while a sort-clustered layout prunes all zones
+    outside the predicate (skip_ratio -> 1 - selectivity).  Output: one
+    row per layout with zone counts, prunable zones, and the row
+    fraction a scan would skip.
+
+    Scale shape: zone ids here come from ntile over a total order —
+    a single-partition window at bench scale, CHECKABLE but not the
+    100 TB layout mechanism.  At scale the zone id is free: it IS the
+    file id after repartitionByRange(shipdate).sortWithinPartitions
+    (range exchange + local sort, fully parallel — the exact write
+    path x_layout_zorder/hilbert ship), and the zonemap audit itself
+    is one partial+final aggregate over (layout, zone).  The ntile
+    stand-in keeps the oracle engine-exact; the pruning arithmetic is
+    identical either way."""
+    from pyspark.sql import Window
+
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    z = r.select(
+        "d",
+        F.ntile(_ZM_ZONES)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("zone_ingest"),
+        F.ntile(_ZM_ZONES)
+        .over(Window.orderBy("d", "l_orderkey", "l_linenumber"))
+        .alias("zone_sorted"),
+    )
+    u = z.select(
+        F.lit("ingest").alias("layout"), F.col("zone_ingest").alias("zone"), "d"
+    ).unionAll(
+        z.select(
+            F.lit("shipdate_sorted").alias("layout"),
+            F.col("zone_sorted").alias("zone"),
+            "d",
+        )
+    )
+    zm = u.groupBy("layout", "zone").agg(
+        F.min("d").alias("mn"),
+        F.max("d").alias("mx"),
+        F.count("*").alias("cnt"),
+    )
+    pruned = (F.col("mx") < _ZM_LO) | (F.col("mn") > _ZM_HI)
+    return zm.groupBy("layout").agg(
+        F.count("*").alias("zones_total"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias("zones_pruned"),
+        F.sum("cnt").cast("long").alias("rows_total"),
+        F.sum(F.when(pruned, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        (
+            F.sum(F.when(pruned, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("skip_ratio"),
+    )

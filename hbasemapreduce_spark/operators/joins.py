@@ -207,3 +207,128 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak=[F.col("o_orderkey")],
     )
     return out.select("event_id", "matched_orderkey")
+
+
+_FZ_D = 2  # edit-distance threshold
+_FZ_SEGS = _FZ_D + 1  # pigeonhole segment count
+
+# Segment geometry for a string partitioned into 3 even segments
+# (0-indexed): seg i of a length-L string has
+#   len_i   = L DIV 3 + (1 if i < L % 3 else 0)
+#   start_i = i * (L DIV 3) + min(i, L % 3)
+_FZ_IDX_KEYS = (
+    "filter(transform(sequence(0, 2), i -> struct("
+    "  CAST(i AS INT) AS seg, "
+    "  substring(nm, i * (length(nm) DIV 3) + least(i, length(nm) % 3) + 1, "
+    "            (length(nm) DIV 3) + IF(i < length(nm) % 3, 1, 0)) AS txt, "
+    "  length(nm) AS plen)), "
+    "k -> length(k.txt) >= 1)"
+)
+_FZ_PRB_KEYS = (
+    "array_distinct(flatten(transform("
+    "  sequence(greatest(length(nm) - 2, 1), length(nm) + 2), pl -> "
+    "  flatten(transform(sequence(0, 2), i -> "
+    "    filter(transform(sequence("
+    "        i * (pl DIV 3) + least(i, pl % 3) - 2, "
+    "        i * (pl DIV 3) + least(i, pl % 3) + 2), pos -> "
+    "      IF(pos >= 0 AND (pl DIV 3) + IF(i < pl % 3, 1, 0) >= 1 "
+    "         AND pos + (pl DIV 3) + IF(i < pl % 3, 1, 0) <= length(nm), "
+    "        struct(CAST(i AS INT) AS seg, "
+    "               substring(nm, CAST(pos + 1 AS INT), "
+    "                 (pl DIV 3) + IF(i < pl % 3, 1, 0)) AS txt, "
+    "               CAST(pl AS INT) AS plen), "
+    "        NULL)), "
+    "      x -> x IS NOT NULL))))))"
+)
+
+
+@query(
+    "x_join_fuzzy_name",
+    category="join",
+    oracle=(
+        "WITH d AS (SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "  FROM part GROUP BY 1) "
+        "SELECT a.nm AS name_a, b.nm AS name_b, "
+        "CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist, "
+        "a.cnt AS rows_a, b.cnt AS rows_b "
+        "FROM d a JOIN d b ON a.nm < b.nm "
+        f"AND levenshtein(a.nm, b.nm) <= {_FZ_D}"
+    ),
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (PassJoin, Li et al. VLDB'11)
+    over the part-name domain: all DISTINCT name pairs within
+    Levenshtein distance 2, each annotated with how many base rows
+    carry each spelling — the entity-resolution primitive ("which
+    near-miss spellings should merge, and what's the blast radius").
+
+    Never all-pairs: each distinct string is partitioned into d+1 = 3
+    contiguous segments; if ed(a,b) <= 2 then at least one segment
+    contains no edit, so it appears EXACTLY in the partner at a start
+    shifted by at most d (pigeonhole over the edit alignment).  The
+    index side emits its own 3 segments keyed by (seg#, text, own
+    length); the probe side emits, for every partner length within
+    +/-d and every start within +/-d of that geometry's segment start,
+    the matching substring — ~(2d+1)^2 * 3 bounded keys per string.
+    Candidates come from the equi-join on (seg#, text, partner_len);
+    the exact levenshtein verify is candidate-bounded.  The DuckDB
+    oracle is the NAIVE all-pairs spec, so the hash match proves the
+    blocking lossless on this corpus (the x_dedup_gram_containment
+    discipline).
+
+    Scale shape: the string DOMAIN is distinct'd first (|domain| <<
+    |rows| — the canonical ER move), key expansion is a generator, the
+    join is equi, and row counts join back per name.  At 100 TB the
+    domain dedup is the only corpus-sized shuffle."""
+    grp = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        # Pigeonhole precondition: with d = 2 the guarantee needs all
+        # 3 segments non-empty (length >= 3); a shorter string could
+        # have both its non-empty segments edited and the pair would
+        # be silently missed vs the naive oracle.  Fail loudly instead
+        # (the x_sim_ann_lsh_portable plane-budget discipline).
+        .filter(
+            F.when(F.length("nm") >= _FZ_SEGS, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("x_join_fuzzy_name: string shorter than "),
+                        F.lit(str(_FZ_SEGS)),
+                        F.lit(" chars breaks the pigeonhole guarantee: '"),
+                        F.col("nm"),
+                        F.lit("'"),
+                    )
+                )
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx = grp.select(F.col("nm").alias("nm_i"), F.explode(F.expr(_FZ_IDX_KEYS)).alias("k")).select(
+        "nm_i", "k.seg", "k.txt", "k.plen"
+    )
+    prb = grp.select(F.col("nm").alias("nm_p"), F.explode(F.expr(_FZ_PRB_KEYS)).alias("k")).select(
+        "nm_p", "k.seg", "k.txt", "k.plen"
+    )
+    cand = (
+        idx.join(prb, ["seg", "txt", "plen"])
+        .select(
+            F.least("nm_i", "nm_p").alias("name_a"),
+            F.greatest("nm_i", "nm_p").alias("name_b"),
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= _FZ_D)
+        .join(
+            grp.select(F.col("nm").alias("name_a"), F.col("cnt").alias("rows_a")),
+            "name_a",
+        )
+        .join(
+            grp.select(F.col("nm").alias("name_b"), F.col("cnt").alias("rows_b")),
+            "name_b",
+        )
+        .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+    )

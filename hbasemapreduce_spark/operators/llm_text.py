@@ -1339,3 +1339,106 @@ def eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_total",
         F.expr("1000000 * cnt DIV lang_total").alias("share_ppm"),
     )
+
+
+@query(
+    "x_eval_rouge_n",
+    category="eval",
+    oracle=(
+        "WITH al AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), "
+        "bg AS (SELECT doc_id, a[i] || ' ' || a[i + 1] AS g "
+        "  FROM al, unnest(range(1, len(a))) AS t(i)), "
+        "cnt AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg "
+        "  GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1), "
+        "pairs AS (SELECT a.doc_id AS doc_cand, b.doc_id AS doc_ref, "
+        "  a.n AS na, b.n AS nb FROM tot a JOIN tot b ON b.doc_id = a.doc_id + 1), "
+        "ov AS (SELECT ca.doc_id AS doc_cand, "
+        "  CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS ov "
+        "  FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1 AND ca.g = cb.g "
+        "  GROUP BY 1) "
+        "SELECT p.doc_cand, p.doc_ref, COALESCE(o.ov, 0) AS overlap_2, "
+        "  p.na, p.nb, "
+        "  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) "
+        "    AS rouge2_prec, "
+        "  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.nb AS DOUBLE) "
+        "    AS rouge2_rec, "
+        "  CAST(2 * COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.na + p.nb AS DOUBLE) "
+        "    AS rouge2_f1 "
+        "FROM pairs p LEFT JOIN ov o ON o.doc_cand = p.doc_cand "
+        "WHERE p.na > 0 AND p.nb > 0"
+    ),
+)
+def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (bigram overlap) between candidate/reference text pairs
+    — the n-gram summarization metric (Lin 2004), computed at corpus
+    scale with CLIPPED counts (each reference bigram credits at most
+    its reference multiplicity, the BLEU/ROUGE clipping rule).  Pairs
+    here are (doc_id, doc_id+1) — the deterministic stand-in for a
+    keyed (model_output, reference) pairing; the dataflow is identical
+    for any equi-keyed pair table.
+
+    Exactness: overlap/na/nb are integer counts; precision = ov/na and
+    recall = ov/nb are ONE IEEE division each, and F1 collapses
+    algebraically to 2*ov/(na+nb) (harmonic mean of two ratios sharing
+    a numerator) — also one division, so all three doubles are bitwise
+    engine-identical.  Zero-bigram docs (len < 2) are excluded by the
+    na/nb > 0 guard in both engines.
+
+    Scale shape: bigram expansion is a generator over each doc (no
+    shuffle), per-doc gram counts partial-aggregate before the
+    shuffle, and the clipped-overlap join is equi on (adjacent doc_id,
+    gram) — candidate-bounded, never all-pairs; totals join back at
+    |docs| rows."""
+    al = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("a")
+    )
+    bg = al.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
+                "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_cand"),
+            F.col("b.doc_id").alias("doc_ref"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    ov = (
+        cnt.alias("ca")
+        .join(
+            cnt.alias("cb"),
+            (F.col("cb.doc_id") == F.col("ca.doc_id") + 1)
+            & (F.col("ca.g") == F.col("cb.g")),
+        )
+        .groupBy(F.col("ca.doc_id").alias("doc_cand"))
+        .agg(F.sum(F.least("ca.c", "cb.c")).cast("long").alias("ov"))
+    )
+    ovc = F.coalesce(F.col("ov"), F.lit(0).cast("long"))
+    return (
+        pairs.join(ov, "doc_cand", "left")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_cand",
+            "doc_ref",
+            ovc.alias("overlap_2"),
+            "na",
+            "nb",
+            (ovc.cast("double") / F.col("na").cast("double")).alias("rouge2_prec"),
+            (ovc.cast("double") / F.col("nb").cast("double")).alias("rouge2_rec"),
+            (
+                (2 * ovc).cast("double") / (F.col("na") + F.col("nb")).cast("double")
+            ).alias("rouge2_f1"),
+        )
+    )

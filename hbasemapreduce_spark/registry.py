@@ -433,7 +433,13 @@ _R8_WINDOW = list(_R7_BACKLOG[:50])
 # New keys registered during round 8 are appended HERE so the
 # rotation-coverage invariant (tests/test_registry.py) stays true:
 # unchecked-by-any-driver-artifact == _R8_WINDOW ∪ _R8_BACKLOG.
-_R8_BACKLOG = list(_R7_BACKLOG[50:])
+_R8_BACKLOG = [
+    *_R7_BACKLOG[50:],
+    # new in r8 (after the r8 window was frozen) — first-eligible in r9:
+    "x_layout_zonemap",
+    "x_eval_rouge_n",
+    "x_join_fuzzy_name",
+]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
 # carry driver evidence, but the oldest is 4-5 rounds stale (48 keys

@@ -2155,3 +2155,91 @@ def test_rr_estimator_inverts_the_channel(spark):
         assert abs(r.est_true - r.true_cnt) <= bound, (
             f"{r.seg}: est {r.est_true} vs true {r.true_cnt} (bound {bound:.1f})"
         )
+
+
+def test_zonemap_layouts_tell_the_skipping_story(spark):
+    # Data property behind x_layout_zonemap's docstring: the
+    # shipdate-sorted layout must prune a majority of rows under the
+    # 1997 predicate while the ingest layout (shipdate scattered per
+    # zone) prunes nothing — the quantified reason sort-clustering /
+    # z-ordering exists.
+    rows = {r.layout: r for r in SPECS["x_layout_zonemap"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"ingest", "shipdate_sorted"}
+    for r in rows.values():
+        assert r.zones_total == 64
+        assert r.rows_total == r.rows_skipped + (r.rows_total - r.rows_skipped)
+    assert rows["ingest"].skip_ratio == 0.0
+    assert rows["shipdate_sorted"].skip_ratio > 0.5
+    assert rows["shipdate_sorted"].zones_pruned > 32
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_name_blocking_lossless_on_adversarial_strings(spark):
+    # The PassJoin pigeonhole must hold on edits the part corpus never
+    # produces: substitutions in EVERY segment, deletions/insertions
+    # shifting length by 1 and 2, edits straddling segment boundaries.
+    # Expected = naive O(n^2) python levenshtein over the domain.
+    from pyspark.sql import functions as SF
+
+    from hbasemapreduce_spark.operators.joins import (
+        _FZ_D,
+        _FZ_IDX_KEYS,
+        _FZ_PRB_KEYS,
+    )
+
+    base = "abcdefghij"
+    domain = sorted(
+        {
+            base,
+            "Xbcdefghij",  # sub in seg 0
+            "abcdXfghij",  # sub in seg 1
+            "abcdefghiX",  # sub in seg 2
+            "bcdefghij",  # del at front (-1)
+            "abcdefghi",  # del at back (-1)
+            "acdefghij",  # del inside seg 0
+            "abcdefgh",  # two dels (-2)
+            "Zabcdefghij",  # ins at front (+1)
+            "abcdefghijZ",  # ins at back (+1)
+            "ZYabcdefghij",  # two ins (+2)
+            "XbcdefghiY",  # subs in segs 0 and 2
+            "abXdeXghij",  # subs in segs 0/1 boundary region
+            "qrstuvwxyz",  # far string, no pair
+            "mlkjihgfed",  # far string, no pair
+        }
+    )
+    expected = {
+        (a, b)
+        for i, a in enumerate(domain)
+        for b in domain[i + 1 :]
+        if _lev(a, b) <= _FZ_D
+    }
+    assert len(expected) >= 10  # the set is genuinely adversarial
+    grp = spark.createDataFrame([(n,) for n in domain], "nm string")
+    idx = grp.select(
+        SF.col("nm").alias("nm_i"), SF.explode(SF.expr(_FZ_IDX_KEYS)).alias("k")
+    ).select("nm_i", "k.seg", "k.txt", "k.plen")
+    prb = grp.select(
+        SF.col("nm").alias("nm_p"), SF.explode(SF.expr(_FZ_PRB_KEYS)).alias("k")
+    ).select("nm_p", "k.seg", "k.txt", "k.plen")
+    got = {
+        (r.a, r.b)
+        for r in idx.join(prb, ["seg", "txt", "plen"])
+        .select(
+            SF.least("nm_i", "nm_p").alias("a"),
+            SF.greatest("nm_i", "nm_p").alias("b"),
+        )
+        .filter(SF.col("a") < SF.col("b"))
+        .distinct()
+        .filter(SF.levenshtein("a", "b") <= _FZ_D)
+        .collect()
+    }
+    assert got == expected

@@ -923,3 +923,45 @@ def test_rr_coin_census_matches_design_probabilities(spark):
     # lie draw must reach every category.
     assert 0 < keeps < n, "RR coin is constant"
     assert len(lie_census) == k_dom, "lie draw misses categories"
+
+
+def test_rouge2_matches_pure_python_clipped_counts(spark):
+    # Third opinion on x_eval_rouge_n: recompute clipped bigram overlap
+    # with collections.Counter over the raw parquet text and compare
+    # every pair's integers and derived doubles exactly.
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    def bigrams(text: str) -> Counter[str]:
+        toks = text.split(" ")
+        return Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+
+    out = all_specs()["x_eval_rouge_n"].fn(spark, SF_DIR).collect()
+    assert out
+    seen = set()
+    for r in out:
+        ca, cb = bigrams(docs[r.doc_cand]), bigrams(docs[r.doc_ref])
+        ov = sum((ca & cb).values())
+        na, nb = sum(ca.values()), sum(cb.values())
+        assert (r.overlap_2, r.na, r.nb) == (ov, na, nb), r
+        assert r.rouge2_prec == ov / na
+        assert r.rouge2_rec == ov / nb
+        assert r.rouge2_f1 == 2 * ov / (na + nb)
+        seen.add(r.doc_cand)
+    # Every adjacent pair with bigrams on both sides must be present.
+    expected_pairs = {
+        i
+        for i in docs
+        if i + 1 in docs
+        and sum(bigrams(docs[i]).values()) > 0
+        and sum(bigrams(docs[i + 1]).values()) > 0
+    }
+    assert seen == expected_pairs
