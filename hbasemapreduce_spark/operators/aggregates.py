@@ -323,3 +323,125 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("mode_count"),
         )
     )
+
+
+_QBK_K = 128  # bottom-k sample size; quantile rank error ~ 1/sqrt(k)
+
+
+@query(
+    "x_agg_quantile_bottomk",
+    category="agg",
+    oracle=(
+        "WITH e AS (SELECT event_type AS grp, event_id, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "h AS (SELECT grp, event_id, cents, "
+        f"  {_kmv_hex12_duck('md5(CAST(event_id AS VARCHAR))')} AS hh FROM e), "
+        "rk AS (SELECT grp, event_id, cents, row_number() OVER ("
+        "  PARTITION BY grp ORDER BY hh, event_id) AS rn FROM h), "
+        f"samp AS (SELECT grp, event_id, cents FROM rk WHERE rn <= {_QBK_K}), "
+        "sv AS (SELECT grp, cents, row_number() OVER ("
+        "  PARTITION BY grp ORDER BY cents, event_id) AS vr, "
+        "  COUNT(*) OVER (PARTITION BY grp) AS ns FROM samp), "
+        "est AS (SELECT grp, CAST(MAX(ns) AS BIGINT) AS k_used, "
+        "  MAX(CASE WHEN vr = (ns + 3) // 4 THEN cents END) AS est_p25, "
+        "  MAX(CASE WHEN vr = (ns + 1) // 2 THEN cents END) AS est_p50, "
+        "  MAX(CASE WHEN vr = (3 * ns + 3) // 4 THEN cents END) AS est_p75 "
+        "  FROM sv GROUP BY grp), "
+        "fv AS (SELECT grp, cents, row_number() OVER ("
+        "  PARTITION BY grp ORDER BY cents, event_id) AS vr, "
+        "  COUNT(*) OVER (PARTITION BY grp) AS n FROM e), "
+        "tru AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n, "
+        "  MAX(CASE WHEN vr = (n + 3) // 4 THEN cents END) AS true_p25, "
+        "  MAX(CASE WHEN vr = (n + 1) // 2 THEN cents END) AS true_p50, "
+        "  MAX(CASE WHEN vr = (3 * n + 3) // 4 THEN cents END) AS true_p75 "
+        "  FROM fv GROUP BY grp) "
+        "SELECT t.grp, t.n, e.k_used, e.est_p25, e.est_p50, e.est_p75, "
+        "t.true_p25, t.true_p50, t.true_p75 "
+        "FROM tru t JOIN est e ON t.grp = e.grp"
+    ),
+)
+def agg_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch by BOTTOM-K HASH SAMPLING (Cohen &
+    Kaplan's bottom-k sketches): per group keep the k = 128 rows with
+    the smallest 48-bit md5 hash of the row key — a uniform sample
+    whose merge rule is k-smallest-of-union, the SAME partial-
+    aggregate shape as x_agg_distinct_kmv — then read p25/p50/p75 off
+    the sample's order statistics (ceil(p*k)-th, the lower empirical
+    quantile).  This is the engine-portable cousin of
+    percentile_approx/t-digest: every hash, rank and selected value is
+    exact integer arithmetic, so the sketch AND its estimates
+    hash-check against DuckDB; exact quantiles ride along so the
+    ~1.36/sqrt(k) DKW rank error stays visible (x_agg_distinct_kmv's
+    n_true discipline).
+
+    Scale shape: the sample comes from a rank<=k filter Spark rewrites
+    to WindowGroupLimit (per-partition partial bottom-k BEFORE the
+    shuffle — k rows per partition per group cross the wire, never the
+    corpus); the quantile read is a window over |groups| x k rows.
+    The exact side is the audit, not the product: at 100 TB you ship
+    only the sketch path and drop the full-sort branch."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    h = e.select(
+        "grp",
+        "event_id",
+        "cents",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("hh"),
+    )
+    ws = Window.partitionBy("grp").orderBy("hh", "event_id")
+    samp = (
+        h.select("grp", "event_id", "cents", F.row_number().over(ws).alias("rn"))
+        .filter(F.col("rn") <= _QBK_K)
+        .select("grp", "event_id", "cents")
+    )
+
+    # quantile position by integer ceil: ceil(p*n) spelled (num) DIV den
+    # with num/den chosen per p — e.g. ceil(n/4) = (n + 3) DIV 4
+    def _qsel(num: str, den: int):
+        return F.max(
+            F.when(F.col("vr") == F.expr(f"({num}) DIV {den}"), F.col("cents"))
+        )
+
+    wv = Window.partitionBy("grp").orderBy("cents", "event_id")
+    wc = Window.partitionBy("grp")
+    sv = samp.select(
+        "grp",
+        "cents",
+        F.row_number().over(wv).alias("vr"),
+        F.count("*").over(wc).alias("ns"),
+    )
+    est = sv.groupBy("grp").agg(
+        F.max("ns").cast("long").alias("k_used"),
+        _qsel("ns + 3", 4).alias("est_p25"),
+        _qsel("ns + 1", 2).alias("est_p50"),
+        _qsel("3 * ns + 3", 4).alias("est_p75"),
+    )
+    fv = e.select(
+        "grp",
+        "cents",
+        F.row_number().over(wv).alias("vr"),
+        F.count("*").over(wc).alias("n"),
+    )
+    tru = fv.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        _qsel("n + 3", 4).alias("true_p25"),
+        _qsel("n + 1", 2).alias("true_p50"),
+        _qsel("3 * n + 3", 4).alias("true_p75"),
+    )
+    return tru.join(est, "grp").select(
+        "grp",
+        "n",
+        "k_used",
+        "est_p25",
+        "est_p50",
+        "est_p75",
+        "true_p25",
+        "true_p50",
+        "true_p75",
+    )

@@ -4334,3 +4334,99 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT) END"
         ).alias("auc_ppm"),
     )
+
+
+@query(
+    "x_time_stl_lite",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT "
+        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+        "    AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+        "t AS (SELECT hr, c, "
+        "  CAST(SUM(c) OVER w AS BIGINT) AS trend_sum24, "
+        "  CAST(COUNT(*) OVER w AS BIGINT) AS nwin FROM h "
+        "  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), "
+        "i AS (SELECT hr, c, trend_sum24, 24 * c - trend_sum24 AS det24 "
+        "  FROM t WHERE nwin = 24), "
+        "s AS (SELECT hr % 24 AS hod, CAST(SUM(det24) AS BIGINT) AS s_num, "
+        "  CAST(COUNT(*) AS BIGINT) AS s_den FROM i GROUP BY 1) "
+        "SELECT i.hr, i.c, i.trend_sum24, i.det24, s.s_num, s.s_den, "
+        "CAST(i.trend_sum24 AS DOUBLE) / 24.0 AS trend, "
+        "CAST(s.s_num AS DOUBLE) / CAST(24 * s.s_den AS DOUBLE) AS seasonal, "
+        "CAST(i.det24 * s.s_den - s.s_num AS DOUBLE) "
+        "  / CAST(24 * s.s_den AS DOUBLE) AS resid "
+        "FROM i JOIN s ON i.hr % 24 = s.hod"
+    ),
+)
+def time_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-trend decomposition (the moving-average STL
+    ancestor, Cleveland et al.'s 'decompose' baseline) of the hourly
+    event-count series: trend = centered 24-point moving average,
+    seasonal = per-hour-of-day mean of the detrended series, residual
+    = the rest — the series triage that separates load growth from
+    daily rhythm from anomalies before alerting on any of them.
+
+    Exactness: the decomposition is carried in SCALED INTEGERS —
+    det24 = 24*c - trend_sum24 (x24 units), per-hod seasonal kept as
+    the exact rational s_num/s_den — so trend, seasonal and residual
+    each become ONE IEEE division of exact integer operands (bitwise
+    engine-identical; no chained float arithmetic anywhere).  Edge
+    hours without a full 24-point window are excluded (nwin = 24), the
+    standard centered-MA convention.
+
+    Scale shape: the hourly rollup is one partial+final aggregate; the
+    moving window and hod means run over |hours| rows, not |events|.
+    The trend window here orders one global series (single-partition
+    window at bench scale — the checkable stand-in); at 100 TB the
+    identical plan runs per series key (partitionBy(metric)), which is
+    how every multi-series deployment shards anyway."""
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w24 = Window.orderBy("hr").rowsBetween(-12, 11)
+    t = h.select(
+        "hr",
+        "c",
+        F.sum("c").over(w24).cast("long").alias("trend_sum24"),
+        F.count("*").over(w24).cast("long").alias("nwin"),
+    )
+    i = t.filter(F.col("nwin") == 24).select(
+        "hr",
+        "c",
+        "trend_sum24",
+        (24 * F.col("c") - F.col("trend_sum24")).alias("det24"),
+    )
+    s = i.groupBy((F.col("hr") % 24).alias("hod")).agg(
+        F.sum("det24").cast("long").alias("s_num"),
+        F.count("*").cast("long").alias("s_den"),
+    )
+    return (
+        i.join(F.broadcast(s), (F.col("hr") % 24) == F.col("hod"))
+        .select(
+            "hr",
+            "c",
+            "trend_sum24",
+            "det24",
+            "s_num",
+            "s_den",
+            (F.col("trend_sum24").cast("double") / F.lit(24.0)).alias("trend"),
+            (
+                F.col("s_num").cast("double")
+                / (24 * F.col("s_den")).cast("double")
+            ).alias("seasonal"),
+            (
+                (F.col("det24") * F.col("s_den") - F.col("s_num")).cast("double")
+                / (24 * F.col("s_den")).cast("double")
+            ).alias("resid"),
+        )
+    )

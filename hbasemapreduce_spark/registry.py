@@ -439,6 +439,8 @@ _R8_BACKLOG = [
     "x_layout_zonemap",
     "x_eval_rouge_n",
     "x_join_fuzzy_name",
+    "x_agg_quantile_bottomk",
+    "x_time_stl_lite",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys

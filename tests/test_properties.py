@@ -2243,3 +2243,67 @@ def test_fuzzy_name_blocking_lossless_on_adversarial_strings(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_bottomk_quantile_estimates_within_dkw_bound(spark):
+    # x_agg_quantile_bottomk: the sample quantile's TRUE rank must land
+    # within the DKW-style band around p*n — rank error ~ 1.36/sqrt(k)
+    # at 95%, asserted at a loose 3x cushion (0.36 at k=128) so hash
+    # luck can't flake the suite; plus the degeneracy guards (sample
+    # quantiles ordered, exact when the group fits inside the sketch).
+    import bisect
+
+    rows = SPECS["x_agg_quantile_bottomk"].fn(spark, SF_DIR).collect()
+    assert rows
+    vals = {}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.col("event_type").alias("grp"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    for r in ev:
+        vals.setdefault(r.grp, []).append(r.c)
+    for g in vals:
+        vals[g].sort()
+    k = 128
+    tol = 3 * 1.36 / (k**0.5)
+    for r in rows:
+        assert r.est_p25 <= r.est_p50 <= r.est_p75
+        if r.n <= k:
+            assert (r.est_p25, r.est_p50, r.est_p75) == (
+                r.true_p25,
+                r.true_p50,
+                r.true_p75,
+            )
+            continue
+        v = vals[r.grp]
+        for p, est in ((0.25, r.est_p25), (0.5, r.est_p50), (0.75, r.est_p75)):
+            # empirical CDF at the estimate (right-continuous)
+            cdf = bisect.bisect_right(v, est) / len(v)
+            assert abs(cdf - p) <= tol, (r.grp, p, est, cdf)
+
+
+def test_stl_lite_decomposition_identities(spark):
+    # x_time_stl_lite: the scaled-integer backing columns must satisfy
+    # the exact decomposition identities — det24 = 24*c - trend_sum24
+    # (so trend+seasonal+resid == c in exact rationals), and per-hod
+    # residuals sum to zero (the seasonal means absorb all hod-level
+    # mass).  Also the seasonal rational must be shared by every row of
+    # the same hour-of-day.
+    rows = SPECS["x_time_stl_lite"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 100
+    from collections import defaultdict
+
+    by_hod = defaultdict(list)
+    for r in rows:
+        assert r.trend_sum24 + r.det24 == 24 * r.c
+        by_hod[r.hr % 24].append(r)
+    assert len(by_hod) == 24
+    for hod, rs in by_hod.items():
+        assert len({(r.s_num, r.s_den) for r in rs}) == 1
+        assert rs[0].s_den == len(rs)
+        # sum of scaled residuals is exactly zero within the hod
+        assert sum(r.det24 * r.s_den - r.s_num for r in rs) == 0
