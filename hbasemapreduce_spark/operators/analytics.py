@@ -1656,3 +1656,165 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("collisions"),
     )
+
+
+_LDIV_L = 3  # distinct-sensitive-values floor per equivalence class
+
+
+@query(
+    "x_privacy_ldiversity",
+    category="analytics",
+    oracle=(
+        "WITH eq AS (SELECT c_nationkey, c_mktsegment AS qi2, "
+        "  CAST(COUNT(*) AS BIGINT) AS class_size, "
+        "  CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' "
+        "    WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END) AS BIGINT) "
+        "    AS l_distinct, "
+        "  CAST(MAX(cnt_top) AS BIGINT) AS top_sensitive FROM ("
+        "    SELECT c_nationkey, c_mktsegment, c_acctbal, "
+        "    COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, "
+        "      CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 "
+        "      THEN 'mid' ELSE 'high' END) AS cnt_top FROM customer) "
+        "  GROUP BY 1, 2) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_classes, "
+        "  CAST(SUM(class_size) AS BIGINT) AS n_rows, "
+        f"  CAST(COUNT(*) FILTER (WHERE l_distinct < {_LDIV_L}) AS BIGINT) "
+        "    AS n_violating_classes, "
+        f"  CAST(COALESCE(SUM(class_size) FILTER (WHERE l_distinct < {_LDIV_L}), 0) "
+        "    AS BIGINT) AS n_violating_rows, "
+        "  CAST(MIN(l_distinct) AS BIGINT) AS min_l, "
+        "  CAST(MAX(1000000 * top_sensitive // class_size) AS BIGINT) "
+        "    AS max_top_share_ppm "
+        "FROM eq"
+    ),
+)
+def privacy_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class can hold k rows yet expose everyone if
+    they all share the SENSITIVE value (homogeneity attack).  Audits
+    the same (nation, segment) quasi-identifier grid as
+    x_privacy_kanon with account-balance BAND as the sensitive
+    attribute: every class must see >= l = 3 distinct bands, and the
+    report adds the worst single-band concentration (ppm) — the
+    probabilistic-inference risk even l-diverse classes carry.
+
+    Scale shape: one window to count the per-(class, band) mass on the
+    row stream, one hash aggregate to the class grid (bounded by the
+    quasi-identifier domain), one 1-row rollup.  All integers."""
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", band.alias("band")
+    )
+    wb = Window.partitionBy("c_nationkey", "c_mktsegment", "band")
+    eq = (
+        cust.select(
+            "c_nationkey", "c_mktsegment", "band", F.count("*").over(wb).alias("cnt_top")
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct("band").cast("long").alias("l_distinct"),
+            F.max("cnt_top").cast("long").alias("top_sensitive"),
+        )
+    )
+    viol = F.when(F.col("l_distinct") < _LDIV_L, F.col("class_size"))
+    return eq.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.count(viol).cast("long").alias("n_violating_classes"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violating_rows"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.max(
+            F.expr("1000000 * top_sensitive DIV class_size")
+        ).cast("long").alias("max_top_share_ppm"),
+    )
+
+
+
+_PRI_K = 32  # priority-sample size per group
+_PRI_DOMAIN = 1 << 48  # 12 hex chars of md5
+
+
+@query(
+    "x_sample_priority",
+    category="analytics",
+    oracle="WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w   FROM documents WHERE n_chars > 0), h AS (SELECT lang, doc_id, w,   CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1) * 1 AS BIGINT) + 1 AS h1 FROM d), q AS (SELECT lang, doc_id, w, (w * 281474976710656) // h1 AS pri FROM h), rk AS (SELECT lang, doc_id, w, pri, row_number() OVER (  PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn FROM q), tau AS (SELECT lang, COALESCE(MAX(CASE WHEN rn = 33   THEN pri END), 0) AS tau FROM rk GROUP BY lang), samp AS (SELECT lang, doc_id, w FROM rk WHERE rn <= 32), est AS (SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS k_used,   CAST(SUM(CASE WHEN s.w > t.tau THEN s.w ELSE t.tau END) AS BIGINT)     AS est_total_chars,   CAST(SUM(s.doc_id) AS BIGINT) AS sample_id_sum   FROM samp s JOIN tau t ON s.lang = t.lang GROUP BY 1), tru AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,   CAST(SUM(w) AS BIGINT) AS true_total_chars FROM d GROUP BY 1) SELECT tr.lang, tr.n_docs, tr.true_total_chars, e.k_used, CAST(t.tau AS BIGINT) AS tau, e.est_total_chars, e.sample_id_sum FROM tru tr JOIN est e ON tr.lang = e.lang JOIN tau t ON tr.lang = t.lang",
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): the
+    WEIGHTED companion to x_agg_quantile_bottomk's uniform bottom-k —
+    per language keep the k = 32 docs with the largest priority
+    q = w / u (u = a 48-bit md5 uniform, so q = w*2^48 DIV (h+1) in
+    exact integers), and estimate the group's TOTAL weight from just
+    the sample as sum(max(w_i, tau)) with tau = the (k+1)-th priority
+    — the near-optimal subset-sum estimator behind weighted netflow /
+    corpus-share accounting.  Merge rule is top-k-of-union (the same
+    partial shape as KMV); groups at or under k reproduce the exact
+    total (tau = 0, every max picks w_i).  True totals and a
+    sample-membership checksum ride along, so the ESTIMATE and the
+    sampled SET both hash-check; estimator error is property-tested.
+
+    Overflow note: w*2^48 needs w < 2^15 to stay in a signed bigint —
+    n_chars tops out near 550 here; a larger-weight corpus rescales w
+    or the domain (the multiply raises under ANSI mode, not wraps).
+
+    Scale shape: priorities are a stateless projection; the top-k
+    filter is the rank<=k WindowGroupLimit shape; tau and the
+    estimate are |groups|-sized aggregates."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("w"))
+    )
+    q = d.select(
+        "lang",
+        "doc_id",
+        "w",
+        F.expr(
+            f"(w * {_PRI_DOMAIN}) DIV "
+            "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) "
+            "AS BIGINT) + 1)"
+        ).alias("pri"),
+    )
+    w_rk = Window.partitionBy("lang").orderBy(F.desc("pri"), F.asc("doc_id"))
+    rk = q.select("lang", "doc_id", "w", "pri", F.row_number().over(w_rk).alias("rn"))
+    tau = rk.groupBy("lang").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _PRI_K + 1, F.col("pri"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    samp = rk.filter(F.col("rn") <= _PRI_K).select("lang", "doc_id", "w")
+    est = (
+        samp.join(F.broadcast(tau), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.sum(F.greatest(F.col("w"), F.col("tau"))).cast("long").alias(
+                "est_total_chars"
+            ),
+            F.sum("doc_id").cast("long").alias("sample_id_sum"),
+        )
+    )
+    tru = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("true_total_chars"),
+    )
+    return (
+        tru.join(F.broadcast(est), "lang")
+        .join(F.broadcast(tau), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "true_total_chars",
+            "k_used",
+            "tau",
+            "est_total_chars",
+            "sample_id_sum",
+        )
+    )

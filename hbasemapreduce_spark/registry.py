@@ -441,6 +441,8 @@ _R8_BACKLOG = [
     "x_join_fuzzy_name",
     "x_agg_quantile_bottomk",
     "x_time_stl_lite",
+    "x_privacy_ldiversity",
+    "x_sample_priority",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys

@@ -2307,3 +2307,23 @@ def test_stl_lite_decomposition_identities(spark):
         assert rs[0].s_den == len(rs)
         # sum of scaled residuals is exactly zero within the hod
         assert sum(r.det24 * r.s_den - r.s_num for r in rs) == 0
+
+
+def test_priority_sample_estimator_error_and_exact_small_groups(spark):
+    # x_sample_priority: subset-sum estimate within the ~1/sqrt(k-1)
+    # band (3-sigma cushion: 3/sqrt(31) ~ 0.54); groups that fit inside
+    # the sample reproduce the exact total with tau = 0; k_used is
+    # min(n, k); the membership checksum is bounded by the id domain.
+    rows = SPECS["x_sample_priority"].fn(spark, SF_DIR).collect()
+    assert rows
+    k = 32
+    for r in rows:
+        assert r.k_used == min(r.n_docs, k)
+        if r.n_docs <= k:
+            assert r.tau == 0
+            assert r.est_total_chars == r.true_total_chars
+        else:
+            assert r.tau > 0
+            rel = abs(r.est_total_chars - r.true_total_chars) / r.true_total_chars
+            assert rel <= 3 / (k - 1) ** 0.5, (r.lang, rel)
+        assert 0 < r.sample_id_sum
