@@ -1442,3 +1442,101 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rouge2_f1"),
         )
     )
+
+
+@query(
+    "x_eval_wer",
+    category="eval",
+    oracle=(
+        "WITH tk AS (SELECT doc_id, a[i] AS tok, i AS pos "
+        "  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents), "
+        "  unnest(range(1, len(a) + 1)) AS t(i)), "
+        "v AS (SELECT tok, 32 + dense_rank() OVER (ORDER BY tok) AS code "
+        "  FROM (SELECT DISTINCT tok FROM tk)), "
+        "enc AS (SELECT tk.doc_id, string_agg(chr(CAST(v.code AS INT)), '' "
+        "  ORDER BY tk.pos) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+        "  FROM tk JOIN v ON tk.tok = v.tok GROUP BY 1) "
+        "SELECT a.doc_id AS doc_hyp, b.doc_id AS doc_ref, "
+        "CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist, "
+        "a.n AS len_hyp, b.n AS len_ref, "
+        "CAST(levenshtein(a.s, b.s) AS DOUBLE) / CAST(b.n AS DOUBLE) AS wer "
+        "FROM enc a JOIN enc b ON b.doc_id = a.doc_id + 1"
+    ),
+)
+def eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word error rate — TOKEN-level edit distance between hypothesis /
+    reference text pairs (the ASR/translation eval metric), computed at
+    corpus scale by VOCABULARY CHAR-PACKING: every distinct token maps
+    to one char code (32 + dense_rank, deterministic in both engines),
+    each document becomes a string with one CHARACTER per token, and
+    the built-in char-level levenshtein then IS the token-level edit
+    distance — no per-pair dynamic programming in Python.  Pairs are
+    (doc_id, doc_id+1), the x_eval_rouge_n pairing convention; WER =
+    dist / ref_len is one IEEE division of exact integers.
+
+    Alphabet precondition: Spark's char() wraps codepoints mod 256
+    (DuckDB's chr() does not), so the packing is engine-identical only
+    for codes <= 255 — vocab <= 223 tokens, guarded by raise_error.
+    A larger vocabulary needs a genuine codepoint encoder; the
+    pigeonhole-style multi-char code is NOT a valid fallback (char
+    alignments can cross code boundaries, under-counting distance).
+
+    Scale shape: tokenize is a generator; the vocab (distinct tokens +
+    one tiny rank window) broadcasts; encoding is one ordered
+    string_agg per doc; the levenshtein verify is pair-bounded."""
+    tk = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    v = (
+        tk.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            (32 + F.dense_rank().over(Window.orderBy("tok"))).alias("code"),
+        )
+        .filter(
+            F.when(F.col("code") <= 255, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("x_eval_wer: vocabulary exceeds the 223-token "
+                              "char-packing alphabet at token '"),
+                        F.col("tok"),
+                        F.lit("'"),
+                    )
+                )
+            )
+        )
+    )
+    enc = (
+        tk.join(F.broadcast(v), "tok")
+        .select("doc_id", "pos", F.expr("char(code)").alias("ch"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda x: x.ch,
+                ),
+            ).alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    a = enc.select(
+        F.col("doc_id").alias("doc_hyp"), F.col("s").alias("sa"), F.col("n").alias("len_hyp")
+    )
+    b = enc.select(
+        (F.col("doc_id") - 1).alias("doc_hyp"),
+        F.col("doc_id").alias("doc_ref"),
+        F.col("s").alias("sb"),
+        F.col("n").alias("len_ref"),
+    )
+    d = F.levenshtein("sa", "sb").cast("long")
+    return a.join(b, "doc_hyp").select(
+        "doc_hyp",
+        "doc_ref",
+        d.alias("dist"),
+        "len_hyp",
+        "len_ref",
+        (d.cast("double") / F.col("len_ref").cast("double")).alias("wer"),
+    )

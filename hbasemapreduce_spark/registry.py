@@ -443,6 +443,7 @@ _R8_BACKLOG = [
     "x_time_stl_lite",
     "x_privacy_ldiversity",
     "x_sample_priority",
+    "x_eval_wer",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys

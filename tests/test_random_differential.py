@@ -965,3 +965,26 @@ def test_rouge2_matches_pure_python_clipped_counts(spark):
         and sum(bigrams(docs[i + 1]).values()) > 0
     }
     assert seen == expected_pairs
+
+
+def test_wer_char_packing_equals_token_levenshtein(spark):
+    # x_eval_wer's core claim: after vocab char-packing, CHAR-level
+    # levenshtein == TOKEN-level edit distance.  Recompute the token
+    # DP directly in python over the raw parquet text for every pair.
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+    from .test_properties import _lev
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    out = all_specs()["x_eval_wer"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(docs) - 1
+    for r in out:
+        hyp, ref = docs[r.doc_hyp], docs[r.doc_ref]
+        expect = _lev(hyp, ref)
+        assert r.dist == expect, (r.doc_hyp, r.dist, expect)
+        assert (r.len_hyp, r.len_ref) == (len(hyp), len(ref))
+        assert r.wer == expect / len(ref)
