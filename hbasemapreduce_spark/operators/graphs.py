@@ -855,3 +855,80 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nd * sxyd - sxd * syd) / F.sqrt(vx * vy),
         ).alias("assortativity"),
     )
+
+
+@query(
+    "x_graph_clustering_coeff",
+    category="graph",
+    oracle=(
+        # inner CTE names deliberately avoid shadowing the outer
+        # items/und/edges names: DuckDB re-binds an outer CTE's body in
+        # the INNER scope at each reference, so an inner `und` next to
+        # a second `edges` reference reports a circular CTE.
+        _EDGE_SQL
+        + "SELECT * FROM ("
+        "WITH u1 AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst), "
+        "wg AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "       FROM u1 e1 JOIN u1 e2 ON e1.b = e2.a), "
+        "tr AS (SELECT w.a, w.b, w.c FROM wg w "
+        "       JOIN u1 e3 ON w.a = e3.a AND w.c = e3.b), "
+        "tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ("
+        "  SELECT a AS node FROM tr UNION ALL SELECT b FROM tr "
+        "  UNION ALL SELECT c FROM tr) GROUP BY 1), "
+        "dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        "       FROM edges GROUP BY 1) "
+        "SELECT d.node, d.degree, COALESCE(t.n_tri, 0) AS n_tri, "
+        "CASE WHEN d.degree >= 2 THEN CAST(2000000 * COALESCE(t.n_tri, 0) "
+        "  // (d.degree * (d.degree - 1)) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS cc_ppm "
+        "FROM dg d LEFT JOIN tn t ON d.node = t.node)"
+    ),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient — x_graph_triangles'
+    census distributed back onto nodes: cc(v) = 2*T(v) / (d(v)*(d(v)-1))
+    as an exact ppm integer (floor DIV), with degree and triangle
+    counts riding along.  The per-node signal separates hub nodes
+    bridging communities (low cc) from clique members (high cc) where
+    the global census only averages.
+
+    Scale shape: identical join budget to x_graph_triangles (the
+    oriented wedge join + closing-edge join are the only corpus-sized
+    ops, sum-of-squared-degrees bounded); the per-node rollup explodes
+    each triangle to its 3 member nodes — a 3x generator on the
+    triangle relation, not the edge relation — and degree is one hash
+    aggregate on the edge list."""
+    edges = _undirected_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = und.join(e2, "b").select("a", "b", "c")
+    closing = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedge.join(closing, ["a", "c"]).select("a", "b", "c")
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )
+    t0 = F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))
+    return deg.join(tn, "node", "left").select(
+        "node",
+        "degree",
+        t0.alias("n_tri"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("2000000 * COALESCE(n_tri, 0) DIV (degree * (degree - 1))").cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cc_ppm"),
+    )
