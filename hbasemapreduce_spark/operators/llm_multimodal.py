@@ -678,3 +678,93 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= _PHASH_MAX_HAM)
+
+
+def _hist_oracle(w_sql: str, h_sql: str) -> str:
+    """Closed-form 8-bin pixel histogram of the woven image: the pixel
+    array is the payload cycled to w*h*3 bytes, so bin_j = (full
+    cycles) x (payload count of bytes with value DIV 32 = j) + (prefix
+    remainder count) — hex-pair byte extraction, same discipline as
+    _px_stats_oracle."""
+    b = _HEX_BYTE.format(i="i")
+    bins_all = ", ".join(
+        f"COALESCE(list_sum(list_transform(range(0, n), i -> "
+        f"CASE WHEN ({b}) // 32 = {j} THEN 1 ELSE 0 END)), 0) AS a{j}"
+        for j in range(8)
+    )
+    bins_pre = ", ".join(
+        f"COALESCE(list_sum(list_transform(range(0, need % n), i -> "
+        f"CASE WHEN ({b}) // 32 = {j} THEN 1 ELSE 0 END)), 0) AS p{j}"
+        for j in range(8)
+    )
+    out = ", ".join(
+        f"CAST((need // n) * a{j} + p{j} AS BIGINT) AS bin{j}" for j in range(8)
+    )
+    return (
+        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, "
+        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
+        f"d AS (SELECT doc_id, hx, n, {w_sql} AS w, {h_sql} AS h FROM p), "
+        "e AS (SELECT doc_id, hx, n, w, h, w * h * 3 AS need FROM d), "
+        f"f AS (SELECT doc_id, w, h, n, need, {bins_all}, {bins_pre} FROM e) "
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+        f"{out} FROM f"
+    )
+
+
+def decode_pixel_histogram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: weave a P6 PPM per payload, decode with the
+    REAL decoder, reduce the decoded array to an 8-bin (32-value-wide)
+    intensity histogram via numpy bincount."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, hs = [], [], []
+        bins = [[] for _ in range(8)]
+        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(data)
+            w, h = _PPM_DIMS(len(data))
+            img = decode_image(weave_ppm(data, w, h))
+            if img["format"] != "ppm" or img["width"] != w or img["height"] != h:
+                raise ValueError(f"ppm decode mismatch for doc {doc_id}")
+            counts = np.bincount(
+                img["pixels"].reshape(-1) >> 5, minlength=8
+            ).astype(np.int64)
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            for j in range(8):
+                bins[j].append(int(counts[j]))
+        out = {"doc_id": ids, "width": ws, "height": hs}
+        for j in range(8):
+            out[f"bin{j}"] = bins[j]
+        yield pd.DataFrame(out)
+
+
+@query(
+    "x_multimodal_histogram",
+    category="llm_multimodal",
+    oracle=_hist_oracle(*_PPM_DIMS_SQL),
+)
+def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-agnostic 8-bin intensity histogram of each DECODED image
+    — the classic cheap visual feature (dedup blocking, brightness /
+    quality gates) driven through the REAL decoder: payload woven into
+    a P6 PPM, parsed by ``decode_image``, histogrammed with numpy
+    bincount on the decoded array.  The oracle recomputes every bin
+    from the weave's closed form (cycle count x payload bin census +
+    prefix remainder), so a hash match proves decoder AND reduction —
+    a different reduction of the same decode path x_multimodal_decode
+    verifies, catching errors a sum can cancel (e.g. swapped bytes).
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; 8
+    ints per image out."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        decode_pixel_histogram,
+        schema=(
+            "doc_id long, width long, height long, "
+            + ", ".join(f"bin{j} long" for j in range(8))
+        ),
+    )
