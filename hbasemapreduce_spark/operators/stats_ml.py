@@ -4430,3 +4430,123 @@ def time_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid"),
         )
     )
+
+
+@query(
+    "x_time_changepoint",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+        "    AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, hr, c, "
+        "  row_number() OVER w AS rn, "
+        "  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY hr "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, "
+        "  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, "
+        "  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s "
+        "  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)), "
+        "cand AS (SELECT event_type, hr, rn AS n_l, cum AS s_l, "
+        "  n - rn AS n_r, s - cum AS s_r, n, s FROM r WHERE rn < n), "
+        "sc AS (SELECT event_type, hr, n_l, s_l, n_r, s_r, n, s, "
+        "  CAST(CAST(1000000 AS HUGEINT) * (CAST(s_l AS HUGEINT) * s_l * n_r "
+        "    + CAST(s_r AS HUGEINT) * s_r * n_l) // (CAST(n_l AS HUGEINT) * n_r) "
+        "    AS BIGINT) AS score_ppm "
+        "  FROM cand), "
+        "best AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+        "  ORDER BY score_ppm DESC, hr) AS pick FROM sc) "
+        "SELECT event_type, n AS n_hours, hr AS split_hr, n_l, n_r, "
+        "CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE) AS mean_l, "
+        "CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mean_r, "
+        "score_ppm, "
+        "CAST(CAST(1000000 AS HUGEINT) * s * s // n AS BIGINT) AS baseline_ppm "
+        "FROM best WHERE pick = 1"
+    ),
+)
+def time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization by binary segmentation (the
+    CART/Scott-Knott split rule) on the hourly count series per event
+    type: pick the split that maximizes the between-segment explained
+    sum S_l^2/n_l + S_r^2/n_r — equivalently the largest SSE drop —
+    complementing x_time_cusum (which ALARMS on drift but does not
+    localize it).
+
+    Exactness: prefix sums are integers off one window pass; each
+    candidate's score is the exact rational (S_l^2 n_r + S_r^2 n_l) /
+    (n_l n_r), materialized as floor-ppm through HUGEINT/DECIMAL(38,0)
+    cross-products so warehouse-scale counts cannot overflow; the
+    argmax orders on (score_ppm DESC, hr) — ties at ppm resolution
+    break on the earlier hour, deterministically in both engines.
+    Segment means are one IEEE division each; the no-split baseline
+    S^2/n rides along so the split's gain is visible.
+
+    Scale shape: hourly rollup is one aggregate; every window is
+    partitioned by event_type (no global sort); candidate scoring is a
+    projection over |hours| rows and the argmax one more window over
+    the same."""
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    word = Window.partitionBy("event_type").orderBy("hr")
+    wall = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hr",
+        "c",
+        F.row_number().over(word).alias("rn"),
+        F.sum("c")
+        .over(word.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("c").over(wall).cast("long").alias("s"),
+    )
+    cand = r.filter(F.col("rn") < F.col("n")).select(
+        "event_type",
+        "hr",
+        F.col("rn").alias("n_l"),
+        F.col("cum").alias("s_l"),
+        (F.col("n") - F.col("rn")).alias("n_r"),
+        (F.col("s") - F.col("cum")).alias("s_r"),
+        "n",
+        "s",
+    )
+    sc = cand.withColumn(
+        "score_ppm",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * "
+            "(CAST(s_l AS DECIMAL(38,0)) * s_l * n_r "
+            " + CAST(s_r AS DECIMAL(38,0)) * s_r * n_l) "
+            "DIV (CAST(n_l AS DECIMAL(38,0)) * n_r) AS BIGINT)"
+        ),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("score_ppm"), F.asc("hr"))
+    )
+    return (
+        sc.select("*", pick.alias("pick"))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("hr").alias("split_hr"),
+            "n_l",
+            "n_r",
+            (F.col("s_l").cast("double") / F.col("n_l").cast("double")).alias("mean_l"),
+            (F.col("s_r").cast("double") / F.col("n_r").cast("double")).alias("mean_r"),
+            "score_ppm",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * s * s DIV n AS BIGINT)"
+            ).alias("baseline_ppm"),
+        )
+    )

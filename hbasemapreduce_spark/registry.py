@@ -446,6 +446,7 @@ _R8_BACKLOG = [
     "x_eval_wer",
     "x_graph_clustering_coeff",
     "x_multimodal_histogram",
+    "x_time_changepoint",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys

@@ -988,3 +988,49 @@ def test_wer_char_packing_equals_token_levenshtein(spark):
         assert r.dist == expect, (r.doc_hyp, r.dist, expect)
         assert (r.len_hyp, r.len_ref) == (len(hyp), len(ref))
         assert r.wer == expect / len(ref)
+
+
+def test_changepoint_matches_pure_python_scan(spark):
+    # x_time_changepoint: recompute the binary-segmentation argmax per
+    # type in pure python big-ints (same floor-ppm score, same
+    # earliest-hour tie rule) from the raw hourly counts.
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as SF
+
+    h = (
+        ev.groupBy(
+            "event_type",
+            (SF.unix_micros(SF.date_trunc("hour", SF.col("ts").cast("timestamp")))
+             / SF.lit(3_600_000_000)).cast("long").alias("hr"),
+        )
+        .agg(SF.count("*").alias("c"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in h:
+        series.setdefault(r.event_type, []).append((r.hr, r.c))
+    out = {r.event_type: r for r in
+           all_specs()["x_time_changepoint"].fn(spark, SF_DIR).collect()}
+    assert set(out) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = sum(c for _, c in pts)
+        best = None
+        cum = 0
+        for i, (hr, c) in enumerate(pts[:-1], 1):
+            cum += c
+            n_l, n_r = i, n - i
+            s_l, s_r = cum, s - cum
+            score = 1_000_000 * (s_l * s_l * n_r + s_r * s_r * n_l) // (n_l * n_r)
+            key = (-score, hr)
+            if best is None or key < best[0]:
+                best = (key, hr, score, n_l, n_r)
+        r = out[et]
+        assert (r.split_hr, r.score_ppm, r.n_l, r.n_r) == best[1:], (et, r, best)
+        assert r.baseline_ppm == 1_000_000 * s * s // n
+        assert r.score_ppm >= r.baseline_ppm  # split never explains less
