@@ -1818,3 +1818,78 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_id_sum",
         )
     )
+
+
+_PBAL_BUCKETS = 32  # model shuffle width
+
+
+@query(
+    "x_profile_partition_balance",
+    category="analytics",
+    oracle=(
+        "WITH b AS ("
+        "  SELECT 'l_orderkey' AS shuffle_key, "
+        f"  (l_orderkey * 2654435761) % {_PBAL_BUCKETS} AS bkt FROM lineitem "
+        "  UNION ALL "
+        "  SELECT 'l_returnflag', "
+        "  (CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END "
+        f"    * 2654435761) % {_PBAL_BUCKETS} FROM lineitem), "
+        "c AS (SELECT shuffle_key, bkt, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "  FROM b GROUP BY 1, 2) "
+        "SELECT shuffle_key, "
+        "CAST(COUNT(*) AS BIGINT) AS buckets_hit, "
+        "CAST(SUM(cnt) AS BIGINT) AS n_rows, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_bucket, "
+        "CAST(MIN(cnt) AS BIGINT) AS min_bucket, "
+        f"CAST(1000000 * MAX(cnt) * {_PBAL_BUCKETS} // SUM(cnt) AS BIGINT) "
+        "  AS max_over_even_ppm "
+        "FROM c GROUP BY 1"
+    ),
+)
+def profile_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-balance audit: model a 32-way hash shuffle under two
+    candidate keys — the high-cardinality l_orderkey vs the 3-value
+    l_returnflag — and report how far the heaviest bucket sits above
+    the even share (1e6 = perfectly even; 10.67e6 = one bucket carries
+    a third of the data on 32 workers).  The pre-flight check before
+    choosing a join/groupBy key at 100 TB: a skewed key here is a
+    straggler there, and the fix (salting, AQE skew join, key change —
+    x_join_salted ships the pattern) is cheap BEFORE the shuffle runs.
+    Complements x_profile_skew (top-key frequencies) with the
+    bucket-level view the executor actually experiences.
+
+    Determinism: the bucket model is the portable Knuth hash mod 32 —
+    NOT Spark's internal Murmur3 (engine-private), so both engines
+    reproduce identical bucket census; the flag's 3-value domain maps
+    through a pinned CASE so the model is stable across engines.
+
+    Scale shape: one projection + one (key, bucket) hash aggregate per
+    candidate — bounded by 2 x 32 rows after the combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b1 = li.select(
+        F.lit("l_orderkey").alias("shuffle_key"),
+        ((F.col("l_orderkey") * _KNUTH) % _PBAL_BUCKETS).alias("bkt"),
+    )
+    flag_code = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+    )
+    b2 = li.select(
+        F.lit("l_returnflag").alias("shuffle_key"),
+        ((flag_code * _KNUTH) % _PBAL_BUCKETS).alias("bkt"),
+    )
+    c = (
+        b1.unionByName(b2)
+        .groupBy("shuffle_key", "bkt")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return c.groupBy("shuffle_key").agg(
+        F.count("*").cast("long").alias("buckets_hit"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_bucket"),
+        F.min("cnt").cast("long").alias("min_bucket"),
+        F.expr(
+            f"CAST(1000000 * MAX(cnt) * {_PBAL_BUCKETS} DIV SUM(cnt) AS BIGINT)"
+        ).alias("max_over_even_ppm"),
+    )

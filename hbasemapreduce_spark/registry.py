@@ -447,6 +447,7 @@ _R8_BACKLOG = [
     "x_graph_clustering_coeff",
     "x_multimodal_histogram",
     "x_time_changepoint",
+    "x_profile_partition_balance",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
