@@ -448,6 +448,7 @@ _R8_BACKLOG = [
     "x_multimodal_histogram",
     "x_time_changepoint",
     "x_profile_partition_balance",
+    "x_udx_cogrouped_pandas",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
