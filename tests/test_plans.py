@@ -578,3 +578,29 @@ def test_backfill_touches_only_the_corrected_partition(spark):
     y0 = min(int(d.split("=")[1]) for d in before)
     changed = [d for d in before if before[d] != after.get(d)]
     assert changed == [f"o_year={y0}"], (changed, y0)
+
+
+def test_bottomk_sketch_keys_use_window_group_limit(spark):
+    # The bottom-k sketch family's scale claim: Spark rewrites the
+    # rank<=k filter into WindowGroupLimit (per-partition partial
+    # top-k BEFORE the shuffle) — k rows per partition per group cross
+    # the wire, never the corpus.  Pin it for all three sketch keys.
+    for key in ("x_agg_distinct_kmv", "x_agg_quantile_bottomk", "x_sample_priority"):
+        assert "WindowGroupLimit" in plan_of(spark, key), key
+
+
+def test_fuzzy_name_join_is_equi_join(spark):
+    # PassJoin's candidate generation must be an equi-join on the
+    # (seg, txt, plen) blocking key — never a nested-loop/cartesian
+    # over the name domain.
+    p = plan_of(spark, "x_join_fuzzy_name")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zonemap_reads_only_needed_columns(spark):
+    # The zonemap audit projects 3 columns; the scan must prune to
+    # them (date + the two tie-break keys), not read the whole table.
+    p = plan_of(spark, "x_layout_zonemap")
+    assert "l_extendedprice" not in p
+    assert "l_shipdate" in p
