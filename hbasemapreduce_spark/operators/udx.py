@@ -290,3 +290,58 @@ def udx_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _arrow_tokenstats(batches):
+    """mapInArrow worker: pyarrow RecordBatches in, RecordBatches out —
+    no pandas materialization at all.  Token and char counts via
+    arrow-native compute kernels (vectorized C++, zero-copy from the
+    JVM's Arrow buffers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        toks = pc.split_pattern(text, " ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.list_value_length(toks), pa.int64()),
+            ],
+            names=["doc_id", "n_chars", "n_tokens"],
+        )
+
+
+@query(
+    "x_udx_map_in_arrow",
+    category="udx",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    ),
+)
+def udx_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.mapInArrow`` — the rawest Python interchange surface
+    (pyarrow RecordBatch in/out, no pandas conversion): token/char
+    stats via arrow-native compute kernels.  Completes the UDX family's
+    coverage of every Python execution path Spark 4 offers: vectorized
+    scalar pandas UDF, grouped applyInPandas, cogrouped applyInPandas,
+    mapInPandas (multimodal keys), Python UDTF, Arrow-optimized Python
+    UDF, and now raw Arrow batches.
+
+    When to use which: mapInArrow skips the pandas materialization tax
+    entirely — right when the work is itself Arrow-kernel-shaped
+    (string ops, casts, list lengths) or feeds an Arrow-native library
+    directly; pandas variants win when the logic needs DataFrame
+    semantics.  Either way the batch boundary keeps transfer
+    vectorized and the plan stays one Python stage, no shuffle.
+
+    (The built-in F.length/F.size would of course express THIS query
+    JVM-side — the key exists to prove the interchange surface under
+    the same hash check as everything else, the x_udf_arrow rule.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_tokenstats, schema="doc_id long, n_chars long, n_tokens long"
+    )

@@ -449,6 +449,7 @@ _R8_BACKLOG = [
     "x_time_changepoint",
     "x_profile_partition_balance",
     "x_udx_cogrouped_pandas",
+    "x_udx_map_in_arrow",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
