@@ -602,3 +602,43 @@ def stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hs", "event_type", "obs_a", "obs_b", "chi2_micro", "srm_alarm"
         )
     )
+
+
+@query(
+    "x_stream_tws_profile",
+    category="stream",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS total_cents, "
+        "CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS max_cents "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend profile (count, exact-cents total, largest single
+    event) — the batch form of a TRANSFORMWITHSTATE streaming operator.
+    The streaming twin (streaming/mirrors.py ``tws_profile``) computes
+    the same aggregate with Spark 4's ``transformWithStateInPandas`` —
+    the successor API to applyInPandasWithState (x_stream_stateful's
+    surface): a StatefulProcessor CLASS with named, individually-typed
+    state primitives (ValueState here; ListState/MapState/timers in the
+    handle) instead of one monolithic state tuple, and built-in
+    per-state TTL.  Equality with this batch form is proven in
+    tests/test_streaming.py — on runtimes shipping pyspark's declared
+    protobuf dependency; THIS container does not (no installs), so the
+    twin's test importorskips there and the mirror code carries the
+    API evidence.
+
+    Exactness: value converts to integer cents through DECIMAL on the
+    JVM side before the Arrow hop, so sums are exact in both forms."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )

@@ -450,6 +450,7 @@ _R8_BACKLOG = [
     "x_profile_partition_balance",
     "x_udx_cogrouped_pandas",
     "x_udx_map_in_arrow",
+    "x_stream_tws_profile",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys

@@ -627,3 +627,69 @@ def srm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_srm"] = srm_stream
+
+
+def tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas``: the arbitrary-stateful
+    successor to applyInPandasWithState.  Differences that matter at
+    scale, demonstrated here: state is a HANDLE of named primitives
+    (this processor keeps one ValueState; ListState/MapState and
+    event/processing-time timers come from the same handle) so each
+    piece is read/written independently in the state store instead of
+    round-tripping one monolithic tuple; TTL is per-state
+    (``getValueState(..., ttlDurationMs=...)``) rather than one
+    timeout for the whole key.  Lifetime profile by design, so no TTL
+    here — the production guard for unbounded keys is the TTL arg.
+
+    Runtime note: the TWS state-server protocol imports
+    google.protobuf (a declared pyspark dependency this container
+    omits); the equality test importorskips when absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, cents LONG, mx LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, cents, mx = self._agg.get()
+            else:
+                n, cents, mx = 0, 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    cents += int(pdf["cents"].sum())
+                    mx = max(mx, int(pdf["cents"].max()))
+            self._agg.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "max_cents": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=(
+            "user_id long, n_events long, total_cents long, max_cents long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+MIRRORS["x_stream_tws_profile"] = tws_profile

@@ -4,6 +4,8 @@ and (where the sink mode allows a full view) agree with the batch twin.
 
 from __future__ import annotations
 
+import pytest
+
 from hbasemapreduce_spark.registry import all_specs
 from hbasemapreduce_spark.streaming.mirrors import run_mirror_to_memory
 
@@ -220,4 +222,25 @@ def test_stream_srm_matches_batch(spark):
     want = all_specs()["x_stream_srm"].fn(spark, SF_DIR)
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) > 0
+
+
+def test_stream_transform_with_state_matches_batch(spark):
+    # Spark 4 transformWithStateInPandas (StatefulProcessor + named
+    # ValueState) must agree with the batch aggregate — same single
+    # availableNow-pass argument as the applyInPandasWithState test.
+    # The TWS state-server protocol speaks protobuf, which this
+    # container does not ship (no installs allowed) — skip cleanly
+    # there; the mirror runs wherever pyspark's declared protobuf
+    # dependency is present.
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf (not in container)",
+    )
+    got = run_mirror_to_memory(
+        spark, SF_DIR, "x_stream_tws_profile", output_mode="update"
+    )
+    batch = all_specs()["x_stream_tws_profile"].fn(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
