@@ -345,3 +345,60 @@ def udx_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _arrow_tokenstats, schema="doc_id long, n_chars long, n_tokens long"
     )
+
+
+def _arrow_group_stats(table):
+    """applyInArrow worker: one pyarrow Table per group; aggregate with
+    arrow compute kernels and return a 1-row Table.  Quantity arrives
+    as exact integer CENTI-UNITS (decimal-cast JVM-side), so the sum is
+    exact int64 — the same portability rule as every pandas worker."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pa.Table.from_pydict(
+        {
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "n": [table.num_rows],
+            "sum_qty_c": [pc.sum(table.column("qty_c")).as_py() or 0],
+            "max_price_c": [pc.max(table.column("price_c")).as_py() or 0],
+        }
+    )
+
+
+@query(
+    "x_udx_apply_in_arrow",
+    category="udx",
+    oracle=(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_qty_c, "
+        "CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS max_price_c "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+)
+def udx_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the grouped-map sibling of
+    mapInArrow: each group arrives as ONE pyarrow Table (no pandas
+    conversion) and is reduced with arrow compute kernels.  The
+    arrow-native mirror of udaf_grouped_pandas, closing the grouped
+    half of the Arrow interchange surface.
+
+    Scale note: like applyInPandas, the WHOLE group materializes on one
+    executor — correct for bounded groups (3 flags here); unbounded
+    groups re-key to hash buckets first (the x_udx_cogrouped_pandas
+    rule).  Money/quantity converts to exact integer centi-units
+    JVM-side before the Arrow hop, so the output hash-checks."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qty_c"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        _arrow_group_stats,
+        schema="l_returnflag string, n long, sum_qty_c long, max_price_c long",
+    )
