@@ -4550,3 +4550,124 @@ def time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("baseline_ppm"),
         )
     )
+
+
+@query(
+    "x_time_seasonal_anomaly",
+    category="stats_ml",
+    oracle=(
+        "WITH h AS (SELECT "
+        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+        "    AS BIGINT) AS hr, "
+        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+        "t AS (SELECT hr, c, "
+        "  CAST(SUM(c) OVER w AS BIGINT) AS ts24, "
+        "  CAST(COUNT(*) OVER w AS BIGINT) AS nwin FROM h "
+        "  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), "
+        "i AS (SELECT hr, c, 24 * c - ts24 AS det24 FROM t WHERE nwin = 24), "
+        "s AS (SELECT hr % 24 AS hod, CAST(SUM(det24) AS BIGINT) AS s_num, "
+        "  CAST(COUNT(*) AS BIGINT) AS s_den FROM i GROUP BY 1), "
+        "x AS (SELECT i.hr, i.c, "
+        "  CAST(1000000 * (i.det24 * s.s_den - s.s_num) // (24 * s.s_den) "
+        "    AS BIGINT) AS resid_ppm "
+        "  FROM i JOIN s ON i.hr % 24 = s.hod), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(resid_ppm) AS BIGINT) AS sm, "
+        "  SUM(CAST(resid_ppm AS HUGEINT) * resid_ppm) AS ss FROM x), "
+        "d AS (SELECT x.hr, x.c, x.resid_ppm, "
+        "  g.n * x.resid_ppm - g.sm AS dev, g.n, g.sm, g.ss FROM x, g), "
+        "r AS (SELECT hr, c, resid_ppm, dev, "
+        "  CASE WHEN CAST(dev AS HUGEINT) * dev > "
+        "    9 * (n * ss - CAST(sm AS HUGEINT) * sm) THEN 1 ELSE 0 END "
+        "    AS is_anomaly, "
+        "  row_number() OVER (ORDER BY abs(dev) DESC, hr) AS rnk FROM d) "
+        "SELECT hr, c, resid_ppm, CAST(dev AS BIGINT) AS dev, "
+        "CAST(is_anomaly AS BIGINT) AS is_anomaly, CAST(rnk AS BIGINT) AS rnk "
+        "FROM r WHERE rnk <= 10"
+    ),
+)
+def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly ranking — the capstone on
+    x_time_stl_lite: after removing trend (centered 24h MA) and the
+    hour-of-day seasonal pattern, the top-10 hours by |residual
+    z-score| are the genuinely unusual ones (a raw-count spike at the
+    daily peak hour is NORMAL; the same count at 4am is an incident).
+    Residuals are the stl key's exact rationals floored to ppm; the
+    z-test is the exact integer cross-product form — flag iff
+    (n*X - S)^2 > 9*(n*SS - S^2) — so no standard deviation is ever
+    materialized as a float and both engines agree bitwise (the
+    x_time_changepoint / x_win_pareto HUGEINT-DECIMAL(38,0) routing,
+    since SS and the squared deviation overflow int64 at warehouse
+    scale).  Ranking orders on |dev| = |n*X - S| — z-order with the
+    global positive denominator cancelled — with the hour as the tie
+    break, so the top-10 is total and hash-stable.  3 of 697 hours
+    breach 3 sigma at sf0.01.
+
+    Scale shape: stl's windows (partition per series at scale) + one
+    1-row moment aggregate broadcast back + one WindowGroupLimit
+    top-10."""
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w24 = Window.orderBy("hr").rowsBetween(-12, 11)
+    t = h.select(
+        "hr",
+        "c",
+        F.sum("c").over(w24).cast("long").alias("ts24"),
+        F.count("*").over(w24).cast("long").alias("nwin"),
+    )
+    i = t.filter(F.col("nwin") == 24).select(
+        "hr", "c", (24 * F.col("c") - F.col("ts24")).alias("det24")
+    )
+    s = i.groupBy((F.col("hr") % 24).alias("hod")).agg(
+        F.sum("det24").cast("long").alias("s_num"),
+        F.count("*").cast("long").alias("s_den"),
+    )
+    x = i.join(F.broadcast(s), (F.col("hr") % 24) == F.col("hod")).select(
+        "hr",
+        "c",
+        F.expr(
+            "CAST(1000000 * (det24 * s_den - s_num) DIV (24 * s_den) AS BIGINT)"
+        ).alias("resid_ppm"),
+    )
+    g = x.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("resid_ppm").cast("long").alias("sm"),
+        F.sum(F.expr("CAST(resid_ppm AS DECIMAL(38,0)) * resid_ppm")).alias("ss"),
+    )
+    d = x.crossJoin(F.broadcast(g)).select(
+        "hr",
+        "c",
+        "resid_ppm",
+        (F.col("n") * F.col("resid_ppm") - F.col("sm")).alias("dev"),
+        "n",
+        "sm",
+        "ss",
+    )
+    rnk = F.row_number().over(Window.orderBy(F.abs(F.col("dev")).desc(), F.asc("hr")))
+    return (
+        d.select(
+            "hr",
+            "c",
+            "resid_ppm",
+            "dev",
+            F.expr(
+                "CAST(CASE WHEN CAST(dev AS DECIMAL(38,0)) * dev > "
+                "9 * (n * ss - CAST(sm AS DECIMAL(38,0)) * sm) "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("is_anomaly"),
+            rnk.alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "hr", "c", "resid_ppm", "dev", "is_anomaly", F.col("rnk").cast("long").alias("rnk")
+        )
+    )
