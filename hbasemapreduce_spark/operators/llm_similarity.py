@@ -1711,3 +1711,128 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s3_score").alias("mmr_score_micros"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+@query(
+    "x_ml_pca_power",
+    category="stats_ml",
+    oracle=(
+        "WITH t AS (SELECT i, j, "
+        "  CAST(SUM(CAST(round(round(CAST(embedding[i + 1] AS DOUBLE) "
+        "    * CAST(embedding[j + 1] AS DOUBLE), 6) * 1000000, 0) AS BIGINT)) "
+        "    AS BIGINT) AS g "
+        "  FROM embeddings, generate_series(0, 63) AS ii(i), "
+        "  generate_series(0, 63) AS jj(j) GROUP BY 1, 2), "
+        "v1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS v1 FROM t GROUP BY 1), "
+        "m1 AS (SELECT MAX(abs(v1)) AS m1 FROM v1), "
+        "v1s AS (SELECT i, CAST(CASE WHEN v1 >= 0 THEN (v1 * 1000000) // m1 "
+        "  ELSE -((-v1 * 1000000) // m1) END AS BIGINT) AS v1s FROM v1, m1), "
+        "v2 AS (SELECT t.i, SUM(CAST(t.g AS HUGEINT) * s.v1s) AS v2 "
+        "  FROM t JOIN v1s s ON t.j = s.i GROUP BY 1), "
+        "m2 AS (SELECT MAX(abs(v2)) AS m2 FROM v2), "
+        "v2s AS (SELECT i, CAST(CASE WHEN v2 >= 0 THEN "
+        "  (CAST(1000000 AS HUGEINT) * v2) // m2 "
+        "  ELSE -((CAST(1000000 AS HUGEINT) * (-v2)) // m2) END AS BIGINT) "
+        "  AS v2s FROM v2, m2), "
+        "ray AS (SELECT CAST(CASE WHEN num >= 0 THEN "
+        "  (CAST(1000000 AS HUGEINT) * num) // den "
+        "  ELSE -((CAST(1000000 AS HUGEINT) * (-num)) // den) END AS BIGINT) "
+        "  AS rayleigh_ppm FROM ("
+        "  SELECT (SELECT SUM(CAST(v2.v2 AS HUGEINT) * s.v1s) FROM v2 "
+        "    JOIN v1s s ON v2.i = s.i) AS num, "
+        "  (SELECT SUM(CAST(v1s AS HUGEINT) * v1s) FROM v1s) AS den)) "
+        "SELECT a.i, a.v1s, b.v2s, r.rayleigh_ppm "
+        "FROM v1s a JOIN v2s b ON a.i = b.i CROSS JOIN ray r"
+    ),
+)
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-direction estimation by POWER ITERATION on the
+    exact-integer gram matrix — the missing dimensionality-reduction
+    member of the step-operator family (x_ml_logreg_step /
+    x_ml_als_step / x_ml_boost_round): two unrolled matrix-vector
+    steps v1 = G·1, v2 = G·v1s from the deterministic all-ones start,
+    each renormalized to a 1e6-max-component integer vector, plus the
+    Rayleigh quotient (v1sᵀG v1s)/(v1sᵀv1s) in ppm — the top-eigenvalue
+    estimate in G's micro units.
+
+    Exactness: G reuses x_emb_gram's per-row 6-dp-rounded integer-micro
+    products (exact long sums, order-independent); every normalization
+    and the Rayleigh ratio is a SIGN-DECOMPOSED floor division of
+    nonnegative operands routed through HUGEINT/DECIMAL(38,0) — Spark's
+    DIV truncates toward zero while DuckDB's // floors, so dividing
+    |numerator| and re-applying the sign is what keeps negative
+    components engine-identical (the x_ml_kmeans offset lesson, solved
+    by decomposition instead of offsets).  The whole chain is integer
+    arithmetic; a pure-numpy differential reproduces it exactly.
+
+    Scale shape: G is the d²-bounded aggregate (the ONLY corpus-sized
+    pass — map-side partials collapse to <= d² rows per partition);
+    each iteration is a d²-row join against a d-row broadcast vector;
+    unrolled fixed steps, no driver-side convergence loop (the
+    x_graph_bfs rule).  More steps = more of the same stage, state
+    O(d).  Convergence honesty: THIS corpus is near-isotropic
+    (lambda2/lambda1 ~ 0.93 measured), so 2 steps are a direction
+    estimate, not the converged eigenvector — the differential test
+    asserts the step semantics exactly plus the gap-independent
+    power-iteration invariant (Rayleigh monotone, bounded by
+    lambda1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        emb.repartition(n_part)
+        .select("embedding", F.posexplode("embedding").alias("i", "xi"))
+        .select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
+    )
+    term = F.round(
+        F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6) * 1e6, 0
+    ).cast("long")
+    t = pairs.groupBy(
+        F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j")
+    ).agg(F.sum(term).cast("long").alias("g"))
+    v1 = t.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
+    m1 = v1.agg(F.max(F.abs("v1")).alias("m1"))
+
+    def _sdiv(num_sql: str, den_sql: str) -> str:
+        # sign-decomposed floor/trunc-agnostic integer division
+        return (
+            f"CAST(CASE WHEN ({num_sql}) >= 0 THEN ({num_sql}) DIV ({den_sql}) "
+            f"ELSE -((-({num_sql})) DIV ({den_sql})) END AS BIGINT)"
+        )
+
+    v1s = v1.crossJoin(F.broadcast(m1)).select(
+        "i", F.expr(_sdiv("v1 * 1000000", "m1")).alias("v1s")
+    )
+    sv = v1s.select(F.col("i").alias("j"), "v1s")
+    v2 = (
+        t.join(F.broadcast(sv), "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * v1s")).alias("v2"))
+    )
+    m2 = v2.agg(F.max(F.abs("v2")).alias("m2"))
+    v2s = v2.crossJoin(F.broadcast(m2)).select(
+        "i",
+        F.expr(_sdiv("CAST(1000000 AS DECIMAL(38,0)) * v2", "m2")).alias("v2s"),
+    )
+    ray = (
+        v2.join(
+            v1s.select(F.col("i").alias("i_b"), "v1s"), F.col("i") == F.col("i_b")
+        )
+        .agg(
+            F.sum(F.expr("CAST(v2 AS DECIMAL(38,0)) * v1s")).alias("num"),
+        )
+        .crossJoin(
+            F.broadcast(
+                v1s.agg(F.sum(F.expr("CAST(v1s AS DECIMAL(38,0)) * v1s")).alias("den"))
+            )
+        )
+        .select(
+            F.expr(
+                _sdiv("CAST(1000000 AS DECIMAL(38,0)) * num", "den")
+            ).alias("rayleigh_ppm")
+        )
+    )
+    return (
+        v1s.join(v2s, "i")
+        .crossJoin(F.broadcast(ray))
+        .select("i", "v1s", "v2s", "rayleigh_ppm")
+    )

@@ -1034,3 +1034,67 @@ def test_changepoint_matches_pure_python_scan(spark):
         assert (r.split_hr, r.score_ppm, r.n_l, r.n_r) == best[1:], (et, r, best)
         assert r.baseline_ppm == 1_000_000 * s * s // n
         assert r.score_ppm >= r.baseline_ppm  # split never explains less
+
+
+def test_pca_power_matches_pure_numpy_integer_chain(spark):
+    # x_ml_pca_power: reproduce the ENTIRE integer chain (micro-gram,
+    # two sign-decomposed renormalized power steps, Rayleigh ppm) in
+    # numpy int64/python bigints from the raw embeddings and compare
+    # exactly; then sanity-check the direction against numpy's true
+    # top eigenvector (cosine, sign-aligned).
+    import numpy as np
+
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d = X.shape[1]
+    G = np.zeros((d, d), dtype=np.int64)
+    for row in X:
+        G += np.round(np.round(np.outer(row, row), 6) * 1e6).astype(np.int64)
+
+    def sdiv(num: int, den: int) -> int:
+        return num // den if num >= 0 else -((-num) // den)
+
+    v1 = [int(s) for s in G.sum(axis=1)]
+    m1 = max(abs(v) for v in v1)
+    v1s = [sdiv(v * 1_000_000, m1) for v in v1]
+    v2 = [sum(int(G[i][j]) * v1s[j] for j in range(d)) for i in range(d)]
+    m2 = max(abs(v) for v in v2)
+    v2s = [sdiv(1_000_000 * v, m2) for v in v2]
+    num = sum(v2[i] * v1s[i] for i in range(d))
+    den = sum(s * s for s in v1s)
+    ray = sdiv(1_000_000 * num, den)
+
+    out = {r.i: r for r in all_specs()["x_ml_pca_power"].fn(spark, SF_DIR).collect()}
+    assert len(out) == d
+    for i in range(d):
+        assert (out[i].v1s, out[i].v2s, out[i].rayleigh_ppm) == (
+            v1s[i],
+            v2s[i],
+            ray,
+        ), i
+
+    # Convergence sanity: this corpus is near-isotropic (lambda2 /
+    # lambda1 ~ 0.93 measured), so 2 steps CANNOT be near the top
+    # eigenvector — the honest invariant is the power-iteration
+    # monotonicity: rayleigh(v2) > rayleigh(v1), both bounded above by
+    # the true top eigenvalue of the float gram (in micro units).
+    Gf = np.array(G, dtype=np.float64)
+    v1f = np.array(v1s, dtype=np.float64)
+    ray1 = (v1f @ Gf @ v1f) / (v1f @ v1f)
+    v2f = np.array(v2s, dtype=np.float64)
+    ray2 = (v2f @ Gf @ v2f) / (v2f @ v2f)
+    lam1 = np.linalg.eigvalsh(Gf)[-1]
+    assert ray1 < ray2 <= lam1 * (1 + 1e-9), (ray1, ray2, lam1)
+    # and the reported ppm quotient is floor(1e6 * rayleigh(v1s))
+    assert abs(ray - 1e6 * ray1) <= 1e-6 * abs(1e6 * ray1) + 2, (ray, ray1)
