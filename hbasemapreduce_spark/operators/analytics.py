@@ -1758,9 +1758,10 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-membership checksum ride along, so the ESTIMATE and the
     sampled SET both hash-check; estimator error is property-tested.
 
-    Overflow note: w*2^48 needs w < 2^15 to stay in a signed bigint —
-    n_chars tops out near 550 here; a larger-weight corpus rescales w
-    or the domain (the multiply raises under ANSI mode, not wraps).
+    Overflow precondition: w*2^48 needs w < 2^15 to stay in a signed
+    bigint — n_chars tops out near 550 here, and a raise_error guard
+    fails loudly at the first wider weight (a larger-weight corpus
+    rescales w or the domain).
 
     Scale shape: priorities are a stateless projection; the top-k
     filter is the rank<=k WindowGroupLimit shape; tau and the
@@ -1769,6 +1770,23 @@ def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("n_chars") > 0)
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("w"))
+        # Overflow precondition as a LOUD guard (code-review r8 item 4:
+        # the docstring note alone is inconsistent with the
+        # x_sim_ann_lsh_portable / x_join_fuzzy_name fail-loudly rule):
+        # w * 2^48 needs w < 2^15 to stay inside a signed bigint —
+        # beyond it, ANSI mode dies with an opaque mid-plan overflow
+        # and non-ANSI would silently wrap the priorities.
+        .filter(
+            F.when(F.col("w") < 32768, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("x_sample_priority: weight "),
+                        F.col("w").cast("string"),
+                        F.lit(" exceeds the 2^15 priority-scale budget"),
+                    )
+                )
+            )
+        )
     )
     q = d.select(
         "lang",

@@ -189,6 +189,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_sample_frames, schema="doc_id long, frame_idx long")
 
 
+def _pid_owns_dir(pid: int, d: str) -> bool:
+    """True iff ``pid`` is alive AND plausibly the process that wrote
+    ``d`` — i.e. it started BEFORE the directory was last written.
+    Bare ``os.kill(pid, 0)`` is defeated by pid recycling (code-review
+    r8 item 5: a recycled pid on an unrelated long-lived process would
+    shield the dead owner's tables forever); comparing the process
+    start time from /proc/<pid>/stat against the dir mtime
+    disambiguates, with a 5-minute slack for clock/tick skew.  Any
+    parse failure counts as "owns" — never reap on uncertainty."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False  # dead — safe to reap
+    except PermissionError:
+        return True  # alive under another uid — leave it
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            stat = f.read()
+        # field 22 (1-indexed) = starttime in clock ticks since boot;
+        # fields 2 can contain spaces — split after the closing paren
+        ticks = float(stat.rsplit(")", 1)[1].split()[19])
+        hz = os.sysconf("SC_CLK_TCK")
+        with open("/proc/stat") as f:
+            btime = next(
+                float(line.split()[1]) for line in f if line.startswith("btime")
+            )
+        started = btime + ticks / hz
+        return started <= os.path.getmtime(d) + 300
+    except (OSError, StopIteration, IndexError, ValueError):
+        return True  # can't prove recycling — keep the dir
+
+
 @query(
     "x_join_bucketed",
     category="join",
@@ -262,13 +294,8 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             is_legacy = base in (f"b_orders_{sfx}", f"b_customer_{sfx}")
             pid_part = base.rsplit("_", 1)[-1]
             if not is_legacy and pid_part.isdigit() and int(pid_part) != os.getpid():
-                try:
-                    os.kill(int(pid_part), 0)
+                if _pid_owns_dir(int(pid_part), d):
                     continue  # owner alive — leave its tables alone
-                except ProcessLookupError:
-                    pass  # owner dead — safe to reap
-                except PermissionError:
-                    continue  # pid exists under another uid — leave it
             spark.sql(f"DROP TABLE IF EXISTS {os.path.basename(d)}")
             shutil.rmtree(d, ignore_errors=True)
         except OSError:

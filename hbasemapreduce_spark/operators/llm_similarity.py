@@ -1725,18 +1725,14 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  generate_series(0, 63) AS jj(j) GROUP BY 1, 2), "
         "v1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS v1 FROM t GROUP BY 1), "
         "m1 AS (SELECT MAX(abs(v1)) AS m1 FROM v1), "
-        "v1s AS (SELECT i, CAST(CASE WHEN v1 >= 0 THEN (v1 * 1000000) // m1 "
-        "  ELSE -((-v1 * 1000000) // m1) END AS BIGINT) AS v1s FROM v1, m1), "
+        "v1s AS (SELECT i, CAST((v1 * 1000000) // m1 AS BIGINT) AS v1s "
+        "  FROM v1, m1), "
         "v2 AS (SELECT t.i, SUM(CAST(t.g AS HUGEINT) * s.v1s) AS v2 "
         "  FROM t JOIN v1s s ON t.j = s.i GROUP BY 1), "
         "m2 AS (SELECT MAX(abs(v2)) AS m2 FROM v2), "
-        "v2s AS (SELECT i, CAST(CASE WHEN v2 >= 0 THEN "
-        "  (CAST(1000000 AS HUGEINT) * v2) // m2 "
-        "  ELSE -((CAST(1000000 AS HUGEINT) * (-v2)) // m2) END AS BIGINT) "
-        "  AS v2s FROM v2, m2), "
-        "ray AS (SELECT CAST(CASE WHEN num >= 0 THEN "
-        "  (CAST(1000000 AS HUGEINT) * num) // den "
-        "  ELSE -((CAST(1000000 AS HUGEINT) * (-num)) // den) END AS BIGINT) "
+        "v2s AS (SELECT i, CAST((CAST(1000000 AS HUGEINT) * v2) // m2 "
+        "  AS BIGINT) AS v2s FROM v2, m2), "
+        "ray AS (SELECT CAST((CAST(1000000 AS HUGEINT) * num) // den AS BIGINT) "
         "  AS rayleigh_ppm FROM ("
         "  SELECT (SELECT SUM(CAST(v2.v2 AS HUGEINT) * s.v1s) FROM v2 "
         "    JOIN v1s s ON v2.i = s.i) AS num, "
@@ -1757,13 +1753,15 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: G reuses x_emb_gram's per-row 6-dp-rounded integer-micro
     products (exact long sums, order-independent); every normalization
-    and the Rayleigh ratio is a SIGN-DECOMPOSED floor division of
-    nonnegative operands routed through HUGEINT/DECIMAL(38,0) — Spark's
-    DIV truncates toward zero while DuckDB's // floors, so dividing
-    |numerator| and re-applying the sign is what keeps negative
-    components engine-identical (the x_ml_kmeans offset lesson, solved
-    by decomposition instead of offsets).  The whole chain is integer
-    arithmetic; a pure-numpy differential reproduces it exactly.
+    and the Rayleigh ratio is one integer division routed through
+    HUGEINT/DECIMAL(38,0).  Negative-operand semantics were VERIFIED
+    identical before shipping: Spark's DIV and DuckDB's // both
+    truncate toward zero (-7 -> -3 on both engines), so plain division
+    is engine-portable even on the negative vector components here —
+    the real floor-vs-trunc hazard is PYTHON's //, which the numpy
+    differential test handles by trunc-dividing explicitly.  The whole
+    chain is integer arithmetic; the differential reproduces it
+    exactly.
 
     Scale shape: G is the d²-bounded aggregate (the ONLY corpus-sized
     pass — map-side partials collapse to <= d² rows per partition);
@@ -1792,15 +1790,8 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = t.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
     m1 = v1.agg(F.max(F.abs("v1")).alias("m1"))
 
-    def _sdiv(num_sql: str, den_sql: str) -> str:
-        # sign-decomposed floor/trunc-agnostic integer division
-        return (
-            f"CAST(CASE WHEN ({num_sql}) >= 0 THEN ({num_sql}) DIV ({den_sql}) "
-            f"ELSE -((-({num_sql})) DIV ({den_sql})) END AS BIGINT)"
-        )
-
     v1s = v1.crossJoin(F.broadcast(m1)).select(
-        "i", F.expr(_sdiv("v1 * 1000000", "m1")).alias("v1s")
+        "i", F.expr("CAST((v1 * 1000000) DIV m1 AS BIGINT)").alias("v1s")
     )
     sv = v1s.select(F.col("i").alias("j"), "v1s")
     v2 = (
@@ -1811,7 +1802,9 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = v2.agg(F.max(F.abs("v2")).alias("m2"))
     v2s = v2.crossJoin(F.broadcast(m2)).select(
         "i",
-        F.expr(_sdiv("CAST(1000000 AS DECIMAL(38,0)) * v2", "m2")).alias("v2s"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * v2) DIV m2 AS BIGINT)"
+        ).alias("v2s"),
     )
     ray = (
         v2.join(
@@ -1827,7 +1820,8 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.expr(
-                _sdiv("CAST(1000000 AS DECIMAL(38,0)) * num", "den")
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * num) DIV den "
+                "AS BIGINT)"
             ).alias("rayleigh_ppm")
         )
     )

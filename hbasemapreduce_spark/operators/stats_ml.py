@@ -520,10 +520,12 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Number tricks: coordinates become OFFSET MICROS — round to 6 dp,
     add 1 (embeddings live in [-0.58, 0.52]), scale to integer
-    micro-units.  The constant offset changes no squared distance, but
-    keeps every integer non-negative so the centroid mean's floor
-    division is identical in both engines (Spark's DIV truncates toward
-    zero, DuckDB's // floors — they differ only below zero).  Squared
+    micro-units.  The constant offset changes no squared distance; it
+    was added as defence for negative-operand division semantics —
+    later measured UNNECESSARY for this engine pair (Spark's DIV and
+    DuckDB's // both truncate toward zero; verified -7 -> -3 on both,
+    see x_ml_pca_power) — and kept because non-negative operands also
+    stay safe against any future oracle engine that floors.  Squared
     distances are then exact bigints (64 dims x ~(1.1e6)^2 ~ 7.7e13,
     far inside bigint), and argmin ties break on centroid id.
 
@@ -4336,22 +4338,68 @@ def eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared STL core (x_time_stl_lite + x_time_seasonal_anomaly — factored
+# per code-review r8 item 3 so a fix to the window bounds / hr
+# derivation can never apply to one key and silently skip the other):
+# hourly counts -> centered 24-pt trend window -> interior rows with
+# det24 = 24*c - trend_sum24 -> per-hour-of-day seasonal rationals.
+_STL_CORE_SQL = (
+    "WITH h AS (SELECT "
+    "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
+    "    AS BIGINT) AS hr, "
+    "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+    "t AS (SELECT hr, c, "
+    "  CAST(SUM(c) OVER w AS BIGINT) AS trend_sum24, "
+    "  CAST(COUNT(*) OVER w AS BIGINT) AS nwin FROM h "
+    "  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), "
+    "i AS (SELECT hr, c, trend_sum24, 24 * c - trend_sum24 AS det24 "
+    "  FROM t WHERE nwin = 24), "
+    "s AS (SELECT hr % 24 AS hod, CAST(SUM(det24) AS BIGINT) AS s_num, "
+    "  CAST(COUNT(*) AS BIGINT) AS s_den FROM i GROUP BY 1)"
+)
+
+
+def _stl_interior(spark: SparkSession, sf_dir: str):
+    """Spark twin of _STL_CORE_SQL: returns (interior, seasonal) —
+    interior = (hr, c, trend_sum24, det24) rows with a full centered
+    window; seasonal = (hod, s_num, s_den) exact rationals."""
+    from pyspark.sql import Window
+
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
+            .cast("long")
+            .alias("hr")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w24 = Window.orderBy("hr").rowsBetween(-12, 11)
+    t = h.select(
+        "hr",
+        "c",
+        F.sum("c").over(w24).cast("long").alias("trend_sum24"),
+        F.count("*").over(w24).cast("long").alias("nwin"),
+    )
+    interior = t.filter(F.col("nwin") == 24).select(
+        "hr",
+        "c",
+        "trend_sum24",
+        (24 * F.col("c") - F.col("trend_sum24")).alias("det24"),
+    )
+    seasonal = interior.groupBy((F.col("hr") % 24).alias("hod")).agg(
+        F.sum("det24").cast("long").alias("s_num"),
+        F.count("*").cast("long").alias("s_den"),
+    )
+    return interior, seasonal
+
+
+
 @query(
     "x_time_stl_lite",
     category="stats_ml",
     oracle=(
-        "WITH h AS (SELECT "
-        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
-        "    AS BIGINT) AS hr, "
-        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
-        "t AS (SELECT hr, c, "
-        "  CAST(SUM(c) OVER w AS BIGINT) AS trend_sum24, "
-        "  CAST(COUNT(*) OVER w AS BIGINT) AS nwin FROM h "
-        "  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), "
-        "i AS (SELECT hr, c, trend_sum24, 24 * c - trend_sum24 AS det24 "
-        "  FROM t WHERE nwin = 24), "
-        "s AS (SELECT hr % 24 AS hod, CAST(SUM(det24) AS BIGINT) AS s_num, "
-        "  CAST(COUNT(*) AS BIGINT) AS s_den FROM i GROUP BY 1) "
+        _STL_CORE_SQL + " "
         "SELECT i.hr, i.c, i.trend_sum24, i.det24, s.s_num, s.s_den, "
         "CAST(i.trend_sum24 AS DOUBLE) / 24.0 AS trend, "
         "CAST(s.s_num AS DOUBLE) / CAST(24 * s.s_den AS DOUBLE) AS seasonal, "
@@ -4382,34 +4430,7 @@ def time_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     window at bench scale — the checkable stand-in); at 100 TB the
     identical plan runs per series key (partitionBy(metric)), which is
     how every multi-series deployment shards anyway."""
-    from pyspark.sql import Window
-
-    h = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
-            .cast("long")
-            .alias("hr")
-        )
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    w24 = Window.orderBy("hr").rowsBetween(-12, 11)
-    t = h.select(
-        "hr",
-        "c",
-        F.sum("c").over(w24).cast("long").alias("trend_sum24"),
-        F.count("*").over(w24).cast("long").alias("nwin"),
-    )
-    i = t.filter(F.col("nwin") == 24).select(
-        "hr",
-        "c",
-        "trend_sum24",
-        (24 * F.col("c") - F.col("trend_sum24")).alias("det24"),
-    )
-    s = i.groupBy((F.col("hr") % 24).alias("hod")).agg(
-        F.sum("det24").cast("long").alias("s_num"),
-        F.count("*").cast("long").alias("s_den"),
-    )
+    i, s = _stl_interior(spark, sf_dir)
     return (
         i.join(F.broadcast(s), (F.col("hr") % 24) == F.col("hod"))
         .select(
@@ -4556,17 +4577,7 @@ def time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_time_seasonal_anomaly",
     category="stats_ml",
     oracle=(
-        "WITH h AS (SELECT "
-        "  CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 "
-        "    AS BIGINT) AS hr, "
-        "  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
-        "t AS (SELECT hr, c, "
-        "  CAST(SUM(c) OVER w AS BIGINT) AS ts24, "
-        "  CAST(COUNT(*) OVER w AS BIGINT) AS nwin FROM h "
-        "  WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)), "
-        "i AS (SELECT hr, c, 24 * c - ts24 AS det24 FROM t WHERE nwin = 24), "
-        "s AS (SELECT hr % 24 AS hod, CAST(SUM(det24) AS BIGINT) AS s_num, "
-        "  CAST(COUNT(*) AS BIGINT) AS s_den FROM i GROUP BY 1), "
+        _STL_CORE_SQL + ", "
         "x AS (SELECT i.hr, i.c, "
         "  CAST(1000000 * (i.det24 * s.s_den - s.s_num) // (24 * s.s_den) "
         "    AS BIGINT) AS resid_ppm "
@@ -4608,29 +4619,7 @@ def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10."""
     from pyspark.sql import Window
 
-    h = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / F.lit(3_600_000_000))
-            .cast("long")
-            .alias("hr")
-        )
-        .agg(F.count("*").cast("long").alias("c"))
-    )
-    w24 = Window.orderBy("hr").rowsBetween(-12, 11)
-    t = h.select(
-        "hr",
-        "c",
-        F.sum("c").over(w24).cast("long").alias("ts24"),
-        F.count("*").over(w24).cast("long").alias("nwin"),
-    )
-    i = t.filter(F.col("nwin") == 24).select(
-        "hr", "c", (24 * F.col("c") - F.col("ts24")).alias("det24")
-    )
-    s = i.groupBy((F.col("hr") % 24).alias("hod")).agg(
-        F.sum("det24").cast("long").alias("s_num"),
-        F.count("*").cast("long").alias("s_den"),
-    )
+    i, s = _stl_interior(spark, sf_dir)
     x = i.join(F.broadcast(s), (F.col("hr") % 24) == F.col("hod")).select(
         "hr",
         "c",

@@ -35,3 +35,14 @@ def test_survey_contract_count_matches_registry():
     m = re.search(r"\*\*Inventory size: (\d+) contract keys\*\*", text)
     assert m, "SURVEY.md §2 contract-count header not found"
     assert int(m.group(1)) == len(CONTRACT_KEYS) == 60
+
+
+def test_readme_key_count_matches_registry():
+    # README drifted twice (287 at r7 close, 301 mid-r8) — same class
+    # of rot as the SURVEY header, same fix: derive and pin.
+    readme = _SURVEY.parent / "README.md"
+    m = re.search(r"the (\d+)-key query registry", readme.read_text())
+    assert m, "README registry key-count line not found"
+    assert int(m.group(1)) == len(all_specs()), (
+        f"README says {m.group(1)} keys, registry holds {len(all_specs())}"
+    )
