@@ -307,6 +307,8 @@ _BNLJ_WHITELIST = {
     "x_text_keywords",    # 1-row corpus-doc-count scalar (micro-idf)
     "x_text_lm_score",    # 1-row vocabulary-size scalar (add-one smoothing)
     "x_eval_ndcg",        # 1-row calendar-midpoint scalar (ks_drift pattern)
+    "x_time_seasonal_anomaly",  # 1-row residual-moments scalar (n, S, SS)
+    "x_ml_pca_power",     # 1-row normalization/Rayleigh scalars (m1, m2, ray)
     "x_contamination_semantic",  # benchmark-bounded embedding set broadcast
     "x_ml_gini_stump",    # 1-row parent-impurity scalar against the split grid
     "x_layout_hilbert",   # 1-row key-bounds scalar (x_layout_zorder pattern)
