@@ -1776,17 +1776,33 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # upper triangle only (x_emb_gram's slice trick: d(d+1)/2 = 2080
+    # generated elements per row instead of d^2 = 4096), mirrored to
+    # the full matrix AFTER the aggregate — G is symmetric, so the
+    # mirror costs d^2 rows once, not half the generator volume per row
     pairs = (
         emb.repartition(n_part)
         .select("embedding", F.posexplode("embedding").alias("i", "xi"))
-        .select("i", "xi", F.posexplode("embedding").alias("j", "xj"))
+        .select(
+            "i",
+            "xi",
+            F.posexplode(F.expr("slice(embedding, i+1, size(embedding)-i)")).alias(
+                "dj", "xj"
+            ),
+        )
     )
     term = F.round(
         F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6) * 1e6, 0
     ).cast("long")
-    t = pairs.groupBy(
-        F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j")
+    tri = pairs.groupBy(
+        F.col("i").cast("long").alias("i"),
+        (F.col("i") + F.col("dj")).cast("long").alias("j"),
     ).agg(F.sum(term).cast("long").alias("g"))
+    t = tri.unionByName(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
     v1 = t.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
     m1 = v1.agg(F.max(F.abs("v1")).alias("m1"))
 
