@@ -1090,3 +1090,85 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_micro"
         ),
     )
+
+
+@query(
+    "x_dedup_cross_source",
+    category="llm_dedup",
+    oracle=(
+        "WITH n AS (SELECT DISTINCT "
+        "  array_to_string((string_split(lower(trim(text)), ' '))[1:16], ' ') "
+        "    AS norm, source FROM documents), "
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "  CAST(COUNT(*) AS BIGINT) AS shared_norms "
+        "  FROM n a JOIN n b ON a.norm = b.norm AND a.source < b.source "
+        "  GROUP BY 1, 2), "
+        "t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_norms FROM n "
+        "  GROUP BY 1) "
+        "SELECT p.source_a, p.source_b, p.shared_norms, "
+        "ta.n_norms AS norms_a, tb.n_norms AS norms_b, "
+        "CAST(1000000 * p.shared_norms // LEAST(ta.n_norms, tb.n_norms) "
+        "  AS BIGINT) AS containment_ppm "
+        "FROM p JOIN t ta ON p.source_a = ta.source "
+        "JOIN t tb ON p.source_b = tb.source"
+    ),
+)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which sources copy which: for
+    every source pair, the count of 16-token-prefix signatures
+    (x_dedup_prefix's boilerplate key) present in BOTH, plus the
+    smaller side's containment share (ppm).  The curation-planning
+    view on top of the dedup family: a high-containment pair means one
+    crawl is largely a mirror and can be dropped BEFORE paying for
+    pairwise dedup of its documents.
+
+    Scale shape: distinct (norm, source) is one hash aggregate; the
+    pair expansion is a self EQUI-join on the norm key — work bounded
+    by sum over norms of (sources-per-norm choose 2), never
+    |sources|^2 x |norms| — and the per-source totals join back at
+    |sources| rows.  All integers; only pairs sharing >= 1 norm
+    appear."""
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim(F.col("text"))), " "), 1, 16), " "
+            ).alias("norm"),
+            "source",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # read by the pair join AND totals
+    )
+    p = (
+        n.alias("a")
+        .join(
+            n.alias("b"),
+            (F.col("a.norm") == F.col("b.norm"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_norms"))
+    )
+    t = n.groupBy("source").agg(F.count("*").cast("long").alias("n_norms"))
+    return (
+        p.join(
+            F.broadcast(t.select(F.col("source").alias("source_a"), F.col("n_norms").alias("norms_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(t.select(F.col("source").alias("source_b"), F.col("n_norms").alias("norms_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_norms",
+            "norms_a",
+            "norms_b",
+            F.expr(
+                "CAST(1000000 * shared_norms DIV least(norms_a, norms_b) AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+    )

@@ -454,6 +454,7 @@ _R8_BACKLOG = [
     "x_udx_apply_in_arrow",
     "x_time_seasonal_anomaly",
     "x_ml_pca_power",
+    "x_dedup_cross_source",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
