@@ -1341,6 +1341,55 @@ def eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clipped_pair_metrics(cnt: DataFrame, p_alias: str, r_alias: str, f_alias: str,
+                          ov_alias: str) -> DataFrame:
+    """Shared clipped-count pair-metric core (x_eval_rouge_n /
+    x_eval_chrf): given per-(doc_id, g) gram COUNTS, pair every doc
+    with doc_id+1, compute the BLEU/ROUGE-clipped overlap
+    sum(min(c_cand, c_ref)) via the equi-join on (adjacent id, gram),
+    and emit precision/recall/F1 — each ONE IEEE division of exact
+    integers (F1 = 2*ov/(na+nb), the harmonic mean collapsed)."""
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        tot.alias("a")
+        .join(tot.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_cand"),
+            F.col("b.doc_id").alias("doc_ref"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    ov = (
+        cnt.alias("ca")
+        .join(
+            cnt.alias("cb"),
+            (F.col("cb.doc_id") == F.col("ca.doc_id") + 1)
+            & (F.col("ca.g") == F.col("cb.g")),
+        )
+        .groupBy(F.col("ca.doc_id").alias("doc_cand"))
+        .agg(F.sum(F.least("ca.c", "cb.c")).cast("long").alias("ov"))
+    )
+    ovc = F.coalesce(F.col("ov"), F.lit(0).cast("long"))
+    return (
+        pairs.join(ov, "doc_cand", "left")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_cand",
+            "doc_ref",
+            ovc.alias(ov_alias),
+            "na",
+            "nb",
+            (ovc.cast("double") / F.col("na").cast("double")).alias(p_alias),
+            (ovc.cast("double") / F.col("nb").cast("double")).alias(r_alias),
+            (
+                (2 * ovc).cast("double") / (F.col("na") + F.col("nb")).cast("double")
+            ).alias(f_alias),
+        )
+    )
+
+
+
 @query(
     "x_eval_rouge_n",
     category="eval",
@@ -1404,43 +1453,8 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     cnt = bg.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
-    pairs = (
-        tot.alias("a")
-        .join(tot.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("doc_cand"),
-            F.col("b.doc_id").alias("doc_ref"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
-    )
-    ov = (
-        cnt.alias("ca")
-        .join(
-            cnt.alias("cb"),
-            (F.col("cb.doc_id") == F.col("ca.doc_id") + 1)
-            & (F.col("ca.g") == F.col("cb.g")),
-        )
-        .groupBy(F.col("ca.doc_id").alias("doc_cand"))
-        .agg(F.sum(F.least("ca.c", "cb.c")).cast("long").alias("ov"))
-    )
-    ovc = F.coalesce(F.col("ov"), F.lit(0).cast("long"))
-    return (
-        pairs.join(ov, "doc_cand", "left")
-        .filter((F.col("na") > 0) & (F.col("nb") > 0))
-        .select(
-            "doc_cand",
-            "doc_ref",
-            ovc.alias("overlap_2"),
-            "na",
-            "nb",
-            (ovc.cast("double") / F.col("na").cast("double")).alias("rouge2_prec"),
-            (ovc.cast("double") / F.col("nb").cast("double")).alias("rouge2_rec"),
-            (
-                (2 * ovc).cast("double") / (F.col("na") + F.col("nb")).cast("double")
-            ).alias("rouge2_f1"),
-        )
+    return _clipped_pair_metrics(
+        cnt, "rouge2_prec", "rouge2_rec", "rouge2_f1", "overlap_2"
     )
 
 
@@ -1539,4 +1553,62 @@ def eval_wer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_hyp",
         "len_ref",
         (d.cast("double") / F.col("len_ref").cast("double")).alias("wer"),
+    )
+
+
+@query(
+    "x_eval_chrf",
+    category="eval",
+    oracle=(
+        "WITH bg AS (SELECT doc_id, substring(text, CAST(i AS INT), 3) AS g "
+        "  FROM documents, unnest(range(1, length(text) - 1)) AS t(i)), "
+        "cnt AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg "
+        "  GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1), "
+        "pairs AS (SELECT a.doc_id AS doc_cand, b.doc_id AS doc_ref, "
+        "  a.n AS na, b.n AS nb FROM tot a JOIN tot b ON b.doc_id = a.doc_id + 1), "
+        "ov AS (SELECT ca.doc_id AS doc_cand, "
+        "  CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS ov "
+        "  FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1 AND ca.g = cb.g "
+        "  GROUP BY 1) "
+        "SELECT p.doc_cand, p.doc_ref, COALESCE(o.ov, 0) AS overlap_3, "
+        "  p.na, p.nb, "
+        "  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.na AS DOUBLE) "
+        "    AS chrf3_prec, "
+        "  CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.nb AS DOUBLE) "
+        "    AS chrf3_rec, "
+        "  CAST(2 * COALESCE(o.ov, 0) AS DOUBLE) / CAST(p.na + p.nb AS DOUBLE) "
+        "    AS chrf3_f1 "
+        "FROM pairs p LEFT JOIN ov o ON o.doc_cand = p.doc_cand "
+        "WHERE p.na > 0 AND p.nb > 0"
+    ),
+)
+def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF-style CHARACTER n-gram F-score (Popovic 2015) between the
+    same candidate/reference pairing as x_eval_rouge_n — the
+    tokenizer-free eval that stays meaningful where word metrics break
+    (morphology, CJK, noisy spacing).  Single n = 3 here ("chrF3-lite"
+    — full chrF averages n = 1..6 and beta-weights recall; the
+    dataflow is identical per n, and whitespace is kept in the grams,
+    both choices pinned by the shared oracle), clipped counts and the
+    one-division precision/recall/F1 from the SAME
+    ``_clipped_pair_metrics`` core as ROUGE — one implementation, two
+    metrics, so a fix to the clipping logic can never reach one and
+    miss the other.
+
+    Scale shape: identical to x_eval_rouge_n — char-trigram expansion
+    is a generator, the overlap join equi on (adjacent id, gram)."""
+    bg = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN transform("
+                "sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+    return _clipped_pair_metrics(
+        cnt, "chrf3_prec", "chrf3_rec", "chrf3_f1", "overlap_3"
     )

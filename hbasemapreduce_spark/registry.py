@@ -455,6 +455,7 @@ _R8_BACKLOG = [
     "x_time_seasonal_anomaly",
     "x_ml_pca_power",
     "x_dedup_cross_source",
+    "x_eval_chrf",
 ]
 
 # Contract-key refresh order (VERDICT r7 item 2).  All 60 contract keys
