@@ -476,7 +476,6 @@ _CONTRACT_REFRESH = [
     "scalar_array",
     "scalar_map",
     "dedup_exact",
-    "dedup_minhash",
     "multimodal_join",
     "scan_project",
     "scan_range",
@@ -526,19 +525,47 @@ _CONTRACT_REFRESH = [
     "agg_group_sum",
     "agg_multi",
     "agg_distinct",
-    "agg_approx_distinct",
     "agg_rollup",
     "agg_cube",
+    # -- rows-only-by-design contract keys, refreshed LAST (VERDICT r8
+    # item 7: window slots go to hash-checkable keys first; these two
+    # get only the weaker rows check from the driver, and their real
+    # value evidence lives in full-hash portable twins —
+    # x_dedup_minhash_portable pass r6, x_agg_distinct_kmv in the r9
+    # window).  dedup_minhash evidence r3, agg_approx_distinct r4. --
+    "dedup_minhash",
+    "agg_approx_distinct",
 ]
 
-# Staged r9 window (VERDICT r7 item 2: stage the next rotation in the
-# same commit).  Computed, not hard-coded, so it stays true as round-8
-# keys are appended to _R8_BACKLOG: the remaining first-timers lead,
-# then the contract refresh fills the window.  Emission order places
-# _R8_BACKLOG then _CONTRACT_REFRESH right after the r8 window, so
-# positions 51..100 of queries() ARE this list — a >50-key driver
-# window or an early r9 run picks it up with no further rotation edit.
+# Round-9 driver window (VERDICT r8 item 1).  The r8 driver artifact
+# landed green (CORRECTNESS_r08.json: 50/50), so the window rotates to
+# the staged plan: the first 50 _R8_BACKLOG first-timers.  Every slot
+# carries a full-hash oracle (VERDICT r8 item 7: no rows-only keys in
+# window fronts until the backlog drains) — pinned in
+# tests/test_registry.py::test_r9_window_oracles.  This window holds
+# the three r6-ADVICE-fixed operators still lacking driver confirmation
+# (x_ml_var_stump, x_ml_boost_round, x_privacy_rr_freq), the
+# agg_approx_distinct full-hash twin x_agg_distinct_kmv, and the four
+# Spark-4 UDX surface keys.  Pre-validated 50/50 through the exact
+# driver protocol at sf0.01 before the r8 rotation landed.
 _R9_WINDOW = [*_R8_BACKLOG, *_CONTRACT_REFRESH][:50]
+
+# First-timers remaining after the r9 window (7 at rotation time).
+# New keys registered during round 9 are appended HERE so the
+# rotation-coverage invariant (tests/test_registry.py) stays true:
+# unchecked-by-any-driver-artifact == _R9_WINDOW ∪ _R9_BACKLOG.
+_R9_BACKLOG = [k for k in _R8_BACKLOG if k not in set(_R9_WINDOW)]
+
+# Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
+# same commit).  The last first-timers lead, then the contract refresh
+# fills the window — 43 contract keys whose driver evidence is r3/r4
+# (five-plus rounds stale by r10) finally re-enter a window.  Computed,
+# not hard-coded, so it stays true as round-9 keys are appended to
+# _R9_BACKLOG.  Emission order places _R9_BACKLOG then
+# _CONTRACT_REFRESH right after the r9 window, so positions 51..100 of
+# queries() ARE this list — a >50-key driver window or an early r10
+# run picks it up with no further rotation edit.
+_R10_WINDOW = [*_R9_BACKLOG, *_CONTRACT_REFRESH][:50]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
@@ -650,13 +677,14 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R8_WINDOW)
-    # Hedge + r9 staging: the remaining never-driver-checked keys are
+    window = set(_R9_WINDOW)
+    # Hedge + r10 staging: the remaining never-driver-checked keys are
     # the next-most-valuable evidence targets, so they follow
-    # immediately after the r8 window, then the contract keys in
-    # oldest-evidence-first refresh order — emission positions 51..100
-    # are therefore exactly the staged _R9_WINDOW.
-    backlog_tail = [k for k in _R8_BACKLOG if k not in window]
+    # immediately after the r9 window, then the contract keys in
+    # oldest-evidence-first refresh order (rows-only-by-design keys
+    # last, VERDICT r8 item 7) — emission positions 51..100 are
+    # therefore exactly the staged _R10_WINDOW.
+    backlog_tail = [k for k in _R9_BACKLOG if k not in window]
     rest_contract = [k for k in _CONTRACT_REFRESH if k not in window]
     extras = sorted(
         k
@@ -665,7 +693,7 @@ def all_specs() -> dict[str, QuerySpec]:
         and k not in window
         and k not in set(backlog_tail)
     )
-    order = [*_R8_WINDOW, *backlog_tail, *rest_contract, *extras]
+    order = [*_R9_WINDOW, *backlog_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

@@ -30,7 +30,9 @@ from hbasemapreduce_spark.registry import (
     _R7_WINDOW,
     _R8_BACKLOG,
     _R8_WINDOW,
+    _R9_BACKLOG,
     _R9_WINDOW,
+    _R10_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -66,68 +68,86 @@ def test_all_contract_keys_registered():
     assert CONTRACT_KEYS <= set(all_specs())
 
 
-def test_r8_window_is_pinned_exactly():
-    # VERDICT r7 item 1: the r8 window is the plan staged at the end of
-    # r7 — the first 50 _R7_BACKLOG entries, promoted verbatim now that
-    # CORRECTNESS_r07.json landed green.
-    assert _R8_WINDOW == _R7_BACKLOG[:DRIVER_WINDOW]
-    assert len(_R8_WINDOW) == DRIVER_WINDOW
-    assert len(set(_R8_WINDOW)) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == _R8_WINDOW
+def test_r9_window_is_pinned_exactly():
+    # VERDICT r8 item 1: the r9 window is the plan staged at the end of
+    # r8 — the first 50 _R8_BACKLOG entries, promoted verbatim now that
+    # CORRECTNESS_r08.json landed green.  (The [:50] truncation never
+    # reaches _CONTRACT_REFRESH because _R8_BACKLOG holds 57 keys, so
+    # the r8-era pre-validation of exactly this membership still holds.)
+    assert _R9_WINDOW == _R8_BACKLOG[:DRIVER_WINDOW]
+    assert len(_R9_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R9_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R9_WINDOW
+
+
+def test_r9_window_keys_never_driver_checked():
+    # Every r9 slot is spent on a first-timer: no key in the window had
+    # evidence in any artifact landed BEFORE the rotation (r1-r4,
+    # r6-r8; r5 never landed).  Bounded at round 9 so the r9 artifact
+    # itself cannot falsify this staging-time statement.
+    assert not (set(_R9_WINDOW) & _driver_checked_keys(before_round=9))
 
 
 def test_r8_window_keys_never_driver_checked():
-    # Every r8 slot is spent on a first-timer: no key in the window had
-    # evidence in any artifact landed BEFORE the rotation (r1-r4, r6,
-    # r7; r5 never landed).  Bounded at round 8 so the r8 artifact
-    # itself cannot falsify this staging-time statement.
+    # Historical staging-time statement for the r8 rotation, bounded at
+    # round 8 (the r8 artifact that later covered them does not count).
     assert not (set(_R8_WINDOW) & _driver_checked_keys(before_round=8))
 
 
-def test_r7_window_now_driver_checked():
+def test_r8_window_now_driver_checked():
     # Rotation precondition: the keys that just rotated OUT did so
-    # because the r7 driver artifact landed and covered all of them.
+    # because the r8 driver artifact landed and covered all of them.
+    assert set(_R8_WINDOW) <= _driver_checked_keys()
     assert set(_R7_WINDOW) <= _driver_checked_keys()
 
 
-def test_r8_backlog_keys_follow_r8_window():
-    # Hedge for a missing/late r8 driver artifact: the never-checked
+def test_r9_backlog_keys_follow_r9_window():
+    # Hedge for a missing/late r9 driver artifact: the never-checked
     # backlog keys occupy emission positions 51+ so they are the first
     # keys a larger-than-50 driver window (or a re-run) would pick up.
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R8_BACKLOG)] == _R8_BACKLOG
+    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R9_BACKLOG)] == _R9_BACKLOG
 
 
 def test_rotation_plan_covers_all_unchecked():
-    # (r8 window ∪ r8 backlog) must equal the full set of keys without
+    # (r9 window ∪ r9 backlog) must equal the full set of keys without
     # pre-rotation driver evidence — nothing silently dropped.  New
-    # keys added during round 8 must be appended to _R8_BACKLOG to keep
-    # this invariant.  Bounded at round 8 (staging-time statement).
-    unchecked = set(all_specs()) - _driver_checked_keys(before_round=8)
-    assert unchecked == set(_R8_WINDOW) | set(_R8_BACKLOG)
-    assert not (set(_R8_WINDOW) & set(_R8_BACKLOG))
+    # keys added during round 9 must be appended to _R9_BACKLOG to keep
+    # this invariant.  Bounded at round 9 (staging-time statement).
+    unchecked = set(all_specs()) - _driver_checked_keys(before_round=9)
+    assert unchecked == set(_R9_WINDOW) | set(_R9_BACKLOG)
+    assert not (set(_R9_WINDOW) & set(_R9_BACKLOG))
 
 
-def test_r9_window_is_staged():
-    # VERDICT r7 item 2: the r9 plan ships in the same commit as the r8
-    # rotation.  The staged window = remaining first-timers + the start
-    # of the contract refresh, and emission positions 51..100 are
-    # exactly that list, so an early/oversized driver run needs no
-    # further rotation edit.
-    assert len(_R9_WINDOW) == DRIVER_WINDOW
-    assert _R9_WINDOW == [*_R8_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
+def test_r10_window_is_staged():
+    # VERDICT r8 item 4: the r10 plan ships in the same commit as the
+    # r9 rotation.  The staged window = the last 7 first-timers + the
+    # first 43 contract-refresh keys (oldest driver evidence first,
+    # rows-only keys last), and emission positions 51..100 are exactly
+    # that list, so an early/oversized driver run needs no further
+    # rotation edit.
+    assert len(_R10_WINDOW) == DRIVER_WINDOW
+    assert _R10_WINDOW == [*_R9_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R9_WINDOW
+    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R10_WINDOW
 
 
 def test_contract_refresh_order_matches_artifacts():
     # _CONTRACT_REFRESH is all 60 contract keys, ordered
     # oldest-driver-evidence-first (ties broken by _CONTRACT_PRIORITY
-    # position) — re-derived here from the artifacts the list was
-    # staged against (rounds <= 7, frozen so a future artifact that
-    # re-checks contract keys cannot falsify this pin at landing time;
-    # the list itself is re-derived at the next refresh rotation).
+    # position), EXCEPT the two rows-only-by-design keys which sort
+    # last regardless of evidence age (VERDICT r8 item 7: window slots
+    # go to hash-checkable keys first; dedup_minhash and
+    # agg_approx_distinct get only the weaker rows check, and their
+    # value evidence lives in full-hash portable twins).  Re-derived
+    # here from the artifacts the list was staged against (rounds <= 7,
+    # frozen so a future artifact that re-checks contract keys cannot
+    # falsify this pin at landing time; the list itself is re-derived
+    # at the next refresh rotation).
     assert sorted(_CONTRACT_REFRESH) == sorted(_CONTRACT_PRIORITY)
+    rows_only = {"dedup_minhash", "agg_approx_distinct"}
+    specs = all_specs()
+    assert all(specs[k].oracle is None for k in rows_only)
     latest: dict[str, int] = {}
     for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         rnd = int(p.stem.split("_r")[1])
@@ -137,9 +157,23 @@ def test_contract_refresh_order_matches_artifacts():
             latest[k] = max(latest.get(k, 0), rnd)
     expected = sorted(
         _CONTRACT_PRIORITY,
-        key=lambda k: (latest.get(k, 0), _CONTRACT_PRIORITY.index(k)),
+        key=lambda k: (
+            k in rows_only,
+            latest.get(k, 0),
+            _CONTRACT_PRIORITY.index(k),
+        ),
     )
     assert _CONTRACT_REFRESH == expected
+
+
+def test_r9_window_oracles():
+    # VERDICT r8 item 7: every r9 slot carries a full-hash oracle — no
+    # rows-only keys in window fronts until the first-timer backlog
+    # drains.  (The r10 window inherits this via the contract-refresh
+    # reorder, pinned above.)
+    specs = all_specs()
+    assert [k for k in _R9_WINDOW if specs[k].oracle is None] == []
+    assert [k for k in _R10_WINDOW if specs[k].oracle is None] == []
 
 
 def test_r6_window_plus_r7_backlog_cover_r6_backlog():
