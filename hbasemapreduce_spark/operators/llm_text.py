@@ -1341,49 +1341,72 @@ def eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clipped_pair_metrics(cnt: DataFrame, p_alias: str, r_alias: str, f_alias: str,
+def _clipped_pair_metrics(bg: DataFrame, p_alias: str, r_alias: str, f_alias: str,
                           ov_alias: str) -> DataFrame:
     """Shared clipped-count pair-metric core (x_eval_rouge_n /
-    x_eval_chrf): given per-(doc_id, g) gram COUNTS, pair every doc
-    with doc_id+1, compute the BLEU/ROUGE-clipped overlap
-    sum(min(c_cand, c_ref)) via the equi-join on (adjacent id, gram),
-    and emit precision/recall/F1 — each ONE IEEE division of exact
-    integers (F1 = 2*ov/(na+nb), the harmonic mean collapsed)."""
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
-    pairs = (
-        tot.alias("a")
-        .join(tot.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("doc_cand"),
-            F.col("b.doc_id").alias("doc_ref"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+    x_eval_chrf): given the exploded per-occurrence gram stream
+    (doc_id, g), pair every doc with doc_id+1, compute the
+    BLEU/ROUGE-clipped overlap sum_g(min(c_cand, c_ref)), and emit
+    precision/recall/F1 — each ONE IEEE division of exact integers
+    (F1 = 2*ov/(na+nb), the harmonic mean collapsed).
+
+    Dataflow (reworked for VERDICT r8 item 3): the naive form
+    self-joins per-doc counts on (adjacent id, gram) and per-doc
+    totals on adjacent id — four shuffles of the gram set and four
+    recomputes of the explode.  Instead each gram occurrence is
+    emitted TWICE — once under pair key k = doc_id (its doc is the
+    CANDIDATE of pair (k, k+1)) and once under k = doc_id - 1 (its
+    doc is the REFERENCE of pair (k-1+1=k+1... i.e. of pair
+    (doc_id-1, doc_id))) — then one hash-aggregate on (k, g) counts
+    both sides (map-side partial agg compresses occurrences before
+    the only wide shuffle), and a second, |docs|-sized aggregate on k
+    folds the per-gram clipped minimum plus both totals.  Pair
+    existence falls out for free: na>0 requires doc k to have grams,
+    nb>0 requires doc k+1 to — exactly the oracle's inner join of
+    adjacent totals.  ONE source scan, no joins, two shuffles, and
+    the wide one carries (k, g, side) with g already a compact key
+    (packed BIGINT for chrF, the bigram string for ROUGE)."""
+    doubled = bg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").cast("long").alias("k"),
+                    F.lit(0).alias("side"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).cast("long").alias("k"),
+                    F.lit(1).alias("side"),
+                ),
+            )
+        ).alias("ks"),
+        "g",
+    ).select(F.col("ks.k").alias("k"), F.col("ks.side").alias("side"), "g")
+    # per-(pair, gram): candidate-side and reference-side multiplicities
+    lvl1 = doubled.groupBy("k", "g").agg(
+        F.count(F.when(F.col("side") == 0, True)).alias("ca"),
+        F.count(F.when(F.col("side") == 1, True)).alias("cb"),
     )
-    ov = (
-        cnt.alias("ca")
-        .join(
-            cnt.alias("cb"),
-            (F.col("cb.doc_id") == F.col("ca.doc_id") + 1)
-            & (F.col("ca.g") == F.col("cb.g")),
-        )
-        .groupBy(F.col("ca.doc_id").alias("doc_cand"))
-        .agg(F.sum(F.least("ca.c", "cb.c")).cast("long").alias("ov"))
+    # per-pair: totals + clipped overlap (ca/cb are >= 0, never null,
+    # so least() is the true two-sided min; a gram on one side only
+    # contributes min(c, 0) = 0, the clipping rule)
+    lvl2 = lvl1.groupBy("k").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("ov"),
     )
-    ovc = F.coalesce(F.col("ov"), F.lit(0).cast("long"))
     return (
-        pairs.join(ov, "doc_cand", "left")
-        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        lvl2.filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
-            "doc_cand",
-            "doc_ref",
-            ovc.alias(ov_alias),
+            F.col("k").alias("doc_cand"),
+            (F.col("k") + 1).alias("doc_ref"),
+            F.col("ov").alias(ov_alias),
             "na",
             "nb",
-            (ovc.cast("double") / F.col("na").cast("double")).alias(p_alias),
-            (ovc.cast("double") / F.col("nb").cast("double")).alias(r_alias),
+            (F.col("ov").cast("double") / F.col("na").cast("double")).alias(p_alias),
+            (F.col("ov").cast("double") / F.col("nb").cast("double")).alias(r_alias),
             (
-                (2 * ovc).cast("double") / (F.col("na") + F.col("nb")).cast("double")
+                (2 * F.col("ov")).cast("double")
+                / (F.col("na") + F.col("nb")).cast("double")
             ).alias(f_alias),
         )
     )
@@ -1439,8 +1462,13 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and the clipped-overlap join is equi on (adjacent doc_id,
     gram) — candidate-bounded, never all-pairs; totals join back at
     |docs| rows."""
-    al = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("a")
+    # Doc-level spread before the bigram explode — same single-split
+    # testdata rationale as x_eval_chrf / x_text_winnow (llm_text.py).
+    al = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("a"))
     )
     bg = al.select(
         "doc_id",
@@ -1452,9 +1480,8 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
     return _clipped_pair_metrics(
-        cnt, "rouge2_prec", "rouge2_rec", "rouge2_f1", "overlap_2"
+        bg, "rouge2_prec", "rouge2_rec", "rouge2_f1", "overlap_2"
     )
 
 
@@ -1596,19 +1623,51 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics, so a fix to the clipping logic can never reach one and
     miss the other.
 
+    Gram representation (VERDICT r8 item 3): each trigram is packed
+    INJECTIVELY into a BIGINT — three Unicode code points at 21 bits
+    each (max code point 0x10FFFF < 2^21), so the packed value is
+    cp1*2^42 + cp2*2^21 + cp3 <= (2^21-1)*(2^42+2^21+1) = 2^63 - 1,
+    exactly the signed-int64 ceiling.  This is a bijection on
+    trigrams, NOT a hash: counts, clips, and therefore every output
+    value are bit-identical to the raw-string form (the oracle still
+    computes raw substring grams and the driver hash is unchanged),
+    while the count/clip shuffles carry 8-byte longs instead of
+    variable-width strings.  The text is also split to a char array
+    ONCE per document — the previous substring(text, i, 3)-per-i form
+    re-scanned the UTF-8 string from the start at every position
+    (O(len^2) per doc); transform over element_at on the materialized
+    array is O(len).
+
     Scale shape: identical to x_eval_rouge_n — char-trigram expansion
-    is a generator, the overlap join equi on (adjacent id, gram)."""
-    bg = load_table(spark, sf_dir, "documents").select(
+    is a generator, the overlap join equi on (adjacent id, packed
+    gram)."""
+    # Doc-level spread BEFORE the trigram explode: the testdata table is
+    # a single one-row-group parquet file (one input split would run the
+    # whole explode + map-side partial agg on one core); a 100 TB table
+    # already arrives as thousands of splits and would skip this.  The
+    # shuffle moves 5k raw docs, not the ~200x larger gram stream.
+    doc = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.expr("transform(split(text, ''), c -> bigint(ascii(c)))").alias("cp"),
+        )
+    )
+    bg = doc.select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN length(text) >= 3 THEN transform("
-                "sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+                "CASE WHEN size(cp) >= 3 THEN transform("
+                "sequence(1, size(cp) - 2), i -> "
+                "element_at(cp, i) * 4398046511104 "  # 2^42
+                "+ element_at(cp, i + 1) * 2097152 "  # 2^21
+                "+ element_at(cp, i + 2)) "
                 "ELSE array() END"
             )
         ).alias("g"),
     )
-    cnt = bg.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
     return _clipped_pair_metrics(
-        cnt, "chrf3_prec", "chrf3_rec", "chrf3_f1", "overlap_3"
+        bg, "chrf3_prec", "chrf3_rec", "chrf3_f1", "overlap_3"
     )
