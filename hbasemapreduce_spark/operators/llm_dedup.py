@@ -784,13 +784,18 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("v1"),
         F.conv(F.substring(h, 7, 6), 16, 10).cast("long").alias("v2"),
     )
+    # the element-count rides along in the signature aggregate (same
+    # groupBy key) instead of a second full pass over el — one fewer
+    # stage group and one fewer 1M-row scan; values identical (the
+    # oracle's `sizes` CTE counts the same el rows)
     sig = hv.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.col("v1") + i * F.col("v2"), F.lit(_PMH_P))).alias(
                 f"s{i}"
             )
             for i in range(_PMH_PERMS)
-        ]
+        ],
+        F.count("*").alias("n"),
     )
     bands = sig.select(
         "doc_id",
@@ -826,7 +831,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sizes = el.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sig.select("doc_id", "n")
     ea = el.select(F.col("doc_id").alias("da"), "elem")
     eb = el.select(F.col("doc_id").alias("db"), "elem")
     inter = (
