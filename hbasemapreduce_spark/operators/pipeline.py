@@ -180,8 +180,17 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus doc (source != 'src0') against the benchmark set's (src0)
     distinct 5-grams.  The benchmark gram set is bounded by benchmark
     size, not corpus size -> broadcast; the corpus-side explode is
-    embarrassingly parallel and never shuffles the text."""
-    docs = load_table(spark, sf_dir, "documents")
+    embarrassingly parallel and never shuffles the text.
+
+    The doc-level repartition spreads the 5-gram explode + distinct
+    across cores: the testdata table is a single one-row-group parquet
+    file, so without it the whole gram expansion serializes onto one
+    task; a 100 TB table already arrives as thousands of splits and
+    would skip it.  The shuffle moves raw docs, not the ~50x larger
+    gram stream."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bench = (
         _grams(docs.filter(F.col("source") == "src0"))
         .select("gram")
