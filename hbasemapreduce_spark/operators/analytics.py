@@ -1847,7 +1847,8 @@ _PBAL_BUCKETS = 32  # model shuffle width
     oracle=(
         "WITH b AS ("
         "  SELECT 'l_orderkey' AS shuffle_key, "
-        f"  (l_orderkey * 2654435761) % {_PBAL_BUCKETS} AS bkt FROM lineitem "
+        f"  ((l_orderkey % {_PBAL_BUCKETS}) * {2654435761 % _PBAL_BUCKETS}) "
+        f"    % {_PBAL_BUCKETS} AS bkt FROM lineitem "
         "  UNION ALL "
         "  SELECT 'l_returnflag', "
         "  (CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END "
@@ -1884,9 +1885,17 @@ def profile_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one projection + one (key, bucket) hash aggregate per
     candidate — bounded by 2 x 32 rows after the combine."""
     li = load_table(spark, sf_dir, "lineitem")
+    # (k * KNUTH) % 32 == ((k % 32) * (KNUTH % 32)) % 32 — the modular
+    # decomposition keeps the bucket value bit-identical while the
+    # intermediate never exceeds 31 * 31, so the raw-BIGINT k * KNUTH
+    # overflow (silent wrap in non-ANSI Spark vs loud error in DuckDB
+    # beyond k ~ 3.4e9, ADVICE r8) cannot occur at any key domain.
     b1 = li.select(
         F.lit("l_orderkey").alias("shuffle_key"),
-        ((F.col("l_orderkey") * _KNUTH) % _PBAL_BUCKETS).alias("bkt"),
+        (
+            (F.col("l_orderkey") % _PBAL_BUCKETS) * (_KNUTH % _PBAL_BUCKETS)
+            % _PBAL_BUCKETS
+        ).alias("bkt"),
     )
     flag_code = (
         F.when(F.col("l_returnflag") == "A", 0)

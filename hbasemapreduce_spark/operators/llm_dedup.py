@@ -102,7 +102,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x_dedup_simhash", category="llm_dedup", oracle=None)  # rows-only: banded fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via 64-bit SimHash, hamming distance <= 3."""
+    """Near-dup pairs via 64-bit SimHash, hamming distance <= 3.
+
+    ROWS-ONLY BY DESIGN (no `oracle=`): the fingerprint bits come from
+    Spark's xxhash64, which exists in no other engine, so no DuckDB SQL
+    can reproduce the pair set — a `no_oracle` entry for this key in a
+    driver CORRECTNESS artifact is the intended outcome, not a gap.
+    The VALUE evidence lives in the full-hash portable twin
+    `x_dedup_simhash_portable` (same banding/hamming pipeline with
+    engine-portable md5-derived bits, driver hash-match pass r6);
+    this key stays registered because it demonstrates the PRODUCTION
+    form — xxhash64 is one codegen'd JVM call per token vs the twin's
+    md5-hex parse, the right trade at 100 TB where the fingerprint
+    pass dominates."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens().alias("toks")
     )

@@ -1725,7 +1725,8 @@ def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  generate_series(0, 63) AS jj(j) GROUP BY 1, 2), "
         "v1 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS v1 FROM t GROUP BY 1), "
         "m1 AS (SELECT MAX(abs(v1)) AS m1 FROM v1), "
-        "v1s AS (SELECT i, CAST((v1 * 1000000) // m1 AS BIGINT) AS v1s "
+        "v1s AS (SELECT i, "
+        "  CAST((CAST(v1 AS HUGEINT) * 1000000) // m1 AS BIGINT) AS v1s "
         "  FROM v1, m1), "
         "v2 AS (SELECT t.i, SUM(CAST(t.g AS HUGEINT) * s.v1s) AS v2 "
         "  FROM t JOIN v1s s ON t.j = s.i GROUP BY 1), "
@@ -1806,8 +1807,15 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = t.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
     m1 = v1.agg(F.max(F.abs("v1")).alias("m1"))
 
+    # DECIMAL(38,0) routing on the *1e6 rescale, matching the v2 and
+    # Rayleigh steps: raw-BIGINT v1 * 1000000 overflows int64 silently
+    # on Spark (non-ANSI wrap) vs loudly on DuckDB once the corpus
+    # grows the gram sums past ~9.2e12 (ADVICE r8).
     v1s = v1.crossJoin(F.broadcast(m1)).select(
-        "i", F.expr("CAST((v1 * 1000000) DIV m1 AS BIGINT)").alias("v1s")
+        "i",
+        F.expr(
+            "CAST((CAST(v1 AS DECIMAL(38,0)) * 1000000) DIV m1 AS BIGINT)"
+        ).alias("v1s"),
     )
     sv = v1s.select(F.col("i").alias("j"), "v1s")
     v2 = (

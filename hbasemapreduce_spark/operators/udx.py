@@ -212,7 +212,17 @@ def _reconcile_cogroups(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame
         right.groupby("l_orderkey", as_index=False)
         .agg(n_items=("ext_cents", "size"), sum_ext_cents=("ext_cents", "sum"))
         if len(right)
-        else pd.DataFrame({"l_orderkey": [], "n_items": [], "sum_ext_cents": []})
+        # explicit int64 dtypes like the empty-left branch: bare []
+        # columns default to object/float, and merging an int64 key
+        # against an object column is fragile across pandas versions
+        # (ADVICE r8; branch unreachable on TPC-H data)
+        else pd.DataFrame(
+            {
+                "l_orderkey": pd.Series(dtype="int64"),
+                "n_items": pd.Series(dtype="int64"),
+                "sum_ext_cents": pd.Series(dtype="int64"),
+            }
+        )
     )
     out = left.merge(
         agg, how="left", left_on="o_orderkey", right_on="l_orderkey"

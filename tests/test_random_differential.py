@@ -1098,3 +1098,114 @@ def test_pca_power_matches_pure_numpy_integer_chain(spark):
     assert ray1 < ray2 <= lam1 * (1 + 1e-9), (ray1, ray2, lam1)
     # and the reported ppm quotient is floor(1e6 * rayleigh(v1s))
     assert abs(ray - 1e6 * ray1) <= 1e-6 * abs(1e6 * ray1) + 2, (ray, ray1)
+
+
+# --- engine-semantics micro-asserts (VERDICT r8 item 9) ----------------
+# The r8 review refuted standing repo lore by EXECUTING it (Spark DIV
+# and DuckDB // both truncate toward zero — the sign-decomposition
+# machinery built on the opposite belief was dead code).  Every
+# remaining cross-engine-parity claim written in a docstring gets the
+# same treatment here: an executable assert, so the claim can never
+# rot silently.
+
+
+def test_integer_div_truncates_toward_zero_in_both_engines(spark, oracle):
+    # The bf5a7f1 refutation, pinned: -7 DIV 2 == -7 // 2 == -3 (trunc,
+    # not floor) on BIGINT in both engines; Python's // floors (-4) —
+    # the actual hazard the differentials' sdiv() helpers guard.
+    got = spark.sql("SELECT CAST(-7 AS BIGINT) DIV 2 AS q").collect()[0].q
+    assert got == -3
+    assert oracle.execute("SELECT CAST(-7 AS BIGINT) // 2").fetchone()[0] == -3
+    assert -7 // 2 == -4  # python floors: never use bare // in oracles
+
+
+def test_decimal_div_semantics_diverge_duckdb_floors(spark, oracle):
+    """DuckDB's // on a DECIMAL operand goes through the FLOAT path and
+    FLOORS (-7 -> -4), unlike its integer // (truncates) and unlike
+    Spark's DECIMAL DIV (truncates) — the divergence that broke
+    x_ml_pca_power's v1s when its oracle briefly routed the rescale
+    through DECIMAL(38,0) this round.  Rule pinned here: DuckDB-side
+    big-integer routing uses HUGEINT (truncating //); DECIMAL(38,0)
+    is the SPARK-side routing (truncating DIV).  If a DuckDB release
+    ever changes this, the assert flips and every oracle using
+    DECIMAL // needs an audit."""
+    q = spark.sql(
+        "SELECT CAST(CAST(-7 AS DECIMAL(38,0)) DIV 2 AS BIGINT) AS q"
+    ).collect()[0].q
+    assert q == -3  # Spark DECIMAL DIV truncates like integer DIV
+    assert (
+        oracle.execute("SELECT CAST(CAST(-7 AS HUGEINT) // 2 AS BIGINT)").fetchone()[0]
+        == -3
+    )  # HUGEINT // truncates — safe for oracle big-int routing
+    assert (
+        oracle.execute(
+            "SELECT CAST(CAST(-7 AS DECIMAL(38,0)) // 2 AS BIGINT)"
+        ).fetchone()[0]
+        == -4
+    )  # DECIMAL // floors (float path) — never use in an oracle
+
+
+def test_char_chr_agree_on_full_byte_domain_and_diverge_past_it(spark, oracle):
+    # llm_text.py (x_text_bpe_apply packing): "Spark's char() wraps
+    # codepoints mod 256 (DuckDB's chr() does not), so the packing is
+    # engine-identical only on codes <= 255".  Executable form: exact
+    # agreement on the whole used domain 1..255, and a demonstrated
+    # divergence at 256 + 65 proving the <= 255 precondition is real,
+    # not folklore.
+    got = {
+        r.c: r.ch
+        for r in spark.sql(
+            "SELECT id AS c, char(id) AS ch FROM range(1, 256)"
+        ).collect()
+    }
+    want = {
+        c: v
+        for c, v in oracle.execute(
+            "SELECT i, chr(CAST(i AS INT)) FROM range(1, 256) t(i)"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 255
+    spark_wrap = spark.sql("SELECT char(321) AS ch").collect()[0].ch
+    duck_321 = oracle.execute("SELECT chr(321)").fetchone()[0]
+    assert spark_wrap == chr(321 % 256) == "A"  # Spark wraps mod 256
+    assert duck_321 == chr(321)  # DuckDB does not: 'Ł'
+    assert spark_wrap != duck_321
+
+
+def test_gemm_products_never_tie_at_6dp_on_this_corpus(spark):
+    """x_emb_gram_gemm's exactness claim: "no float product is ever an
+    exact 6-dp tie, so numpy's HALF_EVEN and Spark's HALF_UP agree".
+    Checked over EVERY within-row element product the gram actually
+    computes at the test scale factor: the double x*y, scaled by 1e6,
+    never lands exactly on a .5 boundary (which is where the two
+    rounding modes part ways), and numpy's round-then-rint micro
+    integer equals Python's round-half-up of the Decimal value."""
+    import decimal
+
+    from .conftest import SF_DIR
+
+    from hbasemapreduce_spark.catalog import load_table
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    # all within-row pair products, the exact set the GEMM reduces
+    prods = np.einsum("ni,nj->nij", emb, emb).ravel()
+    scaled = np.abs(prods) * 1e6
+    frac = scaled - np.floor(scaled)
+    # no exact .5 fractional part anywhere -> HALF_EVEN == HALF_UP
+    assert not np.any(frac == 0.5), "a 6-dp tie exists; rounding modes diverge"
+    # and the two mode implementations agree on a sample of products
+    rng = np.random.default_rng(13)
+    for p in rng.choice(prods, size=min(5000, prods.size), replace=False):
+        half_even = np.rint(np.round(p, 6) * 1e6)
+        half_up = decimal.Decimal(repr(round(p, 6) * 1e6)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+        assert int(half_even) == int(half_up), p
