@@ -1920,3 +1920,100 @@ def profile_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(1000000 * MAX(cnt) * {_PBAL_BUCKETS} DIV SUM(cnt) AS BIGINT)"
         ).alias("max_over_even_ppm"),
     )
+
+
+_TCLOSE_T_PPM = 200_000  # the canonical t = 0.2 release threshold
+
+
+@query(
+    "x_privacy_tcloseness",
+    category="analytics",
+    oracle=(
+        "WITH b AS (SELECT c_nationkey, c_mktsegment, "
+        "  CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 5000 THEN 1 "
+        "    ELSE 2 END AS band FROM customer), "
+        "cls AS (SELECT c_nationkey, c_mktsegment, "
+        "  CAST(COUNT(*) AS BIGINT) AS s, "
+        "  CAST(COUNT(*) FILTER (WHERE band = 0) AS BIGINT) AS c1, "
+        "  CAST(COUNT(*) FILTER (WHERE band = 1) AS BIGINT) AS c2 "
+        "  FROM b GROUP BY 1, 2), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(COUNT(*) FILTER (WHERE band = 0) AS BIGINT) AS g1, "
+        "  CAST(COUNT(*) FILTER (WHERE band = 1) AS BIGINT) AS g2 FROM b), "
+        "t AS (SELECT cls.s, CAST((1000000 * ("
+        "    abs(CAST(cls.c1 AS HUGEINT) * g.n - CAST(g.g1 AS HUGEINT) * cls.s) "
+        "    + abs(CAST(cls.c1 + cls.c2 AS HUGEINT) * g.n "
+        "        - CAST(g.g1 + g.g2 AS HUGEINT) * cls.s))) "
+        "    // (2 * CAST(cls.s AS HUGEINT) * g.n) AS BIGINT) AS t_ppm "
+        "  FROM cls CROSS JOIN g) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_classes, "
+        "  CAST(SUM(s) AS BIGINT) AS n_rows, "
+        "  CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm, "
+        f"  CAST(COUNT(*) FILTER (WHERE t_ppm > {_TCLOSE_T_PPM}) AS BIGINT) "
+        "    AS n_violating_classes, "
+        f"  CAST(COALESCE(SUM(s) FILTER (WHERE t_ppm > {_TCLOSE_T_PPM}), 0) "
+        "    AS BIGINT) AS n_violating_rows "
+        "FROM t"
+    ),
+)
+def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    attack l-diversity misses: a class can see l distinct sensitive
+    values yet still leak if its DISTRIBUTION over them diverges from
+    the table's (skewness attack: "90% of this class is in the
+    negative-balance band" is a disclosure even with 3 bands present).
+    Same (nation, segment) quasi-identifier grid and ordered
+    balance-band sensitive attribute as x_privacy_kanon /
+    x_privacy_ldiversity — the third member of the release-gate triad.
+
+    For an ordered m-value domain the Earth-Mover distance reduces to
+    EMD = (1/(m-1)) * sum_i |cumsum_i(p - q)|; with m = 3 bands that
+    is (|d1| + |d1 + d2|) / 2 over the exact count rationals
+    d_i = c_i/s - g_i/n.  Clearing denominators gives ONE integer
+    floor division per class:
+    t_ppm = 1e6 * (|c1*n - g1*s| + |(c1+c2)*n - (g1+g2)*s|)
+            DIV (2*s*n)
+    routed through DECIMAL(38,0) on Spark and HUGEINT on DuckDB (the
+    pinned big-integer rule — c*n alone overflows int64 once the table
+    passes ~3e9 rows; numerators are absolute values and denominators
+    positive, so trunc-vs-floor never fires).
+
+    Scale shape: one hash aggregate to the QI grid (domain-bounded),
+    one 1-row global-distribution scalar broadcast against it, one
+    1-row summary — identical dataflow to the other two audits."""
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", band.alias("band")
+    )
+    cls = b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("s"),
+        F.count(F.when(F.col("band") == 0, 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("band") == 1, 1)).cast("long").alias("c2"),
+    )
+    g = b.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("band") == 0, 1)).cast("long").alias("g1"),
+        F.count(F.when(F.col("band") == 1, 1)).cast("long").alias("g2"),
+    )
+    t = cls.crossJoin(F.broadcast(g)).select(
+        "s",
+        F.expr(
+            "CAST((1000000 * ("
+            "  abs(CAST(c1 AS DECIMAL(38,0)) * n - CAST(g1 AS DECIMAL(38,0)) * s) "
+            "  + abs(CAST(c1 + c2 AS DECIMAL(38,0)) * n "
+            "      - CAST(g1 + g2 AS DECIMAL(38,0)) * s))) "
+            "DIV (2 * CAST(s AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("t_ppm"),
+    )
+    viol = F.when(F.col("t_ppm") > _TCLOSE_T_PPM, F.col("s"))
+    return t.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("s").cast("long").alias("n_rows"),
+        F.max("t_ppm").cast("long").alias("max_t_ppm"),
+        F.count(viol).cast("long").alias("n_violating_classes"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violating_rows"),
+    )

@@ -1854,3 +1854,142 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ray))
         .select("i", "v1s", "v2s", "rayleigh_ppm")
     )
+
+
+_BTX_K = 4  # neighborhood size for the margin denominators
+_BTX_THRESH_PPM = 1_060_000  # the standard margin > 1.06 mining cut
+_BTX_MAX_QUERY = 200  # content-bounded query-side cap (broadcast side)
+
+
+@query(
+    "x_sim_bitext_margin",
+    category="llm_sim",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        "  FROM embeddings), "
+        f"a AS (SELECT vec_id AS a_id, emb AS a_emb FROM e "
+        f"  WHERE label = 0 AND vec_id < {_BTX_MAX_QUERY}), "
+        "b AS (SELECT vec_id AS b_id, emb AS b_emb FROM e WHERE label = 1), "
+        "p AS (SELECT a_id, b_id, CAST(round(round("
+        "  list_cosine_similarity(a_emb, b_emb), 6) * 1000000) AS BIGINT) "
+        "  AS sim_micros FROM a CROSS JOIN b), "
+        "pp AS (SELECT * FROM p WHERE sim_micros > 0), "
+        "ra AS (SELECT a_id, b_id, sim_micros, row_number() OVER ("
+        "  PARTITION BY a_id ORDER BY sim_micros DESC, b_id) AS rn FROM pp), "
+        f"sa AS (SELECT a_id, CAST(SUM(sim_micros) AS BIGINT) AS suma, "
+        f"  CAST(COUNT(*) AS BIGINT) AS ka FROM ra WHERE rn <= {_BTX_K} "
+        "  GROUP BY 1), "
+        "rb AS (SELECT a_id, b_id, sim_micros, row_number() OVER ("
+        "  PARTITION BY b_id ORDER BY sim_micros DESC, a_id) AS rn FROM pp), "
+        f"sb AS (SELECT b_id, CAST(SUM(sim_micros) AS BIGINT) AS sumb, "
+        f"  CAST(COUNT(*) AS BIGINT) AS kb FROM rb WHERE rn <= {_BTX_K} "
+        "  GROUP BY 1), "
+        "m AS (SELECT p.a_id, p.b_id, p.sim_micros, "
+        "  CAST((2 * p.sim_micros * sa.ka * sb.kb * 1000000) "
+        "    // (sa.suma * sb.kb + sb.sumb * sa.ka) AS BIGINT) AS margin_ppm "
+        "  FROM pp p JOIN sa USING (a_id) JOIN sb USING (b_id)), "
+        "best AS (SELECT a_id, b_id, sim_micros, margin_ppm, "
+        "  row_number() OVER (PARTITION BY a_id "
+        "    ORDER BY margin_ppm DESC, b_id) AS rn FROM m) "
+        "SELECT a_id AS vec_a, b_id AS vec_b, sim_micros, margin_ppm, "
+        f"  CAST(CASE WHEN margin_ppm >= {_BTX_THRESH_PPM} THEN 1 ELSE 0 END "
+        "    AS BIGINT) AS mined "
+        "FROM best WHERE rn = 1"
+    ),
+)
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    CCMatrix / LASER pipeline's pair-extraction step): for each
+    source-side vector, score every target-side candidate by its
+    cosine RELATIVE to both vectors' nearest-neighborhood averages —
+    margin(x, y) = cos(x, y) / ((avg_k cos(x, NN_k(y-side)) +
+    avg_k cos(y, NN_k(x-side))) / 2) — and emit the best candidate
+    with the standard margin > 1.06 mining flag.  The ratio form
+    cancels hubness: a vector that is close to EVERYTHING gets a
+    large denominator, so only genuinely-exceptional pairs cross the
+    threshold — the property that made margin scoring the standard
+    over raw cosine cuts.
+
+    The two "languages" here are embedding labels 0 and 1 (the
+    testdata has no parallel corpora; the dataflow is identical for
+    any two-sided split key).  Exactness: sims are the repo's
+    6-dp-rounded cosine micros; the margin is ONE integer floor
+    division of the exact rational 2*sim*ka*kb / (suma*kb + sumb*ka)
+    scaled to ppm (ka/kb are the actual neighborhood sizes, <= 4, so
+    partially-filled neighborhoods stay exact averages, not /4
+    approximations); only positive sims enter, so every denominator
+    is positive and DIV/( // ) truncation agrees across engines.
+
+    Scale shape: the pair table is query-bounded (label-0 side capped
+    at vec_id < 200 and broadcast — the sim_cosine_topk discipline);
+    both direction-neighborhood sums and the argmax are windows over
+    that same bounded pair table, so nothing is ever corpus x corpus.
+    At real scale the pair generator swaps for x_sim_ivf's probe
+    (candidates from shared coarse lists) or x_sim_ann_lsh's banded
+    buckets; the margin rerank stays shortlist-bounded either way."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.filter((F.col("label") == 0) & (F.col("vec_id") < _BTX_MAX_QUERY)).select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb")
+    )
+    b = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb")
+    )
+    sim = F.round(
+        F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6) * 1_000_000, 0
+    ).cast("long")
+    pp = (
+        b.crossJoin(F.broadcast(a))
+        .select("a_id", "b_id", sim.alias("sim_micros"))
+        .filter(F.col("sim_micros") > 0)
+        .localCheckpoint(eager=False)
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("sim_micros"), F.asc("b_id"))
+    sa = (
+        pp.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _BTX_K)
+        .groupBy("a_id")
+        .agg(
+            F.sum("sim_micros").cast("long").alias("suma"),
+            F.count("*").cast("long").alias("ka"),
+        )
+    )
+    wb = Window.partitionBy("b_id").orderBy(F.desc("sim_micros"), F.asc("a_id"))
+    sb = (
+        pp.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _BTX_K)
+        .groupBy("b_id")
+        .agg(
+            F.sum("sim_micros").cast("long").alias("sumb"),
+            F.count("*").cast("long").alias("kb"),
+        )
+    )
+    m = (
+        pp.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "sim_micros",
+            F.expr(
+                "CAST((2 * sim_micros * ka * kb * 1000000) "
+                "DIV (suma * kb + sumb * ka) AS BIGINT)"
+            ).alias("margin_ppm"),
+        )
+    )
+    wbest = Window.partitionBy("a_id").orderBy(F.desc("margin_ppm"), F.asc("b_id"))
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            "sim_micros",
+            "margin_ppm",
+            F.when(F.col("margin_ppm") >= _BTX_THRESH_PPM, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("mined"),
+        )
+    )

@@ -1671,3 +1671,210 @@ def eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clipped_pair_metrics(
         bg, "chrf3_prec", "chrf3_rec", "chrf3_f1", "overlap_3"
     )
+
+
+@query(
+    "x_text_freq_spectrum",
+    category="llm_text",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok "
+        "  FROM documents), "
+        "cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok "
+        "  WHERE tok <> '' GROUP BY 1) "
+        "SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "  CAST(c * COUNT(*) AS BIGINT) AS token_mass "
+        "FROM cnt GROUP BY 1"
+    ),
+)
+def text_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary FREQUENCY SPECTRUM — for each occurrence count c,
+    how many distinct token types occur exactly c times, and how much
+    token mass (c x types) that stratum carries.  The LNRE / Zipf
+    corpus diagnostic: hapax share (freq = 1) predicts OOV rate and
+    vocabulary growth, a heavy high-freq head flags boilerplate, and
+    a dent in the mid-range flags over-aggressive dedup — the 30-row
+    summary a pretraining-corpus review reads before any model sees
+    the data.  Exact integers end-to-end (counts of counts), so the
+    oracle hash-matches trivially.
+
+    Scale shape: the wordcount hash-aggregate is the only corpus-wide
+    shuffle (map-side partials compress occurrences); the spectrum is
+    a second aggregate over |vocab| rows that collapses to at most a
+    few hundred distinct counts.  The doc-level repartition spreads
+    the token explode off the single-split testdata file (standard
+    pattern, skipped implicitly by multi-split tables at scale)."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    return (
+        cnt.groupBy("c")
+        .agg(F.count("*").cast("long").alias("n_types"))
+        .select(
+            F.col("c").alias("freq"),
+            "n_types",
+            (F.col("c") * F.col("n_types")).cast("long").alias("token_mass"),
+        )
+    )
+
+
+@query(
+    "x_eval_bleu_components",
+    category="eval",
+    oracle=(
+        "WITH al AS (SELECT doc_id, string_split(text, ' ') AS a "
+        "  FROM documents), "
+        "gr AS (SELECT doc_id, n, g FROM al, "
+        "  unnest([1, 2, 3, 4]) AS nn(n), "
+        "  unnest(list_transform(range(1, greatest(len(a) - n + 1, 0) + 1), "
+        "    i -> array_to_string(a[i:i+n-1], ' '))) AS gg(g)), "
+        "cnt AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c "
+        "  FROM gr GROUP BY 1, 2, 3), "
+        "tot AS (SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS t "
+        "  FROM cnt GROUP BY 1, 2), "
+        "p AS (SELECT a.doc_id AS doc_cand, b.doc_id AS doc_ref, "
+        "  MAX(a.t) FILTER (WHERE a.n = 1) AS na1, "
+        "  MAX(a.t) FILTER (WHERE a.n = 2) AS na2, "
+        "  MAX(a.t) FILTER (WHERE a.n = 3) AS na3, "
+        "  MAX(a.t) FILTER (WHERE a.n = 4) AS na4, "
+        "  MAX(b.t) FILTER (WHERE a.n = 1) AS nb1, "
+        "  MAX(b.t) FILTER (WHERE a.n = 4) AS nb4 "
+        "  FROM tot a JOIN tot b ON b.doc_id = a.doc_id + 1 AND b.n = a.n "
+        "  GROUP BY 1, 2), "
+        "ovt AS (SELECT ca.doc_id AS doc_cand, ca.n AS n, "
+        "  CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT) AS ov "
+        "  FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1 "
+        "  AND cb.n = ca.n AND cb.g = ca.g GROUP BY 1, 2), "
+        "ovp AS (SELECT doc_cand, "
+        "  COALESCE(MAX(ov) FILTER (WHERE n = 1), 0) AS ov1, "
+        "  COALESCE(MAX(ov) FILTER (WHERE n = 2), 0) AS ov2, "
+        "  COALESCE(MAX(ov) FILTER (WHERE n = 3), 0) AS ov3, "
+        "  COALESCE(MAX(ov) FILTER (WHERE n = 4), 0) AS ov4 "
+        "  FROM ovt GROUP BY 1) "
+        "SELECT p.doc_cand, p.doc_ref, p.na1 AS cand_len, p.nb1 AS ref_len, "
+        "  COALESCE(o.ov1, 0) AS ov1, COALESCE(o.ov2, 0) AS ov2, "
+        "  COALESCE(o.ov3, 0) AS ov3, COALESCE(o.ov4, 0) AS ov4, "
+        "  CAST((1000000 * CAST(COALESCE(o.ov1, 0) AS HUGEINT) "
+        "    * COALESCE(o.ov2, 0) * COALESCE(o.ov3, 0) * COALESCE(o.ov4, 0)) "
+        "    // (CAST(p.na1 AS HUGEINT) * p.na2 * p.na3 * p.na4) AS BIGINT) "
+        "    AS bleu_pow4_ppm, "
+        "  CAST(1000000 * p.nb1 // p.na1 AS BIGINT) AS bp_ratio_ppm, "
+        "  CAST(CASE WHEN p.na1 < p.nb1 THEN 1 ELSE 0 END AS BIGINT) "
+        "    AS brevity_penalized "
+        "FROM p LEFT JOIN ovp o USING (doc_cand) "
+        "WHERE p.na4 > 0 AND p.nb4 > 0"
+    ),
+)
+def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-4 SUFFICIENT STATISTICS (Papineni et al. 2002) between the
+    same (doc_id, doc_id+1) candidate/reference pairing as
+    x_eval_rouge_n / x_eval_chrf — completing the MT-eval family with
+    the canonical metric.  Per pair: clipped n-gram overlaps ov_n and
+    denominators for n = 1..4, the exact modified-precision product
+    bleu_pow4_ppm = 1e6 * (ov1*ov2*ov3*ov4) / (na1*na2*na3*na4)
+    (= 1e6 * BLEU^4 before the brevity penalty, one floor division of
+    exact integers), the brevity ratio ref_len/cand_len in ppm, and
+    the penalized? flag.  The final BLEU = (components)^(1/4) * BP
+    needs exp/4th-root — libm calls that are NOT bit-portable across
+    engines — so, exactly like the lm-score operators emit log-free
+    scores, this emits the exact integer sufficient statistics and
+    leaves the last non-portable float op to the consumer; rankings by
+    bleu_pow4 and by BLEU agree wherever BP ties (both monotone).
+    No smoothing: any ov_n = 0 zeroes the product, the untreated
+    Papineni definition (pinned by the shared oracle).
+
+    Dataflow: the chrF/ROUGE doubled-stream discipline with the gram
+    key widened to (n, gram) — each of the 4 n-gram streams is
+    generated in ONE pass over the token array (nested higher-order
+    transform, no per-n rescan), every occurrence is emitted under
+    both its pair keys, one wide (k, n, g) hash-aggregate counts both
+    sides, a (k, n) fold produces totals + clipped overlaps, and a
+    final |pairs|-sized pivot collapses n to columns.  One source
+    scan, two shuffles, no joins.  The big-integer product routes
+    through DECIMAL(38,0) on Spark / HUGEINT on DuckDB (the pinned
+    rule; ~1e5-token docs put 1e6*len^4 near 1e26, far past int64).
+    Pairs where either side has < 4 tokens are excluded (na4/nb4 = 0)
+    in both engines."""
+    al = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split("text", " ").alias("a"))
+    )
+    gr = (
+        al.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(array(1, 2, 3, 4), n -> struct(n AS n, "
+                    "CASE WHEN size(a) >= n THEN transform("
+                    "sequence(1, size(a) - n + 1), "
+                    "i -> array_join(slice(a, i, n), ' ')) "
+                    "ELSE array() END AS gs))"
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", F.col("t.n").alias("n"), F.explode("t.gs").alias("g"))
+    )
+    doubled = gr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").cast("long").alias("k"),
+                    F.lit(0).alias("side"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).cast("long").alias("k"),
+                    F.lit(1).alias("side"),
+                ),
+            )
+        ).alias("ks"),
+        "n",
+        "g",
+    ).select(F.col("ks.k").alias("k"), F.col("ks.side").alias("side"), "n", "g")
+    lvl1 = doubled.groupBy("k", "n", "g").agg(
+        F.count(F.when(F.col("side") == 0, True)).alias("ca"),
+        F.count(F.when(F.col("side") == 1, True)).alias("cb"),
+    )
+    lvl2 = lvl1.groupBy("k", "n").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("ov"),
+    )
+
+    def _piv(col: str, n: int) -> F.Column:
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col(col))), F.lit(0).cast("long")
+        )
+
+    piv = lvl2.groupBy("k").agg(
+        *[_piv("na", i).alias(f"na{i}") for i in (1, 2, 3, 4)],
+        *[_piv("nb", i).alias(f"nb{i}") for i in (1, 4)],
+        *[_piv("ov", i).alias(f"ov{i}") for i in (1, 2, 3, 4)],
+    )
+    return (
+        piv.filter((F.col("na4") > 0) & (F.col("nb4") > 0))
+        .select(
+            F.col("k").alias("doc_cand"),
+            (F.col("k") + 1).alias("doc_ref"),
+            F.col("na1").alias("cand_len"),
+            F.col("nb1").alias("ref_len"),
+            "ov1",
+            "ov2",
+            "ov3",
+            "ov4",
+            F.expr(
+                "CAST((1000000 * CAST(ov1 AS DECIMAL(38,0)) * ov2 * ov3 * ov4) "
+                "DIV (CAST(na1 AS DECIMAL(38,0)) * na2 * na3 * na4) AS BIGINT)"
+            ).alias("bleu_pow4_ppm"),
+            F.expr("CAST(1000000 * nb1 DIV na1 AS BIGINT)").alias("bp_ratio_ppm"),
+            F.when(F.col("na1") < F.col("nb1"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("brevity_penalized"),
+        )
+    )

@@ -554,7 +554,14 @@ _R9_WINDOW = [*_R8_BACKLOG, *_CONTRACT_REFRESH][:50]
 # New keys registered during round 9 are appended HERE so the
 # rotation-coverage invariant (tests/test_registry.py) stays true:
 # unchecked-by-any-driver-artifact == _R9_WINDOW ∪ _R9_BACKLOG.
-_R9_BACKLOG = [k for k in _R8_BACKLOG if k not in set(_R9_WINDOW)]
+_R9_BACKLOG = [
+    *[k for k in _R8_BACKLOG if k not in set(_R9_WINDOW)],
+    # new in r9 (after the r9 window was frozen) — first-eligible in r10:
+    "x_text_freq_spectrum",
+    "x_sim_bitext_margin",
+    "x_privacy_tcloseness",
+    "x_eval_bleu_components",
+]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
 # same commit).  The last first-timers lead, then the contract refresh

@@ -268,6 +268,8 @@ _BNLJ_WHITELIST = {
     # broadcast-of-content-bounded-side cross joins, each deliberate:
     "stream_late_data",   # 1-row max-ts scalar
     "sim_cosine_topk",    # brute-force baseline: broadcast query set
+    "x_sim_bitext_margin",  # vec_id<200-bounded query-side broadcast
+    "x_privacy_tcloseness",  # 1-row global-distribution scalar
     "x_sim_ivf",          # nlist-bounded centroid table
     "x_sim_knn_graph_ivf",  # 1-row centroid-ARRAY scalar (probe selection)
     "x_text_langid",      # n-languages-bounded profile table
