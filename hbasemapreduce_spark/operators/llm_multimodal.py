@@ -768,3 +768,125 @@ def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ", ".join(f"bin{j} long" for j in range(8))
         ),
     )
+
+
+def _patch_oracle(w_sql: str, h_sql: str) -> str:
+    """Closed-form 2x2-grid patch sums of the woven image: pixel (x, y)
+    channel c is payload byte ((y*w + x)*3 + c) % n, and a patch row's
+    bytes are CONTIGUOUS (indices (y*w + x0)*3 .. (y*w + x1)*3), so
+    each patch sum is a sum of per-row segment sums — nested
+    list_transform with the outer y reference, same hex-pair byte
+    extraction as _px_stats_oracle.  The pixel index cycles over the
+    payload (the weave repeats it to w*h*3 bytes), so every byte
+    lookup is at index i % n — without the modulus, indexes past the
+    payload read NULL hex pairs and the sum silently COALESCEs to 0
+    (caught by the first replay of this oracle)."""
+    b = _HEX_BYTE.format(i="(i % n)")
+
+    def seg(y0: str, y1: str, x0: str, x1: str) -> str:
+        return (
+            f"CAST(COALESCE(list_sum(list_transform(range({y0}, {y1}), y -> "
+            f"list_sum(list_transform(range((y * w + {x0}) * 3, "
+            f"(y * w + {x1}) * 3), i -> {b})))), 0) AS BIGINT)"
+        )
+
+    rows = []
+    for pi in (0, 1):
+        for pj in (0, 1):
+            y0 = f"{pi} * (h // 2)"
+            y1 = f"({pi} + 1) * (h // 2)"
+            x0 = f"{pj} * (w // 2)"
+            x1 = f"({pj} + 1) * (w // 2)"
+            rows.append(
+                f"SELECT doc_id, CAST(w AS BIGINT) AS width, "
+                f"CAST(h AS BIGINT) AS height, "
+                f"CAST({pi} AS BIGINT) AS patch_row, "
+                f"CAST({pj} AS BIGINT) AS patch_col, "
+                f"{seg(y0, y1, x0, x1)} AS px_sum, "
+                f"CAST((h // 2) * (w // 2) * 3 AS BIGINT) AS n_bytes "
+                "FROM e"
+            )
+        # (patch loop continues)
+    union = " UNION ALL ".join(rows)
+    return (
+        "WITH p AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, "
+        "  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n FROM documents), "
+        f"e AS (SELECT doc_id, hx, n, {w_sql} AS w, {h_sql} AS h FROM p), "
+        f"u AS ({union}) "
+        "SELECT doc_id, width, height, patch_row, patch_col, px_sum, "
+        "  n_bytes, CAST(1000 * px_sum // n_bytes AS BIGINT) AS mean_milli "
+        "FROM u"
+    )
+
+
+def decode_patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: weave a P6 PPM per payload, decode with the
+    REAL decoder, split the decoded array into a 2x2 patch grid
+    (floor-half tiles; odd edge rows/cols cropped, the ViT rule) and
+    emit one row per patch with its exact byte sum."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "patch_row": [], "patch_col": [], "px_sum": [],
+            "n_bytes": [], "mean_milli": [],
+        }
+        for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(data)
+            w, h = _PPM_DIMS(len(data))
+            img = decode_image(weave_ppm(data, w, h))
+            if img["format"] != "ppm" or img["width"] != w or img["height"] != h:
+                raise ValueError(f"ppm decode mismatch for doc {doc_id}")
+            px = img["pixels"].astype(np.int64)  # (h, w, 3)
+            ph, pw = h // 2, w // 2
+            for pi in range(2):
+                for pj in range(2):
+                    tile = px[pi * ph : (pi + 1) * ph, pj * pw : (pj + 1) * pw]
+                    s = int(tile.sum())
+                    nb = ph * pw * 3
+                    out["doc_id"].append(doc_id)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["patch_row"].append(pi)
+                    out["patch_col"].append(pj)
+                    out["px_sum"].append(s)
+                    out["n_bytes"].append(nb)
+                    out["mean_milli"].append(1000 * s // nb)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "x_multimodal_patchify",
+    category="llm_multimodal",
+    oracle=_patch_oracle(*_PPM_DIMS_SQL),
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCH EXTRACTION through the real decoder: each decoded
+    image splits into a 2x2 grid of floor-half tiles (odd edge pixels
+    cropped — the standard resize-to-multiple rule) and every patch
+    emits its exact intensity sum and milli-mean — the per-patch
+    reduction a vision-transformer ingest pipeline runs before
+    projection, exercised end-to-end (weave -> P6 parse -> positional
+    tiling -> per-tile reduce).  Positional correctness is the point:
+    the histogram/stats reductions are position-blind, but a decoder
+    that transposed, mirrored, or stride-slipped the array produces
+    identical histograms and DIFFERENT patch sums, so the oracle's
+    closed form (patch rows are contiguous payload segments modulo the
+    cycle) pins pixel PLACEMENT, not just membership.  Python //
+    floor-vs-trunc never fires: sums of unsigned bytes are
+    non-negative.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle; 4
+    rows of integers per image out (patch grids for real models are
+    14x14+ — same dataflow, bigger constant)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return docs.mapInPandas(
+        decode_patchify,
+        schema=(
+            "doc_id long, width long, height long, patch_row long, "
+            "patch_col long, px_sum long, n_bytes long, mean_milli long"
+        ),
+    )

@@ -561,6 +561,7 @@ _R9_BACKLOG = [
     "x_sim_bitext_margin",
     "x_privacy_tcloseness",
     "x_eval_bleu_components",
+    "x_multimodal_patchify",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
