@@ -445,3 +445,93 @@ def agg_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_p50",
         "true_p75",
     )
+
+
+@query(
+    "x_agg_kmv_merge",
+    category="agg",
+    oracle=(
+        # DIRECT path: global bottom-k over all distinct hashes — the
+        # Spark side merges per-shard sketches instead, so the hash
+        # match IS the proof of the KMV merge identity.
+        "WITH d AS (SELECT DISTINCT l_partkey FROM lineitem), "
+        "hd AS (SELECT DISTINCT "
+        f"  {_kmv_hex12_duck('md5(CAST(l_partkey AS VARCHAR))')} AS h FROM d), "
+        "rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hd), "
+        f"kth AS (SELECT MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k, "
+        f"  CAST(COUNT(*) AS BIGINT) AS n_sketch FROM rk WHERE rn <= {_KMV_K}), "
+        "tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM d), "
+        "src AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) "
+        "  AS n_shards FROM lineitem) "
+        "SELECT src.n_shards, tru.n_true, kth.n_sketch, kth.h_k, "
+        "CASE WHEN kth.h_k IS NULL THEN kth.n_sketch "
+        f"ELSE CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} // kth.h_k END "
+        "  AS est_kmv "
+        "FROM kth CROSS JOIN tru CROSS JOIN src"
+    ),
+)
+def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE — the property that makes sketches the 100 TB
+    distinct-count answer: each shard (l_returnflag here standing in
+    for an executor/partition/day) builds its own bottom-k sketch
+    INDEPENDENTLY, and the global estimate comes from merging the tiny
+    sketches (k smallest of their union), never from re-scanning the
+    data.  Correctness of the merge is an exact identity, not an
+    approximation: any hash among the k globally-smallest is, a
+    fortiori, among the k smallest of every shard that contains it, so
+    bottom-k(union of per-shard bottom-k) == bottom-k(everything).
+    The oracle computes the DIRECT global sketch (no shard step), so
+    the driver hash match IS a proof of the identity on this corpus —
+    the same role the stage-equivalence property test plays for
+    x_pipeline_pretrain_export.
+
+    Scale shape: per-shard bottom-k via the WindowGroupLimit rewrite
+    (per-partition partial top-k BEFORE the shuffle); the merge input
+    is <= n_shards * k rows of one long each — the whole point; a
+    second window over that tiny relation picks the global k.  At real
+    scale shards are partitions and the merge is a treeReduce-shaped
+    aggregate; the dataflow here keeps every intermediate a DataFrame
+    so the oracle can see it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hd = li.select(
+        F.col("l_returnflag").alias("shard"),
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_shard = Window.partitionBy("shard").orderBy("h")
+    shard_sketch = (
+        hd.select("shard", "h", F.row_number().over(w_shard).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+    )
+    # merge = k smallest DISTINCT hashes of the sketch union (the same
+    # hash can enter via several shards — distinct first)
+    w_glob = Window.orderBy("h")
+    merged = (
+        shard_sketch.distinct()
+        .select("h", F.row_number().over(w_glob).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+            F.count("*").cast("long").alias("n_sketch"),
+        )
+    )
+    tru = hd.select("h").distinct().agg(F.count("*").cast("long").alias("n_true"))
+    src = li.agg(
+        F.countDistinct("l_returnflag").cast("long").alias("n_shards")
+    )
+    return (
+        merged.crossJoin(F.broadcast(tru))
+        .crossJoin(F.broadcast(src))
+        .select(
+            "n_shards",
+            "n_true",
+            "n_sketch",
+            "h_k",
+            F.expr(
+                "CASE WHEN h_k IS NULL THEN n_sketch "
+                f"ELSE CAST({_KMV_K - 1} AS BIGINT) * {_KMV_DOMAIN} DIV h_k END"
+            ).alias("est_kmv"),
+        )
+    )

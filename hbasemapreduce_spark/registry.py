@@ -562,6 +562,7 @@ _R9_BACKLOG = [
     "x_privacy_tcloseness",
     "x_eval_bleu_components",
     "x_multimodal_patchify",
+    "x_agg_kmv_merge",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the

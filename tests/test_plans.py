@@ -270,6 +270,7 @@ _BNLJ_WHITELIST = {
     "sim_cosine_topk",    # brute-force baseline: broadcast query set
     "x_sim_bitext_margin",  # vec_id<200-bounded query-side broadcast
     "x_privacy_tcloseness",  # 1-row global-distribution scalar
+    "x_agg_kmv_merge",       # 2x 1-row scalars (true count, shard count)
     "x_sim_ivf",          # nlist-bounded centroid table
     "x_sim_knn_graph_ivf",  # 1-row centroid-ARRAY scalar (probe selection)
     "x_text_langid",      # n-languages-bounded profile table

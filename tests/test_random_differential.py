@@ -1209,3 +1209,51 @@ def test_gemm_products_never_tie_at_6dp_on_this_corpus(spark):
             decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
         )
         assert int(half_even) == int(half_up), p
+
+
+def test_bleu_components_match_pure_python_counters(spark):
+    # Third opinion on x_eval_bleu_components: recompute every pair's
+    # clipped n-gram overlaps (n = 1..4), the BLEU^4 floor division,
+    # and the brevity ratio with collections.Counter + python bigints
+    # over the raw parquet text.
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    def grams(toks: list[str], n: int) -> Counter[str]:
+        return Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+
+    out = all_specs()["x_eval_bleu_components"].fn(spark, SF_DIR).collect()
+    assert out
+    seen = set()
+    for r in out:
+        cand, ref = docs[r.doc_cand], docs[r.doc_ref]
+        ov, na = [], []
+        for n in (1, 2, 3, 4):
+            gc, gr = grams(cand, n), grams(ref, n)
+            ov.append(sum((gc & gr).values()))
+            na.append(sum(gc.values()))
+        assert (r.ov1, r.ov2, r.ov3, r.ov4) == tuple(ov), r
+        assert (r.cand_len, r.ref_len) == (len(cand), len(ref)), r
+        # exact integer floor division, python bigints (no overflow)
+        want_pow4 = (
+            1_000_000 * ov[0] * ov[1] * ov[2] * ov[3]
+        ) // (na[0] * na[1] * na[2] * na[3])
+        assert r.bleu_pow4_ppm == want_pow4, r
+        assert r.bp_ratio_ppm == 1_000_000 * len(ref) // len(cand), r
+        assert r.brevity_penalized == int(len(cand) < len(ref)), r
+        seen.add(r.doc_cand)
+    # every adjacent pair where both sides have >= 4 tokens is present
+    expected = {
+        i
+        for i in docs
+        if i + 1 in docs and len(docs[i]) >= 4 and len(docs[i + 1]) >= 4
+    }
+    assert seen == expected
