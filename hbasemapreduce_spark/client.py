@@ -294,6 +294,28 @@ class Mutation:
             df = df.withColumn(col, F.when(check, val).otherwise(F.col(col)))
         return Mutation(df)
 
+    def increment(
+        self,
+        key: str,
+        deltas: DataFrame,
+        delta_col: str,
+        target: str,
+    ) -> "Mutation":
+        """HBase ``Increment`` batched: fold a (key, delta) stream into
+        the counter column ``target`` — counter += SUM(deltas) per key.
+        HBase does one atomic RPC per increment; the batch equivalent
+        is ONE aggregate of the delta stream + ONE left join against
+        the base (broadcast when the touched-key set is small), so a
+        billion increments against a counter table cost two shuffles
+        total, not a billion round trips.  Rows with no deltas keep
+        their counter (left join + coalesce 0)."""
+        agg = deltas.groupBy(key).agg(F.sum(delta_col).alias("__inc"))
+        df = self._df.join(agg, key, "left").withColumn(
+            target,
+            F.col(target) + F.coalesce(F.col("__inc"), F.lit(0).cast("long")),
+        ).drop("__inc")
+        return Mutation(df)
+
     def snapshot(self) -> DataFrame:
         return self._df
 
@@ -336,4 +358,82 @@ def client_mutate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("o_orderpriority").agg(
         F.count("*").alias("cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "x_client_increment",
+    category="scan",
+    oracle=(
+        "WITH base AS (SELECT c_custkey, c_mktsegment, "
+        "  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "    AS counter_cents FROM customer), "
+        "inc AS (SELECT user_id AS c_custkey, "
+        "  CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS d "
+        "  FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+        "snap AS (SELECT b.c_mktsegment, "
+        "  b.counter_cents + COALESCE(i.d, 0) AS counter_cents, "
+        "  CASE WHEN i.d IS NOT NULL THEN 1 ELSE 0 END AS touched "
+        "  FROM base b LEFT JOIN inc i USING (c_custkey)) "
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "  CAST(SUM(touched) AS BIGINT) AS n_touched, "
+        "  CAST(SUM(counter_cents) AS BIGINT) AS sum_counter_cents "
+        "FROM snap GROUP BY 1"
+    ),
+)
+def client_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Increment`` end-to-end: purchase events fold into each
+    customer's balance counter as exact cents (counter += sum of that
+    user's purchase values), then the post-mutation snapshot aggregates
+    per market segment with a touched-row census — the clickstream
+    counter-table pattern that is one-RPC-per-event in HBase and two
+    shuffles TOTAL here (delta aggregate + fold join).  Completes the
+    client mutation surface: Delete + checkAndPut (x_client_mutate)
+    were projections; Increment is the one genre mutation that is
+    genuinely a join, and the delta side arrives pre-aggregated to one
+    row per touched key so the join is broadcast-able whenever the
+    touched-key set is.  Money is exact integer cents end-to-end
+    (DECIMAL(18,2)*100 on both engines) — no float drift in a counter
+    that compounds."""
+    base = (
+        Table(spark, sf_dir, "customer", row_key="c_custkey")
+        .scan()
+        .add_columns("c_custkey", "c_mktsegment", "c_acctbal")
+        .to_df()
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("counter_cents"),
+        )
+    )
+    deltas = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("delta"),
+        )
+    )
+    snap = (
+        Mutation(base)
+        .increment("c_custkey", deltas, "delta", "counter_cents")
+        .snapshot()
+    )
+    # touched-row census: re-derive the touched-key set from the delta
+    # stream (snapshot() stays pure — the fold drops its join marker)
+    inc_keys = deltas.groupBy("c_custkey").agg(F.lit(1).alias("touched"))
+    return (
+        snap.join(F.broadcast(inc_keys), "c_custkey", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("touched"), F.lit(0)))
+            .cast("long")
+            .alias("n_touched"),
+            F.sum("counter_cents").cast("long").alias("sum_counter_cents"),
+        )
     )

@@ -563,6 +563,7 @@ _R9_BACKLOG = [
     "x_eval_bleu_components",
     "x_multimodal_patchify",
     "x_agg_kmv_merge",
+    "x_client_increment",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
