@@ -1257,3 +1257,65 @@ def test_bleu_components_match_pure_python_counters(spark):
         if i + 1 in docs and len(docs[i]) >= 4 and len(docs[i + 1]) >= 4
     }
     assert seen == expected
+
+
+def test_bitext_margin_matches_pure_numpy(spark):
+    # Third opinion on x_sim_bitext_margin: recompute every mined
+    # pair's sim micros, both kNN neighborhood sums, and the exact
+    # margin floor division with numpy float64 + python bigints over
+    # the raw parquet embeddings.
+    from hbasemapreduce_spark.registry import all_specs
+
+    from .conftest import SF_DIR
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    a_side = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in rows
+        if r.label == 0 and r.vec_id < 200
+    }
+    b_side = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows if r.label == 1
+    }
+    assert a_side and b_side
+
+    def sim_micros(x, y):
+        c = float(x @ y) / (np.sqrt(float(x @ x)) * np.sqrt(float(y @ y)))
+        return int(np.rint(np.round(c, 6) * 1_000_000))
+
+    pairs = {
+        (ai, bi): sim_micros(av, bv)
+        for ai, av in a_side.items()
+        for bi, bv in b_side.items()
+    }
+    pos = {k: v for k, v in pairs.items() if v > 0}
+    suma, ka, sumb, kb = {}, {}, {}, {}
+    for ai in a_side:
+        top = sorted(
+            ((v, bi) for (a, bi), v in pos.items() if a == ai),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        if top:
+            suma[ai], ka[ai] = sum(v for v, _ in top), len(top)
+    for bi in b_side:
+        top = sorted(
+            ((v, a) for (a, b), v in pos.items() if b == bi),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        if top:
+            sumb[bi], kb[bi] = sum(v for v, _ in top), len(top)
+    best = {}
+    for (ai, bi), v in pos.items():
+        m = (2 * v * ka[ai] * kb[bi] * 1_000_000) // (
+            suma[ai] * kb[bi] + sumb[bi] * ka[ai]
+        )
+        cur = best.get(ai)
+        if cur is None or (m, -bi) > (cur[1], -cur[0]):
+            best[ai] = (bi, m, v)
+
+    out = all_specs()["x_sim_bitext_margin"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(best) > 0
+    for r in out:
+        bi, m, v = best[r.vec_a]
+        assert (r.vec_b, r.margin_ppm, r.sim_micros) == (bi, m, v), r
+        assert r.mined == int(m >= 1_060_000)
