@@ -408,7 +408,11 @@ def client_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("counter_cents"),
         )
     )
-    deltas = (
+    # Pre-aggregate the delta stream ONCE: the fold inside increment()
+    # and the touched census both consume this one-row-per-key frame,
+    # so the events table is scanned a single time (increment()'s
+    # internal re-aggregate over it is a no-op-sized pass).
+    inc = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select(
@@ -417,15 +421,22 @@ def client_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("delta"),
         )
+        .groupBy("c_custkey")
+        .agg(F.sum("delta").alias("d"))
+        .localCheckpoint(eager=False)
     )
     snap = (
         Mutation(base)
-        .increment("c_custkey", deltas, "delta", "counter_cents")
+        .increment("c_custkey", inc, "d", "counter_cents")
         .snapshot()
     )
-    # touched-row census: re-derive the touched-key set from the delta
-    # stream (snapshot() stays pure — the fold drops its join marker)
-    inc_keys = deltas.groupBy("c_custkey").agg(F.lit(1).alias("touched"))
+    # touched = the aggregated delta is non-NULL (a user whose only
+    # purchase values are all NULL has d = NULL and counts UNtouched —
+    # exactly the oracle's CASE WHEN i.d IS NOT NULL; keying on raw
+    # row existence instead would diverge the engines on NULL values)
+    inc_keys = inc.filter(F.col("d").isNotNull()).select(
+        "c_custkey", F.lit(1).alias("touched")
+    )
     return (
         snap.join(F.broadcast(inc_keys), "c_custkey", "left")
         .groupBy("c_mktsegment")

@@ -499,6 +499,15 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     ).distinct()
+    # n_true counts distinct KEYS (pre-hash), matching the oracle's
+    # COUNT(*) over distinct l_partkey — counting distinct hashes
+    # instead would silently under-count by one per 48-bit collision
+    # (~n^2/2^49, reachable at large SF) and diverge the engines.
+    tru = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
     w_shard = Window.partitionBy("shard").orderBy("h")
     shard_sketch = (
         hd.select("shard", "h", F.row_number().over(w_shard).alias("rn"))
@@ -517,7 +526,6 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_sketch"),
         )
     )
-    tru = hd.select("h").distinct().agg(F.count("*").cast("long").alias("n_true"))
     src = li.agg(
         F.countDistinct("l_returnflag").cast("long").alias("n_shards")
     )

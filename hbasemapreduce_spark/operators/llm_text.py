@@ -1341,6 +1341,53 @@ def eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_clipped_lvl2(
+    bg: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """THE clipped-overlap core (ROUGE / chrF / BLEU all run through
+    this one function — a fix to the pairing or clipping logic can
+    never reach one metric and miss another): given the exploded
+    per-occurrence gram stream (doc_id[, *extra_keys], g), emit each
+    occurrence under BOTH its pair keys — k = doc_id (its doc is the
+    pair's CANDIDATE) and k = doc_id - 1 (its doc is pair
+    (doc_id-1, doc_id)'s REFERENCE) — then fold twice:
+    per-(k, *extra_keys, gram) side multiplicities (map-side partial
+    agg compresses occurrences before the only wide shuffle), then
+    per-(k, *extra_keys) totals + the clipped overlap
+    sum_g(min(c_cand, c_ref)).  ca/cb are >= 0, never null, so
+    least() is the true two-sided min: a gram on one side only
+    contributes min(c, 0) = 0 — the BLEU/ROUGE clipping rule.
+    ``extra_keys`` widens the gram key (BLEU passes ('n',) so all four
+    n-gram orders ride one dataflow)."""
+    doubled = bg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").cast("long").alias("k"),
+                    F.lit(0).alias("side"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).cast("long").alias("k"),
+                    F.lit(1).alias("side"),
+                ),
+            )
+        ).alias("ks"),
+        *extra_keys,
+        "g",
+    ).select(
+        F.col("ks.k").alias("k"), F.col("ks.side").alias("side"), *extra_keys, "g"
+    )
+    lvl1 = doubled.groupBy("k", *extra_keys, "g").agg(
+        F.count(F.when(F.col("side") == 0, True)).alias("ca"),
+        F.count(F.when(F.col("side") == 1, True)).alias("cb"),
+    )
+    return lvl1.groupBy("k", *extra_keys).agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.least("ca", "cb")).cast("long").alias("ov"),
+    )
+
+
 def _clipped_pair_metrics(bg: DataFrame, p_alias: str, r_alias: str, f_alias: str,
                           ov_alias: str) -> DataFrame:
     """Shared clipped-count pair-metric core (x_eval_rouge_n /
@@ -1366,34 +1413,7 @@ def _clipped_pair_metrics(bg: DataFrame, p_alias: str, r_alias: str, f_alias: st
     adjacent totals.  ONE source scan, no joins, two shuffles, and
     the wide one carries (k, g, side) with g already a compact key
     (packed BIGINT for chrF, the bigram string for ROUGE)."""
-    doubled = bg.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_id").cast("long").alias("k"),
-                    F.lit(0).alias("side"),
-                ),
-                F.struct(
-                    (F.col("doc_id") - 1).cast("long").alias("k"),
-                    F.lit(1).alias("side"),
-                ),
-            )
-        ).alias("ks"),
-        "g",
-    ).select(F.col("ks.k").alias("k"), F.col("ks.side").alias("side"), "g")
-    # per-(pair, gram): candidate-side and reference-side multiplicities
-    lvl1 = doubled.groupBy("k", "g").agg(
-        F.count(F.when(F.col("side") == 0, True)).alias("ca"),
-        F.count(F.when(F.col("side") == 1, True)).alias("cb"),
-    )
-    # per-pair: totals + clipped overlap (ca/cb are >= 0, never null,
-    # so least() is the true two-sided min; a gram on one side only
-    # contributes min(c, 0) = 0, the clipping rule)
-    lvl2 = lvl1.groupBy("k").agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-        F.sum(F.least("ca", "cb")).cast("long").alias("ov"),
-    )
+    lvl2 = _pair_clipped_lvl2(bg)
     return (
         lvl2.filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
@@ -1820,31 +1840,7 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("t.n").alias("n"), F.explode("t.gs").alias("g"))
     )
-    doubled = gr.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("doc_id").cast("long").alias("k"),
-                    F.lit(0).alias("side"),
-                ),
-                F.struct(
-                    (F.col("doc_id") - 1).cast("long").alias("k"),
-                    F.lit(1).alias("side"),
-                ),
-            )
-        ).alias("ks"),
-        "n",
-        "g",
-    ).select(F.col("ks.k").alias("k"), F.col("ks.side").alias("side"), "n", "g")
-    lvl1 = doubled.groupBy("k", "n", "g").agg(
-        F.count(F.when(F.col("side") == 0, True)).alias("ca"),
-        F.count(F.when(F.col("side") == 1, True)).alias("cb"),
-    )
-    lvl2 = lvl1.groupBy("k", "n").agg(
-        F.sum("ca").cast("long").alias("na"),
-        F.sum("cb").cast("long").alias("nb"),
-        F.sum(F.least("ca", "cb")).cast("long").alias("ov"),
-    )
+    lvl2 = _pair_clipped_lvl2(gr, ("n",))
 
     def _piv(col: str, n: int) -> F.Column:
         return F.coalesce(

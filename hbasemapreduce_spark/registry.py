@@ -567,14 +567,16 @@ _R9_BACKLOG = [
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
-# same commit).  The last first-timers lead, then the contract refresh
-# fills the window — 43 contract keys whose driver evidence is r3/r4
-# (five-plus rounds stale by r10) finally re-enter a window.  Computed,
-# not hard-coded, so it stays true as round-9 keys are appended to
-# _R9_BACKLOG.  Emission order places _R9_BACKLOG then
-# _CONTRACT_REFRESH right after the r9 window, so positions 51..100 of
-# queries() ARE this list — a >50-key driver window or an early r10
-# run picks it up with no further rotation edit.
+# same commit).  The remaining first-timers lead (14 after the 7 keys
+# added during round 9), then the contract refresh fills the window to
+# 50 — the first 36 contract keys in oldest-driver-evidence-first
+# order (r3/r4 evidence, five-plus rounds stale by r10) re-enter a
+# window; refresh keys 37+ wait for r11.  Computed, not hard-coded, so
+# the split stays true if more keys join _R9_BACKLOG.  Emission order
+# places _R9_BACKLOG then _CONTRACT_REFRESH right after the r9 window,
+# so positions 51..100 of queries() ARE this list — a >50-key driver
+# window or an early r10 run picks it up with no further rotation
+# edit.
 _R10_WINDOW = [*_R9_BACKLOG, *_CONTRACT_REFRESH][:50]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts

@@ -121,11 +121,12 @@ def test_rotation_plan_covers_all_unchecked():
 
 def test_r10_window_is_staged():
     # VERDICT r8 item 4: the r10 plan ships in the same commit as the
-    # r9 rotation.  The staged window = the last 7 first-timers + the
-    # first 43 contract-refresh keys (oldest driver evidence first,
-    # rows-only keys last), and emission positions 51..100 are exactly
-    # that list, so an early/oversized driver run needs no further
-    # rotation edit.
+    # r9 rotation.  The staged window = the remaining first-timers
+    # (_R9_BACKLOG — 14 once the round-9 additions landed) + the
+    # leading contract-refresh keys filling to 50 (oldest driver
+    # evidence first, rows-only keys last), and emission positions
+    # 51..100 are exactly that list, so an early/oversized driver run
+    # needs no further rotation edit.
     assert len(_R10_WINDOW) == DRIVER_WINDOW
     assert _R10_WINDOW == [*_R9_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
     specs = list(all_specs())
