@@ -642,3 +642,87 @@ def stream_tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.max("cents").cast("long").alias("max_cents"),
     )
+
+
+def counter_fold_expr(deltas: DataFrame, base: DataFrame) -> DataFrame:
+    """Shared batch/stream expression behind x_stream_counter: the
+    genre's LIVE COUNTER TABLE (HBase Increment maintained in real
+    time).  Each delta row joins its static base row (broadcast,
+    stateless), then ONE per-key stateful aggregate carries the
+    running counter: counter = base + SUM(deltas) — MAX(base) is the
+    per-key-constant smuggled through the aggregate so the whole
+    result is one state row per touched key.  No watermark: a running
+    counter never closes, which is exactly complete/update-mode
+    semantics."""
+    joined = deltas.join(F.broadcast(base), "c_custkey")
+    return joined.groupBy("c_custkey").agg(
+        F.max("c_mktsegment").alias("c_mktsegment"),
+        (F.max("base_cents") + F.sum("delta_cents"))
+        .cast("long")
+        .alias("counter_cents"),
+        F.count("*").cast("long").alias("n_increments"),
+    )
+
+
+def counter_deltas(ev: DataFrame) -> DataFrame:
+    """Purchase events as exact-cents increment rows (the NULL-value
+    filter keeps both engines' sums identical — HBase increments are
+    never NULL)."""
+    return ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("c_custkey"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("delta_cents"),
+    )
+
+
+def counter_base(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("base_cents"),
+    )
+
+
+@query(
+    "x_stream_counter",
+    category="stream",
+    oracle=(
+        "WITH d AS (SELECT user_id AS c_custkey, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS delta_cents "
+        "  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), "
+        "b AS (SELECT c_custkey, c_mktsegment, "
+        "  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "    AS base_cents FROM customer) "
+        "SELECT d.c_custkey, MAX(b.c_mktsegment) AS c_mktsegment, "
+        "  CAST(MAX(b.base_cents) + SUM(d.delta_cents) AS BIGINT) "
+        "    AS counter_cents, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_increments "
+        "FROM d JOIN b USING (c_custkey) GROUP BY 1"
+    ),
+)
+def stream_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live counter table, batch form: every purchase event
+    increments its customer's balance counter in exact cents, and the
+    per-key running value is maintained by counter_fold_expr — the
+    same expression the Structured-Streaming mirror runs
+    incrementally (streaming/mirrors.py counter_stream; equality
+    proven in tests/test_streaming.py).  This is x_client_increment's
+    semantics re-expressed as a STREAMABLE plan: the batch fold's
+    left join becomes a stateless stream-static broadcast join BEFORE
+    one per-key stateful aggregate, so the streaming state is one row
+    per touched key (untouched base rows never enter state — the
+    at-rest table serves them, the HBase reading of a counter CF).
+
+    Scale shape: broadcast dim + single hash aggregate keyed by
+    customer; at 100 TB of events the only wide stage is the per-key
+    shuffle, and in streaming form the state store holds |touched
+    keys| rows with no watermark to expire them — the monotone
+    counter semantics."""
+    deltas = counter_deltas(load_table(spark, sf_dir, "events"))
+    base = counter_base(load_table(spark, sf_dir, "customer"))
+    return counter_fold_expr(deltas, base)

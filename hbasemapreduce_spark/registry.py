@@ -564,6 +564,7 @@ _R9_BACKLOG = [
     "x_multimodal_patchify",
     "x_agg_kmv_merge",
     "x_client_increment",
+    "x_stream_counter",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the

@@ -693,3 +693,25 @@ def tws_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_tws_profile"] = tws_profile
+
+
+def counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_stream_counter: the live counter table —
+    purchase increments folded into per-customer exact-cents counters
+    via the identical counter_fold_expr (stateless stream-static
+    broadcast join before ONE per-key stateful aggregate; no
+    watermark, monotone state — the HBase Increment column family
+    maintained incrementally)."""
+    from ..operators.streaming_batch import (
+        counter_base,
+        counter_deltas,
+        counter_fold_expr,
+    )
+
+    return counter_fold_expr(
+        counter_deltas(events_stream(spark, sf_dir)),
+        counter_base(load_table(spark, sf_dir, "customer")),
+    )
+
+
+MIRRORS["x_stream_counter"] = counter_stream

@@ -244,3 +244,14 @@ def test_stream_transform_with_state_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_counter_matches_batch(spark):
+    """The live counter table (stream-static join + per-key stateful
+    fold, no watermark) equals the batch fold exactly — every touched
+    customer's counter, segment, and increment count."""
+    got = run_mirror_to_memory(spark, SF_DIR, "x_stream_counter", output_mode="complete")
+    want = all_specs()["x_stream_counter"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) > 0
