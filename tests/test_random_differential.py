@@ -1319,3 +1319,48 @@ def test_bitext_margin_matches_pure_numpy(spark):
         bi, m, v = best[r.vec_a]
         assert (r.vec_b, r.margin_ppm, r.sim_micros) == (bi, m, v), r
         assert r.mined == int(m >= 1_060_000)
+
+
+if _HAS_HYPOTHESIS:
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "", "ü", "木", "a b"]),
+                min_size=0,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_clipped_core_matches_counter_on_random_docs(spark, docs):
+        # Property differential for _pair_clipped_lvl2, the ONE core
+        # behind ROUGE/chrF/BLEU: on hypothesis-generated doc sets
+        # (empty docs, empty-string grams, unicode, repeats — shapes
+        # the parquet testdata never produces), the doubled-stream
+        # two-level aggregate must equal the Counter clip exactly.
+        import pandas as pd
+
+        from hbasemapreduce_spark.operators.llm_text import _pair_clipped_lvl2
+
+        rows = [
+            {"doc_id": i, "g": g} for i, toks in enumerate(docs) for g in toks
+        ]
+        got = {}
+        if rows:
+            bg = spark.createDataFrame(pd.DataFrame(rows))
+            got = {
+                r.k: (r.na, r.nb, r.ov)
+                for r in _pair_clipped_lvl2(bg).collect()
+            }
+        for k in range(-1, len(docs)):
+            ca = Counter(docs[k]) if 0 <= k < len(docs) else Counter()
+            cb = Counter(docs[k + 1]) if k + 1 < len(docs) else Counter()
+            na, nb = sum(ca.values()), sum(cb.values())
+            ov = sum((ca & cb).values())
+            if na == 0 and nb == 0:
+                assert k not in got  # no gram on either side -> no row
+            else:
+                assert got[k] == (na, nb, ov), (k, got.get(k), (na, nb, ov))
