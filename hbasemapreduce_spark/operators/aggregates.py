@@ -543,3 +543,127 @@ def agg_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_kmv"),
         )
     )
+
+
+@query(
+    "x_agg_kmv_intersect",
+    category="agg",
+    oracle=(
+        # Direct recompute of the whole estimator chain: per-side
+        # distinct hash sets, union bottom-k and its theta, the common
+        # hashes below theta, and the exact true intersection riding
+        # along for the error-visibility column.
+        "WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem "
+        "  WHERE l_returnflag = 'A'), "
+        "b AS (SELECT DISTINCT l_partkey AS k FROM lineitem "
+        "  WHERE l_returnflag = 'R'), "
+        f"ha AS (SELECT DISTINCT {_kmv_hex12_duck('md5(CAST(k AS VARCHAR))')} "
+        "  AS h FROM a), "
+        f"hb AS (SELECT DISTINCT {_kmv_hex12_duck('md5(CAST(k AS VARCHAR))')} "
+        "  AS h FROM b), "
+        "u AS (SELECT h FROM ha UNION SELECT h FROM hb), "
+        "rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u), "
+        f"th AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS n_union_sk "
+        f"  FROM rk WHERE rn <= {_KMV_K}), "
+        "com AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common "
+        "  FROM ha JOIN hb USING (h) CROSS JOIN th WHERE ha.h <= th.theta), "
+        "tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_inter "
+        "  FROM a JOIN b USING (k)), "
+        "est AS (SELECT th.n_union_sk, th.theta, com.n_common, "
+        f"  CASE WHEN th.n_union_sk < {_KMV_K} THEN com.n_common "
+        f"  ELSE CAST(CAST(com.n_common AS HUGEINT) * {_KMV_K - 1} "
+        f"    * {_KMV_DOMAIN} // (CAST({_KMV_K} AS HUGEINT) * th.theta) "
+        "    AS BIGINT) END AS est_inter "
+        "  FROM th CROSS JOIN com) "
+        "SELECT e.n_union_sk, e.theta, e.n_common, e.est_inter, "
+        "  t.n_true_inter FROM est e CROSS JOIN tru t"
+    ),
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-INTERSECTION estimation — the theta-sketch trick that
+    completes the sketch algebra (x_agg_distinct_kmv = cardinality,
+    x_agg_kmv_merge = union; this = intersection): take theta = the
+    k-th smallest hash of the UNION sketch, count the hashes BOTH
+    sides hold below theta, and scale — est = n_common * (k-1) *
+    domain / (k * theta), i.e. the common density inside the uniform
+    window [0, theta) extrapolated to the full domain.  This is how
+    "how many documents do crawls A and B share?" is answered at
+    100 TB without ever joining A against B: each side keeps a k-long
+    sketch, the intersection estimate needs only the two sketches.
+    The exact true intersection rides along so the ~1/sqrt(k) error
+    stays visible, and the whole chain (hashes, theta, common count,
+    floor-division estimate) is engine-portable exact integers —
+    HUGEINT on DuckDB, DECIMAL(38,0) on Spark, per the pinned
+    division rule.  Undersized union (< k hashes): the sketches hold
+    everything, so n_common IS the exact intersection (standard KMV
+    fallback).
+
+    Scale shape: one distinct + bottom-k window per side (the
+    WindowGroupLimit partial-top-k rewrite), a |2k|-row union window,
+    and a k-bounded hash equi-join — nothing corpus x corpus; the
+    1-row theta scalar broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select("l_partkey")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ha = side("A").localCheckpoint(eager=False)
+    hb = side("R").localCheckpoint(eager=False)
+    u = ha.unionByName(hb).distinct()
+    w = Window.orderBy("h")
+    th = (
+        u.select("h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.max("h").alias("theta"),
+            F.count("*").cast("long").alias("n_union_sk"),
+        )
+    )
+    com = (
+        ha.join(hb, "h")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    tru = (
+        li.filter(F.col("l_returnflag") == "A")
+        .select("l_partkey")
+        .distinct()
+        .join(
+            li.filter(F.col("l_returnflag") == "R")
+            .select("l_partkey")
+            .distinct(),
+            "l_partkey",
+        )
+        .agg(F.count("*").cast("long").alias("n_true_inter"))
+    )
+    return (
+        th.crossJoin(F.broadcast(com))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            "n_union_sk",
+            "theta",
+            "n_common",
+            F.expr(
+                f"CASE WHEN n_union_sk < {_KMV_K} THEN n_common "
+                f"ELSE CAST(CAST(n_common AS DECIMAL(38,0)) * {_KMV_K - 1} "
+                f"  * {_KMV_DOMAIN} DIV (CAST({_KMV_K} AS DECIMAL(38,0)) "
+                "  * theta) AS BIGINT) END"
+            ).alias("est_inter"),
+            "n_true_inter",
+        )
+    )

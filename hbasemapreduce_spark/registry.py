@@ -565,6 +565,7 @@ _R9_BACKLOG = [
     "x_agg_kmv_merge",
     "x_client_increment",
     "x_stream_counter",
+    "x_agg_kmv_intersect",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
