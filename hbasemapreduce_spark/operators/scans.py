@@ -428,3 +428,69 @@ def backfill_earliest_year(spark: SparkSession, orders: DataFrame, out: str) -> 
         corrected.write.mode("overwrite").partitionBy("o_year").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@query(
+    "x_source_json_corrupt",
+    category="scan",
+    oracle=(
+        # The corruption pattern is deterministic (doc_id % 7 == 3), so
+        # the oracle derives the expected PERMISSIVE outcome straight
+        # from the source table: every corrupt line must land in
+        # _corrupt_record (not vanish), every good line must parse.
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) FILTER (WHERE doc_id % 7 <> 3) AS BIGINT) AS n_good, "
+        "CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 3) AS BIGINT) AS n_corrupt, "
+        "CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) "
+        "  AS BIGINT) AS sum_n_good "
+        "FROM documents"
+    ),
+)
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON-lines ingestion — the robustness half of
+    the genre's ImportTsv story that matters at 100 TB: a crawl drop
+    ALWAYS contains malformed lines, and the job must neither crash
+    (FAILFAST) nor silently drop them (DROPMALFORMED), but account for
+    every byte.  A JSONL file is staged with a deterministic fault
+    pattern (every doc_id % 7 == 3 line loses its closing brace), read
+    back in PERMISSIVE mode with an explicit ``_corrupt_record``
+    column, and the census proves the contract: parsed + quarantined
+    == every input line, and the good-side aggregate is unaffected by
+    the bad lines.  The oracle derives the expected outcome from the
+    source table, so a reader that dropped or double-counted corrupt
+    lines hash-fails.
+
+    Scale shape: text source splits like any line format; PERMISSIVE
+    parsing is per-row (no shuffle); the census is one aggregate.  In
+    production the quarantine column is written to a dead-letter sink
+    and alerting keys on n_corrupt / n_rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.concat(
+        F.lit('{"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n": '),
+        F.col("n_chars").cast("string"),
+        # the fault: doc_id % 7 == 3 lines never close their object
+        F.when(F.pmod("doc_id", F.lit(7)) == 3, F.lit("")).otherwise(F.lit("}")),
+    )
+    out = os.path.join(
+        _SCRATCH,
+        f"json_corrupt_{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{source_ident(os.path.join(sf_dir, 'documents.parquet'))}",
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("id LONG, n LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(good, 1)).cast("long").alias("n_good"),
+        F.count(F.when(~good, 1)).cast("long").alias("n_corrupt"),
+        F.coalesce(F.sum(F.when(good, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("sum_n_good"),
+    )

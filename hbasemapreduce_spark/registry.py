@@ -566,6 +566,7 @@ _R9_BACKLOG = [
     "x_client_increment",
     "x_stream_counter",
     "x_agg_kmv_intersect",
+    "x_source_json_corrupt",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
