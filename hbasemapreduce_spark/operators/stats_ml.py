@@ -4660,3 +4660,132 @@ def time_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hr", "c", "resid_ppm", "dev", "is_anomaly", F.col("rnk").cast("long").alias("rnk")
         )
     )
+
+
+# x_stats_moments: the finishing doubles are ONE shared SQL string per
+# column, consumed verbatim by BOTH engines (F.expr on Spark, inlined
+# in the oracle) — the same literal operation sequence on the same
+# exactly-representable inputs is what makes the IEEE results
+# bit-identical.  Power sums are exact integer CENTS (skew/kurtosis
+# are scale invariant; mean/variance rescale by the constant at the
+# end), and each sum enters double arithmetic through a hi/lo int64
+# split (see _mom_recombine) because big-integer -> double conversion
+# itself is NOT engine-portable past 2^63.
+_MOM_SPLIT = 1 << 62
+
+
+def _mom_recombine(k: int) -> str:
+    """``hi_k * 2^62 + lo_k`` in doubles: hi < 2^38-ish is exact, lo is
+    an int64 whose -> double conversion is correctly rounded on BOTH
+    engines (unlike DECIMAL/HUGEINT -> double, which diverged on real
+    sums in this op's second replay), and the multiply-add is the same
+    IEEE sequence in both."""
+    return (
+        f"(CAST(hi{k} AS DOUBLE) * {_MOM_SPLIT} + CAST(lo{k} AS DOUBLE))"
+    )
+
+
+def _mom_finish() -> dict[str, str]:
+    s1, s2, s3, s4 = (_mom_recombine(k) for k in (1, 2, 3, 4))
+    return {
+        "mean": f"({s1} / nd) / 100",
+        "variance": (
+            f"(({s2} / nd - ({s1} / nd) * ({s1} / nd)) * nd / (nd - 1)) / 10000"
+        ),
+        "skewness": (
+            f"({s3} / nd - 3 * ({s1} / nd) * ({s2} / nd) "
+            f" + 2 * ({s1} / nd) * ({s1} / nd) * ({s1} / nd)) "
+            f"/ (({s2} / nd - ({s1} / nd) * ({s1} / nd)) "
+            f"   * sqrt({s2} / nd - ({s1} / nd) * ({s1} / nd)))"
+        ),
+        "ex_kurtosis": (
+            f"({s4} / nd - 4 * ({s1} / nd) * ({s3} / nd) "
+            f" + 6 * ({s1} / nd) * ({s1} / nd) * ({s2} / nd) "
+            f" - 3 * ({s1} / nd) * ({s1} / nd) * ({s1} / nd) * ({s1} / nd)) "
+            f"/ (({s2} / nd - ({s1} / nd) * ({s1} / nd)) "
+            f"   * ({s2} / nd - ({s1} / nd) * ({s1} / nd))) - 3"
+        ),
+    }
+
+
+@query(
+    "x_stats_moments",
+    category="agg",
+    oracle=(
+        "WITH c AS (SELECT event_type, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c "
+        "  FROM events WHERE value IS NOT NULL), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(COUNT(*) AS DOUBLE) AS nd, "
+        "  SUM(c) AS t1, SUM(c * c) AS t2, "
+        "  SUM(c * c * c) AS t3, SUM(c * c * c * c) AS t4 "
+        "  FROM c GROUP BY 1), "
+        "h AS (SELECT event_type, n, nd, "
+        + ", ".join(
+            f"CAST(t{k} // {_MOM_SPLIT} AS BIGINT) AS hi{k}, "
+            f"CAST(t{k} % {_MOM_SPLIT} AS BIGINT) AS lo{k}"
+            for k in (1, 2, 3, 4)
+        )
+        + " FROM m) "
+        "SELECT event_type, n, "
+        + ", ".join(f"{sql} AS {name}" for name, sql in _mom_finish().items())
+        + " FROM h WHERE n >= 2"
+    ),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution MOMENTS per event type — mean, sample variance,
+    skewness, excess kurtosis: the four numbers a data-profiling pass
+    prints per column before anyone trusts it (skew flags one-sided
+    value domains, kurtosis flags heavy tails that break z-score
+    outlier rules — x_stats_outliers' prerequisite diagnostics).
+
+    Exactness discipline, learned across TWO failed replays of this
+    op: (1) the abtest-style "CAST(value^k AS DECIMAL)" route fails at
+    k >= 3 — Spark rounds a double->decimal cast from its SHORTEST
+    DECIMAL REPR while DuckDB rounds the binary value, and the
+    twice-rounded triple product lands on enough boundaries to
+    diverge; (2) even with exact integer-cents power sums (per-row
+    powers routed DECIMAL(38,0)/HUGEINT — c^4 ~ 9.8e18 exceeds
+    int64), the final big-integer -> DOUBLE conversion ITSELF
+    diverges past 2^63 (Spark's BigDecimal.doubleValue is correctly
+    rounded, DuckDB's hugeint cast is not — one real s4 differed in
+    the last ulp).  The shipped form therefore splits every sum into
+    hi/lo int64 parts (DIV/% 2^62 — positive operands, so trunc
+    agrees engine-wide) and recombines in doubles: int64 -> double is
+    correctly rounded everywhere, and from there every finishing
+    double is the LITERAL SAME SQL string in both engines
+    (_mom_finish) — identical IEEE sequence, bit-equal results.
+    Skewness/kurtosis are scale invariant so the cents domain needs
+    no correction; mean/variance divide by the constant at the end.
+
+    Scale shape: ONE partial+final hash aggregate (six accumulators)
+    and a stateless finishing projection — the cheapest possible plan
+    for the statistic, and the same shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))")
+    m = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum("c").alias("t1"),
+        F.sum(F.expr("c * c")).alias("t2"),
+        F.sum(F.expr("c * c * c")).alias("t3"),
+        F.sum(F.expr("c * c * c * c")).alias("t4"),
+    )
+    h = m.select(
+        "event_type",
+        "n",
+        "nd",
+        *[
+            col
+            for k in (1, 2, 3, 4)
+            for col in (
+                F.expr(f"CAST(t{k} DIV {_MOM_SPLIT} AS BIGINT)").alias(f"hi{k}"),
+                F.expr(f"CAST(t{k} % {_MOM_SPLIT} AS BIGINT)").alias(f"lo{k}"),
+            )
+        ],
+    )
+    return h.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        *[F.expr(sql).alias(name) for name, sql in _mom_finish().items()],
+    )

@@ -567,6 +567,7 @@ _R9_BACKLOG = [
     "x_stream_counter",
     "x_agg_kmv_intersect",
     "x_source_json_corrupt",
+    "x_stats_moments",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the

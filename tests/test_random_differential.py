@@ -1364,3 +1364,30 @@ if _HAS_HYPOTHESIS:
                 assert k not in got  # no gram on either side -> no row
             else:
                 assert got[k] == (na, nb, ov), (k, got.get(k), (na, nb, ov))
+
+
+def test_bigint_to_double_conversion_diverges_past_int64(spark, oracle):
+    """Engine-parity pin #4 (found live in x_stats_moments' second
+    replay): converting the SAME exact integer > 2^63 to DOUBLE is not
+    engine-portable — Spark's DECIMAL(38,0) -> double is correctly
+    rounded (BigDecimal.doubleValue) while DuckDB's HUGEINT -> double
+    is not; the witness value below is a real s4 power sum from the
+    sf0.01 events table that differed in the last ulp.  Rule pinned:
+    any big-integer quantity destined for double arithmetic must enter
+    it through the hi/lo int64 split (DIV / % 2^62 + recombine), since
+    int64 -> double IS correctly rounded in both engines."""
+    w = 31293724858271074718  # the real diverging witness
+    got_spark = spark.sql(
+        f"SELECT CAST(CAST('{w}' AS DECIMAL(38,0)) AS DOUBLE) AS d"
+    ).collect()[0].d
+    got_duck = oracle.execute(
+        f"SELECT CAST(CAST('{w}' AS HUGEINT) AS DOUBLE)"
+    ).fetchone()[0]
+    assert got_spark == float(w)  # python's int->float is correctly rounded
+    assert got_duck != got_spark  # the divergence this pin exists for
+    # and the portable path: hi/lo int64 split recombined in doubles
+    hi, lo = w // (1 << 62), w % (1 << 62)
+    expr = f"CAST({hi} AS DOUBLE) * {1 << 62} + CAST({lo} AS DOUBLE)"
+    s2 = spark.sql(f"SELECT {expr} AS d").collect()[0].d
+    d2 = oracle.execute(f"SELECT {expr}").fetchone()[0]
+    assert s2 == d2  # identical IEEE sequence -> identical double
