@@ -1382,3 +1382,286 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --- HBase HashTable / SyncTable: digest-pruned table reconciliation --
+
+_SYNC_BUCKET = 64  # rowkey-range width of one digest bucket
+
+
+@query(
+    "x_sync_table",
+    category="pipeline",
+    oracle=(
+        "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM orders), "
+        "tgt AS ("
+        "  SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "    CASE WHEN o_orderkey % 523 = 0 THEN cents + 1 ELSE cents END AS cents "
+        "  FROM src WHERE o_orderkey % 997 <> 0 "
+        "  UNION ALL "
+        "  SELECT o_orderkey + 4000000, o_custkey, o_orderstatus, cents "
+        "  FROM src WHERE o_orderkey % 719 = 0) "
+        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
+        "CASE WHEN s.o_orderkey IS NULL THEN 'added' "
+        "     WHEN t.o_orderkey IS NULL THEN 'removed' "
+        "     ELSE 'changed' END AS change_type, "
+        "s.cents AS src_cents, t.cents AS tgt_cents "
+        "FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey "
+        "WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL "
+        "OR s.cents <> t.cents OR s.o_custkey <> t.o_custkey "
+        "OR s.o_orderstatus <> t.o_orderstatus"
+    ),
+)
+def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase HashTable/SyncTable (the genre's two-MR-job table
+    reconciliation tool) on DataFrames: phase 1 digests each
+    64-key rowkey RANGE on both tables into an order-insensitive
+    (sum-of-md5-words, rowcount) triple; phase 2 row-diffs ONLY the
+    ranges whose digests disagree.  The replica is derived
+    deterministically from orders (drops every 997th key, flips one
+    cent on every 523rd, inserts shifted copies of every 719th) so
+    corruption is SPARSE — most ranges digest clean and never reach
+    the row-level join (strict-subset pruning asserted in
+    tests/test_plans.py at sf0.001), which is the entire point of the tool at
+    100 TB: the digest pass shuffles ~(n_rows / 64) tiny triples and
+    the expensive full-outer row diff touches only dirty ranges.
+
+    The ORACLE is the naive full-table diff with no bucketing or
+    hashing anywhere, so the driver's hash match proves the digest
+    pruning LOSSLESS: a range containing any added/removed/changed row
+    always digests dirty (a false-clean needs the 48-bit word sums of
+    the two sides to collide — ~2^-48 per range, and deterministic on
+    a fixed corpus: validated exact at every test SF).  Buckets are
+    keyed by ``o_orderkey DIV 64`` so a dirty range maps back to a
+    contiguous rowkey scan, exactly like HBase's per-range hash files.
+
+    Money compares as exact integer cents; the one-cent corruption is
+    invisible to any float tolerance but always flips the digest."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    tgt = (
+        src.filter(F.col("o_orderkey") % 997 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 523 == 0, F.col("cents") + 1)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            src.filter(F.col("o_orderkey") % 719 == 0).select(
+                (F.col("o_orderkey") + 4000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                "cents",
+            )
+        )
+    )
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        # Row hash -> two 24-bit md5 words; the per-range digest is
+        # their SUMS plus the rowcount — order-insensitive, so the
+        # digest pass needs no sort, only one hash aggregate.
+        h = F.md5(
+            F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus", "cents")
+        )
+        return (
+            df.select(
+                F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt"),
+                F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("w1"),
+                F.conv(F.substring(h, 7, 6), 16, 10).cast("long").alias("w2"),
+            )
+            .groupBy("bkt")
+            .agg(
+                F.sum("w1").alias(f"{side}_s1"),
+                F.sum("w2").alias(f"{side}_s2"),
+                F.count("*").alias(f"{side}_n"),
+            )
+        )
+
+    dirty = (
+        digest(src, "src")
+        .join(digest(tgt, "tgt"), "bkt", "full_outer")
+        .filter(
+            ~(
+                F.col("src_s1").eqNullSafe(F.col("tgt_s1"))
+                & F.col("src_s2").eqNullSafe(F.col("tgt_s2"))
+                & F.col("src_n").eqNullSafe(F.col("tgt_n"))
+            )
+        )
+        .select("bkt")
+    )
+    bkt = F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt")
+    s2 = src.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
+    t2 = tgt.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
+    a = s2.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_custkey").alias("s_cust"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("cents").alias("src_cents"),
+    )
+    b = t2.select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_custkey").alias("t_cust"),
+        F.col("o_orderstatus").alias("t_status"),
+        F.col("cents").alias("tgt_cents"),
+    )
+    return (
+        a.join(b, F.col("s_key") == F.col("t_key"), "full_outer")
+        .filter(
+            F.col("s_key").isNull()
+            | F.col("t_key").isNull()
+            | (F.col("src_cents") != F.col("tgt_cents"))
+            | (F.col("s_cust") != F.col("t_cust"))
+            | (F.col("s_status") != F.col("t_status"))
+        )
+        .select(
+            F.coalesce("s_key", "t_key").alias("o_orderkey"),
+            F.when(F.col("s_key").isNull(), "added")
+            .when(F.col("t_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "src_cents",
+            "tgt_cents",
+        )
+    )
+
+
+@query(
+    "x_verify_replication",
+    category="pipeline",
+    oracle=(
+        "WITH src AS (SELECT event_id, user_id, event_type, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "surv AS (SELECT event_id, user_id, event_type, ts_us, "
+        "  CASE WHEN event_id % 13 = 0 THEN cents + 1 ELSE cents END AS cents "
+        "  FROM src WHERE event_id % 17 <> 0), "
+        "rep_raw AS ("
+        "  SELECT * FROM surv "
+        "  UNION ALL SELECT * FROM surv WHERE event_id % 10 = 0 "
+        "  UNION ALL SELECT event_id + 1000000000 AS event_id, user_id, "
+        "    event_type, ts_us, cents FROM src WHERE event_id % 19 = 0), "
+        "rep AS (SELECT event_id, user_id, event_type, ts_us, cents, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_copies FROM rep_raw "
+        "  GROUP BY event_id, user_id, event_type, ts_us, cents), "
+        "j AS (SELECT s.event_id AS sid, r.event_id AS rid, r.n_copies, "
+        "  (s.user_id IS NOT DISTINCT FROM r.user_id "
+        "   AND s.event_type IS NOT DISTINCT FROM r.event_type "
+        "   AND s.ts_us IS NOT DISTINCT FROM r.ts_us "
+        "   AND s.cents IS NOT DISTINCT FROM r.cents) AS same "
+        "  FROM src s FULL OUTER JOIN rep r ON s.event_id = r.event_id) "
+        "SELECT "
+        "CAST(COUNT(*) FILTER (WHERE sid IS NOT NULL AND rid IS NOT NULL "
+        "  AND same) AS BIGINT) AS goodrows, "
+        "CAST(COUNT(*) FILTER (WHERE sid IS NOT NULL AND rid IS NOT NULL "
+        "  AND NOT same) AS BIGINT) AS content_different, "
+        "CAST(COUNT(*) FILTER (WHERE rid IS NULL) AS BIGINT) AS only_in_source, "
+        "CAST(COUNT(*) FILTER (WHERE sid IS NULL) AS BIGINT) AS only_in_target, "
+        "CAST(SUM(CASE WHEN rid IS NOT NULL THEN n_copies - 1 ELSE 0 END) "
+        "  AS BIGINT) AS duplicate_deliveries "
+        "FROM j"
+    ),
+)
+def verify_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase VerifyReplication (the genre's cross-cluster audit MR job)
+    under at-least-once delivery: the replica of the events stream is
+    derived deterministically — every 17th event DROPPED (replication
+    lag), every 13th survivor corrupted by one cent, every 10th
+    survivor delivered TWICE (identical redelivery, the at-least-once
+    case the real tool must tolerate), and every 19th source event
+    echoed under a shifted id (foreign rows in the target).  The audit
+    reports the census the HBase tool prints as MR counters: GOODROWS,
+    CONTENT_DIFFERENT, ONLY_IN_SOURCE, ONLY_IN_TARGET — plus the
+    duplicate-delivery count the grouped dedup absorbs.
+
+    Spark shape: redeliveries collapse in the SAME hash aggregate that
+    counts them (group by full row content -> n_copies; no separate
+    DISTINCT pass), then ONE full-outer equi-join on event_id and one
+    final census aggregate — two shuffles total for a billion-event
+    audit, vs the tool's per-row replica GETs.  Content equality is
+    null-safe on every column (eqNullSafe / IS NOT DISTINCT FROM): a
+    NULL-valued event compares equal to its faithful replica, and a
+    NULL cent corrupted by +1 stays NULL on both engines (that row
+    counts GOOD — pinned in the oracle by the same arithmetic).
+
+    Money compares as exact integer cents (DECIMAL(18,2)*100), so the
+    one-cent corruption is always visible and never float-drifted."""
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    surv = src.filter(F.col("event_id") % 17 != 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.when(F.col("event_id") % 13 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    rep_raw = surv.unionAll(surv.filter(F.col("event_id") % 10 == 0)).unionAll(
+        src.filter(F.col("event_id") % 19 == 0).select(
+            (F.col("event_id") + 1000000000).alias("event_id"),
+            "user_id",
+            "event_type",
+            "ts_us",
+            "cents",
+        )
+    )
+    rep = rep_raw.groupBy("event_id", "user_id", "event_type", "ts_us", "cents").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    s = src.select(
+        F.col("event_id").alias("sid"),
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("s_type"),
+        F.col("ts_us").alias("s_ts"),
+        F.col("cents").alias("s_cents"),
+    )
+    r = rep.select(
+        F.col("event_id").alias("rid"),
+        F.col("user_id").alias("r_user"),
+        F.col("event_type").alias("r_type"),
+        F.col("ts_us").alias("r_ts"),
+        F.col("cents").alias("r_cents"),
+        "n_copies",
+    )
+    same = (
+        F.col("s_user").eqNullSafe(F.col("r_user"))
+        & F.col("s_type").eqNullSafe(F.col("r_type"))
+        & F.col("s_ts").eqNullSafe(F.col("r_ts"))
+        & F.col("s_cents").eqNullSafe(F.col("r_cents"))
+    )
+    both = F.col("sid").isNotNull() & F.col("rid").isNotNull()
+    return (
+        s.join(r, F.col("sid") == F.col("rid"), "full_outer")
+        .agg(
+            F.count(F.when(both & same, 1)).cast("long").alias("goodrows"),
+            F.count(F.when(both & ~same, 1)).cast("long").alias("content_different"),
+            F.count(F.when(F.col("rid").isNull(), 1))
+            .cast("long")
+            .alias("only_in_source"),
+            F.count(F.when(F.col("sid").isNull(), 1))
+            .cast("long")
+            .alias("only_in_target"),
+            F.sum(
+                F.when(F.col("rid").isNotNull(), F.col("n_copies") - 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("duplicate_deliveries"),
+        )
+    )

@@ -494,3 +494,90 @@ def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_n_good"),
     )
+
+
+# --- RegionSplitter / TotalOrderPartitioner: sampled split points ------
+
+_RSP_REGIONS = 8
+_RSP_RATE = 10  # keep keys whose md5 draw is 0 mod 10 (~10% sample)
+
+
+@query(
+    "x_region_split_points",
+    category="sink",
+    oracle=(
+        "WITH s AS (SELECT o_orderkey FROM orders WHERE "
+        "  ("
+        + "CAST("
+        + " + ".join(
+            "(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), "
+            f"{1 + i}, 1)) - 1) * {16 ** (5 - i)}"
+            for i in range(6)
+        )
+        + " AS BIGINT)"
+        f"  ) % {_RSP_RATE} = 0), "
+        f"t AS (SELECT o_orderkey, ntile({_RSP_REGIONS}) OVER "
+        "  (ORDER BY o_orderkey) AS tile FROM s), "
+        "cuts AS (SELECT MAX(o_orderkey) AS cut FROM t "
+        f"  WHERE tile <= {_RSP_REGIONS - 1} GROUP BY tile), "
+        "r AS (SELECT o.o_orderkey, "
+        "  (SELECT COUNT(*) FROM cuts c WHERE c.cut < o.o_orderkey) AS region "
+        "  FROM orders o) "
+        "SELECT CAST(region AS BIGINT) AS region, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM r GROUP BY region"
+    ),
+)
+def region_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase RegionSplitter / Hadoop TotalOrderPartitioner: derive
+    balanced region split points from a deterministic ~10% SAMPLE of
+    the rowkey domain (md5 draw — portable, uncorrelated with key
+    order, no multiplicative-hash overflow at any key domain), take
+    equi-depth cut points (ntile max per tile, 7 cuts -> 8 regions),
+    then audit the FULL table against those cuts: rows / min / max per
+    region.  This is exactly the pre-split planning step before a bulk
+    load (x_bulkload_ranged consumes such boundaries) — the census
+    shows the sample's cuts balance the full table without scanning it
+    twice at plan time.
+
+    Scale shape: the sampled-key ntile is the one global-order window,
+    and it runs over the SAMPLE only — in production the rate is tuned
+    to a fixed key budget (TotalOrderPartitioner samples ~100k keys
+    regardless of input size), so the single-partition window is
+    content-bounded, not corpus-bounded.  The 7 cut points travel as a
+    1-row broadcast array scalar (whitelisted BNLJ family); region
+    assignment is then a zero-shuffle array scan per row, and the
+    census is one hash aggregate on an 8-value key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    draw = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    s = orders.filter(draw % _RSP_RATE == 0)
+    t = s.select(
+        "o_orderkey",
+        F.ntile(_RSP_REGIONS).over(Window.orderBy("o_orderkey")).alias("tile"),
+    )
+    cuts = (
+        t.filter(F.col("tile") <= _RSP_REGIONS - 1)
+        .groupBy("tile")
+        .agg(F.max("o_orderkey").alias("cut"))
+        .agg(F.sort_array(F.collect_list("cut")).alias("cuts"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr("size(filter(cuts, c -> c < o_orderkey))")
+            .cast("long")
+            .alias("region"),
+            "o_orderkey",
+        )
+        .groupBy("region")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -4789,3 +4789,108 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         *[F.expr(sql).alias(name) for name, sql in _mom_finish().items()],
     )
+
+
+# -- ranking-quality evaluation: MRR@100 ---------------------------------
+
+_MRR_K = 100
+_MRR_REL_MIN = 3  # late-half events needed to count a user as relevant
+
+
+@query(
+    "x_eval_mrr",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, user_id, value, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day "
+        "  FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "pred AS (SELECT event_type, user_id, "
+        "  SUM(CAST(value AS DECIMAL(18,2))) AS pred "
+        "  FROM ev CROSS JOIN b WHERE day <= mid GROUP BY 1, 2), "
+        "rel AS (SELECT event_type, user_id FROM ev CROSS JOIN b "
+        f"  WHERE day > mid GROUP BY 1, 2 HAVING COUNT(*) >= {_MRR_REL_MIN}), "
+        "cand AS (SELECT p.event_type, p.user_id, p.pred, "
+        "  r.user_id IS NOT NULL AS is_rel FROM pred p "
+        "  LEFT JOIN rel r ON p.event_type = r.event_type "
+        "    AND p.user_id = r.user_id), "
+        "dpos AS (SELECT event_type, is_rel, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY pred DESC, user_id) AS rn "
+        "  FROM cand) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ranked, "
+        "  CAST(COALESCE(MIN(rn) FILTER (WHERE is_rel), 0) AS BIGINT) "
+        "    AS first_rel_rank, "
+        "  CAST(CASE WHEN MIN(rn) FILTER (WHERE is_rel) IS NULL THEN 0 "
+        "    ELSE 1000000 // MIN(rn) FILTER (WHERE is_rel) END AS BIGINT) "
+        "    AS rr_micro "
+        f"FROM dpos WHERE rn <= {_MRR_K} GROUP BY 1"
+    ),
+)
+def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@100 per event type — the known-item-search companion to
+    x_eval_ndcg (graded top-10 quality) and x_eval_rank_corr (whole-
+    order correlation): rank users by their early-calendar-half exact-
+    decimal value total, call a user RELEVANT when the late half shows
+    >= 3 events of that type, and report the rank of the first relevant
+    user plus its reciprocal.
+
+    Determinism: the reciprocal rank is exact integer micro-arithmetic
+    (1000000 DIV rank — no floats), scores tie-break on user_id, and
+    the calendar-midpoint split is the same whitelisted 1-row broadcast
+    scalar as ndcg/ks_drift.
+
+    Scale shape: two (type, user)-grained aggregates off one fact scan,
+    a same-key left join, ONE top-100 window per type (WindowGroupLimit
+    prunes each map partition to 100 rows before the shuffle), and a
+    |types|-bounded final aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    bounds = ev.agg(((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    pred = (
+        evb.filter(F.col("day") <= F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("pred"))
+    )
+    rel = (
+        evb.filter(F.col("day") > F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_late"))
+        .filter(F.col("n_late") >= _MRR_REL_MIN)
+        .select("event_type", "user_id", F.lit(1).alias("is_rel"))
+    )
+    cand = pred.join(rel, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "pred",
+        F.col("is_rel").isNotNull().alias("is_rel"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("pred"), F.asc("user_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRR_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_ranked"),
+            F.coalesce(F.min(F.when(F.col("is_rel"), F.col("rn"))), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+        .select(
+            "event_type",
+            "n_ranked",
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 DIV first_rel_rank"))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+    )

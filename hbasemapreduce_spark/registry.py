@@ -568,6 +568,10 @@ _R9_BACKLOG = [
     "x_agg_kmv_intersect",
     "x_source_json_corrupt",
     "x_stats_moments",
+    "x_sync_table",
+    "x_verify_replication",
+    "x_eval_mrr",
+    "x_region_split_points",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the

@@ -329,6 +329,8 @@ _BNLJ_WHITELIST = {
     "x_stream_srm",       # 1-row max-ts scalar (finalization cut)
     "x_stats_cuped",      # 1-row calendar-midpoint scalar (ks_drift pattern)
     "x_stats_did",        # 1-row calendar-midpoint scalar (ks_drift pattern)
+    "x_eval_mrr",         # 1-row calendar-midpoint scalar (ndcg pattern)
+    "x_region_split_points",  # 1-row cut-point array scalar (7 cuts, content-bounded)
 }
 
 
@@ -610,3 +612,27 @@ def test_zonemap_reads_only_needed_columns(spark):
     p = plan_of(spark, "x_layout_zonemap")
     assert "l_extendedprice" not in p
     assert "l_shipdate" in p
+
+
+def test_sync_table_prunes_clean_ranges(spark):
+    # x_sync_table's entire value over the naive diff (its oracle) is
+    # that clean rowkey ranges never reach the row-level full-outer
+    # join.  Assert (a) the corruption really is sparse — the dirty
+    # range set is a strict subset of the range domain — and (b) the
+    # dirty-range filter is a broadcast SEMI join, so the row phase
+    # shuffles nothing to prune.
+    from hbasemapreduce_spark.catalog import load_table
+    from hbasemapreduce_spark.operators.pipeline import _SYNC_BUCKET
+
+    out = all_specs()["x_sync_table"].fn(spark, SF_DIR).collect()
+    dirty = {r.o_orderkey // _SYNC_BUCKET for r in out}
+    n_total = (
+        load_table(spark, SF_DIR, "orders")
+        .selectExpr(f"o_orderkey DIV {_SYNC_BUCKET} AS bkt")
+        .distinct()
+        .count()
+    )
+    assert out, "corruption model produced no diffs"
+    assert len(dirty) < n_total, (len(dirty), n_total)
+    p = plan_of(spark, "x_sync_table")
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
