@@ -448,3 +448,60 @@ def client_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("counter_cents").cast("long").alias("sum_counter_cents"),
         )
     )
+
+
+def _with_time_range(scan: Scan, ts_col: str, min_ts: str, max_ts: str) -> Scan:
+    """HBase ``Scan.setTimeRange(minStamp, maxStamp)``: keep cells whose
+    timestamp falls in [min, max) — min inclusive, max exclusive, like
+    the HBase API.  Composes as two more pushable value filters, so it
+    costs nothing beyond the scan it narrows."""
+    return scan.with_filter(
+        (F.col(ts_col) >= F.lit(min_ts).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(max_ts).cast("timestamp"))
+    )
+
+
+Scan.with_time_range = _with_time_range
+
+
+@query(
+    "x_client_scan_timerange",
+    category="scan",
+    oracle=(
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents "
+        "FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-20 00:00:00' "
+        "AND event_type IN ('click', 'purchase') "
+        "GROUP BY event_type"
+    ),
+)
+def client_scan_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last piece of the genre's Scan API surface: setTimeRange.
+    A ten-day [min, max) window plus a qualifier filter, built through
+    the fluent Scan, feeding the TableMapReduceUtil-style group_agg —
+    per-type event count, distinct users, and exact-cents value total.
+    Time bounds are literal timestamps (the HBase API takes epoch
+    longs), applied as ordinary pushable predicates: one scan, one
+    partial+final aggregate, and the distinct-count shuffles only the
+    ten-day slice the range kept.
+
+    Money is exact integer cents end-to-end (DECIMAL(18,2)*100 on both
+    engines); the timestamp literals parse identically under the UTC
+    session the catalog pins."""
+    return (
+        Table(spark, sf_dir, "events", row_key="event_id")
+        .scan()
+        .with_time_range("ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .with_filter(F.col("event_type").isin("click", "purchase"))
+        .group_agg(
+            ["event_type"],
+            n_events=F.count("*").cast("long"),
+            n_users=F.countDistinct("user_id").cast("long"),
+            sum_cents=F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).cast("long"),
+        )
+    )

@@ -572,6 +572,7 @@ _R9_BACKLOG = [
     "x_verify_replication",
     "x_eval_mrr",
     "x_region_split_points",
+    "x_client_scan_timerange",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
