@@ -2017,3 +2017,113 @@ def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(viol).cast("long").alias("n_violating_classes"),
         F.coalesce(F.sum(viol), F.lit(0)).cast("long").alias("n_violating_rows"),
     )
+
+
+@query(
+    "x_funnel_attribution",
+    category="analytics",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, event_type, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), "
+        "seg AS (SELECT user_id, event_type, ts_us, event_id, "
+        "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p, "
+        "  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+        "    ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "    AS seg_id "
+        "  FROM e), "
+        "sl AS (SELECT user_id, seg_id, "
+        "  CAST(MAX(is_p) AS BIGINT) AS has_conv, "
+        "  CAST(COUNT(*) FILTER (WHERE is_p = 0) AS BIGINT) AS n_touches "
+        "  FROM seg GROUP BY 1, 2), "
+        "t AS (SELECT s.user_id, s.seg_id, s.event_type, l.n_touches, "
+        "  row_number() OVER (PARTITION BY s.user_id, s.seg_id "
+        "    ORDER BY s.ts_us, s.event_id) AS rn_a, "
+        "  row_number() OVER (PARTITION BY s.user_id, s.seg_id "
+        "    ORDER BY s.ts_us DESC, s.event_id DESC) AS rn_d "
+        "  FROM seg s JOIN sl l ON s.user_id = l.user_id "
+        "    AND s.seg_id = l.seg_id "
+        "  WHERE s.is_p = 0 AND l.has_conv = 1) "
+        "SELECT event_type AS channel, "
+        "  CAST(COUNT(*) FILTER (WHERE rn_a = 1) AS BIGINT) AS first_touch_conv, "
+        "  CAST(COUNT(*) FILTER (WHERE rn_d = 1) AS BIGINT) AS last_touch_conv, "
+        "  CAST(SUM(1000000 // n_touches) AS BIGINT) AS linear_credit_micro, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_touches_total "
+        "FROM t GROUP BY 1"
+    ),
+)
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution — the credit-assignment query behind every
+    conversion dashboard, and the funnel family's missing piece
+    (x_funnel_conversion counts who converts; this answers WHICH
+    channel gets credit).  Each user's event stream is segmented at
+    purchases (a purchase converts exactly the touches since the
+    previous purchase; touches after the last purchase attribute to
+    nothing); within each converting segment the non-purchase touches
+    earn first-touch, last-touch, and linear credit per channel
+    (= event type).
+
+    Determinism: segment ids come from a strictly-preceding purchase
+    count (ties broken by event_id everywhere), and linear credit is
+    exact integer micro-arithmetic — 1000000 DIV n_touches per touch,
+    both engines truncating identically on positive ints (remainders
+    drop rather than float-drift; the per-segment credit sum is
+    documented as <= 1000000, not == — the standard integer-credit
+    convention).
+
+    Scale shape: one user-keyed window (the sessionize shuffle every
+    path/funnel query already pays), a (user, segment) aggregate and
+    its co-keyed join back, two (user, segment) windows on the same
+    partitioning, and a |channels|-bounded final aggregate.  No
+    self-joins over the event stream, no per-conversion lookback scan
+    — a billion conversions cost the same two keyed shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        is_p.alias("is_p"),
+        F.coalesce(
+            F.sum(is_p).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("seg_id"),
+    )
+    sl = (
+        seg.groupBy("user_id", "seg_id")
+        .agg(
+            F.max("is_p").cast("long").alias("has_conv"),
+            F.count(F.when(F.col("is_p") == 0, 1)).cast("long").alias("n_touches"),
+        )
+        .filter(F.col("has_conv") == 1)
+        .select("user_id", "seg_id", "n_touches")
+    )
+    wa = Window.partitionBy("user_id", "seg_id").orderBy("ts_us", "event_id")
+    wd = Window.partitionBy("user_id", "seg_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    touches = (
+        seg.filter(F.col("is_p") == 0)
+        .join(sl, ["user_id", "seg_id"])
+        .select(
+            "event_type",
+            "n_touches",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+    )
+    return touches.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.when(F.col("rn_a") == 1, 1)).cast("long").alias("first_touch_conv"),
+        F.count(F.when(F.col("rn_d") == 1, 1)).cast("long").alias("last_touch_conv"),
+        F.sum(F.expr("1000000 DIV n_touches")).cast("long").alias("linear_credit_micro"),
+        F.count("*").cast("long").alias("n_touches_total"),
+    )
