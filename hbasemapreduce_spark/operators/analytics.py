@@ -2107,10 +2107,12 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("has_conv") == 1)
         .select("user_id", "seg_id", "n_touches")
     )
+    # One ascending window suffices: within a segment the descending
+    # rank is n_touches - rn_a + 1 (the windows range over touch rows
+    # only), so "last touch" is rn_a == n_touches — one sort per
+    # (user, segment) partitioning instead of two opposite-order sorts.
+    # The oracle keeps the naive second window as the spec.
     wa = Window.partitionBy("user_id", "seg_id").orderBy("ts_us", "event_id")
-    wd = Window.partitionBy("user_id", "seg_id").orderBy(
-        F.desc("ts_us"), F.desc("event_id")
-    )
     touches = (
         seg.filter(F.col("is_p") == 0)
         .join(sl, ["user_id", "seg_id"])
@@ -2118,12 +2120,13 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_touches",
             F.row_number().over(wa).alias("rn_a"),
-            F.row_number().over(wd).alias("rn_d"),
         )
     )
     return touches.groupBy(F.col("event_type").alias("channel")).agg(
         F.count(F.when(F.col("rn_a") == 1, 1)).cast("long").alias("first_touch_conv"),
-        F.count(F.when(F.col("rn_d") == 1, 1)).cast("long").alias("last_touch_conv"),
+        F.count(F.when(F.col("rn_a") == F.col("n_touches"), 1))
+        .cast("long")
+        .alias("last_touch_conv"),
         F.sum(F.expr("1000000 DIV n_touches")).cast("long").alias("linear_credit_micro"),
         F.count("*").cast("long").alias("n_touches_total"),
     )
