@@ -1499,6 +1499,14 @@ def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("bkt")
+        # The dirty-range set is corruption-bounded (a handful of range
+        # ids), but it feeds BOTH row-phase semi-joins — without a cut
+        # here Catalyst inlines the whole two-table digest subtree into
+        # each branch (24 parquet scans at plan time).  The lazy local
+        # checkpoint computes the digest comparison ONCE and shares the
+        # tiny result, exactly like HBase HashTable materializing its
+        # hash files before SyncTable runs.
+        .localCheckpoint(eager=False)
     )
     bkt = F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt")
     s2 = src.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
