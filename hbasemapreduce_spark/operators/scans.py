@@ -581,3 +581,102 @@ def region_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+# --- major compaction: LSM cell merge with tombstones/TTL/versions -----
+
+
+@query(
+    "x_compact_major",
+    category="scan",
+    oracle=(
+        "WITH base AS (SELECT user_id, event_type, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  event_id FROM events), "
+        # gen1: a younger HFile generation of re-puts (newer versions of
+        # every 5th cell, one day later, ten cents higher)
+        "cells AS (SELECT * FROM base UNION ALL "
+        "  SELECT user_id, event_type, ts_us + 86400000000, cents + 10, "
+        "  event_id + 2000000000 FROM base WHERE event_id % 5 = 0), "
+        # DeleteColumn tombstones: one marker per (user%11==0, 'click')
+        # cell, masking every version at or before the marker timestamp
+        "marks AS (SELECT DISTINCT user_id, event_type, "
+        "  epoch_us(TIMESTAMP '2024-01-15 00:00:00') AS mark_ts "
+        "  FROM base WHERE user_id % 11 = 0 AND event_type = 'click'), "
+        "masked AS (SELECT c.* FROM cells c LEFT JOIN marks m "
+        "  ON c.user_id = m.user_id AND c.event_type = m.event_type "
+        "  WHERE m.mark_ts IS NULL OR c.ts_us > m.mark_ts), "
+        "live AS (SELECT * FROM masked "
+        "  WHERE ts_us >= epoch_us(TIMESTAMP '2024-01-05 00:00:00')), "
+        "v AS (SELECT user_id, event_type, ts_us, cents, "
+        "  row_number() OVER (PARTITION BY user_id, event_type "
+        "    ORDER BY ts_us DESC, event_id DESC) AS version FROM live) "
+        "SELECT user_id, event_type, CAST(version AS BIGINT) AS version, "
+        "ts_us, cents FROM v WHERE version <= 2"
+    ),
+)
+def compact_major(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase MAJOR COMPACTION as one dataflow — the storage semantic
+    the whole genre sits on, composed end-to-end: two HFile
+    generations (the base cells plus a younger generation of re-puts:
+    every 5th cell re-written a day later, ten cents higher) merge by
+    UNION; DeleteColumn tombstones (one per (user_id % 11, 'click')
+    cell, stamped 2024-01-15) mask every version at-or-before the
+    marker and are themselves PURGED — exactly what distinguishes a
+    major compaction from a minor one; the column family's TTL floor
+    (2024-01-05) expires old cells; and readVersions-style retention
+    keeps the 2 newest surviving versions per (row key, qualifier),
+    ranked.  x_cell_versions covers TTL+versions on a live read path;
+    this key adds the generation merge and tombstone masking that run
+    at rewrite time.
+
+    Determinism: timestamps compare as epoch micros against literal
+    marks (the events domain is fixed Jan-2024 at every SF); version
+    ties break on event_id (re-put ids are offset by 2e9, so ranks are
+    total); money is exact integer cents.
+
+    Scale shape: the generation merge is a shuffle-free UNION; the
+    tombstone mask is an equi-join on the SAME (row, qualifier) key
+    the version window then partitions by, so one hash partitioning
+    serves both (markers are corpus-keyed, hence a keyed join, NOT a
+    broadcast); retention is one WindowGroupLimit-able rank filter.
+    One compaction = two keyed shuffles, independent of how many
+    generations union in."""
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    gen1 = base.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") + 86400000000).alias("ts_us"),
+        (F.col("cents") + 10).alias("cents"),
+        (F.col("event_id") + 2000000000).alias("event_id"),
+    )
+    cells = base.unionAll(gen1)
+    mark_ts = F.unix_micros(F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    marks = (
+        base.filter((F.col("user_id") % 11 == 0) & (F.col("event_type") == "click"))
+        .select("user_id", "event_type")
+        .distinct()
+        .select("user_id", "event_type", mark_ts.alias("mark_ts"))
+    )
+    masked = cells.join(marks, ["user_id", "event_type"], "left").filter(
+        F.col("mark_ts").isNull() | (F.col("ts_us") > F.col("mark_ts"))
+    )
+    ttl_floor = F.unix_micros(F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    live = masked.filter(F.col("ts_us") >= ttl_floor)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        live.withColumn("version", F.row_number().over(w).cast("long"))
+        .filter(F.col("version") <= 2)
+        .select("user_id", "event_type", "version", "ts_us", "cents")
+    )

@@ -574,6 +574,7 @@ _R9_BACKLOG = [
     "x_region_split_points",
     "x_client_scan_timerange",
     "x_funnel_attribution",
+    "x_compact_major",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
