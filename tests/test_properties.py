@@ -2327,3 +2327,51 @@ def test_priority_sample_estimator_error_and_exact_small_groups(spark):
             rel = abs(r.est_total_chars - r.true_total_chars) / r.true_total_chars
             assert rel <= 3 / (k - 1) ** 0.5, (r.lang, rel)
         assert 0 < r.sample_id_sum
+
+
+def test_verify_replication_conservation(spark):
+    # The census must conserve both tables: every source id is exactly
+    # one of {good, content-different, only-in-source}; the foreign-row
+    # and redelivery counts match their generation moduli directly.
+    r = SPECS["x_verify_replication"].fn(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, SF_DIR, "events")
+    n_src = ev.count()
+    assert r.goodrows + r.content_different + r.only_in_source == n_src
+    assert r.only_in_target == ev.filter(F.col("event_id") % 19 == 0).count()
+    assert r.only_in_source == ev.filter(F.col("event_id") % 17 == 0).count()
+    assert r.duplicate_deliveries == ev.filter(
+        (F.col("event_id") % 17 != 0) & (F.col("event_id") % 10 == 0)
+    ).count()
+
+
+def test_compact_major_retention_invariants(spark):
+    # Post-compaction state: at most 2 versions per cell with ranks
+    # dense from 1; nothing below the TTL floor; every tombstoned cell
+    # ((user%11, click)) shows no version at or before the marker.
+    import pandas as pd
+
+    out = SPECS["x_compact_major"].fn(spark, SF_DIR).toPandas()
+    g = out.groupby(["user_id", "event_type"])["version"]
+    assert int(g.max().max()) <= 2
+    assert (g.min() == 1).all()
+    ttl_floor = pd.Timestamp("2024-01-05").value // 1000
+    mark_ts = pd.Timestamp("2024-01-15").value // 1000
+    assert int(out.ts_us.min()) >= ttl_floor
+    marked = out[(out.user_id % 11 == 0) & (out.event_type == "click")]
+    assert marked.empty or int(marked.ts_us.min()) > mark_ts
+
+
+def test_funnel_attribution_credit_bounds(spark):
+    # First- and last-touch totals both equal the number of converting
+    # segments that had any touch, and linear credit never exceeds
+    # 1e6 per conversion (integer truncation drops remainders).
+    rows = SPECS["x_funnel_attribution"].fn(spark, SF_DIR).collect()
+    assert rows
+    n_ft = sum(r.first_touch_conv for r in rows)
+    n_lt = sum(r.last_touch_conv for r in rows)
+    assert n_ft == n_lt > 0
+    total_linear = sum(r.linear_credit_micro for r in rows)
+    assert total_linear <= n_ft * 1_000_000
+    # the drop from exact 1e6/conversion is only truncation: strictly
+    # less than n_touches per segment, so within n_touches_total overall
+    assert n_ft * 1_000_000 - total_linear < sum(r.n_touches_total for r in rows)
