@@ -94,6 +94,16 @@ class Scan:
         s._limit = n
         return s
 
+    def with_time_range(self, ts_col: str, min_ts: str, max_ts: str) -> "Scan":
+        """HBase ``Scan.setTimeRange(minStamp, maxStamp)``: keep cells
+        whose timestamp falls in [min, max) — min inclusive, max
+        exclusive, like the HBase API.  Composes as two more pushable
+        value filters, so it costs nothing beyond the scan it narrows."""
+        return self.with_filter(
+            (F.col(ts_col) >= F.lit(min_ts).cast("timestamp"))
+            & (F.col(ts_col) < F.lit(max_ts).cast("timestamp"))
+        )
+
     def to_df(self) -> DataFrame:
         """Compile to a DataFrame — no execution, no RDDs: range and
         value predicates become pushable filters, the projection prunes
@@ -448,20 +458,6 @@ def client_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("counter_cents").cast("long").alias("sum_counter_cents"),
         )
     )
-
-
-def _with_time_range(scan: Scan, ts_col: str, min_ts: str, max_ts: str) -> Scan:
-    """HBase ``Scan.setTimeRange(minStamp, maxStamp)``: keep cells whose
-    timestamp falls in [min, max) — min inclusive, max exclusive, like
-    the HBase API.  Composes as two more pushable value filters, so it
-    costs nothing beyond the scan it narrows."""
-    return scan.with_filter(
-        (F.col(ts_col) >= F.lit(min_ts).cast("timestamp"))
-        & (F.col(ts_col) < F.lit(max_ts).cast("timestamp"))
-    )
-
-
-Scan.with_time_range = _with_time_range
 
 
 @query(

@@ -1389,56 +1389,14 @@ def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYNC_BUCKET = 64  # rowkey-range width of one digest bucket
 
 
-@query(
-    "x_sync_table",
-    category="pipeline",
-    oracle=(
-        "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
-        "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
-        "  FROM orders), "
-        "tgt AS ("
-        "  SELECT o_orderkey, o_custkey, o_orderstatus, "
-        "    CASE WHEN o_orderkey % 523 = 0 THEN cents + 1 ELSE cents END AS cents "
-        "  FROM src WHERE o_orderkey % 997 <> 0 "
-        "  UNION ALL "
-        "  SELECT o_orderkey + 4000000, o_custkey, o_orderstatus, cents "
-        "  FROM src WHERE o_orderkey % 719 = 0) "
-        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
-        "CASE WHEN s.o_orderkey IS NULL THEN 'added' "
-        "     WHEN t.o_orderkey IS NULL THEN 'removed' "
-        "     ELSE 'changed' END AS change_type, "
-        "s.cents AS src_cents, t.cents AS tgt_cents "
-        "FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey "
-        "WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL "
-        "OR s.cents <> t.cents OR s.o_custkey <> t.o_custkey "
-        "OR s.o_orderstatus <> t.o_orderstatus"
-    ),
-)
-def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HBase HashTable/SyncTable (the genre's two-MR-job table
-    reconciliation tool) on DataFrames: phase 1 digests each
-    64-key rowkey RANGE on both tables into an order-insensitive
-    (sum-of-md5-words, rowcount) triple; phase 2 row-diffs ONLY the
-    ranges whose digests disagree.  The replica is derived
-    deterministically from orders (drops every 997th key, flips one
-    cent on every 523rd, inserts shifted copies of every 719th) so
-    corruption is SPARSE — most ranges digest clean and never reach
-    the row-level join (strict-subset pruning asserted in
-    tests/test_plans.py at sf0.001), which is the entire point of the tool at
-    100 TB: the digest pass shuffles ~(n_rows / 64) tiny triples and
-    the expensive full-outer row diff touches only dirty ranges.
-
-    The ORACLE is the naive full-table diff with no bucketing or
-    hashing anywhere, so the driver's hash match proves the digest
-    pruning LOSSLESS: a range containing any added/removed/changed row
-    always digests dirty (a false-clean needs the 48-bit word sums of
-    the two sides to collide — ~2^-48 per range, and deterministic on
-    a fixed corpus: validated exact at every test SF).  Buckets are
-    keyed by ``o_orderkey DIV 64`` so a dirty range maps back to a
-    contiguous rowkey scan, exactly like HBase's per-range hash files.
-
-    Money compares as exact integer cents; the one-cent corruption is
-    invisible to any float tolerance but always flips the digest."""
+def _sync_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(source, target, dirty-range ids) behind x_sync_table — the
+    digest phase is exposed so tests can assert on ITS result (which
+    ranges actually pass the mismatch filter), not just on the final
+    diff output, which would stay correct even if the pruning filter
+    regressed to a tautology."""
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -1508,6 +1466,60 @@ def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash files before SyncTable runs.
         .localCheckpoint(eager=False)
     )
+    return src, tgt, dirty
+
+
+@query(
+    "x_sync_table",
+    category="pipeline",
+    oracle=(
+        "WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM orders), "
+        "tgt AS ("
+        "  SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "    CASE WHEN o_orderkey % 523 = 0 THEN cents + 1 ELSE cents END AS cents "
+        "  FROM src WHERE o_orderkey % 997 <> 0 "
+        "  UNION ALL "
+        "  SELECT o_orderkey + 4000000, o_custkey, o_orderstatus, cents "
+        "  FROM src WHERE o_orderkey % 719 = 0) "
+        "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
+        "CASE WHEN s.o_orderkey IS NULL THEN 'added' "
+        "     WHEN t.o_orderkey IS NULL THEN 'removed' "
+        "     ELSE 'changed' END AS change_type, "
+        "s.cents AS src_cents, t.cents AS tgt_cents "
+        "FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey "
+        "WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL "
+        "OR s.cents <> t.cents OR s.o_custkey <> t.o_custkey "
+        "OR s.o_orderstatus <> t.o_orderstatus"
+    ),
+)
+def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase HashTable/SyncTable (the genre's two-MR-job table
+    reconciliation tool) on DataFrames: phase 1 digests each
+    64-key rowkey RANGE on both tables into an order-insensitive
+    (sum-of-md5-words, rowcount) triple; phase 2 row-diffs ONLY the
+    ranges whose digests disagree.  The replica is derived
+    deterministically from orders (drops every 997th key, flips one
+    cent on every 523rd, inserts shifted copies of every 719th) so
+    corruption is SPARSE — most ranges digest clean and never reach
+    the row-level join (strict-subset pruning asserted in
+    tests/test_plans.py at sf0.001), which is the entire point of the tool at
+    100 TB: the digest pass shuffles ~(n_rows / 64) tiny triples and
+    the expensive full-outer row diff touches only dirty ranges.
+
+    The ORACLE is the naive full-table diff with no bucketing or
+    hashing anywhere, so the driver's hash match proves the digest
+    pruning LOSSLESS: a range containing any added/removed/changed row
+    always digests dirty (a false-clean needs the 48-bit word sums of
+    the two sides to collide — ~2^-48 per range, and deterministic on
+    a fixed corpus: validated exact at every test SF).  Buckets are
+    keyed by ``o_orderkey DIV 64`` so a dirty range maps back to a
+    contiguous rowkey scan, exactly like HBase's per-range hash files.
+
+    Money compares as exact integer cents; the one-cent corruption is
+    invisible to any float tolerance but always flips the digest."""
+    src, tgt, dirty = _sync_frames(spark, sf_dir)
     bkt = F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt")
     s2 = src.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
     t2 = tgt.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")

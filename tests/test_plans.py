@@ -617,22 +617,26 @@ def test_zonemap_reads_only_needed_columns(spark):
 def test_sync_table_prunes_clean_ranges(spark):
     # x_sync_table's entire value over the naive diff (its oracle) is
     # that clean rowkey ranges never reach the row-level full-outer
-    # join.  Assert (a) the corruption really is sparse — the dirty
-    # range set is a strict subset of the range domain — and (b) the
-    # dirty-range filter is a broadcast SEMI join, so the row phase
-    # shuffles nothing to prune.
-    from hbasemapreduce_spark.catalog import load_table
-    from hbasemapreduce_spark.operators.pipeline import _SYNC_BUCKET
+    # join.  Assert on the DIGEST PHASE ITSELF (via _sync_frames, not
+    # the final diff output, which would stay oracle-correct even if
+    # the mismatch filter regressed to a tautology): (a) the dirty set
+    # is a strict non-empty subset of the combined src∪tgt range
+    # domain, (b) it equals exactly the ranges the diff output touches
+    # — no false-dirty ranges, none missed — and (c) the dirty-range
+    # filter is a broadcast SEMI join, so the row phase shuffles
+    # nothing to prune.
+    from hbasemapreduce_spark.operators.pipeline import _SYNC_BUCKET, _sync_frames
 
-    out = all_specs()["x_sync_table"].fn(spark, SF_DIR).collect()
-    dirty = {r.o_orderkey // _SYNC_BUCKET for r in out}
-    n_total = (
-        load_table(spark, SF_DIR, "orders")
-        .selectExpr(f"o_orderkey DIV {_SYNC_BUCKET} AS bkt")
-        .distinct()
-        .count()
+    src, tgt, dirty = _sync_frames(spark, SF_DIR)
+    dirty_set = {r.bkt for r in dirty.collect()}
+    bkt = f"o_orderkey DIV {_SYNC_BUCKET} AS bkt"
+    domain = (
+        src.selectExpr(bkt).union(tgt.selectExpr(bkt)).distinct().count()
     )
+    out = all_specs()["x_sync_table"].fn(spark, SF_DIR).collect()
+    out_set = {r.o_orderkey // _SYNC_BUCKET for r in out}
     assert out, "corruption model produced no diffs"
-    assert len(dirty) < n_total, (len(dirty), n_total)
+    assert 0 < len(dirty_set) < domain, (len(dirty_set), domain)
+    assert dirty_set == out_set
     p = plan_of(spark, "x_sync_table")
     assert "LeftSemi" in p and "BroadcastHashJoin" in p
