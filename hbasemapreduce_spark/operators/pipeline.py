@@ -1425,6 +1425,15 @@ def _sync_frames(
         )
     )
 
+    return src, tgt, _sync_dirty(src, tgt)
+
+
+def _sync_dirty(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Digest phase of x_sync_table over ARBITRARY (o_orderkey,
+    o_custkey, o_orderstatus, cents) frames: per-range order-
+    insensitive digests on both sides, returning the mismatched range
+    ids."""
+
     def digest(df: DataFrame, side: str) -> DataFrame:
         # Row hash -> two 24-bit md5 words; the per-range digest is
         # their SUMS plus the rowcount — order-insensitive, so the
@@ -1446,7 +1455,7 @@ def _sync_frames(
             )
         )
 
-    dirty = (
+    return (
         digest(src, "src")
         .join(digest(tgt, "tgt"), "bkt", "full_outer")
         .filter(
@@ -1466,7 +1475,50 @@ def _sync_frames(
         # hash files before SyncTable runs.
         .localCheckpoint(eager=False)
     )
-    return src, tgt, dirty
+
+
+
+def _sync_row_diff(src: DataFrame, tgt: DataFrame, dirty: DataFrame) -> DataFrame:
+    """Row phase of x_sync_table over ARBITRARY (o_orderkey, o_custkey,
+    o_orderstatus, cents) frames: semi-join both sides to the dirty
+    ranges, full-outer diff within them.  Factored out so the
+    hypothesis differential can drive the digest+prune+diff machinery
+    over generated tables (duplicate keys, boundary buckets, empty
+    sides), not just the fixed corpus."""
+    bkt = F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt")
+    s2 = src.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
+    t2 = tgt.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
+    a = s2.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_custkey").alias("s_cust"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("cents").alias("src_cents"),
+    )
+    b = t2.select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_custkey").alias("t_cust"),
+        F.col("o_orderstatus").alias("t_status"),
+        F.col("cents").alias("tgt_cents"),
+    )
+    return (
+        a.join(b, F.col("s_key") == F.col("t_key"), "full_outer")
+        .filter(
+            F.col("s_key").isNull()
+            | F.col("t_key").isNull()
+            | (F.col("src_cents") != F.col("tgt_cents"))
+            | (F.col("s_cust") != F.col("t_cust"))
+            | (F.col("s_status") != F.col("t_status"))
+        )
+        .select(
+            F.coalesce("s_key", "t_key").alias("o_orderkey"),
+            F.when(F.col("s_key").isNull(), "added")
+            .when(F.col("t_key").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "src_cents",
+            "tgt_cents",
+        )
+    )
 
 
 @query(
@@ -1520,40 +1572,7 @@ def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Money compares as exact integer cents; the one-cent corruption is
     invisible to any float tolerance but always flips the digest."""
     src, tgt, dirty = _sync_frames(spark, sf_dir)
-    bkt = F.expr(f"o_orderkey DIV {_SYNC_BUCKET}").alias("bkt")
-    s2 = src.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
-    t2 = tgt.select(bkt, "*").join(F.broadcast(dirty), "bkt", "left_semi")
-    a = s2.select(
-        F.col("o_orderkey").alias("s_key"),
-        F.col("o_custkey").alias("s_cust"),
-        F.col("o_orderstatus").alias("s_status"),
-        F.col("cents").alias("src_cents"),
-    )
-    b = t2.select(
-        F.col("o_orderkey").alias("t_key"),
-        F.col("o_custkey").alias("t_cust"),
-        F.col("o_orderstatus").alias("t_status"),
-        F.col("cents").alias("tgt_cents"),
-    )
-    return (
-        a.join(b, F.col("s_key") == F.col("t_key"), "full_outer")
-        .filter(
-            F.col("s_key").isNull()
-            | F.col("t_key").isNull()
-            | (F.col("src_cents") != F.col("tgt_cents"))
-            | (F.col("s_cust") != F.col("t_cust"))
-            | (F.col("s_status") != F.col("t_status"))
-        )
-        .select(
-            F.coalesce("s_key", "t_key").alias("o_orderkey"),
-            F.when(F.col("s_key").isNull(), "added")
-            .when(F.col("t_key").isNull(), "removed")
-            .otherwise("changed")
-            .alias("change_type"),
-            "src_cents",
-            "tgt_cents",
-        )
-    )
+    return _sync_row_diff(src, tgt, dirty)
 
 
 @query(

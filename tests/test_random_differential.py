@@ -1391,3 +1391,71 @@ def test_bigint_to_double_conversion_diverges_past_int64(spark, oracle):
     s2 = spark.sql(f"SELECT {expr} AS d").collect()[0].d
     d2 = oracle.execute(f"SELECT {expr}").fetchone()[0]
     assert s2 == d2  # identical IEEE sequence -> identical double
+
+
+def test_sync_table_core_matches_pandas_naive_diff(spark):
+    # The digest+prune+diff machinery must equal a naive pandas
+    # full-outer diff on ANY pair of tables — duplicate keys, bucket
+    # boundary keys (63/64/65), one-sided buckets, empty diffs — not
+    # just the fixed corpus the oracle pins.  A digest false-clean
+    # (sum collision) or a prune that drops a dirty range shows up
+    # here as a missing diff row.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hbasemapreduce_spark.operators.pipeline import (
+        _sync_dirty,
+        _sync_row_diff,
+    )
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=300),  # keys straddle buckets 0..4
+        st.integers(min_value=0, max_value=5),
+        st.sampled_from(["O", "F", "P"]),
+        st.integers(min_value=-100, max_value=100),
+    )
+
+    def naive(src_rows, tgt_rows):
+        a = pd.DataFrame(src_rows, columns=["k", "c", "s", "cents"])
+        b = pd.DataFrame(tgt_rows, columns=["k", "c", "s", "cents"])
+        m = a.merge(b, on="k", how="outer", indicator="which", suffixes=("_a", "_b"))
+        out = []
+        for r in m.itertuples():
+            if r.which == "left_only":
+                out.append((r.k, "removed", r.cents_a, None))
+            elif r.which == "right_only":
+                out.append((r.k, "added", None, r.cents_b))
+            elif (r.cents_a != r.cents_b) or (r.c_a != r.c_b) or (r.s_a != r.s_b):
+                out.append((r.k, "changed", r.cents_a, r.cents_b))
+        return Counter(out)
+
+    schema = "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, cents LONG"
+
+    @given(
+        src=st.lists(row, min_size=0, max_size=40),
+        muts=st.lists(
+            st.tuples(st.sampled_from(["drop", "flip", "insert"]), row),
+            min_size=0,
+            max_size=8,
+        ),
+    )
+    @settings(max_examples=6, deadline=None)
+    def run(src, muts):
+        tgt = list(src)
+        for op, r in muts:
+            if op == "drop" and tgt:
+                tgt.pop(hash(r) % len(tgt))
+            elif op == "flip" and tgt:
+                k, c, s, cents = tgt[hash(r) % len(tgt)]
+                tgt[hash(r) % len(tgt)] = (k, c, s, cents + 1)
+            else:
+                tgt.append(r)
+        sdf = spark.createDataFrame(src or [], schema)
+        tdf = spark.createDataFrame(tgt or [], schema)
+        got = Counter(
+            (r.o_orderkey, r.change_type, r.src_cents, r.tgt_cents)
+            for r in _sync_row_diff(sdf, tdf, _sync_dirty(sdf, tdf)).collect()
+        )
+        assert got == naive(src, tgt)
+
+    run()
