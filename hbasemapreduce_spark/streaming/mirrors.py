@@ -715,3 +715,79 @@ def counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_counter"] = counter_stream
+
+
+def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_funnel_attribution: per-user conversion
+    segments carried as explicit state in applyInPandasWithState — a
+    purchase CLOSES the open segment, emitting one append-mode row per
+    channel that touched it (touch count, segment size, first/last
+    flags); the state then resets for the next segment.  Touches after
+    the last purchase stay in state and are never emitted, matching
+    the batch key's "attribute to nothing" rule.
+
+    Channel counts live in the state as a sorted-key JSON string (the
+    channel domain is |event_types|-bounded, a few bytes); emitted
+    rows are per-SEGMENT facts, so append mode is exact — a closed
+    segment can never retract.  Same one-pass caveat as funnel_stream:
+    exact when per-key event-time order across micro-batches is
+    non-decreasing, which the file source's single availableNow batch
+    satisfies.  The equality test folds channel rows into first/last-
+    touch counts and linear micro-credit (c * (1000000 DIV n) — every
+    touch in a segment carries the same exact credit) and compares
+    against the batch key."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_attr(key, pdfs, state: GroupState):
+        if state.exists:
+            n, ft, lt, cc = state.get
+            counts = _json.loads(cc)
+        else:
+            n, ft, lt, counts = 0, "", "", {}
+        out = []
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            ev = pd.concat(frames, ignore_index=True)
+            ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+            ev = ev.sort_values(["ts_us", "event_id"], ignore_index=True)
+            for etype in ev["event_type"]:
+                if etype == "purchase":
+                    if n > 0:
+                        for ch, c in counts.items():
+                            out.append(
+                                (ch, c, n, int(ch == ft), int(ch == lt))
+                            )
+                    n, ft, lt, counts = 0, "", "", {}
+                else:
+                    n += 1
+                    if n == 1:
+                        ft = etype
+                    lt = etype
+                    counts[etype] = counts.get(etype, 0) + 1
+        state.update((n, ft, lt, _json.dumps(counts, sort_keys=True)))
+        yield pd.DataFrame(
+            out,
+            columns=["channel", "n_in_channel", "n_touches", "is_first", "is_last"],
+        )
+
+    return (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_attr,
+            outputStructType=(
+                "channel string, n_in_channel long, n_touches long, "
+                "is_first long, is_last long"
+            ),
+            stateStructType="n long, ft string, lt string, cc string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+MIRRORS["x_funnel_attribution"] = attribution_stream

@@ -255,3 +255,33 @@ def test_stream_counter_matches_batch(spark):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert g == b and len(g) > 0
+
+
+def test_stream_attribution_matches_batch(spark):
+    # Per-user segment state: append-mode channel rows from closed
+    # segments fold into the exact batch census — first/last-touch
+    # counts and linear micro-credit (every touch in a segment carries
+    # the identical 1000000 DIV n credit, so channel credit is
+    # c * (1000000 DIV n)).
+    from collections import defaultdict
+
+    got = run_mirror_to_memory(
+        spark, SF_DIR, "x_funnel_attribution", output_mode="append"
+    )
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # ft, lt, linear, touches
+    for r in got.collect():
+        a = acc[r.channel]
+        a[0] += r.is_first
+        a[1] += r.is_last
+        a[2] += r.n_in_channel * (1_000_000 // r.n_touches)
+        a[3] += r.n_in_channel
+    batch = {
+        r.channel: [
+            r.first_touch_conv,
+            r.last_touch_conv,
+            r.linear_credit_micro,
+            r.n_touches_total,
+        ]
+        for r in all_specs()["x_funnel_attribution"].fn(spark, SF_DIR).collect()
+    }
+    assert dict(acc) == batch
