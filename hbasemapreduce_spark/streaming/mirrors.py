@@ -791,3 +791,87 @@ def attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_funnel_attribution"] = attribution_stream
+
+
+def compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_compact_major: the LSM semantic maintained
+    INCREMENTALLY — cells stream in (base puts plus the gen1 re-put
+    stream unioned in), TTL and tombstone masking apply as STATELESS
+    filters (the batch key's tombstone join reduces to a pure
+    predicate here: every masked (user%11, 'click') mark is witnessed
+    by the very cells it masks, so existence is implied), and per-cell
+    applyInPandasWithState keeps the 2 newest surviving versions —
+    HBase's memstore + compaction picture, where the read path always
+    sees the post-compaction state.
+
+    Update-mode: each micro-batch re-emits a key's current top-2; with
+    the file source's single availableNow batch there is exactly one
+    update per cell, which the equality test compares row-for-row
+    against the batch key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    gen1 = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") + 86400000000).alias("ts_us"),
+        (F.col("cents") + 10).alias("cents"),
+        (F.col("event_id") + 2000000000).alias("event_id"),
+    )
+    mark = F.unix_micros(F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    ttl = F.unix_micros(F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    live = (
+        ev.unionByName(gen1)
+        .filter(F.col("ts_us") >= ttl)
+        .filter(
+            ~(
+                (F.col("user_id") % 11 == 0)
+                & (F.col("event_type") == "click")
+                & (F.col("ts_us") <= mark)
+            )
+        )
+    )
+
+    def update_cell(key, pdfs, state: GroupState):
+        # state: the 2 newest surviving versions as flat longs
+        # (cents may be NULL -> None; ts/eid are never NULL)
+        vers = []
+        if state.exists:
+            t1, e1, c1, t2, e2, c2 = state.get
+            vers.append((t1, e1, c1))
+            if t2 is not None:
+                vers.append((t2, e2, c2))
+        for pdf in pdfs:
+            for t, c, e in zip(pdf["ts_us"], pdf["cents"], pdf["event_id"]):
+                vers.append((int(t), int(e), None if pd.isna(c) else int(c)))
+        vers.sort(key=lambda v: (-v[0], -v[1]))
+        vers = vers[:2]
+        flat = [x for v in vers for x in v] + [None] * (6 - 3 * len(vers))
+        state.update(tuple(flat))
+        yield pd.DataFrame(
+            [
+                (key[0], key[1], i + 1, v[0], v[2])
+                for i, v in enumerate(vers)
+            ],
+            columns=["user_id", "event_type", "version", "ts_us", "cents"],
+        )
+
+    return live.groupBy("user_id", "event_type").applyInPandasWithState(
+        update_cell,
+        outputStructType=(
+            "user_id long, event_type string, version long, ts_us long, cents long"
+        ),
+        stateStructType="t1 long, e1 long, c1 long, t2 long, e2 long, c2 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+MIRRORS["x_compact_major"] = compaction_stream

@@ -285,3 +285,21 @@ def test_stream_attribution_matches_batch(spark):
         for r in all_specs()["x_funnel_attribution"].fn(spark, SF_DIR).collect()
     }
     assert dict(acc) == batch
+
+
+def test_stream_compaction_matches_batch(spark):
+    # Per-cell top-2 version state after draining the cell stream must
+    # equal the batch major compaction row-for-row (single availableNow
+    # batch -> exactly one update per cell).
+    got = run_mirror_to_memory(
+        spark, SF_DIR, "x_compact_major", output_mode="update"
+    )
+    g = {
+        (r.user_id, r.event_type, r.version, r.ts_us, r.cents)
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.event_type, r.version, r.ts_us, r.cents)
+        for r in all_specs()["x_compact_major"].fn(spark, SF_DIR).collect()
+    }
+    assert g == b
