@@ -326,6 +326,40 @@ class Mutation:
         ).drop("__inc")
         return Mutation(df)
 
+    def append(
+        self,
+        key: str,
+        deltas: DataFrame,
+        delta_col: str,
+        order_cols: list[str],
+        target: str,
+    ) -> "Mutation":
+        """HBase ``Append`` batched: concatenate an ORDERED stream of
+        string deltas onto the value column ``target`` — HBase appends
+        are ordered by the region server's arrival order; the batch
+        equivalent makes that order explicit (``order_cols``), so the
+        fold is deterministic under any partitioning.  One aggregate
+        of the delta stream (sort_array over (order, delta) structs ->
+        the arrival-ordered concat) + one left join against the base —
+        the same two-shuffle budget as :meth:`increment`, for the
+        genre's audit-log / event-trail column family."""
+        agg = deltas.groupBy(key).agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(*order_cols, delta_col))
+                    ),
+                    lambda s: s[delta_col],
+                ),
+                "",
+            ).alias("__app")
+        )
+        df = self._df.join(agg, key, "left").withColumn(
+            target,
+            F.concat(F.col(target), F.coalesce(F.col("__app"), F.lit(""))),
+        ).drop("__app")
+        return Mutation(df)
+
     def snapshot(self) -> DataFrame:
         return self._df
 
@@ -500,4 +534,69 @@ def client_scan_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("value").cast("decimal(18,2)") * 100).cast("long")
             ).cast("long"),
         )
+    )
+
+
+@query(
+    "x_client_append",
+    category="scan",
+    oracle=(
+        "WITH d AS (SELECT user_id AS c_custkey, "
+        "  substr(event_type, 1, 1) AS tag, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id "
+        "  FROM events WHERE event_type IN ('click', 'purchase', 'view')), "
+        "a AS (SELECT c_custkey, "
+        "  string_agg(tag, '' ORDER BY ts_us, event_id) AS app "
+        "  FROM d GROUP BY 1) "
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "  COALESCE(a.app, '') AS event_trail, "
+        "  CAST(length(COALESCE(a.app, '')) AS BIGINT) AS trail_len "
+        "FROM customer c LEFT JOIN a USING (c_custkey)"
+    ),
+)
+def client_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Append`` end-to-end — the last mutation type in the
+    client surface (Put/Delete via check_and_put/delete_where,
+    Increment via x_client_increment; Append is the audit-trail
+    mutation): each customer's event-trail column accumulates one tag
+    character per click/view/purchase IN EVENT-TIME ORDER.  HBase
+    orders appends by server arrival; the batch fold pins that order
+    explicitly on (ts, event_id), so the trail string is deterministic
+    under any partitioning — the struct-sorted collect_list makes
+    arrival order irrelevant, the same discipline as x_session_paths.
+
+    Scale shape: ONE delta aggregate (per-key, map-side partials
+    combine the structs) + ONE left join against the base table — a
+    billion appends cost two shuffles, not a billion RPCs; trail
+    length is bounded by per-key event counts, the same bound the
+    HBase cell would carry."""
+    base = (
+        Table(spark, sf_dir, "customer", row_key="c_custkey")
+        .scan()
+        .add_columns("c_custkey", "c_mktsegment")
+        .to_df()
+        .withColumn("event_trail", F.lit(""))
+    )
+    deltas = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "view"))
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.substring("event_type", 1, 1).alias("tag"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    snap = (
+        Mutation(base)
+        .append(
+            "c_custkey", deltas, "tag", ["ts_us", "event_id"], "event_trail"
+        )
+        .snapshot()
+    )
+    return snap.select(
+        "c_custkey",
+        "c_mktsegment",
+        "event_trail",
+        F.length("event_trail").cast("long").alias("trail_len"),
     )

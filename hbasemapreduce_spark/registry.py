@@ -575,6 +575,7 @@ _R9_BACKLOG = [
     "x_client_scan_timerange",
     "x_funnel_attribution",
     "x_compact_major",
+    "x_client_append",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
