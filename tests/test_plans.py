@@ -593,7 +593,14 @@ def test_bottomk_sketch_keys_use_window_group_limit(spark):
     # rank<=k filter into WindowGroupLimit (per-partition partial
     # top-k BEFORE the shuffle) — k rows per partition per group cross
     # the wire, never the corpus.  Pin it for all three sketch keys.
-    for key in ("x_agg_distinct_kmv", "x_agg_quantile_bottomk", "x_sample_priority"):
+    for key in (
+        "x_agg_distinct_kmv",
+        "x_agg_quantile_bottomk",
+        "x_sample_priority",
+        # rank<=k filters with the same claim in their docstrings:
+        "x_eval_mrr",        # top-100 per type before the shuffle
+        "x_compact_major",   # 2-version retention per cell
+    ):
         assert "WindowGroupLimit" in plan_of(spark, key), key
 
 
