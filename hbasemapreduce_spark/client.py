@@ -354,9 +354,14 @@ class Mutation:
                 "",
             ).alias("__app")
         )
+        # HBase Append's primary case is a not-yet-existing cell —
+        # a NULL target must behave as '', not poison the concat
         df = self._df.join(agg, key, "left").withColumn(
             target,
-            F.concat(F.col(target), F.coalesce(F.col("__app"), F.lit(""))),
+            F.concat(
+                F.coalesce(F.col(target), F.lit("")),
+                F.coalesce(F.col("__app"), F.lit("")),
+            ),
         ).drop("__app")
         return Mutation(df)
 

@@ -1432,14 +1432,28 @@ def _sync_dirty(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """Digest phase of x_sync_table over ARBITRARY (o_orderkey,
     o_custkey, o_orderstatus, cents) frames: per-range order-
     insensitive digests on both sides, returning the mismatched range
-    ids."""
+    ids.  One-way guarantee: every row-level diff makes its range
+    dirty; the converse can fail ONLY on duplicate-key multiset
+    differences (rowcounts differ, but full-outer JOIN semantics — the
+    oracle's own — cannot express which copy changed), so a dirty
+    range with zero diff rows is possible there and correct."""
 
     def digest(df: DataFrame, side: str) -> DataFrame:
         # Row hash -> two 24-bit md5 words; the per-range digest is
         # their SUMS plus the rowcount — order-insensitive, so the
         # digest pass needs no sort, only one hash aggregate.
+        # concat_ws DROPS null fields, so rows differing only in WHICH
+        # column is NULL would hash identically — render each column
+        # null-safely with a \x00 sentinel (outside every value domain)
+        # before hashing.
         h = F.md5(
-            F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus", "cents")
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "cents")
+                ],
+            )
         )
         return (
             df.select(
@@ -1500,14 +1514,20 @@ def _sync_row_diff(src: DataFrame, tgt: DataFrame, dirty: DataFrame) -> DataFram
         F.col("o_orderstatus").alias("t_status"),
         F.col("cents").alias("tgt_cents"),
     )
+    # Null-SAFE content comparison (eqNullSafe / IS DISTINCT FROM on
+    # both engines, same as verify_replication): a NULL-vs-value
+    # difference must flag as changed, not evaluate to NULL and slip
+    # through while the digest phase flags the range dirty.
     return (
         a.join(b, F.col("s_key") == F.col("t_key"), "full_outer")
         .filter(
             F.col("s_key").isNull()
             | F.col("t_key").isNull()
-            | (F.col("src_cents") != F.col("tgt_cents"))
-            | (F.col("s_cust") != F.col("t_cust"))
-            | (F.col("s_status") != F.col("t_status"))
+            | ~(
+                F.col("src_cents").eqNullSafe(F.col("tgt_cents"))
+                & F.col("s_cust").eqNullSafe(F.col("t_cust"))
+                & F.col("s_status").eqNullSafe(F.col("t_status"))
+            )
         )
         .select(
             F.coalesce("s_key", "t_key").alias("o_orderkey"),
@@ -1542,8 +1562,9 @@ def _sync_row_diff(src: DataFrame, tgt: DataFrame, dirty: DataFrame) -> DataFram
         "s.cents AS src_cents, t.cents AS tgt_cents "
         "FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey "
         "WHERE s.o_orderkey IS NULL OR t.o_orderkey IS NULL "
-        "OR s.cents <> t.cents OR s.o_custkey <> t.o_custkey "
-        "OR s.o_orderstatus <> t.o_orderstatus"
+        "OR s.cents IS DISTINCT FROM t.cents "
+        "OR s.o_custkey IS DISTINCT FROM t.o_custkey "
+        "OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus"
     ),
 )
 def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:

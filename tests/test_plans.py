@@ -632,7 +632,11 @@ def test_sync_table_prunes_clean_ranges(spark):
     # — no false-dirty ranges, none missed — and (c) the dirty-range
     # filter is a broadcast SEMI join, so the row phase shuffles
     # nothing to prune.
-    from hbasemapreduce_spark.operators.pipeline import _SYNC_BUCKET, _sync_frames
+    from hbasemapreduce_spark.operators.pipeline import (
+        _SYNC_BUCKET,
+        _sync_frames,
+        _sync_row_diff,
+    )
 
     src, tgt, dirty = _sync_frames(spark, SF_DIR)
     dirty_set = {r.bkt for r in dirty.collect()}
@@ -640,10 +644,14 @@ def test_sync_table_prunes_clean_ranges(spark):
     domain = (
         src.selectExpr(bkt).union(tgt.selectExpr(bkt)).distinct().count()
     )
-    out = all_specs()["x_sync_table"].fn(spark, SF_DIR).collect()
+    # reuse the already-built frames — re-invoking the registry fn
+    # would run the whole two-table digest subtree a second time
+    out = _sync_row_diff(src, tgt, dirty).collect()
     out_set = {r.o_orderkey // _SYNC_BUCKET for r in out}
     assert out, "corruption model produced no diffs"
     assert 0 < len(dirty_set) < domain, (len(dirty_set), domain)
+    # out ⊆ dirty always; equality additionally holds on THIS corpus
+    # (unique keys -> no duplicate-multiset dirty-without-diff ranges)
     assert dirty_set == out_set
     p = plan_of(spark, "x_sync_table")
     assert "LeftSemi" in p and "BroadcastHashJoin" in p

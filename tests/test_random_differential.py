@@ -1434,7 +1434,11 @@ def test_sync_table_core_matches_pandas_naive_diff(spark):
     @given(
         src=st.lists(row, min_size=0, max_size=40),
         muts=st.lists(
-            st.tuples(st.sampled_from(["drop", "flip", "insert"]), row),
+            st.tuples(
+                st.sampled_from(["drop", "flip", "insert"]),
+                row,
+                st.integers(min_value=0, max_value=10**6),
+            ),
             min_size=0,
             max_size=8,
         ),
@@ -1442,12 +1446,15 @@ def test_sync_table_core_matches_pandas_naive_diff(spark):
     @settings(max_examples=6, deadline=None)
     def run(src, muts):
         tgt = list(src)
-        for op, r in muts:
+        # idx comes from the strategy, not hash(): string hashing is
+        # PYTHONHASHSEED-randomized, which would make saved failing
+        # examples non-reproducible across processes
+        for op, r, idx in muts:
             if op == "drop" and tgt:
-                tgt.pop(hash(r) % len(tgt))
+                tgt.pop(idx % len(tgt))
             elif op == "flip" and tgt:
-                k, c, s, cents = tgt[hash(r) % len(tgt)]
-                tgt[hash(r) % len(tgt)] = (k, c, s, cents + 1)
+                k, c, s, cents = tgt[idx % len(tgt)]
+                tgt[idx % len(tgt)] = (k, c, s, cents + 1)
             else:
                 tgt.append(r)
         sdf = spark.createDataFrame(src or [], schema)
