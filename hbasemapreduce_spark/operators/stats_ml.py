@@ -4894,3 +4894,112 @@ def eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr_micro"),
         )
     )
+
+
+_RAK_K = 50
+
+
+@query(
+    "x_eval_recall_at_k",
+    category="stats_ml",
+    oracle=(
+        "WITH ev AS (SELECT event_type, user_id, value, "
+        "  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day "
+        "  FROM events), "
+        "b AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ev), "
+        "pred AS (SELECT event_type, user_id, "
+        "  SUM(CAST(value AS DECIMAL(18,2))) AS pred "
+        "  FROM ev CROSS JOIN b WHERE day <= mid GROUP BY 1, 2), "
+        "rel AS (SELECT event_type, user_id FROM ev CROSS JOIN b "
+        f"  WHERE day > mid GROUP BY 1, 2 HAVING COUNT(*) >= {_MRR_REL_MIN}), "
+        "cand AS (SELECT p.event_type, p.user_id, p.pred, "
+        "  r.user_id IS NOT NULL AS is_rel FROM pred p "
+        "  LEFT JOIN rel r ON p.event_type = r.event_type "
+        "    AND p.user_id = r.user_id), "
+        "dpos AS (SELECT event_type, is_rel, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY pred DESC, user_id) AS rn "
+        "  FROM cand), "
+        "hits AS (SELECT event_type, "
+        "  CAST(COUNT(*) FILTER (WHERE is_rel) AS BIGINT) AS n_hit "
+        f"  FROM dpos WHERE rn <= {_RAK_K} GROUP BY 1), "
+        "tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rel "
+        "  FROM cand WHERE is_rel GROUP BY 1) "
+        "SELECT t.event_type, h.n_hit, t.n_rel, "
+        "  1000000 * h.n_hit // t.n_rel AS recall_ppm "
+        "FROM tot t JOIN hits h ON t.event_type = h.event_type "
+        "WHERE t.n_rel > 0"
+    ),
+)
+def eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@50 per event type — the third leg of the retrieval-eval
+    triad on the shared prediction/relevance spine (x_eval_mrr = how
+    soon the first relevant hit, x_eval_ndcg = how well the whole top
+    is ordered; this = what fraction of ALL relevant users the top-50
+    covers — the metric that catches a ranker that nails its first hit
+    but starves the tail).  Relevance = >= 3 late-half events, same as
+    MRR, so the three metrics are directly comparable.
+
+    Determinism: exact integer hits/relevant counts and a ppm floor
+    division; ties break on user_id; the calendar-midpoint split is
+    the same whitelisted 1-row broadcast scalar.
+
+    Scale shape: identical to MRR — two (type, user) aggregates, a
+    same-key left join, one WindowGroupLimit-able top-50 window, and
+    two |types|-bounded aggregates joined on the type key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "value",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    bounds = ev.agg(((F.min("day") + F.max("day")) / 2).cast("bigint").alias("mid"))
+    evb = ev.crossJoin(F.broadcast(bounds))
+    pred = (
+        evb.filter(F.col("day") <= F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("pred"))
+    )
+    rel = (
+        evb.filter(F.col("day") > F.col("mid"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n_late"))
+        .filter(F.col("n_late") >= _MRR_REL_MIN)
+        .select("event_type", "user_id", F.lit(1).alias("is_rel"))
+    )
+    cand = pred.join(rel, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "pred",
+        F.col("is_rel").isNotNull().alias("is_rel"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("pred"), F.asc("user_id"))
+    # count hits with a conditional aggregate over ALL top-k rows (not
+    # a pre-filter on is_rel): a type whose top-50 holds zero relevant
+    # users must still emit n_hit = 0, exactly like the oracle's
+    # COUNT(*) FILTER — pre-filtering would drop the group entirely
+    # and the inner join below would lose the type.
+    hits = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RAK_K)
+        .groupBy("event_type")
+        .agg(F.count(F.when(F.col("is_rel"), 1)).cast("long").alias("n_hit"))
+    )
+    tot = (
+        cand.filter(F.col("is_rel"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_rel"))
+    )
+    return (
+        tot.join(hits, "event_type")
+        .filter(F.col("n_rel") > 0)
+        .select(
+            "event_type",
+            "n_hit",
+            "n_rel",
+            F.expr("1000000 * n_hit DIV n_rel").alias("recall_ppm"),
+        )
+    )

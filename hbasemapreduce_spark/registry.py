@@ -576,6 +576,7 @@ _R9_BACKLOG = [
     "x_funnel_attribution",
     "x_compact_major",
     "x_client_append",
+    "x_eval_recall_at_k",
 ]
 
 # Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
