@@ -330,6 +330,7 @@ _BNLJ_WHITELIST = {
     "x_stats_cuped",      # 1-row calendar-midpoint scalar (ks_drift pattern)
     "x_stats_did",        # 1-row calendar-midpoint scalar (ks_drift pattern)
     "x_eval_mrr",         # 1-row calendar-midpoint scalar (ndcg pattern)
+    "x_eval_recall_at_k", # 1-row calendar-midpoint scalar (ndcg pattern)
     "x_region_split_points",  # 1-row cut-point array scalar (7 cuts, content-bounded)
 }
 
