@@ -342,7 +342,18 @@ class Mutation:
         of the delta stream (sort_array over (order, delta) structs ->
         the arrival-ordered concat) + one left join against the base —
         the same two-shuffle budget as :meth:`increment`, for the
-        genre's audit-log / event-trail column family."""
+        genre's audit-log / event-trail column family.
+
+        ``order_cols`` MUST totally order each key's deltas.  The sort
+        struct is ``(*order_cols, delta_col)``, so if two deltas of a
+        key tie on every order column, the delta VALUE becomes the
+        final tiebreaker: Spark's result is then deterministic-by-
+        delta, while an engine-side ``string_agg(... ORDER BY
+        order_cols)`` (the x_client_append oracle pattern) leaves tie
+        order unspecified — a latent cross-engine divergence.  The
+        shipped key's ``(ts_us, event_id)`` is total; callers adding
+        keys must either guarantee the same or accept value-order
+        ties."""
         agg = deltas.groupBy(key).agg(
             F.array_join(
                 F.transform(

@@ -1416,8 +1416,14 @@ def _sync_frames(
             .alias("cents"),
         )
         .unionAll(
+            # Inserted keys are NEGATED, not shifted by a constant: a
+            # fixed +4e6 offset collides with real o_orderkey values
+            # once SF grows past ~0.67 (max key is 6e6*SF), silently
+            # breaking the unique-key precondition of the digest+prune+
+            # diff composition.  Negation is out of the key domain
+            # (o_orderkey >= 1) at EVERY scale factor.
             src.filter(F.col("o_orderkey") % 719 == 0).select(
-                (F.col("o_orderkey") + 4000000).alias("o_orderkey"),
+                (-F.col("o_orderkey")).alias("o_orderkey"),
                 "o_custkey",
                 "o_orderstatus",
                 "cents",
@@ -1432,11 +1438,23 @@ def _sync_dirty(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """Digest phase of x_sync_table over ARBITRARY (o_orderkey,
     o_custkey, o_orderstatus, cents) frames: per-range order-
     insensitive digests on both sides, returning the mismatched range
-    ids.  One-way guarantee: every row-level diff makes its range
-    dirty; the converse can fail ONLY on duplicate-key multiset
-    differences (rowcounts differ, but full-outer JOIN semantics — the
-    oracle's own — cannot express which copy changed), so a dirty
-    range with zero diff rows is possible there and correct."""
+    ids.  PRECONDITION for the digest+prune+diff COMPOSITION: row keys
+    must be unique within each side.  The digest itself is pure
+    multiset equality and needs no such assumption, but the row phase
+    (_sync_row_diff) is a full-outer equi-join, and the two semantics
+    diverge on duplicate keys in BOTH directions: (a) a duplicate-key
+    range whose multisets differ digests dirty, yet the join
+    cross-product cannot express which copy changed (dirty-with-
+    ambiguous-diff); (b) a duplicate-key range whose multisets are
+    IDENTICAL digests clean — correctly — while the unpruned join
+    would still emit cross-product 'changed' pairs for the duplicated
+    key, so pruned and unpruned outputs would disagree (clean-range/
+    diffable-join).  With unique keys per side the guarantee is exact
+    both ways: every row-level diff makes its range dirty, and every
+    clean range has zero diff rows.  x_sync_table satisfies this
+    (o_orderkey is unique and the corruption model preserves
+    uniqueness — inserted keys are negated, out of domain at any
+    SF)."""
 
     def digest(df: DataFrame, side: str) -> DataFrame:
         # Row hash -> two 24-bit md5 words; the per-range digest is
@@ -1553,7 +1571,7 @@ def _sync_row_diff(src: DataFrame, tgt: DataFrame, dirty: DataFrame) -> DataFram
         "    CASE WHEN o_orderkey % 523 = 0 THEN cents + 1 ELSE cents END AS cents "
         "  FROM src WHERE o_orderkey % 997 <> 0 "
         "  UNION ALL "
-        "  SELECT o_orderkey + 4000000, o_custkey, o_orderstatus, cents "
+        "  SELECT -o_orderkey, o_custkey, o_orderstatus, cents "
         "  FROM src WHERE o_orderkey % 719 = 0) "
         "SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey, "
         "CASE WHEN s.o_orderkey IS NULL THEN 'added' "
@@ -1574,7 +1592,7 @@ def sync_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum-of-md5-words, rowcount) triple; phase 2 row-diffs ONLY the
     ranges whose digests disagree.  The replica is derived
     deterministically from orders (drops every 997th key, flips one
-    cent on every 523rd, inserts shifted copies of every 719th) so
+    cent on every 523rd, inserts negated-key copies of every 719th) so
     corruption is SPARSE — most ranges digest clean and never reach
     the row-level join (strict-subset pruning asserted in
     tests/test_plans.py at sf0.001), which is the entire point of the tool at

@@ -648,7 +648,11 @@ def test_sync_table_prunes_clean_ranges(spark):
     # reuse the already-built frames — re-invoking the registry fn
     # would run the whole two-table digest subtree a second time
     out = _sync_row_diff(src, tgt, dirty).collect()
-    out_set = {r.o_orderkey // _SYNC_BUCKET for r in out}
+    # Spark's DIV truncates toward zero; Python's // floors.  The two
+    # agree on the natural keys but diverge on the negated inserted
+    # keys (-719 DIV 64 = -11 in Spark, -719 // 64 = -12 in Python),
+    # so mirror the engine's semantics here.
+    out_set = {int(r.o_orderkey / _SYNC_BUCKET) for r in out}
     assert out, "corruption model produced no diffs"
     assert 0 < len(dirty_set) < domain, (len(dirty_set), domain)
     # out ⊆ dirty always; equality additionally holds on THIS corpus

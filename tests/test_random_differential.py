@@ -1445,6 +1445,13 @@ def test_sync_table_core_matches_pandas_naive_diff(spark):
     )
     @settings(max_examples=6, deadline=None)
     def run(src, muts):
+        # Unique row keys per side — the documented precondition of the
+        # digest+prune+diff composition (_sync_dirty docstring): with
+        # duplicate keys, an identical multiset correctly digests CLEAN
+        # while the full-outer naive model cross-products the key and
+        # invents 'changed' rows, so the two models legitimately
+        # disagree and the comparison would test nothing.
+        src = list({r[0]: r for r in src}.values())
         tgt = list(src)
         # idx comes from the strategy, not hash(): string hashing is
         # PYTHONHASHSEED-randomized, which would make saved failing
@@ -1455,7 +1462,10 @@ def test_sync_table_core_matches_pandas_naive_diff(spark):
             elif op == "flip" and tgt:
                 k, c, s, cents = tgt[idx % len(tgt)]
                 tgt[idx % len(tgt)] = (k, c, s, cents + 1)
-            else:
+            elif r[0] not in {t[0] for t in tgt}:
+                # insert only keys absent from tgt (dropped keys may
+                # re-enter); a colliding insert is a no-op, keeping
+                # both sides inside the unique-key precondition
                 tgt.append(r)
         sdf = spark.createDataFrame(src or [], schema)
         tdf = spark.createDataFrame(tgt or [], schema)
