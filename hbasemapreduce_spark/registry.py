@@ -579,18 +579,69 @@ _R9_BACKLOG = [
     "x_eval_recall_at_k",
 ]
 
-# Staged r10 window (VERDICT r8 item 4: stage the next rotation in the
-# same commit).  The remaining first-timers lead (14 after the 7 keys
-# added during round 9), then the contract refresh fills the window to
-# 50 — the first 36 contract keys in oldest-driver-evidence-first
-# order (r3/r4 evidence, five-plus rounds stale by r10) re-enter a
-# window; refresh keys 37+ wait for r11.  Computed, not hard-coded, so
-# the split stays true if more keys join _R9_BACKLOG.  Emission order
-# places _R9_BACKLOG then _CONTRACT_REFRESH right after the r9 window,
-# so positions 51..100 of queries() ARE this list — a >50-key driver
-# window or an early r10 run picks it up with no further rotation
-# edit.
+# Round-10 driver window (VERDICT r9 item 1).  The r9 driver artifact
+# landed green (CORRECTNESS_r09.json: 50/50 hash-match), so the window
+# rotates to the plan staged at the end of r9: all 27 remaining
+# first-timers (the entire never-driver-checked backlog — the r9
+# continuation's sync/replication/compaction/client-mutation/
+# retrieval-eval/Arrow-UDX additions), then the leading 23
+# _CONTRACT_REFRESH keys (oldest driver evidence first — r3-era, six
+# rounds stale), beginning the contract re-validation VERDICT r9 item
+# 2 orders.  Pre-validated 50/50 through the exact driver protocol at
+# sf0.01 before this rotation landed (BENCH_TREND r9 section).
 _R10_WINDOW = [*_R9_BACKLOG, *_CONTRACT_REFRESH][:50]
+
+# First-timers remaining after the r10 window: NONE at rotation time —
+# the r10 window drains the entire backlog.  New keys registered
+# during round 10 are appended HERE so the rotation-coverage invariant
+# (tests/test_registry.py) stays true: unchecked-by-any-pre-r10-driver-
+# artifact == _R10_WINDOW-first-timers ∪ _R10_BACKLOG.
+_R10_BACKLOG: list[str] = []
+
+# Evidence re-checks for the r11 tail (VERDICT r9 items 4/5/6 + the r8
+# item-8 adjacency discipline): the three perf-weak keys that need one
+# clean driver number, and every remaining rows-only-by-design key
+# windowed ADJACENT to its full-hash portable twin so a single
+# artifact shows the run-clean rows-only entry next to the twin's hash
+# pass.
+_R11_RECHECK = [
+    "x_emb_gram_gemm",
+    "x_text_winnow",
+    "x_dedup_simhash",
+    "x_dedup_simhash_portable",
+    "x_agg_sketch_cms",
+    "x_agg_sketch_cms_portable",
+    "x_agg_sketch_hll",
+    "x_sim_ann_lsh",
+    "x_sim_ann_lsh_portable",
+    "x_join_bucketed",
+    "x_pipeline_curate",
+]
+
+# Staged r11 window (same-commit staging discipline, VERDICT r8 item
+# 4).  Any round-10 first-timers lead; then the two rows-only CONTRACT
+# keys each immediately followed by their full-hash twin (VERDICT r9
+# item 6: the artifact itself should show `spark_rows > 0` rows-only
+# entries beside twin hash passes); then the remaining 35 hash-checked
+# contract-refresh keys (r3/r4 evidence); then the re-check tail.
+# Computed, not hard-coded, so the split stays true as keys join
+# _R10_BACKLOG.  Emission positions 51..100 of queries() ARE this
+# list, so a >50-key driver window or an early r11 run picks it up
+# with no further rotation edit.
+_R11_WINDOW = [
+    *_R10_BACKLOG,
+    "dedup_minhash",
+    "x_dedup_minhash_portable",
+    "agg_approx_distinct",
+    "x_agg_distinct_kmv",
+    *[
+        k
+        for k in _CONTRACT_REFRESH
+        if k not in _R10_WINDOW
+        and k not in ("dedup_minhash", "agg_approx_distinct")
+    ],
+    *_R11_RECHECK,
+][:50]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
@@ -702,23 +753,21 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R9_WINDOW)
-    # Hedge + r10 staging: the remaining never-driver-checked keys are
-    # the next-most-valuable evidence targets, so they follow
-    # immediately after the r9 window, then the contract keys in
-    # oldest-evidence-first refresh order (rows-only-by-design keys
-    # last, VERDICT r8 item 7) — emission positions 51..100 are
-    # therefore exactly the staged _R10_WINDOW.
-    backlog_tail = [k for k in _R9_BACKLOG if k not in window]
-    rest_contract = [k for k in _CONTRACT_REFRESH if k not in window]
+    window = set(_R10_WINDOW)
+    # Hedge + r11 staging: emission positions 51..100 are exactly the
+    # staged _R11_WINDOW (round-10 first-timers, the rows-only contract
+    # keys beside their twins, the remaining contract refresh, the
+    # evidence re-checks), so a >50-key driver window or an early r11
+    # run picks the staged plan up with no further rotation edit.
+    r11_tail = [k for k in _R11_WINDOW if k not in window]
+    staged = window | set(r11_tail)
+    rest_contract = [k for k in _CONTRACT_REFRESH if k not in staged]
     extras = sorted(
         k
         for k in _REGISTRY
-        if k not in CONTRACT_KEYS
-        and k not in window
-        and k not in set(backlog_tail)
+        if k not in CONTRACT_KEYS and k not in staged
     )
-    order = [*_R9_WINDOW, *backlog_tail, *rest_contract, *extras]
+    order = [*_R10_WINDOW, *r11_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

@@ -32,7 +32,10 @@ from hbasemapreduce_spark.registry import (
     _R8_WINDOW,
     _R9_BACKLOG,
     _R9_WINDOW,
+    _R10_BACKLOG,
     _R10_WINDOW,
+    _R11_RECHECK,
+    _R11_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -77,7 +80,12 @@ def test_r9_window_is_pinned_exactly():
     assert _R9_WINDOW == _R8_BACKLOG[:DRIVER_WINDOW]
     assert len(_R9_WINDOW) == DRIVER_WINDOW
     assert len(set(_R9_WINDOW)) == DRIVER_WINDOW
-    assert list(all_specs())[:DRIVER_WINDOW] == _R9_WINDOW
+    # CORRECTNESS_r09.json covered exactly this window — the rotation
+    # precondition for promoting _R10_WINDOW to the emission front.
+    import json as _json
+
+    r9 = _json.loads((_REPO / "CORRECTNESS_r09.json").read_text())
+    assert set(r9) == set(_R9_WINDOW)
 
 
 def test_r9_window_keys_never_driver_checked():
@@ -97,40 +105,68 @@ def test_r8_window_keys_never_driver_checked():
 def test_r8_window_now_driver_checked():
     # Rotation precondition: the keys that just rotated OUT did so
     # because the r8 driver artifact landed and covered all of them.
+    assert set(_R9_WINDOW) <= _driver_checked_keys()
     assert set(_R8_WINDOW) <= _driver_checked_keys()
     assert set(_R7_WINDOW) <= _driver_checked_keys()
 
 
-def test_r9_backlog_keys_follow_r9_window():
-    # Hedge for a missing/late r9 driver artifact: the never-checked
-    # backlog keys occupy emission positions 51+ so they are the first
-    # keys a larger-than-50 driver window (or a re-run) would pick up.
-    specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R9_BACKLOG)] == _R9_BACKLOG
+def test_r9_backlog_keys_lead_r10_window():
+    # The r10 rotation spends its first 27 slots on the entire
+    # never-driver-checked backlog (VERDICT r9 item 1) before any
+    # contract-refresh key.
+    assert _R10_WINDOW[: len(_R9_BACKLOG)] == _R9_BACKLOG
 
 
 def test_rotation_plan_covers_all_unchecked():
-    # (r9 window ∪ r9 backlog) must equal the full set of keys without
-    # pre-rotation driver evidence — nothing silently dropped.  New
-    # keys added during round 9 must be appended to _R9_BACKLOG to keep
-    # this invariant.  Bounded at round 9 (staging-time statement).
-    unchecked = set(all_specs()) - _driver_checked_keys(before_round=9)
-    assert unchecked == set(_R9_WINDOW) | set(_R9_BACKLOG)
-    assert not (set(_R9_WINDOW) & set(_R9_BACKLOG))
+    # Every key without pre-r10 driver evidence is either in the r10
+    # window (the 27 _R9_BACKLOG first-timers) or in _R10_BACKLOG —
+    # nothing silently dropped.  New keys added during round 10 must be
+    # appended to _R10_BACKLOG to keep this invariant.  Bounded at
+    # round 10 (staging-time statement; the r10 artifact itself must
+    # not falsify it).
+    unchecked = set(all_specs()) - _driver_checked_keys(before_round=10)
+    assert unchecked == set(_R9_BACKLOG) | set(_R10_BACKLOG)
+    assert not (set(_R10_WINDOW) & set(_R10_BACKLOG))
+    # historical staging-time statement for the r9 rotation:
+    unchecked_r9 = set(all_specs()) - _driver_checked_keys(before_round=9)
+    assert unchecked_r9 - set(_R10_BACKLOG) == set(_R9_WINDOW) | set(_R9_BACKLOG)
 
 
-def test_r10_window_is_staged():
-    # VERDICT r8 item 4: the r10 plan ships in the same commit as the
-    # r9 rotation.  The staged window = the remaining first-timers
-    # (_R9_BACKLOG — 14 once the round-9 additions landed) + the
-    # leading contract-refresh keys filling to 50 (oldest driver
-    # evidence first, rows-only keys last), and emission positions
-    # 51..100 are exactly that list, so an early/oversized driver run
-    # needs no further rotation edit.
+def test_r10_window_is_pinned_exactly():
+    # VERDICT r9 item 1: the r10 window is the plan staged at the end
+    # of round 9 — all 27 remaining first-timers, then the leading 23
+    # contract-refresh keys — promoted verbatim to the emission front
+    # now that CORRECTNESS_r09.json landed green.
     assert len(_R10_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R10_WINDOW)) == DRIVER_WINDOW
     assert _R10_WINDOW == [*_R9_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
+    assert list(all_specs())[:DRIVER_WINDOW] == _R10_WINDOW
+
+
+def test_r11_window_is_staged():
+    # Same-commit staging discipline (VERDICT r8 item 4): emission
+    # positions 51..100 are exactly the staged r11 plan — round-10
+    # first-timers, then each rows-only contract key immediately
+    # followed by its full-hash twin (VERDICT r9 item 6), then the
+    # remaining contract refresh, then the perf/adjacency re-checks.
+    assert len(_R11_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R11_WINDOW)) == DRIVER_WINDOW
+    assert not (set(_R11_WINDOW) & set(_R10_WINDOW))
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R10_WINDOW
+    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R11_WINDOW
+    # twin adjacency: the rows-only contract key is directly followed
+    # by the portable twin whose hash pass vouches for its values
+    for weak, twin in (
+        ("dedup_minhash", "x_dedup_minhash_portable"),
+        ("agg_approx_distinct", "x_agg_distinct_kmv"),
+    ):
+        if weak in _R11_WINDOW:
+            i = _R11_WINDOW.index(weak)
+            assert _R11_WINDOW[i + 1] == twin
+    # re-check tail keys all carry prior driver evidence (they re-run
+    # for perf/adjacency, not coverage)
+    in_window_rechecks = [k for k in _R11_RECHECK if k in _R11_WINDOW]
+    assert set(in_window_rechecks) <= _driver_checked_keys(before_round=10)
 
 
 def test_contract_refresh_order_matches_artifacts():
@@ -177,6 +213,29 @@ def test_r9_window_oracles():
     assert [k for k in _R10_WINDOW if specs[k].oracle is None] == []
 
 
+def test_r11_window_oracles():
+    # The r11 window DELIBERATELY contains the rows-only-by-design keys
+    # (VERDICT r9 item 6: emit them adjacent to their hash-checked
+    # twins so the artifact shows run-clean rows-only entries beside
+    # twin hash passes).  Pin the exact rows-only membership so an
+    # accidental oracle regression on any other key is caught.
+    specs = all_specs()
+    missing = [k for k in _R11_WINDOW if specs[k].oracle is None]
+    assert missing == [
+        k
+        for k in _R11_WINDOW
+        if k
+        in {
+            "dedup_minhash",
+            "agg_approx_distinct",
+            "x_dedup_simhash",
+            "x_agg_sketch_cms",
+            "x_agg_sketch_hll",
+            "x_sim_ann_lsh",
+        }
+    ]
+
+
 def test_r6_window_plus_r7_backlog_cover_r6_backlog():
     # Historical invariant: the r6 window + r7 backlog cover the r5
     # rotation's deferred set (_R6_BACKLOG) exactly once each — the
@@ -212,11 +271,12 @@ def test_r7_window_oracles():
 
 
 def test_out_of_window_contract_keys_are_fresh():
-    # All 60 contract keys sit outside the r7 window; each must carry
-    # r3-or-r4 driver evidence (they do — that's why they rotated out).
+    # 23 contract keys re-enter the r10 window for refresh; the 37
+    # still outside each carry r3-or-r4 driver evidence (that's why
+    # they can wait for the r11/r12 refresh tranches).
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
-    assert len(out) == 60
+    assert len(out) == 60 - len([k for k in _R10_WINDOW if k in CONTRACT_KEYS])
     checked = _driver_checked_keys()
     assert all(k in checked for k in out)
 
