@@ -267,6 +267,87 @@ def time_queries(
     return timings, passes, errors
 
 
+# Box-health guard thresholds (VERDICT r9 item 3: three r9 bench runs
+# hit three distinct mid-run box degradations — write throughput
+# collapsing 234.6 -> 7.2 MB/s inflated every Python-worker key
+# together and put the repo's slowest key at 21x its record in the
+# official artifact).  A run whose probes drift past these bounds is
+# marked `degraded: true` so the artifact attributes itself, and the
+# most-inflated keys (vs the newest archived per-key record) get a
+# bounded targeted retry whose per-key MIN replaces the contaminated
+# number — min across runs is the right statistic for contention noise
+# on a deterministic plan.
+HEALTH_MIN_WRITE_MBPS = 100.0
+HEALTH_MAX_CPU_DRIFT = 1.15
+HEALTH_RETRY_INFLATION = 1.5  # retry keys at >1.5x their archived record
+HEALTH_RETRY_BUDGET_SEC = 240.0
+
+
+def box_health(pre: dict, post: dict) -> dict:
+    """Classify the run's environment from the pre/post probes."""
+    reasons = []
+    for side, p in (("pre", pre), ("post", post)):
+        if p["write_mbps"] < HEALTH_MIN_WRITE_MBPS:
+            reasons.append(f"write_mbps_{side}={p['write_mbps']}")
+    for probe in ("cpu_probe_sec", "cpu_probe_mt_sec"):
+        drift = post[probe] / max(pre[probe], 1e-9)
+        if drift > HEALTH_MAX_CPU_DRIFT:
+            reasons.append(f"{probe}_drift={round(drift, 2)}")
+    return {"degraded": bool(reasons), "reasons": reasons}
+
+
+def prior_records(here: str) -> dict[str, float]:
+    """Per-key best timings from the newest archived BENCH_DETAIL_r*."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")))
+    best: dict[str, float] = {}
+    for p in paths[-3:]:  # last 3 rounds: newest code, but a degraded
+        try:  # newest round alone must not define the record
+            q = json.load(open(p)).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k, v in q.items():
+            best[k] = min(best.get(k, float("inf")), v)
+    return best
+
+
+def retry_inflated(
+    spark, specs, sf_dir: str, timings: dict[str, float], here: str
+) -> list[str]:
+    """Targeted degraded-run retry: re-time the keys most inflated vs
+    their archived records, most-inflated first, inside a bounded
+    budget; keep the per-key MIN.  Returns the keys retried."""
+
+    records = prior_records(here)
+    inflated = sorted(
+        (
+            k
+            for k, t in timings.items()
+            if k in records and records[k] > 0.2 and t > HEALTH_RETRY_INFLATION * records[k]
+        ),
+        key=lambda k: -(timings[k] / records[k]),
+    )
+    retried: list[str] = []
+    t0 = time.perf_counter()
+    for key in inflated:
+        if time.perf_counter() - t0 > HEALTH_RETRY_BUDGET_SEC:
+            break
+        try:
+            t = time.perf_counter()
+            specs[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[key] = round(min(timings[key], time.perf_counter() - t), 3)
+            retried.append(key)
+        except Exception as e:  # noqa: BLE001 — keep the original timing
+            print(
+                f"HEALTH RETRY ERROR {key}: {type(e).__name__}: {e}"[:200],
+                file=sys.stderr,
+            )
+    return retried
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -297,9 +378,21 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — warm-up must never abort the run
             print(f"WARMUP ERROR {wk}: {e}", file=sys.stderr)
 
+    here = os.path.dirname(os.path.abspath(__file__))
     probe_pre = io_probe()
     timings, passes, errors = time_queries(spark, specs, sf_dir)
     probe_post = io_probe()
+    health = box_health(probe_pre, probe_post)
+    retried: list[str] = []
+    if health["degraded"]:
+        # One bounded, targeted retry (VERDICT r9 item 3): re-time the
+        # keys most inflated vs their archived records, then re-probe —
+        # the FINAL health verdict describes the box the reported
+        # numbers actually came from.
+        retried = retry_inflated(spark, specs, sf_dir, timings, here)
+        probe_post = io_probe()
+        health = box_health(probe_pre, probe_post)
+    health["retried_keys"] = retried
     sink_split = sink_split_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -320,8 +413,9 @@ def main() -> None:
         "io_probe_pre": probe_pre,
         "io_probe_post": probe_post,
         "sink_split": sink_split,
+        "health": health,
+        "degraded": health["degraded"],
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -374,6 +468,10 @@ def main() -> None:
             probe_post["cpu_probe_mt_sec"],
         ],
         "sink_split": sink_split,
+        # box-health verdict (VERDICT r9 item 3): true means the probes
+        # drifted past bounds even after the targeted retry — treat the
+        # totals as box attribution, not engine regression.
+        "degraded": health["degraded"],
     }
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1024, f"final bench line too long ({len(line)} B)"

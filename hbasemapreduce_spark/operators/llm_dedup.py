@@ -572,6 +572,20 @@ _BLOOM_M = 65536  # bit positions
 _BLOOM_J = 3  # hash functions (Kirsch-Mitzenmacher double hashing)
 
 
+def _hex12_sql(expr: str) -> str:
+    """12 hex chars of ``expr`` parsed to ONE 48-bit BIGINT — the
+    shared-span parse (VERDICT r9 item 5, the x_agg_distinct_kmv
+    discipline): both 24-bit permutation operands come from a single
+    parse, split arithmetically (w DIV 2^24, w % 2^24), instead of two
+    independent 6-char parses over the same md5 string."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {1 + i}, 1)) - 1) "
+        f"* {16 ** (11 - i)}"
+        for i in range(12)
+    )
+    return "CAST(" + terms + " AS BIGINT)"
+
+
 def _hex6_sql(expr: str, off: int) -> str:
     """6 hex chars of ``expr`` starting at 1-based ``off``, parsed to a
     BIGINT — DuckDB has no base-16 conv(), so spell out the digits; the
@@ -726,9 +740,9 @@ _PMH_BANDS = _PMH_PERMS // _PMH_BAND_ROWS
         "       FROM al, unnest(range(1, len(a) + 1)) AS t(i)), "
         "el AS (SELECT doc_id, tok || '#' || CAST(row_number() OVER ("
         "  PARTITION BY doc_id, tok ORDER BY pos) AS VARCHAR) AS elem FROM tk), "
-        "hv AS (SELECT doc_id, "
-        f"  {_hex6_sql('md5(elem)', 1)} AS v1, {_hex6_sql('md5(elem)', 7)} AS v2 "
-        "  FROM el), "
+        "hw AS (SELECT doc_id, "
+        f"  {_hex12_sql('md5(elem)')} AS w FROM el), "
+        "hv AS (SELECT doc_id, w // 16777216 AS v1, w % 16777216 AS v2 FROM hw), "
         f"sig AS (SELECT doc_id, t.i AS i, MIN((v1 + t.i * v2) % {_PMH_P}) AS s "
         f"  FROM hv, unnest(range(0, {_PMH_PERMS})) AS t(i) GROUP BY 1, 2), "
         f"bandkey AS (SELECT doc_id, i // {_PMH_BAND_ROWS} AS b, "
@@ -790,11 +804,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "#", F.col("tok"), F.row_number().over(wocc).cast("string")
         ).alias("elem"),
     ).localCheckpoint(eager=False)
-    h = F.md5("elem")
+    # ONE 12-hex-char parse per element, split arithmetically into the
+    # two 24-bit permutation operands (VERDICT r9 item 5: share the
+    # md5-hex span parse across v1/v2, the x_agg_distinct_kmv
+    # discipline) — v1 is the high 24 bits, v2 the low 24, identical
+    # values to the former two independent 6-char parses.
+    w = F.conv(F.substring(F.md5("elem"), 1, 12), 16, 10).cast("long")
     hv = el.select(
         "doc_id",
-        F.conv(F.substring(h, 1, 6), 16, 10).cast("long").alias("v1"),
-        F.conv(F.substring(h, 7, 6), 16, 10).cast("long").alias("v2"),
+        F.shiftrightunsigned(w, 24).alias("v1"),
+        w.bitwiseAND(F.lit((1 << 24) - 1)).alias("v2"),
     )
     # the element-count rides along in the signature aggregate (same
     # groupBy key) instead of a second full pass over el — one fewer

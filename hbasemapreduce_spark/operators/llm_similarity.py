@@ -9,6 +9,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -898,6 +900,15 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE pass over the corpus, all flops vectorized in
     numpy, shuffle carries only n_partitions x d(d+1)/2 partial rows.
+    The Python-stage width is sized by INPUT BYTES (~16 MB per task,
+    capped at the session shuffle parallelism): r9/r10 A/B profiling
+    showed the fixed 32-way repartition was the key's entire
+    contention sensitivity — 32 Arrow worker roundtrips carrying ~60 KB
+    each inflated 60x under a saturated box while the single-partition
+    shape stayed flat, because each roundtrip pays a scheduler+worker
+    latency that contention multiplies and the flops (8 M/task here)
+    never mattered.  At 100 TB the same formula yields the cap, i.e.
+    full parallelism, so the scale path is unchanged.
     """
     from collections.abc import Iterator
 
@@ -905,9 +916,14 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nbytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+        width = max(1, min(n_part, nbytes // (16 << 20)))
+    except OSError:  # non-local sf_dir: keep full parallelism
+        width = n_part
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .repartition(n_part)
+        .repartition(width)
         .select(F.col("embedding").cast("array<double>").alias("e"))
     )
 
@@ -920,7 +936,11 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lo in range(0, arr.shape[0], 256):
                 chunk = arr[lo : lo + 256]
                 prod = chunk[:, :, None] * chunk[:, None, :]
-                m = np.rint(np.round(prod, 6) * 1e6).astype(np.int64).sum(axis=0)
+                # one tensor pass, not three: np.round(x, 6) IS
+                # rint(x*1e6)/1e6, so round-then-rescale-then-rint
+                # reproduces exactly rint(prod*1e6) — same int64 for
+                # every element, one pass instead of round+mul+rint
+                m = np.rint(prod * 1e6).astype(np.int64).sum(axis=0)
                 acc = m if acc is None else acc + m
         if acc is None:
             return

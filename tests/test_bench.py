@@ -56,3 +56,40 @@ def test_all_good_keys_have_no_errors(spark, tmp_path):
     timings, passes, errors = bench.time_queries(spark, specs, str(tmp_path))
     assert errors == {}
     assert set(timings) == set(specs)
+
+
+def test_box_health_classifies_probe_drift():
+    # Healthy probes -> not degraded; the r9 failure signatures (write
+    # collapse, mt-cpu steal drift) -> degraded with named reasons.
+    ok = {
+        "write_mbps": 230.0,
+        "cpu_probe_sec": 0.30,
+        "cpu_probe_mt_sec": 0.35,
+    }
+    assert bench.box_health(ok, dict(ok)) == {"degraded": False, "reasons": []}
+    write_collapse = dict(ok, write_mbps=7.2)  # BENCH_r09's mid-run value
+    h = bench.box_health(ok, write_collapse)
+    assert h["degraded"] and h["reasons"] == ["write_mbps_post=7.2"]
+    steal = dict(ok, cpu_probe_mt_sec=0.50)  # r9: 0.35 -> 0.50 under load
+    h = bench.box_health(ok, steal)
+    assert h["degraded"] and "cpu_probe_mt_sec_drift=1.43" in h["reasons"]
+
+
+def test_retry_inflated_targets_only_inflated_keys(spark, tmp_path, monkeypatch):
+    # With an archived record of 0.5 s, a 5 s timing is retried (and the
+    # MIN kept); an at-record timing and a record-less key are not.
+    import json as _json
+
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(
+        _json.dumps({"queries": {"slow_now": 0.5, "fine": 0.5}})
+    )
+    specs = {
+        "slow_now": _FakeSpec("slow_now", _good),
+        "fine": _FakeSpec("fine", _good),
+        "no_record": _FakeSpec("no_record", _good),
+    }
+    timings = {"slow_now": 5.0, "fine": 0.5, "no_record": 9.9}
+    retried = bench.retry_inflated(spark, specs, str(tmp_path), timings, str(tmp_path))
+    assert retried == ["slow_now"]
+    assert timings["slow_now"] < 5.0  # min of (contaminated, fresh) won
+    assert timings["fine"] == 0.5 and timings["no_record"] == 9.9
