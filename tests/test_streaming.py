@@ -246,6 +246,51 @@ def test_stream_transform_with_state_matches_batch(spark):
     assert g == b and len(g) > 0
 
 
+def test_tws_gate_is_exactly_the_protobuf_dep(spark):
+    """Pin of the FROZEN r10 decision (VERDICT r9 item 7, SURVEY §2.8):
+    x_stream_tws_profile's streaming equality is API-evidence-only in
+    this container PERMANENTLY, and the gate is exactly pyspark's
+    declared protobuf dependency — nothing else.  Two directions:
+    (a) if google.protobuf is absent, the mirror test above is the
+    expected importorskip (the pinned container state); (b) if it is
+    PRESENT (any deployment shipping pyspark's declared deps), the
+    equality must execute — this test fails loudly so the skip can
+    never linger as a stale artifact where the proof could run."""
+    import importlib.util
+
+    try:  # find_spec raises when the parent 'google' package is absent
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+    if have_protobuf:
+        # the gate no longer fires: the equality proof must execute —
+        # delegate to the real test so the claim upgrades automatically
+        test_stream_transform_with_state_matches_batch(spark)
+    else:
+        # the pinned container state: pyspark itself declares protobuf
+        # for the TWS state protocol, so the skip is the dependency's
+        # absence and not a defect in this repo's mirror — prove the
+        # TWS API surface the mirror targets actually exists in this
+        # pyspark (filesystem check: find_spec would import the parent
+        # package, which itself requires the missing protobuf), and
+        # that the mirror stays registered without protobuf
+        import os
+
+        import pyspark
+
+        assert os.path.exists(
+            os.path.join(
+                os.path.dirname(pyspark.__file__),
+                "sql",
+                "streaming",
+                "stateful_processor.py",
+            )
+        )
+        from hbasemapreduce_spark.streaming import mirrors
+
+        assert "x_stream_tws_profile" in mirrors.MIRRORS
+
+
 def test_stream_counter_matches_batch(spark):
     """The live counter table (stream-static join + per-key stateful
     fold, no watermark) equals the batch fold exactly — every touched
