@@ -959,6 +959,110 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNNC_STRIDE = 20  # every 20th vector of the id-capped pool is held out
+_KNNC_CAP = 500  # held-out pool cap: <= 25 queries at EVERY scale factor
+_KNNC_K = 5  # neighbors voting
+
+
+@query(
+    "x_ml_knn_classify",
+    category="stats_ml",
+    oracle=(
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        "           FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, label AS true_label, emb AS q_emb "
+        f"      FROM e WHERE vec_id % {_KNNC_STRIDE} = 0 "
+        f"      AND vec_id < {_KNNC_CAP}), "
+        "scored AS (SELECT q.query_id, q.true_label, e.label, "
+        "  list_cosine_similarity(q.q_emb, e.emb) AS raw_sim "
+        f"  FROM e CROSS JOIN q WHERE NOT (e.vec_id % {_KNNC_STRIDE} = 0 "
+        f"  AND e.vec_id < {_KNNC_CAP})), "
+        "ranked AS (SELECT query_id, true_label, label, "
+        "  row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY round(raw_sim, 6) DESC, label, query_id) AS rnk "
+        "  FROM scored), "
+        f"kn AS (SELECT * FROM ranked WHERE rnk <= {_KNNC_K}), "
+        "votes AS (SELECT query_id, true_label, label, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_votes FROM kn GROUP BY 1, 2, 3), "
+        "win AS (SELECT query_id, true_label, label AS pred_label, n_votes, "
+        "  row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY n_votes DESC, label) AS vr FROM votes) "
+        "SELECT query_id, true_label, pred_label, n_votes, "
+        "  CAST(pred_label = true_label AS BIGINT) AS correct "
+        "FROM win WHERE vr = 1"
+    ),
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote — the lazy-learner
+    companion to x_ml_centroid_classify (which votes with ONE
+    prototype per class): every 20th vector is held out as a query,
+    its 5 nearest remaining vectors by cosine vote with their labels,
+    and the majority label (ties -> lexicographically smallest, vote
+    counts are exact integers) is the prediction.  Emits one row per
+    held-out query with the prediction and a 0/1 correctness flag, so
+    the driver hash pins the entire decision boundary, not an
+    aggregate accuracy that could mask compensating errors.
+
+    Rank discipline is sim_cosine_topk's: neighbors rank on the 6-dp
+    ROUNDED similarity with a total tie-break in BOTH engines, so a
+    ULP between Spark's fold and DuckDB's list_cosine_similarity
+    cannot flip who votes.  The tie-break uses (label, query_id)
+    rather than neighbor id because only the VOTE multiset matters —
+    two same-label neighbors swapping ranks cannot change the vote.
+
+    Scale shape: the held-out set is CONTENT-bounded (id cap + stride:
+    <= 25 queries at every SF) -> a legitimate broadcast operand, the
+    sim_cosine_topk discipline — an uncapped stride sample would grow
+    with the corpus and blow the broadcast at scale, which is exactly
+    what the BNLJ plan gate exists to catch.  One pass over the corpus
+    scores |Q| cosines per vector; the top-k window is
+    WindowGroupLimit-prunable per partition; voting is two
+    |Q|*k-bounded aggregates.  At 100 TB swap the brute-force
+    candidate stage for x_sim_ivf_kmeans' probed lists to bound the
+    scan side without touching the vote."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    is_q = (F.pmod("vec_id", F.lit(_KNNC_STRIDE)) == 0) & (
+        F.col("vec_id") < _KNNC_CAP
+    )
+    q = e.filter(is_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+    )
+    corpus = e.filter(~is_q).withColumn("nrm", norm(F.col("emb")))
+    qs = q.withColumn("qnrm", norm(F.col("q_emb")))
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "true_label",
+        "label",
+        F.round(sim, 6).alias("sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("label"), F.asc("query_id")
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _KNNC_K)
+        .groupBy("query_id", "true_label", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).cast("long").alias("correct"),
+        )
+    )
+
+
 _MAXSIM_Q = 4  # query "tokens": the 4 lowest vec_ids form one multi-vector query
 
 

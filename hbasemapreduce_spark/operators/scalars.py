@@ -156,3 +156,75 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.element_at(tok_counts, "the"), F.lit(0)).cast("long").alias("the_cnt"),
     )
+
+
+@query(
+    "x_scalar_variant",
+    category="scalar",
+    oracle=(
+        "WITH j AS (SELECT '{\"k\":' || CAST(o_orderkey AS VARCHAR) "
+        "  || ',\"s\":\"' || o_orderstatus || '\"' "
+        "  || ',\"cents\":' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+        "     * 100 AS BIGINT) AS VARCHAR) "
+        "  || ',\"m\":null,\"tags\":[' || CAST(o_custkey % 10 AS VARCHAR) "
+        "  || ',' || CAST(o_custkey % 7 AS VARCHAR) || ']}' AS js "
+        "  FROM orders WHERE o_orderkey % 229 = 0) "
+        "SELECT CAST(json_extract(js, '$.k') AS BIGINT) AS k_out, "
+        "json_extract_string(js, '$.s') AS s_out, "
+        "CAST(json_extract(js, '$.cents') AS BIGINT) AS cents_out, "
+        "CAST(json_type(js, '$.m') = 'NULL' AS BIGINT) AS m_is_null, "
+        "CAST(json_extract(js, '$.zz') AS BIGINT) AS missing_zz, "
+        "CAST(json_extract(js, '$.tags[1]') AS BIGINT) AS tag1 "
+        "FROM j"
+    ),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT surface (parse_json / variant_get /
+    try_variant_get / is_variant_null, new in 4.0) — scalar_json
+    covers stringly get_json_object; this key proves the TYPED
+    semi-structured path engines are converging on: each sampled order
+    renders to a JSON document (explicit string concat, so both
+    engines build byte-identical inputs), parses ONCE into a Variant
+    value, and every downstream extraction is a typed variant_get
+    against the parsed binary — no re-tokenizing per field, which is
+    the entire point of the type at scale.  Covered semantics: typed
+    paths ($.k bigint, $.s string), an array index ($.tags[1]), an
+    explicit JSON null distinguished from absence (is_variant_null vs
+    try_variant_get on a missing $.zz -> SQL NULL).
+
+    The DuckDB oracle extracts the same paths from the same strings
+    with its JSON functions — the values are engine-portable even
+    though the Variant binary encoding is Spark's own.
+
+    Scale shape: pure per-row projection, one parse + O(fields)
+    binary-encoded lookups, whole-stage codegen, zero shuffles; the
+    keyed sample (o_orderkey % 229) bounds checked output, not the
+    plan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 229 == 0)
+    js = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"s":"'),
+        F.col("o_orderstatus"),
+        F.lit('"'),
+        F.lit(',"cents":'),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        F.lit(',"m":null,"tags":['),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(","),
+        (F.col("o_custkey") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(js)
+    return o.select(
+        F.variant_get(v, "$.k", "bigint").alias("k_out"),
+        F.variant_get(v, "$.s", "string").alias("s_out"),
+        F.variant_get(v, "$.cents", "bigint").alias("cents_out"),
+        F.is_variant_null(F.variant_get(v, "$.m", "variant"))
+        .cast("long")
+        .alias("m_is_null"),
+        F.try_variant_get(v, "$.zz", "bigint").alias("missing_zz"),
+        F.variant_get(v, "$.tags[1]", "bigint").alias("tag1"),
+    )

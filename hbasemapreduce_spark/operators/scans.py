@@ -355,6 +355,38 @@ def sql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PORTABLE_SQL)
 
 
+_PIPE_ORACLE = (
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders WHERE o_orderstatus = 'F' "
+    "GROUP BY year(o_orderdate), o_orderpriority"
+)
+
+
+@query("x_sql_pipe", category="scan", oracle=_PIPE_ORACLE)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 SQL PIPE syntax surface (SQL ref: operator pipe
+    `|>`, new in Spark 4.0) — x_sql_text proves ANSI strings run
+    unchanged; this key proves the pipeline-shaped dialect a
+    data-engineering user increasingly writes instead: FROM first,
+    then |> WHERE / |> EXTEND / |> AGGREGATE ... GROUP BY stages in
+    reading order.  Catalyst lowers the pipe stages to the same
+    logical plan as the ANSI equivalent (the oracle above), so scan
+    pushdown, partial aggregation, and the decimal-sandwich
+    determinism are identical — same result hash, different front
+    door."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "FROM orders "
+        "|> WHERE o_orderstatus = 'F' "
+        "|> EXTEND CAST(year(o_orderdate) AS BIGINT) AS o_year "
+        "|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+        "   GROUP BY o_year, o_orderpriority"
+    ).select("o_year", "o_orderpriority", "cnt", "total")
+
+
 @query(
     "x_etl_backfill",
     category="scan",
@@ -679,4 +711,99 @@ def compact_major(spark: SparkSession, sf_dir: str) -> DataFrame:
         live.withColumn("version", F.row_number().over(w).cast("long"))
         .filter(F.col("version") <= 2)
         .select("user_id", "event_type", "version", "ts_us", "cents")
+    )
+
+
+@query(
+    "x_compact_minor",
+    category="scan",
+    oracle=(
+        "WITH base AS (SELECT user_id, event_type, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+        "  event_id FROM events), "
+        # the two youngest files of x_compact_major's store: gen1
+        # re-puts and the DeleteColumn marker file
+        "gen1 AS (SELECT user_id, event_type, ts_us + 86400000000 AS ts_us, "
+        "  cents + 10 AS cents, event_id + 2000000000 AS event_id, "
+        "  'PUT' AS cell_type FROM base WHERE event_id % 5 = 0), "
+        "marks AS (SELECT DISTINCT user_id, event_type, "
+        "  epoch_us(TIMESTAMP '2024-01-15 00:00:00') AS ts_us, "
+        "  CAST(NULL AS BIGINT) AS cents, CAST(NULL AS BIGINT) AS event_id, "
+        "  'DELETE_COLUMN' AS cell_type "
+        "  FROM base WHERE user_id % 11 = 0 AND event_type = 'click'), "
+        "merged AS (SELECT * FROM gen1 UNION ALL SELECT * FROM marks) "
+        "SELECT event_type, "
+        "CAST(COUNT(*) FILTER (WHERE cell_type = 'PUT') AS BIGINT) AS n_put, "
+        "CAST(COUNT(*) FILTER (WHERE cell_type = 'DELETE_COLUMN') AS BIGINT) "
+        "  AS n_tombstone, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_rowkeys, "
+        "CAST(SUM(cents) FILTER (WHERE cell_type = 'PUT') AS BIGINT) "
+        "  AS sum_put_cents, "
+        "MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us "
+        "FROM merged GROUP BY event_type"
+    ),
+)
+def compact_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase MINOR COMPACTION — the other half of the compaction pair
+    (x_compact_major): merge a SUBSET of the store's files (here the
+    two youngest — the gen1 re-put file and the DeleteColumn marker
+    file) into one, and do NOTHING else.  Tombstones are RETAINED as
+    cells (n_tombstone > 0 in the output is the semantic contrast
+    with major, which purges them), masked puts are retained too, and
+    no TTL or max-versions trimming applies — a minor compaction must
+    be conservative because files OUTSIDE the compacted subset may
+    hold versions its tombstones mask or that mask its puts; only a
+    major compaction, seeing every file, may drop data.  The output
+    summarizes the merged file per qualifier (event_type): put and
+    tombstone cell counts, distinct row keys, exact put-cents sum, and
+    the file's timestamp range (the metadata a real HFile writer
+    records in its trailer for timerange-scan pruning).
+
+    Determinism: same literal marker timestamp and exact integer cents
+    as x_compact_major; tombstone rows carry NULL cents/event_id and a
+    cell_type tag, exactly as an HFile serializes KeyValue types.
+
+    Scale shape: a shuffle-free UNION of the selected files and ONE
+    hash aggregate — a minor compaction never pays a keyed shuffle at
+    all (contrast major's two), which is why LSM stores run minors
+    continuously and majors rarely."""
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    gen1 = base.filter(F.col("event_id") % 5 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("ts_us") + 86400000000).alias("ts_us"),
+        (F.col("cents") + 10).alias("cents"),
+        (F.col("event_id") + 2000000000).alias("event_id"),
+        F.lit("PUT").alias("cell_type"),
+    )
+    mark_ts = F.unix_micros(F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    marks = (
+        base.filter((F.col("user_id") % 11 == 0) & (F.col("event_type") == "click"))
+        .select("user_id", "event_type")
+        .distinct()
+        .select(
+            "user_id",
+            "event_type",
+            mark_ts.alias("ts_us"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit("DELETE_COLUMN").alias("cell_type"),
+        )
+    )
+    merged = gen1.unionAll(marks)
+    is_put = F.col("cell_type") == "PUT"
+    return merged.groupBy("event_type").agg(
+        F.count(F.when(is_put, 1)).cast("long").alias("n_put"),
+        F.count(F.when(~is_put, 1)).cast("long").alias("n_tombstone"),
+        F.countDistinct("user_id").cast("long").alias("n_rowkeys"),
+        F.sum(F.when(is_put, F.col("cents"))).cast("long").alias("sum_put_cents"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
     )

@@ -5003,3 +5003,98 @@ def eval_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("1000000 * n_hit DIV n_rel").alias("recall_ppm"),
         )
     )
+
+
+# -- code-eval metric: unbiased pass@k over attempt groups ---------------
+
+_PAK_K = 5
+_PAK_PROBLEMS = 101  # user-id bucket count: problems = (type, bucket)
+# The unbiased pass@k estimator (Chen et al., "Evaluating Large
+# Language Models Trained on Code", 2021): 1 - C(n-c, k)/C(n, k),
+# expanded as the telescoping product so no binomial ever materializes.
+# The SAME expression string runs in Spark and DuckDB: every factor is
+# a correctly-rounded IEEE double division and the left-associated
+# product multiplies them in the same order, so both engines compute
+# the bit-identical double — FLOOR of identical doubles is identical,
+# no rounding-rule argument needed (unlike round(x, 6), whose
+# HALF_UP-on-repr vs binary-value semantics differ across engines).
+_PAK_PPM_EXPR = (
+    "CAST(CASE WHEN n - c < {k} THEN 1000000 ELSE "
+    "FLOOR((1.0e0 - ("
+    "(CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+    " * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))"
+    " * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))"
+    " * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE))"
+    ")) * 1000000e0) END AS BIGINT)"
+).format(k=_PAK_K)
+
+
+@query(
+    "x_eval_pass_at_k",
+    category="stats_ml",
+    oracle=(
+        "WITH att AS (SELECT event_type, user_id % {p} AS problem, "
+        "  CAST(event_id % 5 = 0 AS BIGINT) AS ok FROM events), "
+        "grp AS (SELECT event_type, problem, "
+        "  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS c "
+        "  FROM att GROUP BY 1, 2 HAVING COUNT(*) >= {k}), "
+        "pp AS (SELECT event_type, {expr} AS pass_ppm FROM grp) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_problems, "
+        "  CAST(SUM(pass_ppm) AS BIGINT) AS sum_pass_ppm, "
+        "  CAST(MIN(pass_ppm) AS BIGINT) AS min_pass_ppm, "
+        "  CAST(MAX(pass_ppm) AS BIGINT) AS max_pass_ppm "
+        "FROM pp GROUP BY 1".format(
+            p=_PAK_PROBLEMS, k=_PAK_K, expr=_PAK_PPM_EXPR
+        )
+    ),
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@5 per event type — the code-generation eval metric
+    (fraction of problems solved by at least one of k sampled
+    attempts, estimated without replacement bias as
+    1 - C(n-c,k)/C(n,k)) over a deterministic attempt spine: each
+    (event_type, user_id % 101) cell is a 'problem', its events are
+    the attempts, and an attempt 'passes' when event_id % 5 == 0 (a
+    fixed 20% success marker — the METRIC machinery is the deliverable;
+    a real harness substitutes its grader bit for the marker without
+    touching the aggregate).  Per type: problem count and the exact
+    integer-ppm sum/min/max of the estimator, so the hash pins every
+    problem's value through the sum.
+
+    Determinism: the telescoping product runs as the IDENTICAL
+    expression string on both engines (left-associated product of
+    correctly-rounded double divisions -> bit-identical doubles), and
+    the ppm conversion FLOORs that identical double instead of
+    round()ing it, so no cross-engine rounding-rule or tie argument is
+    needed anywhere.  Degenerate cells (n - c < k: fewer failures than
+    the sample size, pass is certain) short-circuit to exactly 1e6.
+
+    Scale shape: ONE hash aggregate to (type, problem) grain — the
+    estimator is then scalar arithmetic on n and c, Catalyst-constant-
+    folded into the same stage — and one |types|-bounded final
+    aggregate.  No joins, no windows, no Python; at 100 TB this is a
+    single map-side-combined pass over the attempt log."""
+    att = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod("user_id", F.lit(_PAK_PROBLEMS)).alias("problem"),
+        (F.col("event_id") % 5 == 0).cast("long").alias("ok"),
+    )
+    grp = (
+        att.groupBy("event_type", "problem")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+        .filter(F.col("n") >= _PAK_K)
+    )
+    return (
+        grp.withColumn("pass_ppm", F.expr(_PAK_PPM_EXPR))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_problems"),
+            F.sum("pass_ppm").cast("long").alias("sum_pass_ppm"),
+            F.min("pass_ppm").cast("long").alias("min_pass_ppm"),
+            F.max("pass_ppm").cast("long").alias("max_pass_ppm"),
+        )
+    )

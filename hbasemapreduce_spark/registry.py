@@ -596,7 +596,13 @@ _R10_WINDOW = [*_R9_BACKLOG, *_CONTRACT_REFRESH][:50]
 # during round 10 are appended HERE so the rotation-coverage invariant
 # (tests/test_registry.py) stays true: unchecked-by-any-pre-r10-driver-
 # artifact == _R10_WINDOW-first-timers ∪ _R10_BACKLOG.
-_R10_BACKLOG: list[str] = []
+_R10_BACKLOG: list[str] = [
+    "x_ml_knn_classify",
+    "x_eval_pass_at_k",
+    "x_sql_pipe",
+    "x_compact_minor",
+    "x_scalar_variant",
+]
 
 # Evidence re-checks for the r11 tail (VERDICT r9 items 4/5/6 + the r8
 # item-8 adjacency discipline): the three perf-weak keys that need one

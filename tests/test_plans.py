@@ -291,6 +291,7 @@ _BNLJ_WHITELIST = {
     "x_ml_kmeans",        # 1-row centroid-ARRAY scalar (k-bounded), twice
     "x_quality_rules",    # 3x 1-row rule-summary scalars cross-joined
     "x_sim_maxsim",       # |Q|-bounded query-vector bag broadcast
+    "x_ml_knn_classify",  # id-capped (<25) held-out query-set broadcast
     "x_text_bpe_train",   # 1-row best-pair scalar per merge round
     "x_sim_ivf_kmeans",   # k-bounded trained-centroid table (x_sim_ivf's shape)
     "x_stats_ks_drift",   # 1-row calendar-midpoint scalar
