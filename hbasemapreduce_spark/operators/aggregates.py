@@ -667,3 +667,119 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_inter",
         )
     )
+
+
+@query(
+    "x_agg_kmv_difference",
+    category="agg",
+    oracle=(
+        "WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem "
+        "  WHERE l_returnflag = 'A'), "
+        "b AS (SELECT DISTINCT l_partkey AS k FROM lineitem "
+        "  WHERE l_returnflag = 'R'), "
+        f"ha AS (SELECT DISTINCT {_kmv_hex12_duck('md5(CAST(k AS VARCHAR))')} "
+        "  AS h FROM a), "
+        f"hb AS (SELECT DISTINCT {_kmv_hex12_duck('md5(CAST(k AS VARCHAR))')} "
+        "  AS h FROM b), "
+        "u AS (SELECT h FROM ha UNION SELECT h FROM hb), "
+        "rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u), "
+        f"th AS (SELECT MAX(h) AS theta, CAST(COUNT(*) AS BIGINT) AS n_union_sk "
+        f"  FROM rk WHERE rn <= {_KMV_K}), "
+        "onl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_only "
+        "  FROM ha CROSS JOIN th WHERE ha.h <= th.theta "
+        "  AND NOT EXISTS (SELECT 1 FROM hb WHERE hb.h = ha.h)), "
+        "tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_diff FROM a "
+        "  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.k = a.k)), "
+        "est AS (SELECT th.n_union_sk, th.theta, onl.n_only, "
+        f"  CASE WHEN th.n_union_sk < {_KMV_K} THEN onl.n_only "
+        f"  ELSE CAST(CAST(onl.n_only AS HUGEINT) * {_KMV_K - 1} "
+        f"    * {_KMV_DOMAIN} // (CAST({_KMV_K} AS HUGEINT) * th.theta) "
+        "    AS BIGINT) END AS est_diff "
+        "  FROM th CROSS JOIN onl) "
+        "SELECT e.n_union_sk, e.theta, e.n_only, e.est_diff, "
+        "  t.n_true_diff FROM est e CROSS JOIN tru t"
+    ),
+)
+def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-DIFFERENCE estimation — the last leg of the theta-sketch
+    algebra (cardinality / union / intersection shipped as
+    x_agg_distinct_kmv / x_agg_kmv_merge / x_agg_kmv_intersect; this is
+    A-and-not-B): theta = the k-th smallest hash of the UNION sketch,
+    count A's hashes below theta that B does NOT hold (a k-bounded
+    ANTI-join instead of the intersect's equi-join), scale by the same
+    uniform-window extrapolation est = n_only * (k-1) * domain /
+    (k * theta).  The "how many documents did the new crawl ADD?"
+    question at 100 TB, answered from two k-long sketches without
+    joining the crawls.  Exact true difference rides along for error
+    visibility; the whole chain is engine-portable exact integers
+    (HUGEINT / DECIMAL(38,0) floor division, the pinned rule).
+    Undersized union (< k hashes): the sketches are lossless, so
+    n_only IS the exact difference.
+
+    Scale shape: identical to the intersect twin — one distinct +
+    bottom-k window per side, a |2k|-row union window, one k-bounded
+    anti-join; the 1-row theta scalar broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def side(flag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select("l_partkey")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 12),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ha = side("A").localCheckpoint(eager=False)
+    hb = side("R").localCheckpoint(eager=False)
+    u = ha.unionByName(hb).distinct()
+    w = Window.orderBy("h")
+    th = (
+        u.select("h", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.max("h").alias("theta"),
+            F.count("*").cast("long").alias("n_union_sk"),
+        )
+    )
+    onl = (
+        ha.join(hb, "h", "left_anti")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count("*").cast("long").alias("n_only"))
+    )
+    tru = (
+        li.filter(F.col("l_returnflag") == "A")
+        .select("l_partkey")
+        .distinct()
+        .join(
+            li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct(),
+            "l_partkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_true_diff"))
+    )
+    return (
+        th.crossJoin(F.broadcast(onl))
+        .crossJoin(F.broadcast(tru))
+        .select(
+            "n_union_sk",
+            "theta",
+            "n_only",
+            F.expr(
+                f"CASE WHEN n_union_sk < {_KMV_K} THEN n_only "
+                f"ELSE CAST(CAST(n_only AS DECIMAL(38,0)) * {_KMV_K - 1} "
+                f"  * {_KMV_DOMAIN} DIV (CAST({_KMV_K} AS DECIMAL(38,0)) "
+                "  * theta) AS BIGINT) END"
+            ).alias("est_diff"),
+            "n_true_diff",
+        )
+    )

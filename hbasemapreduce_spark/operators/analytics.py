@@ -2130,3 +2130,68 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("1000000 DIV n_touches")).cast("long").alias("linear_credit_micro"),
         F.count("*").cast("long").alias("n_touches_total"),
     )
+
+
+_RANGE_FRAME_US = 3_600_000_000  # 1-hour value-range window frame
+
+
+@query(
+    "x_win_range_frame",
+    category="window",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events) "
+        "SELECT event_id, user_id, ts_us, cents, "
+        "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us "
+        f"  RANGE BETWEEN {_RANGE_FRAME_US} PRECEDING AND CURRENT ROW) "
+        "  AS BIGINT) AS hour_cents, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us "
+        f"  RANGE BETWEEN {_RANGE_FRAME_US} PRECEDING AND CURRENT ROW) "
+        "  AS BIGINT) AS n_hour "
+        "FROM e"
+    ),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE-RANGE window frame (`rangeBetween`) — every other
+    window key in the repo frames by ROW COUNT (rowsBetween /
+    running / ntile); this one frames by the ORDER KEY'S VALUE: per
+    user, the exact-cents spend and event count inside the trailing
+    ONE HOUR of event time, however many rows that hour holds.  The
+    two semantics differ exactly when event spacing is irregular —
+    which is always, for event logs — and the range frame is the one
+    sliding-window questions ('spend in the last hour') actually ask.
+    The trailing-hour sum over an event-time order key is also the
+    batch twin of stream_sliding's windowed aggregate, at per-event
+    rather than per-window-start grain.
+
+    Determinism: the frame boundary is integer micros on an integer
+    order key — no timestamp arithmetic ambiguity — and RANGE frames
+    include order-key PEERS identically on both engines, so duplicate
+    (user, ts) rows get identical frame contents; money is exact
+    cents under a plain integer SUM.
+
+    Scale shape: one hash partition by user + one sort by ts within —
+    the same single-shuffle shape as every other window key; the
+    range frame is evaluated by Spark's sliding frame cursor in O(n)
+    per partition, never by re-scanning the hour per row."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_RANGE_FRAME_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("hour_cents"),
+        F.count("*").over(w).cast("long").alias("n_hour"),
+    )

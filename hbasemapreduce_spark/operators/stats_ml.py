@@ -5098,3 +5098,230 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pass_ppm").cast("long").alias("max_pass_ppm"),
         )
     )
+
+
+# -- nonparametric two-sample test: Mann-Whitney U -----------------------
+
+
+@query(
+    "x_stats_mann_whitney",
+    category="stats_ml",
+    oracle=(
+        f"WITH e AS (SELECT event_type, (user_id * {_KNUTH}) % 2 AS variant, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "g AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS m, "
+        "  CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS m1 "
+        "  FROM e GROUP BY 1, 2), "
+        "c AS (SELECT event_type, cents, m, m1, "
+        "  CAST(COALESCE(SUM(m) OVER (PARTITION BY event_type ORDER BY cents "
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "    AS below FROM g) "
+        "SELECT event_type, "
+        "CAST(SUM(m1) AS BIGINT) AS n1, CAST(SUM(m - m1) AS BIGINT) AS n2, "
+        "CAST(SUM(m1 * (2 * below + m + 1)) AS BIGINT) AS r1_x2, "
+        "CAST(SUM(m1 * (2 * below + m + 1)) - SUM(m1) * (SUM(m1) + 1) "
+        "  AS BIGINT) AS u1_x2, "
+        "CAST(SUM(CAST(m AS HUGEINT) * m * m - m) AS BIGINT) AS tie_term "
+        "FROM c GROUP BY event_type"
+    ),
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event type — the
+    NONPARAMETRIC sibling of x_stats_abtest's t-test on the same
+    deterministic Knuth-hash variant split: valid when spend is
+    skewed/heavy-tailed (event values always are) because it compares
+    RANKS, not means.  Everything is exact integers: ranks never
+    materialize per row — with average-rank tie handling, a tied group
+    of m rows at a value with `below` rows strictly smaller
+    contributes m1 * (2*below + m + 1) to TWICE the variant-1 rank sum
+    (2*avg_rank is always integral), so one (type, value)-grained
+    aggregate plus one cumulative window over the DISTINCT-value
+    stream yields 2*R1 exactly; U follows by 2*U1 = 2*R1 - n1*(n1+1).
+    The tie census sum(m^3 - m) rides along (DECIMAL(38,0)/HUGEINT
+    sandwich for the cubes), so a consumer can form the tie-corrected
+    variance without re-touching the data; the test statistic itself
+    needs a sqrt and stays out of hash-checked output, per the repo's
+    no-cross-engine-floats rule for outputs that a downstream dashboard
+    computes anyway.
+
+    Scale shape: one hash aggregate to (type, distinct-value) grain —
+    the value domain (integer cents) is bounded, so the window runs
+    over thousands of rows, not the corpus — then one |types|-bounded
+    final aggregate.  The corpus is touched exactly once."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") * _KNUTH % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    g = e.groupBy("event_type", "cents").agg(
+        F.count("*").cast("long").alias("m"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("m1"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.select(
+        "event_type",
+        "m",
+        "m1",
+        F.coalesce(F.sum("m").over(wb), F.lit(0)).cast("long").alias("below"),
+    )
+    r1x2 = F.sum(F.col("m1") * (2 * F.col("below") + F.col("m") + 1)).cast("long")
+    n1 = F.sum("m1").cast("long")
+    return c.groupBy("event_type").agg(
+        n1.alias("n1"),
+        F.sum(F.col("m") - F.col("m1")).cast("long").alias("n2"),
+        r1x2.alias("r1_x2"),
+        (r1x2 - n1 * (n1 + 1)).cast("long").alias("u1_x2"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("m") - F.col("m")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+
+
+# -- permutation test: the third leg of the resampling trio --------------
+
+_PERM_B = 32  # deterministic label permutations (salted Knuth re-hash)
+
+
+@query(
+    "x_stats_permutation",
+    category="stats_ml",
+    oracle=(
+        f"WITH e AS (SELECT event_type, user_id, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        f"obs AS (SELECT event_type, "
+        f"  CAST(SUM(cents) FILTER (WHERE (user_id * {_KNUTH}) % 2 = 1) "
+        "    AS HUGEINT) AS s1, "
+        f"  CAST(COUNT(*) FILTER (WHERE (user_id * {_KNUTH}) % 2 = 1) "
+        "    AS HUGEINT) AS n1, "
+        f"  CAST(SUM(cents) FILTER (WHERE (user_id * {_KNUTH}) % 2 = 0) "
+        "    AS HUGEINT) AS s0, "
+        f"  CAST(COUNT(*) FILTER (WHERE (user_id * {_KNUTH}) % 2 = 0) "
+        "    AS HUGEINT) AS n0 FROM e GROUP BY 1), "
+        f"p AS (SELECT event_type, t.b AS b, "
+        f"  CAST(SUM(cents) FILTER (WHERE ((user_id + t.b) * {_KNUTH}) % 2 = 1) "
+        "    AS HUGEINT) AS s1, "
+        f"  CAST(COUNT(*) FILTER (WHERE ((user_id + t.b) * {_KNUTH}) % 2 = 1) "
+        "    AS HUGEINT) AS n1, "
+        f"  CAST(SUM(cents) FILTER (WHERE ((user_id + t.b) * {_KNUTH}) % 2 = 0) "
+        "    AS HUGEINT) AS s0, "
+        f"  CAST(COUNT(*) FILTER (WHERE ((user_id + t.b) * {_KNUTH}) % 2 = 0) "
+        "    AS HUGEINT) AS n0 "
+        f"  FROM e, unnest(range(1, {_PERM_B} + 1)) AS t(b) GROUP BY 1, 2), "
+        "x AS (SELECT p.event_type, p.b, "
+        "  CASE WHEN abs(p.s1 * p.n0 - p.s0 * p.n1) * (o.n1 * o.n0) "
+        "    >= abs(o.s1 * o.n0 - o.s0 * o.n1) * (p.n1 * p.n0) "
+        "  THEN 1 ELSE 0 END AS extreme "
+        "  FROM p JOIN obs o USING (event_type)) "
+        "SELECT x.event_type, "
+        "CAST(SUM(x.extreme) AS BIGINT) AS n_extreme, "
+        f"CAST({_PERM_B} AS BIGINT) AS n_perms, "
+        # exact observed cross-term as sign + hi/lo int64 split (the
+        # x_stats_moments discipline — a double cast of a >2^53
+        # integer rounds differently across engines); DIV/% run on the
+        # NON-NEGATIVE abs so floor and trunc agree
+        "CAST(MAX(CASE WHEN o.s1 * o.n0 - o.s0 * o.n1 < 0 THEN -1 "
+        "  WHEN o.s1 * o.n0 - o.s0 * o.n1 > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS obs_sign, "
+        "CAST(MAX(abs(o.s1 * o.n0 - o.s0 * o.n1) // 1073741824) AS BIGINT) "
+        "  AS obs_hi, "
+        "CAST(MAX(abs(o.s1 * o.n0 - o.s0 * o.n1) % 1073741824) AS BIGINT) "
+        "  AS obs_lo "
+        "FROM x JOIN obs o USING (event_type) GROUP BY x.event_type"
+    ),
+)
+def stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test per event type — completing the resampling
+    trio (x_stats_bootstrap = CI by resampling rows, x_stats_jackknife
+    = bias/variance by leave-one-out; this = the null DISTRIBUTION by
+    relabeling): the observed mean-spend gap between the Knuth-split
+    variants is compared against 32 deterministic label permutations
+    (salt b re-hashes the SAME users into new halves), and n_extreme
+    counts permutations at least as extreme — the exact machinery of a
+    permutation p-value (p ~ n_extreme/B), with B fixed and
+    deterministic so the whole thing hash-checks.
+
+    No division anywhere: |s1/n1 - s0/n0| >= |S1/N1 - S0/N0| is
+    cross-multiplied to |s1*n0 - s0*n1| * (N1*N0) >= |S1*N0 - S0*N1| *
+    (n1*n0) in DECIMAL(38,0)/HUGEINT — exact at any SF (sums of cents
+    times counts stay under 38 digits past SF 100).  The observed
+    cross-term is emitted as its exact integer cast to double.
+
+    Scale shape: the permutation explode is x32 on the FACT STREAM but
+    feeds one map-side-combined hash aggregate to (type, b) grain — no
+    shuffle grows 32x, only partial-aggregate input; at 100 TB one
+    would push the salt loop into the partial aggregate the same way.
+    The observed row joins back by type (|types| rows, broadcast)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    d38 = "decimal(38,0)"
+
+    def halves(df, label_expr):
+        one = label_expr == 1
+        return [
+            F.sum(F.when(one, F.col("cents"))).cast(d38).alias("s1"),
+            F.count(F.when(one, 1)).cast(d38).alias("n1"),
+            F.sum(F.when(~one, F.col("cents"))).cast(d38).alias("s0"),
+            F.count(F.when(~one, 1)).cast(d38).alias("n0"),
+        ]
+
+    obs = e.groupBy("event_type").agg(
+        *halves(e, F.col("user_id") * _KNUTH % 2)
+    )
+    p = (
+        e.select(
+            "event_type",
+            "user_id",
+            "cents",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_PERM_B))
+            ).alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(*halves(e, (F.col("user_id") + F.col("b")) * _KNUTH % 2))
+    )
+    o = obs.select(
+        "event_type",
+        F.col("s1").alias("os1"),
+        F.col("n1").alias("on1"),
+        F.col("s0").alias("os0"),
+        F.col("n0").alias("on0"),
+    )
+    x = p.join(F.broadcast(o), "event_type").select(
+        "event_type",
+        "os1",
+        "on1",
+        "os0",
+        "on0",
+        F.when(
+            F.abs(F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1"))
+            * (F.col("on1") * F.col("on0"))
+            >= F.abs(F.col("os1") * F.col("on0") - F.col("os0") * F.col("on1"))
+            * (F.col("n1") * F.col("n0")),
+            1,
+        )
+        .otherwise(0)
+        .alias("extreme"),
+    )
+    cross = F.col("os1") * F.col("on0") - F.col("os0") * F.col("on1")
+    return x.groupBy("event_type").agg(
+        F.sum("extreme").cast("long").alias("n_extreme"),
+        F.lit(_PERM_B).cast("long").alias("n_perms"),
+        F.max(F.signum(cross).cast("long")).cast("long").alias("obs_sign"),
+        F.max(F.expr("abs(os1 * on0 - os0 * on1) DIV 1073741824"))
+        .cast("long")
+        .alias("obs_hi"),
+        F.max(F.abs(cross) % 1073741824).cast("long").alias("obs_lo"),
+    )

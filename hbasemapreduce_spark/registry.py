@@ -602,6 +602,10 @@ _R10_BACKLOG: list[str] = [
     "x_sql_pipe",
     "x_compact_minor",
     "x_scalar_variant",
+    "x_agg_kmv_difference",
+    "x_win_range_frame",
+    "x_stats_mann_whitney",
+    "x_stats_permutation",
 ]
 
 # Evidence re-checks for the r11 tail (VERDICT r9 items 4/5/6 + the r8

@@ -2375,3 +2375,74 @@ def test_funnel_attribution_credit_bounds(spark):
     # the drop from exact 1e6/conversion is only truncation: strictly
     # less than n_touches per segment, so within n_touches_total overall
     assert n_ft * 1_000_000 - total_linear < sum(r.n_touches_total for r in rows)
+
+
+def test_mann_whitney_matches_pandas_average_ranks(spark):
+    # The exact-integer identity 2*R1 = sum m1*(2*below + m + 1) must
+    # equal pandas' average-rank computation (rank(method='average'))
+    # doubled — the naive model the windowed aggregate replaces.
+    import pandas as pd
+
+    got = {r.event_type: r for r in SPECS["x_stats_mann_whitney"].fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        (F.col("user_id") * 2654435761 % 2).alias("variant"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).toPandas()
+    for et, g in ev.groupby("event_type"):
+        r2 = (g.cents.rank(method="average") * 2).round().astype("int64")
+        want_r1x2 = int(r2[g.variant == 1].sum())
+        assert got[et].r1_x2 == want_r1x2, et
+        n1 = int((g.variant == 1).sum())
+        assert got[et].n1 == n1 and got[et].n2 == len(g) - n1
+        assert got[et].u1_x2 == want_r1x2 - n1 * (n1 + 1)
+        # U1 + U2 = n1*n2 (doubled): recover U2 from the total rank sum
+        n = len(g)
+        u2_x2 = (n * (n + 1) - want_r1x2) - (n - n1) * (n - n1 + 1)
+        assert got[et].u1_x2 + u2_x2 == 2 * n1 * (n - n1), et
+
+
+def test_permutation_test_matches_naive_relabeling(spark):
+    # Recompute all 32 salted relabelings naively in pandas and count
+    # the extreme ones with exact integer cross-multiplication.
+    got = {r.event_type: r for r in SPECS["x_stats_permutation"].fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    ).toPandas()
+    K = 2654435761
+    for et, g in ev.groupby("event_type"):
+        def split(salt):
+            one = ((g.user_id + salt) * K) % 2 == 1
+            return (
+                int(g.cents[one].sum()), int(one.sum()),
+                int(g.cents[~one].sum()), int((~one).sum()),
+            )
+        S1, N1, S0, N0 = split(0)
+        obs = S1 * N0 - S0 * N1
+        n_extreme = sum(
+            1 for b in range(1, 33)
+            for (s1, n1, s0, n0) in [split(b)]
+            if abs(s1 * n0 - s0 * n1) * (N1 * N0) >= abs(obs) * (n1 * n0)
+        )
+        assert got[et].n_extreme == n_extreme, et
+        assert got[et].n_perms == 32
+        assert got[et].obs_sign == (0 if obs == 0 else (1 if obs > 0 else -1))
+        assert got[et].obs_hi * 1073741824 + got[et].obs_lo == abs(obs)
+
+
+def test_range_frame_matches_naive_hour_scan(spark):
+    # The O(n) sliding frame cursor equals the O(n^2) naive per-row
+    # hour re-scan (peers included) on the sf0.001 corpus.
+    got = SPECS["x_win_range_frame"].fn(spark, SF_DIR).toPandas()
+    byu = {u: g.sort_values("ts_us") for u, g in got.groupby("user_id")}
+    import random
+
+    rng = random.Random(7)
+    rows = got.sample(n=min(200, len(got)), random_state=7)
+    for r in rows.itertuples():
+        g = byu[r.user_id]
+        in_hour = g[(g.ts_us > r.ts_us - 3_600_000_000) & (g.ts_us <= r.ts_us)]
+        assert r.hour_cents == int(in_hour.cents.sum()), r.event_id
+        assert r.n_hour == len(in_hour), r.event_id
