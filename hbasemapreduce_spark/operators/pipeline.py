@@ -1743,3 +1743,109 @@ def verify_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duplicate_deliveries"),
         )
     )
+
+
+@query(
+    "x_sink_csv",
+    category="scan",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    ),
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round-trip — completing the sink matrix
+    (parquet partitioned / ORC / JSON-lines / CSV), because the
+    interchange format every downstream spreadsheet and legacy loader
+    still demands is the one with NO types: the writer emits headers,
+    the reader applies an EXPLICIT schema (schema-on-read like the
+    JSON twin — inference would re-scan 100 TB and silently guess),
+    and money crosses the text boundary as INTEGER CENTS, never a
+    decimal string (the classic CSV corruption: a locale- or
+    trailing-zero-sensitive float reparse; an int64 survives any
+    CSV dialect byte-exactly).
+
+    Scale shape: both legs are one pass; the read leg's explicit
+    schema keeps the text parse a single projection (no inference
+    job), and the aggregate is map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(_SCRATCH, f"sink_csv_{os.path.basename(sf_dir.rstrip('/'))}")
+    orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).write.mode("overwrite").option("header", True).csv(out)
+    typed = (
+        spark.read.schema(
+            "o_orderkey LONG, o_orderstatus STRING, "
+            "o_orderpriority STRING, cents LONG"
+        )
+        .option("header", True)
+        .csv(out)
+    )
+    return typed.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@query(
+    "x_source_text",
+    category="scan",
+    oracle=(
+        "WITH lines AS (SELECT doc_id || '\t' || lang || '\t' || text AS value "
+        "  FROM documents), "
+        "parsed AS (SELECT string_split(value, '\t') AS f FROM lines) "
+        "SELECT f[2] AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(list_filter(string_split(f[3], ' '), t -> t <> ''))) "
+        "  AS BIGINT) AS n_tokens "
+        "FROM parsed GROUP BY f[2]"
+    ),
+)
+def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source (``spark.read.text``) — the last source
+    format in the matrix (parquet / JSON-lines / CSV / merged-schema /
+    corrupt-record JSON / text): the corpus is staged as TAB-separated
+    lines (one doc per line, the wire format of every classic
+    MapReduce text pipeline — this is exactly how the HBase-MR genre's
+    TSV bulk loaders see the world), read back as a single `value`
+    STRING column, and parsed by an explicit split projection — the
+    engine guarantees line framing only; structure is the reader's
+    problem, which is the honest contract of .text.
+
+    Tabs cannot collide: doc_id is numeric, lang is a code, and the
+    corpus text is space-tokenized (asserted by the token count
+    matching the documents-table count downstream).
+
+    Scale shape: both legs one pass; text framing splits by newline at
+    block boundaries exactly like any other splittable source, so a
+    100 TB TSV dump parallelizes per block."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        _SCRATCH, f"source_text_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    f = F.split("value", "\t")
+    return (
+        lines.select(
+            f.getItem(1).alias("lang"),
+            F.size(F.filter(F.split(f.getItem(2), " "), lambda t: t != "")).alias(
+                "toks"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )

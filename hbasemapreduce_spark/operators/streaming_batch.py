@@ -726,3 +726,113 @@ def stream_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = counter_deltas(load_table(spark, sf_dir, "events"))
     base = counter_base(load_table(spark, sf_dir, "customer"))
     return counter_fold_expr(deltas, base)
+
+
+# -- foreachBatch upsert sink: associative per-key profile fold ----------
+
+
+def upsert_profile_deltas(ev: DataFrame) -> DataFrame:
+    """Purchase stream -> the per-event upsert payload (user, ts_us,
+    event_id, exact cents).  Shared by the batch key and the
+    foreachBatch mirror so both fold the identical input."""
+    return ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+
+
+def upsert_profile_fold(deltas: DataFrame) -> DataFrame:
+    """Fold upsert payloads into the profile table.  ASSOCIATIVE by
+    construction — count and sum are monoids and `last` is max over
+    the lexicographic (ts_us, event_id, cents) struct — so folding
+    per micro-batch and merging snapshots (upsert_profile_merge)
+    yields byte-identical state to one global fold, whatever the
+    batch split.  That associativity IS the correctness argument for
+    the foreachBatch mirror (streaming/mirrors.py upsert_sink_run)."""
+    last = F.max(F.struct("ts_us", "event_id", "cents")).alias("l")
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_purch"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            last,
+        )
+        .select(
+            "user_id",
+            "n_purch",
+            "sum_cents",
+            F.col("l.ts_us").alias("last_ts_us"),
+            F.col("l.event_id").alias("last_event_id"),
+            F.col("l.cents").alias("last_cents"),
+        )
+    )
+
+
+def upsert_profile_merge(cur: DataFrame, part: DataFrame) -> DataFrame:
+    """MERGE two profile snapshots: counts and sums add, `last` is the
+    struct max — the same monoid as upsert_profile_fold, applied at
+    snapshot grain."""
+    last = F.max(F.struct("last_ts_us", "last_event_id", "last_cents")).alias("l")
+    return (
+        cur.unionByName(part)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_purch").cast("long").alias("n_purch"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            last,
+        )
+        .select(
+            "user_id",
+            "n_purch",
+            "sum_cents",
+            F.col("l.last_ts_us").alias("last_ts_us"),
+            F.col("l.last_event_id").alias("last_event_id"),
+            F.col("l.last_cents").alias("last_cents"),
+        )
+    )
+
+
+@query(
+    "x_stream_upsert_sink",
+    category="stream",
+    oracle=(
+        "WITH d AS (SELECT user_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "  ORDER BY ts_us DESC, event_id DESC) AS rn FROM d), "
+        "agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch, "
+        "  CAST(SUM(cents) AS BIGINT) AS sum_cents FROM d GROUP BY 1) "
+        "SELECT a.user_id, a.n_purch, a.sum_cents, "
+        "  r.ts_us AS last_ts_us, r.event_id AS last_event_id, "
+        "  r.cents AS last_cents "
+        "FROM agg a JOIN r ON r.user_id = a.user_id AND r.rn = 1"
+    ),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch-upsert profile table, batch form: every
+    purchase upserts its customer's profile — purchase count, exact
+    cents total, and the LATEST purchase (by event time, event_id
+    tie-break).  This is the MERGE-INTO sink pattern every lakehouse
+    streaming pipeline runs through foreachBatch: the streaming mirror
+    (streaming/mirrors.py upsert_sink_run, equality-proven in
+    tests/test_streaming.py) folds each micro-batch with the SAME
+    upsert_profile_fold and merges versioned parquet snapshots with
+    upsert_profile_merge; the fold is an associative monoid (count /
+    sum / struct-max), so any micro-batch split — the mirror forces
+    four via maxFilesPerTrigger=1 — reproduces this batch result
+    byte-identically.
+
+    Scale shape: one keyed hash aggregate (map-side combined); the
+    streaming form's per-batch work is O(batch) + a |touched keys|
+    snapshot merge, the exact Delta/Iceberg MERGE cost model, and the
+    snapshot swap is atomic (write-new-then-replace), so readers never
+    see a half-merged table."""
+    return upsert_profile_fold(
+        upsert_profile_deltas(load_table(spark, sf_dir, "events"))
+    )

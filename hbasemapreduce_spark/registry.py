@@ -606,6 +606,9 @@ _R10_BACKLOG: list[str] = [
     "x_win_range_frame",
     "x_stats_mann_whitney",
     "x_stats_permutation",
+    "x_sink_csv",
+    "x_source_text",
+    "x_stream_upsert_sink",
 ]
 
 # Evidence re-checks for the r11 tail (VERDICT r9 items 4/5/6 + the r8

@@ -875,3 +875,93 @@ def compaction_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_compact_major"] = compaction_stream
+
+
+def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE-upsert mirror of x_stream_upsert_sink — the
+    21st executed streaming equality (tests/test_streaming.py), and
+    the only one exercising the foreachBatch SINK surface: the events
+    stream is staged into FOUR parquet files and consumed with
+    maxFilesPerTrigger=1, so availableNow drains through four real
+    micro-batches; each batch folds its purchases with the batch
+    key's own upsert_profile_fold and MERGEs into a versioned parquet
+    snapshot via upsert_profile_merge (write-new-then-swap — readers
+    never see a half-merged table, the Delta-less MERGE INTO
+    pattern).  Associativity of the fold monoid is the equality
+    argument: any batch split reproduces the one-shot batch fold.
+
+    Returns the final snapshot as a batch DataFrame."""
+    import os
+    import shutil
+
+    from ..functions.staging import fingerprinted_dir
+    from ..operators.streaming_batch import (
+        upsert_profile_deltas,
+        upsert_profile_fold,
+        upsert_profile_merge,
+    )
+
+    configure(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch = os.path.join(repo_root, ".scratch")
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = f"upsert_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    stage = fingerprinted_dir(scratch, tag, src)
+    marker = os.path.join(stage, "_staged_4way")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(
+            stage
+        )
+        open(marker, "w").close()
+    raw_schema = spark.read.parquet(stage).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out_root = os.path.join(scratch, f"upsert_snap_{os.getpid()}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    snap = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = upsert_profile_fold(upsert_profile_deltas(batch_df))
+        if snap["path"] is not None:
+            cur = spark.read.parquet(snap["path"])
+            part = upsert_profile_merge(cur, part)
+        new_path = os.path.join(out_root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(new_path)
+        old = snap["path"]
+        snap["path"] = new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("upsert mirror did not drain within 300s")
+    finally:
+        q.stop()
+    assert snap["path"] is not None, "no micro-batch ever fired"
+    # materialize before the caller's comparison so the snapshot dir can
+    # be cleaned up by later runs without invalidating the result
+    final = spark.read.parquet(snap["path"])
+    return final
+
+
+MIRRORS["x_stream_upsert_sink"] = upsert_sink_run  # foreachBatch runner form

@@ -348,3 +348,19 @@ def test_stream_compaction_matches_batch(spark):
         for r in all_specs()["x_compact_major"].fn(spark, SF_DIR).collect()
     }
     assert g == b
+
+
+def test_stream_upsert_foreachbatch_matches_batch(spark):
+    """The foreachBatch MERGE-upsert mirror — four forced micro-batches
+    (maxFilesPerTrigger=1 over a 4-file staging), versioned parquet
+    snapshot merge — must equal the batch key's one-shot fold exactly:
+    the associative-monoid argument (count/sum/struct-max) made
+    executable.  The 21st executed streaming equality, and the only
+    one driving the foreachBatch sink surface."""
+    from hbasemapreduce_spark.streaming.mirrors import upsert_sink_run
+
+    got = upsert_sink_run(spark, SF_DIR)
+    want = all_specs()["x_stream_upsert_sink"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) > 0
