@@ -93,3 +93,33 @@ def test_retry_inflated_targets_only_inflated_keys(spark, tmp_path, monkeypatch)
     assert retried == ["slow_now"]
     assert timings["slow_now"] < 5.0  # min of (contaminated, fresh) won
     assert timings["fine"] == 0.5 and timings["no_record"] == 9.9
+
+
+def test_box_health_flags_contended_start_via_history():
+    # The r10 signature: the PRE probe is slow vs the archived best but
+    # recovers by run end — drift alone reads as an improvement; the
+    # historical comparison must flag it.
+    ok = {"write_mbps": 300.0, "cpu_probe_sec": 0.10, "cpu_probe_mt_sec": 0.35}
+    slow_start = dict(ok, cpu_probe_mt_sec=0.537)
+    hist = {"cpu_probe_sec": 0.099, "cpu_probe_mt_sec": 0.336}
+    h = bench.box_health(slow_start, ok, hist)
+    assert h["degraded"]
+    assert any(r.startswith("cpu_probe_mt_sec_pre_vs_hist") for r in h["reasons"])
+    assert not bench.box_health(ok, dict(ok), hist)["degraded"]
+
+
+def test_outlier_retry_threshold_is_selective(spark, tmp_path):
+    # At the 3x outlier threshold, a 25x key is retried on a healthy
+    # run while a 2x key is left for the degraded-only broader pass.
+    import json as _json
+
+    (tmp_path / "BENCH_DETAIL_r98.json").write_text(
+        _json.dumps({"queries": {"wild": 2.0, "mild": 2.0}})
+    )
+    specs = {"wild": _FakeSpec("wild", _good), "mild": _FakeSpec("mild", _good)}
+    timings = {"wild": 50.0, "mild": 4.0}
+    retried = bench.retry_inflated(
+        spark, specs, str(tmp_path), timings, str(tmp_path), threshold=3.0
+    )
+    assert retried == ["wild"]
+    assert timings["wild"] < 50.0 and timings["mild"] == 4.0
