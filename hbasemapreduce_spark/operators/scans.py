@@ -764,10 +764,13 @@ def compact_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
     as x_compact_major; tombstone rows carry NULL cents/event_id and a
     cell_type tag, exactly as an HFile serializes KeyValue types.
 
-    Scale shape: a shuffle-free UNION of the selected files and ONE
-    hash aggregate — a minor compaction never pays a keyed shuffle at
-    all (contrast major's two), which is why LSM stores run minors
-    continuously and majors rarely."""
+    Scale shape: the file MERGE itself is a shuffle-free UNION — a
+    minor compaction's rewrite never pays a keyed shuffle (contrast
+    major's two), which is why LSM stores run minors continuously and
+    majors rarely.  The summary AGGREGATE adds three bounded keyed
+    shuffles (the marker-file distinct plus Spark's two-phase
+    countDistinct rowkey census), all keyed by (row, qualifier) —
+    plan-pinned join-free in tests/test_plans.py."""
     base = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",

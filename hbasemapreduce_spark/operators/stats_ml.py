@@ -5277,21 +5277,23 @@ def stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~one, 1)).cast(d38).alias("n0"),
         ]
 
-    obs = e.groupBy("event_type").agg(
-        *halves(e, F.col("user_id") * _KNUTH % 2)
-    )
-    p = (
+    # ONE scan serves observed and permuted: the observed split IS salt
+    # b = 0 ((user_id + 0) * K % 2 == user_id * K % 2), so exploding
+    # b over 0..B and peeling b = 0 after the aggregate halves the
+    # fact-table passes (plan-pinned in tests/test_plans.py)
+    ab = (
         e.select(
             "event_type",
             "user_id",
             "cents",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(_PERM_B))
-            ).alias("b"),
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B))).alias("b"),
         )
         .groupBy("event_type", "b")
         .agg(*halves(e, (F.col("user_id") + F.col("b")) * _KNUTH % 2))
+        .localCheckpoint(eager=False)
     )
+    obs = ab.filter(F.col("b") == 0).drop("b")
+    p = ab.filter(F.col("b") >= 1)
     o = obs.select(
         "event_type",
         F.col("s1").alias("os1"),

@@ -662,3 +662,55 @@ def test_sync_table_prunes_clean_ranges(spark):
     assert dirty_set == out_set
     p = plan_of(spark, "x_sync_table")
     assert "LeftSemi" in p and "BroadcastHashJoin" in p
+
+
+def test_pass_at_k_is_single_scan_no_joins(spark):
+    # The estimator is scalar arithmetic over one (type, problem)
+    # aggregate: exactly one fact scan, zero joins — the shape the
+    # docstring promises at 100 TB.
+    p = plan_of(spark, "x_eval_pass_at_k")
+    assert p.count("Scan parquet") // 2 <= 1  # formatted mode lists each node twice
+    assert "Join" not in p
+
+
+def test_range_frame_is_one_keyed_shuffle(spark):
+    # rangeBetween must plan as ONE hash partition by user + in-window
+    # sort — no extra exchange, no join.
+    p = plan_of(spark, "x_win_range_frame")
+    assert p.count("Exchange") // 2 <= 1
+    assert "Join" not in p and "Window" in p
+
+
+def test_permutation_test_scans_facts_once(spark):
+    # The observed split is salt b=0 of the exploded aggregate, so the
+    # fact table is scanned ONCE for observed + all 32 permutations.
+    p = plan_of(spark, "x_stats_permutation")
+    assert p.count("Scan parquet") // 2 <= 1
+
+
+def test_sql_pipe_pushes_the_where_stage(spark):
+    # The |> WHERE stage must reach the parquet scan exactly like the
+    # ANSI form — pipe syntax is a front door, not a plan change.
+    p = plan_of(spark, "x_sql_pipe")
+    assert "EqualTo(o_orderstatus,F)" in p
+
+
+def test_scalar_variant_is_pure_projection(spark):
+    # parse-once + typed gets: no shuffle, no join — a single codegen
+    # projection stage over the scan.
+    p = plan_of(spark, "x_scalar_variant")
+    assert "Join" not in p
+    assert p.count("Exchange") == 0
+
+
+def test_compact_minor_has_no_joins_and_bounded_shuffles(spark):
+    # Minor compaction = union of selected files + aggregates: NO joins
+    # anywhere (contrast compact_major's tombstone-mask join).  The
+    # merge itself is shuffle-free; the summary pays exactly three
+    # bounded keyed shuffles — the marker-file distinct and the
+    # two-phase distinct-rowkey census (Spark plans countDistinct as
+    # partial -> exchange -> exchange) — all keyed by (row, qualifier),
+    # never by cell.
+    p = plan_of(spark, "x_compact_minor")
+    assert "Join" not in p
+    assert p.count("Exchange") // 2 <= 3
