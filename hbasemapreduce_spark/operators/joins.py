@@ -332,3 +332,55 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("name_a", "name_b", "dist", "rows_a", "rows_b")
     )
+
+
+@query(
+    "x_join_hint_strategy",
+    category="join",
+    oracle=(
+        "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+)
+def join_hint_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy HINT surface (`DataFrame.hint` /
+    `/*+ MERGE */`): the same customer⋈nation plan Catalyst would
+    freely BROADCAST (nation is 25 rows) is forced onto the
+    SORT-MERGE path with `.hint("merge")` — and produces the
+    identical result, which is the entire point of a hint: it selects
+    a physical strategy without touching semantics.  The plan gate
+    (tests/test_plans.py) asserts the SortMergeJoin actually
+    materialized where the un-hinted twin (join_star et al.) plans a
+    BroadcastHashJoin.
+
+    Why a user reaches for this at 100 TB: broadcast estimation works
+    off STATISTICS, and a misestimated 'small' side (post-filter
+    explosion, stale stats, a UDF-opaque subtree) can OOM every
+    executor at once — the hint is the escape hatch that pins the
+    safe strategy.  The inverse hints (broadcast / shuffle_hash /
+    shuffle_replicate_nl) ride the same API; one pinned
+    representative proves the surface.
+
+    Scale shape: sort-merge = both sides hash-partitioned on the key
+    then merge-scanned — the unbounded-side-safe strategy; cost is
+    two keyed shuffles + two sorts, exactly what the hint trades the
+    broadcast's memory risk for."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(
+            nat.hint("merge"),
+            cust.c_nationkey == nat.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )

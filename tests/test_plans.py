@@ -714,3 +714,13 @@ def test_compact_minor_has_no_joins_and_bounded_shuffles(spark):
     p = plan_of(spark, "x_compact_minor")
     assert "Join" not in p
     assert p.count("Exchange") // 2 <= 3
+
+
+def test_join_hint_forces_sort_merge(spark):
+    # The merge hint must override the optimizer's broadcast choice
+    # (nation is 25 rows — un-hinted this is a BroadcastHashJoin, as
+    # join_star's gate proves); identical results are the oracle's job.
+    p = plan_of(spark, "x_join_hint_strategy")
+    assert "SortMergeJoin" in p
+    join_section = p.split("HashAggregate")[0]
+    assert "BroadcastHashJoin" not in join_section
