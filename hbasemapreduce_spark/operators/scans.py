@@ -810,3 +810,67 @@ def compact_minor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("min_ts_us"),
         F.max("ts_us").alias("max_ts_us"),
     )
+
+
+@query(
+    "x_etl_partition_evolution",
+    category="scan",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+        "CAST(month(o_orderdate) AS BIGINT) AS o_month, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents "
+        "FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1, 2"
+    ),
+)
+def etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout EVOLUTION: rewrite the year-partitioned staging
+    (sink_partitioned's layout) to a finer two-level (o_year, o_month)
+    Hive layout, then prove the finer layout serves a month-grained
+    query with BOTH partition columns pruned at directory level — the
+    migration every growing table eventually runs when year partitions
+    get too fat for the planner's pruning to matter.  The oracle sees
+    the source rows; the physical claim (month directories exist, the
+    month predicate becomes a PartitionFilter, rows survive exactly)
+    is asserted in tests/test_plans.py, since SQL cannot see layout.
+
+    Scale shape: the rewrite shuffles once on (year, month, bounded
+    salt) — same small-file/fat-task bounds as sink_partitioned's
+    salted write — and the evolved table's reads prune BOTH levels;
+    at 100 TB the rewrite runs per-year (only fat years evolve), never
+    O(table)."""
+    src_dir = _staged_partitioned_orders(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"part_evo_{os.path.basename(sf_dir.rstrip('/'))}"
+    out = fingerprinted_dir(_SCRATCH, tag, src)
+    marker = os.path.join(out, "_evolved")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(src_dir)
+            .withColumn("o_month", F.month("o_orderdate"))
+            .repartition(
+                F.col("o_year"),
+                F.col("o_month"),
+                F.pmod(F.hash("o_orderkey"), F.lit(2)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_year", "o_month")
+            .parquet(out)
+        )
+        open(marker, "w").close()
+    prune_superseded(_SCRATCH, tag, src)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_year") == 1997)
+        .groupBy(
+            F.col("o_year").cast("long").alias("o_year"),
+            F.col("o_month").cast("long").alias("o_month"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

@@ -610,6 +610,7 @@ _R10_BACKLOG: list[str] = [
     "x_source_text",
     "x_stream_upsert_sink",
     "x_join_hint_strategy",
+    "x_etl_partition_evolution",
 ]
 
 # Evidence re-checks for the r11 tail (VERDICT r9 items 4/5/6 + the r8

@@ -724,3 +724,19 @@ def test_join_hint_forces_sort_merge(spark):
     assert "SortMergeJoin" in p
     join_section = p.split("HashAggregate")[0]
     assert "BroadcastHashJoin" not in join_section
+
+
+def test_partition_evolution_prunes_both_levels(spark):
+    # The evolved (o_year, o_month) layout must turn the year predicate
+    # into a directory-level PartitionFilter (month rides the same
+    # partition spec), and month directories must physically exist.
+    import glob
+    import os
+
+    p = plan_of(spark, "x_etl_partition_evolution")
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_year" in pf[0] and "1997" in pf[0]
+    from hbasemapreduce_spark.operators.scans import _SCRATCH
+
+    dirs = glob.glob(os.path.join(_SCRATCH, "part_evo_*", "o_year=1997", "o_month=*"))
+    assert len(dirs) >= 2, "month-level directories missing"

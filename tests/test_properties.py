@@ -2446,3 +2446,44 @@ def test_range_frame_matches_naive_hour_scan(spark):
         in_hour = g[(g.ts_us > r.ts_us - 3_600_000_000) & (g.ts_us <= r.ts_us)]
         assert r.hour_cents == int(in_hour.cents.sum()), r.event_id
         assert r.n_hour == len(in_hour), r.event_id
+
+
+def test_kmv_algebra_is_consistent(spark):
+    # The three theta-sketch legs must agree with each other and with
+    # set algebra on the EXACT counters they emit: inside the shared
+    # theta window, A's hashes split exactly into common + only
+    # (n_common + n_only == A-below-theta), and the exact trues obey
+    # inclusion-exclusion (|A| == |A ∩ B| + |A \ B|).
+    inter = SPECS["x_agg_kmv_intersect"].fn(spark, SF_DIR).collect()[0]
+    diff = SPECS["x_agg_kmv_difference"].fn(spark, SF_DIR).collect()[0]
+    assert inter.theta == diff.theta and inter.n_union_sk == diff.n_union_sk
+    a_true = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_returnflag") == "A")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert inter.n_true_inter + diff.n_true_diff == a_true
+    # A-below-theta recomputed independently splits exactly
+    from pyspark.sql import functions as FF
+
+    ha = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(FF.col("l_returnflag") == "A")
+        .select("l_partkey")
+        .distinct()
+        .select(
+            FF.conv(
+                FF.substring(FF.md5(FF.col("l_partkey").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .filter(FF.col("h") <= inter.theta)
+        .count()
+    )
+    assert inter.n_common + diff.n_only == ha
