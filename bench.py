@@ -393,6 +393,55 @@ def retry_inflated(
     return retried
 
 
+# Pre-bench warm-spin (VERDICT r10 item 3): both r10 bench runs STARTED
+# on a contended box (pre cpu_probe_mt 1.5-1.94x the archived best) and
+# the official artifacts inherited inflated numbers for the
+# contention-sensitive keys.  Instead of timing into a known-bad window,
+# wait — bounded — until the multi-thread probe lands within
+# HEALTH_MAX_HIST_RATIO of the box's archived best, so artifacts stop
+# inheriting contended starts.  If the box never recovers inside the
+# bound, proceed anyway (converged:false is recorded; box_health will
+# flag the run degraded exactly as before).
+WARM_SPIN_MAX_SEC = 60.0
+WARM_SPIN_SLEEP_SEC = 5.0
+
+
+def warm_spin(
+    hist: dict,
+    *,
+    max_sec: float = WARM_SPIN_MAX_SEC,
+    ratio: float = HEALTH_MAX_HIST_RATIO,
+    probe=cpu_probe_mt,
+    sleep=time.sleep,
+    clock=time.perf_counter,
+) -> dict:
+    """Spin (probe, sleep, re-probe) until the box's multi-thread CPU
+    probe is within ``ratio`` of the archived best, or ``max_sec``
+    elapses.  Returns {"spun_sec", "samples", "converged"}; with no
+    archived history the first probe converges by definition.  The
+    probe/sleep/clock seams exist for the unit tests (tests/
+    test_bench.py) — injected fakes, no wall-clock dependence."""
+    best_hist = hist.get("cpu_probe_mt_sec")
+    t0 = clock()
+    samples: list[float] = []
+    while True:
+        s = probe()
+        samples.append(s)
+        if best_hist is None or s <= ratio * best_hist:
+            return {
+                "spun_sec": round(clock() - t0, 1),
+                "samples": samples,
+                "converged": True,
+            }
+        if clock() - t0 >= max_sec:
+            return {
+                "spun_sec": round(clock() - t0, 1),
+                "samples": samples,
+                "converged": False,
+            }
+        sleep(WARM_SPIN_SLEEP_SEC)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -425,6 +474,7 @@ def main() -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     hist = prior_probes(here)
+    spin = warm_spin(hist)
     probe_pre = io_probe()
     timings, passes, errors = time_queries(spark, specs, sf_dir)
     probe_post = io_probe()
@@ -480,6 +530,7 @@ def main() -> None:
         "sink_split": sink_split,
         "health": health,
         "degraded": health["degraded"],
+        "warm_spin": spin,
     }
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -537,6 +588,9 @@ def main() -> None:
         # drifted past bounds even after the targeted retry — treat the
         # totals as box attribution, not engine regression.
         "degraded": health["degraded"],
+        # [seconds spun pre-bench, 1 if the mt-probe reached 1.3x of the
+        # archived best before timing began] — VERDICT r10 item 3
+        "warm_spin": [spin["spun_sec"], int(spin["converged"])],
     }
     line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1024, f"final bench line too long ({len(line)} B)"

@@ -164,48 +164,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pair_oracle(select: str) -> str:
+    from .llm_similarity import IVF_PAIR_SQL
+
+    return "WITH " + IVF_PAIR_SQL + " " + select
+
+
 @query(
     "x_dedup_embedding",
     category="llm_dedup",
-    oracle=(
-        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "round(list_cosine_similarity(a.emb, b.emb), 6) AS sim "
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-        "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4"
+    oracle=_ivf_pair_oracle(
+        "SELECT id_a, id_b, round(raw, 6) AS sim FROM epairs WHERE raw >= 0.4"
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked on label (the coarse
-    cluster id), float64 math on both engines, sim rounded to 6 dp.
+    """Embedding-cosine near-dup pairs, blocked on the TRAINED IVF
+    coarse quantizer (VERDICT r10 item 2 — previously blocked on the
+    10-value ``label`` column, which made within-block pair generation
+    O(n²/10) at 100 TB).  Candidates come from
+    :func:`..llm_similarity.ivf_candidate_pairs`: a pair qualifies iff
+    either end probes the other end's home list (nprobe=7 of nlist =
+    ceil(n/25) trained lists), so per-vector candidate fan-out is
+    bounded by list occupancy (~25 × nprobe) at ANY corpus size.  Exact
+    float64 rerank on survivors, sim rounded to 6 dp, raw-threshold
+    0.4 — same output contract as the label-blocked original; the
+    oracle computes the identical trained quantizer + probe rule in
+    DuckDB (IVF_PAIR_SQL), and recall vs the unblocked all-pairs truth
+    is differential-tested with a floor in tests/test_properties.py.
 
-    Threshold 0.4 is calibrated to this corpus (max in-label cosine
+    Threshold 0.4 is calibrated to this corpus (max in-cluster cosine
     ~0.47): high enough to be a real near-dup cut, low enough that the
     operator produces pairs at every scale factor."""
-    from ..functions.vectors import norm
+    from .llm_similarity import ivf_candidate_pairs
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    # per-vector norms computed once BEFORE the self-join (per-pair would
-    # redo 2/3 of the float work across ~n^2/labels pairs)
-    e = e.withColumn("nrm", norm(F.col("emb")))
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("raw_sim"),
-        )
-        .filter(F.col("raw_sim") >= 0.4)
-        .select("id_a", "id_b", F.round("raw_sim", 6).alias("sim"))
+        ivf_candidate_pairs(spark, sf_dir)
+        .filter(F.col("raw") >= 0.4)
+        .select("id_a", "id_b", F.round("raw", 6).alias("sim"))
     )
 
 
@@ -397,63 +392,39 @@ def dedup_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEM_PAIR_SQL = (
-    # the x_dedup_embedding pair predicate, reused verbatim as the edge set
-    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
-    "           FROM embeddings), "
-    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-    "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-    "  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4) "
-)
-
-
 @query(
     "x_dedup_semantic",
     category="llm_dedup",
-    oracle=(
-        _SEM_PAIR_SQL +
+    oracle=_ivf_pair_oracle(
         "SELECT v.label, v.vec_id AS keep_id "
         "FROM embeddings v "
-        "WHERE v.vec_id NOT IN (SELECT id_b FROM pairs)"
+        "WHERE v.vec_id NOT IN (SELECT id_b FROM epairs WHERE raw >= 0.4)"
     ),
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup, Abbas et al. 2023): prune the corpus
     down to one representative per embedding-space near-dup
-    neighbourhood.  A vector is DROPPED iff any smaller-id vector in
-    its label block sits within cosine >= 0.4 — the deterministic
-    keep-lowest-id rule (the paper keeps the example farthest from the
-    cluster centroid; lowest-id is the reproducible stand-in, the same
-    keep-first convention as dedup_exact).  The rule is one-pass and
-    declarative: no iteration, because droppedness of the smaller
-    neighbour is irrelevant — chains collapse to their minimum.
+    neighbourhood.  A vector is DROPPED iff any smaller-id vector among
+    its IVF-blocked candidates sits within cosine >= 0.4 — the
+    deterministic keep-lowest-id rule (the paper keeps the example
+    farthest from the cluster centroid; lowest-id is the reproducible
+    stand-in, the same keep-first convention as dedup_exact).  The rule
+    is one-pass and declarative: no iteration, because droppedness of
+    the smaller neighbour is irrelevant — chains collapse to their
+    minimum.
 
-    Scale shape: reuses x_dedup_embedding's label-blocked pair
-    machinery (per-vector norms hoisted BEFORE the self-join, pairs
-    bounded per block — never all-pairs), then ONE distinct projection
-    of the dropped side and ONE left-anti equi-join back onto the
-    corpus.  At 100 TB the label block swaps to IVF lists or LSH bands
-    exactly as the pair operator documents."""
-    from ..functions.vectors import norm
+    Scale shape: reuses x_dedup_embedding's TRAINED-IVF candidate
+    machinery (VERDICT r10 item 2 — the label block is gone; candidate
+    fan-out is bounded by quantizer list occupancy, never all-pairs and
+    never keyed on a bounded-cardinality column), then ONE distinct
+    projection of the dropped side and ONE left-anti equi-join back
+    onto the corpus."""
+    from .llm_similarity import ivf_candidate_pairs
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    e = e.withColumn("nrm", norm(F.col("emb")))
-    a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     dropped = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(dot / (F.col("a.nrm") * F.col("b.nrm")) >= 0.4)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        ivf_candidate_pairs(spark, sf_dir)
+        .filter(F.col("raw") >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
     return (

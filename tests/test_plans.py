@@ -740,3 +740,33 @@ def test_partition_evolution_prunes_both_levels(spark):
 
     dirs = glob.glob(os.path.join(_SCRATCH, "part_evo_*", "o_year=1997", "o_month=*"))
     assert len(dirs) >= 2, "month-level directories missing"
+
+
+def test_source_snapshot_reads_only_manifest_files(spark):
+    # Snapshot isolation is a FILE-SET property: the s1 read must open
+    # exactly the files s1's manifest records — never c2's post-snapshot
+    # commit files sitting in the same table directory (they contain
+    # poison rows: repriced rewrites of s1's own keys).  inputFiles() is
+    # the physical scan's file list, so this pins the claim at the plan
+    # level; value correctness is the DuckDB oracle's job.
+    import tests.conftest as c
+    from hbasemapreduce_spark.operators.pipeline import (
+        _stage_versioned_orders,
+        source_snapshot,
+    )
+
+    df = source_snapshot(spark, c.SF_DIR)
+    snaps = _stage_versioned_orders(spark, c.SF_DIR)
+    opened = {f.replace("file://", "").replace("file:", "") for f in df.inputFiles()}
+    s1 = set(snaps["s1"])
+    s2_only = set(snaps["s2"]) - s1
+    assert opened <= s1, f"scan opened non-manifest files: {opened - s1}"
+    assert opened, "scan opened no files"
+    assert not (opened & s2_only)
+    # the poison commit really exists and really diverges: reading the
+    # s2 manifest must change the aggregate (else isolation is vacuous)
+    s1_total = df.agg({"cnt": "sum"}).collect()[0][0]
+    s2_total = (
+        spark.read.parquet(*snaps["s2"]).count()
+    )
+    assert s2_total > s1_total

@@ -34,8 +34,10 @@ from hbasemapreduce_spark.registry import (
     _R9_WINDOW,
     _R10_BACKLOG,
     _R10_WINDOW,
+    _R11_BACKLOG,
     _R11_RECHECK,
     _R11_WINDOW,
+    _R12_WINDOW,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -118,55 +120,89 @@ def test_r9_backlog_keys_lead_r10_window():
 
 
 def test_rotation_plan_covers_all_unchecked():
-    # Every key without pre-r10 driver evidence is either in the r10
-    # window (the 27 _R9_BACKLOG first-timers) or in _R10_BACKLOG —
-    # nothing silently dropped.  New keys added during round 10 must be
-    # appended to _R10_BACKLOG to keep this invariant.  Bounded at
-    # round 10 (staging-time statement; the r10 artifact itself must
-    # not falsify it).
-    unchecked = set(all_specs()) - _driver_checked_keys(before_round=10)
-    assert unchecked == set(_R9_BACKLOG) | set(_R10_BACKLOG)
+    # Every key without driver evidence is accounted for by exactly one
+    # rotation list — nothing silently dropped.  New keys added during
+    # round 11 must be appended to _R11_BACKLOG to keep this invariant.
+    # Bounded at the staging round in each statement so the round's own
+    # artifact cannot falsify it (the r7 failure mode).
+    unchecked_r11 = set(all_specs()) - _driver_checked_keys(before_round=11)
+    assert unchecked_r11 == set(_R10_BACKLOG) | set(_R11_BACKLOG)
+    assert not (set(_R11_WINDOW) & set(_R11_BACKLOG))
+    # historical staging-time statements for the r10/r9 rotations:
+    unchecked_r10 = set(all_specs()) - _driver_checked_keys(before_round=10)
+    assert unchecked_r10 == set(_R9_BACKLOG) | set(_R10_BACKLOG) | set(_R11_BACKLOG)
     assert not (set(_R10_WINDOW) & set(_R10_BACKLOG))
-    # historical staging-time statement for the r9 rotation:
     unchecked_r9 = set(all_specs()) - _driver_checked_keys(before_round=9)
-    assert unchecked_r9 - set(_R10_BACKLOG) == set(_R9_WINDOW) | set(_R9_BACKLOG)
+    assert unchecked_r9 - set(_R10_BACKLOG) - set(_R11_BACKLOG) == set(
+        _R9_WINDOW
+    ) | set(_R9_BACKLOG)
 
 
 def test_r10_window_is_pinned_exactly():
     # VERDICT r9 item 1: the r10 window is the plan staged at the end
     # of round 9 — all 27 remaining first-timers, then the leading 23
-    # contract-refresh keys — promoted verbatim to the emission front
-    # now that CORRECTNESS_r09.json landed green.
+    # contract-refresh keys.  Rotation precondition for promoting
+    # _R11_WINDOW: CORRECTNESS_r10.json landed and covered exactly this
+    # window, 50/50 green.
     assert len(_R10_WINDOW) == DRIVER_WINDOW
     assert len(set(_R10_WINDOW)) == DRIVER_WINDOW
     assert _R10_WINDOW == [*_R9_BACKLOG, *_CONTRACT_REFRESH][:DRIVER_WINDOW]
-    assert list(all_specs())[:DRIVER_WINDOW] == _R10_WINDOW
+    r10 = json.loads((_REPO / "CORRECTNESS_r10.json").read_text())
+    assert set(r10) == set(_R10_WINDOW)
 
 
-def test_r11_window_is_staged():
-    # Same-commit staging discipline (VERDICT r8 item 4): emission
-    # positions 51..100 are exactly the staged r11 plan — round-10
-    # first-timers, then each rows-only contract key immediately
-    # followed by its full-hash twin (VERDICT r9 item 6), then the
-    # remaining contract refresh, then the perf/adjacency re-checks.
+def test_r11_window_is_pinned_exactly():
+    # VERDICT r10 item 1 + the r10 ADVICE recomposition: the r11 window
+    # leads with the 14 round-10 first-timers (the only registered keys
+    # with zero driver evidence), then the rows-only contract keys each
+    # directly ahead of their full-hash twins, then the 11 re-checks
+    # (moved AHEAD of the refresh remainder so the [:50] trim cannot
+    # drop them — the r10 ADVICE finding), then the oldest 21 remaining
+    # contract-refresh keys.
     assert len(_R11_WINDOW) == DRIVER_WINDOW
     assert len(set(_R11_WINDOW)) == DRIVER_WINDOW
     assert not (set(_R11_WINDOW) & set(_R10_WINDOW))
-    specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : 2 * DRIVER_WINDOW] == _R11_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R11_WINDOW
+    # first-timers lead
+    assert _R11_WINDOW[: len(_R10_BACKLOG)] == _R10_BACKLOG
     # twin adjacency: the rows-only contract key is directly followed
     # by the portable twin whose hash pass vouches for its values
     for weak, twin in (
         ("dedup_minhash", "x_dedup_minhash_portable"),
         ("agg_approx_distinct", "x_agg_distinct_kmv"),
     ):
-        if weak in _R11_WINDOW:
-            i = _R11_WINDOW.index(weak)
-            assert _R11_WINDOW[i + 1] == twin
-    # re-check tail keys all carry prior driver evidence (they re-run
-    # for perf/adjacency, not coverage)
-    in_window_rechecks = [k for k in _R11_RECHECK if k in _R11_WINDOW]
-    assert set(in_window_rechecks) <= _driver_checked_keys(before_round=10)
+        i = _R11_WINDOW.index(weak)
+        assert _R11_WINDOW[i + 1] == twin
+    # the ENTIRE re-check tail survives the trim (the r10 ADVICE bug:
+    # the old composition silently dropped all 11)
+    assert set(_R11_RECHECK) <= set(_R11_WINDOW)
+    # re-check keys all carry prior driver evidence (they re-run for
+    # perf/adjacency, not coverage)
+    assert set(_R11_RECHECK) <= _driver_checked_keys(before_round=10)
+
+
+def test_r12_window_is_staged():
+    # Same-commit staging discipline (VERDICT r8 item 4): emission
+    # positions 51.. lead with the staged r12 plan — round-11
+    # first-timers, then the 14 contract-refresh keys the r11
+    # recomposition deferred (closing the 60-key refresh: r10 took 23,
+    # r11 takes 23, r12 takes the final 14).
+    assert len(set(_R12_WINDOW)) == len(_R12_WINDOW)
+    assert not (set(_R12_WINDOW) & set(_R11_WINDOW))
+    assert _R12_WINDOW[: len(_R11_BACKLOG)] == _R11_BACKLOG
+    specs = list(all_specs())
+    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R12_WINDOW)] == _R12_WINDOW
+
+
+def test_contract_refresh_completes_by_r12():
+    # VERDICT r10 item 4: after the staged r12 window lands, every
+    # contract key's driver evidence is ≤3 rounds old.  Pin the split:
+    # the three windows' contract slots partition all 60 contract keys.
+    r10c = [k for k in _R10_WINDOW if k in CONTRACT_KEYS]
+    r11c = [k for k in _R11_WINDOW if k in CONTRACT_KEYS]
+    r12c = [k for k in _R12_WINDOW if k in CONTRACT_KEYS]
+    assert len(r10c) + len(r11c) + len(r12c) == 60
+    assert set(r10c) | set(r11c) | set(r12c) == CONTRACT_KEYS
 
 
 def test_contract_refresh_order_matches_artifacts():
@@ -271,12 +307,13 @@ def test_r7_window_oracles():
 
 
 def test_out_of_window_contract_keys_are_fresh():
-    # 23 contract keys re-enter the r10 window for refresh; the 37
-    # still outside each carry r3-or-r4 driver evidence (that's why
-    # they can wait for the r11/r12 refresh tranches).
+    # 23 contract keys re-enter the r11 window for refresh; the 37
+    # outside it each carry existing driver evidence (23 refreshed in
+    # r10, 14 staged r12 with r3/r4 evidence) — that's why they can
+    # wait their tranche.
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
-    assert len(out) == 60 - len([k for k in _R10_WINDOW if k in CONTRACT_KEYS])
+    assert len(out) == 60 - len([k for k in _R11_WINDOW if k in CONTRACT_KEYS])
     checked = _driver_checked_keys()
     assert all(k in checked for k in out)
 
