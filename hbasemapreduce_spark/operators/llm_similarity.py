@@ -720,22 +720,22 @@ KNN_IVF_GRAPH_SQL = _knn_ivf_graph_sql()
 # The IVF-blocked near-dup candidate-pair CTE chain shared by
 # x_dedup_embedding and x_dedup_semantic: a pair is a CANDIDATE iff
 # either end probes the other end's home list (probes ⨝ assigned both
-# directions, normalized by least/greatest + DISTINCT), so candidate
-# generation is an equi-join on cent_id touching nprobe/nlist of the
-# corpus per vector — never all-pairs, never keyed on a bounded-
-# cardinality column.  Similarities are computed AFTER the id-only
-# DISTINCT via two equi-joins back onto ``e`` (don't carry the d-wide
-# arrays through the dedup shuffle).  Ends in ``epairs``
+# directions), so candidate generation is an equi-join on cent_id
+# touching nprobe/nlist of the corpus per vector — never all-pairs,
+# never keyed on a bounded-cardinality column.  The exact similarity
+# is computed inside the join projection; the two directions of a pair
+# collapse in ONE least/greatest-keyed aggregate (MIN(raw) — the two
+# orientations are bit-identical per engine, elementwise-commutative
+# products summed in element order, so MIN just dedupes; one shuffle
+# instead of a distinct plus two corpus rejoins).  Ends in ``epairs``
 # (id_a < id_b, raw float64 cosine).
 IVF_PAIR_SQL = _ivf_probe_sql() + (
     ", cand0 AS ("
-    "  SELECT least(p.src, a.dst) AS id_a, greatest(p.src, a.dst) AS id_b "
+    "  SELECT least(p.src, a.dst) AS id_a, greatest(p.src, a.dst) AS id_b, "
+    "  list_cosine_similarity(p.q_emb, a.d_emb) AS raw "
     "  FROM probes p JOIN assigned a USING (cent_id) WHERE a.dst <> p.src), "
-    "cpairs AS (SELECT DISTINCT id_a, id_b FROM cand0), "
     "epairs AS ("
-    "  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.emb, eb.emb) AS raw "
-    "  FROM cpairs c "
-    "  JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)"
+    "  SELECT id_a, id_b, MIN(raw) AS raw FROM cand0 GROUP BY id_a, id_b)"
 )
 
 
@@ -912,17 +912,19 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dataflow: zero-shuffle probe selection (broadcast centroid array,
     per-row HOF scoring — sim_knn_graph_ivf's exact machinery), then
-    ONE equi-join of probes against assignments on cent_id, an id-only
-    DISTINCT to normalize the two directions, and two vec_id equi-joins
-    back onto the corpus to score the surviving pairs — the d-wide
-    arrays never ride through the pair-dedup shuffle."""
+    ONE equi-join of probes against assignments on cent_id with the
+    exact similarity computed in the join projection, and ONE
+    least/greatest-keyed MIN aggregate that collapses the two
+    directions of each pair (bit-identical per engine: elementwise-
+    commutative products summed in element order) — a single pair-dedup
+    shuffle carrying (id, id, double), no corpus rejoin, no d-wide
+    arrays in the shuffle."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(n_part)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .withColumn("nrm", norm(F.col("emb")))
-        .localCheckpoint(eager=False)
     )
     cent_arr = (
         _trained_graph_centroids(spark, sf_dir)
@@ -945,42 +947,37 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(cent_arr))
         .select(
             "vec_id",
+            "emb",
+            "nrm",
             F.reverse(F.array_sort(F.transform(F.col("cents"), scored))).alias("sc"),
         )
         .localCheckpoint(eager=False)
     )
     assigned = base.select(
         F.col("vec_id").alias("dst"),
+        F.col("emb").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
         (-F.col("sc")[0]["neg_cent"]).alias("cent_id"),
     )
     probes = base.select(
         F.col("vec_id").alias("src"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.explode(
             F.transform(F.slice("sc", 1, _KNN_NPROBE), lambda s: -s["neg_cent"])
         ).alias("cent_id"),
     )
-    cpairs = (
+    raw = dot(F.col("q_emb"), F.col("d_emb")) / (F.col("q_nrm") * F.col("d_nrm"))
+    return (
         probes.join(assigned, "cent_id")
         .filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("id_a"),
             F.greatest("src", "dst").alias("id_b"),
+            raw.alias("raw"),
         )
-        .distinct()
-    )
-    ea = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    eb = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    raw = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        cpairs.join(ea, "id_a").join(eb, "id_b").select("id_a", "id_b", raw.alias("raw"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("raw").alias("raw"))
     )
 
 

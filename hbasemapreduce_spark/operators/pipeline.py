@@ -1874,6 +1874,11 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> dict:
       manifest double-counts keys and sees changed prices, so the
       oracle hash can only match through genuine snapshot isolation.
     - snapshot "s2": c1 + c2 files.
+    - c0_aborted: a commit whose WRITE completed but whose manifest
+      never landed (the writer died pre-commit) — a duplicate slice of
+      the base (every 7th base key).  Referenced by NO manifest; it
+      exists so x_etl_vacuum has real orphans to account, and as a
+      second poison layer for any directory-globbing reader.
 
     Staging is fingerprinted on the source and idempotent (_SUCCESS
     marker); manifests are JSON file lists, exactly what a snapshot
@@ -1884,7 +1889,7 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> dict:
     from ..functions.staging import fingerprinted_dir
 
     src = os.path.join(sf_dir, "orders.parquet")
-    root = fingerprinted_dir(_SCRATCH, "snapshot_table", src)
+    root = fingerprinted_dir(_SCRATCH, "snapshot_table_v2", src)
     marker = os.path.join(root, "_SUCCESS")
 
     def _files(d: str) -> list[str]:
@@ -1912,6 +1917,13 @@ def _stage_versioned_orders(spark: SparkSession, sf_dir: str) -> dict:
         late.unionAll(repriced).repartition(2).write.mode("overwrite").parquet(c2)
         with open(os.path.join(root, "manifest_s2.json"), "w") as fh:
             json.dump({"snapshot": "s2", "files": s1_files + _files(c2)}, fh)
+        # the aborted write: files on disk, no manifest ever references
+        # them (duplicate content — the realistic failure: the job died
+        # between its file writes and its manifest commit)
+        aborted = base.filter(F.col("o_orderkey") % 7 == 3)
+        aborted.repartition(2).write.mode("overwrite").parquet(
+            os.path.join(root, "c0_aborted")
+        )
         open(marker, "w").close()
     out = {"root": root}
     for snap in ("s1", "s2"):
@@ -1961,4 +1973,104 @@ def source_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
         F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+@query(
+    "x_source_snapshot_delta",
+    category="scan",
+    oracle=(
+        "WITH delta AS ("
+        f"  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        f"  WHERE (o_orderkey * {_KNUTH}) % 10 >= 8 "
+        "  UNION ALL "
+        f"  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 FROM orders "
+        f"  WHERE (o_orderkey * {_KNUTH}) % 10 < 8 AND o_orderkey % 5 = 0) "
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents, "
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys "
+        "FROM delta GROUP BY o_orderstatus"
+    ),
+)
+def source_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot scan (the Iceberg/Delta incremental-read
+    path, completing x_source_snapshot's surface): consume ONLY what
+    changed between snapshot s1 and snapshot s2 by scanning the file
+    set s2 MINUS s1 — pure manifest arithmetic, zero data-side diffing.
+    The delta commit (late-arriving rows plus repriced rewrites of base
+    keys) is exactly what a downstream incremental refresh must apply,
+    and the oracle re-derives that content independently from the
+    deterministic commit rule, so the hash match proves manifest
+    subtraction selects precisely the committed delta — no base file
+    re-read, no missed file.
+
+    Scale shape: at 100 TB an incremental consumer reading manifests
+    touches only the new commit's bytes (here 1/4 of the table) while a
+    snapshot diff by content (x_etl_snapshot_diff) shuffles both full
+    snapshots — this is why every table format records file-level
+    lineage.  The scan is an ordinary parallel parquet read of the
+    delta files; the aggregate is map-side combined."""
+    snaps = _stage_versioned_orders(spark, sf_dir)
+    s1 = set(snaps["s1"])
+    delta_files = [f for f in snaps["s2"] if f not in s1]
+    delta = spark.read.parquet(*delta_files)
+    return delta.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "x_etl_vacuum",
+    category="pipeline",
+    oracle=(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents "
+        f"FROM orders WHERE (o_orderkey * {_KNUTH}) % 10 < 8 "
+        "AND o_orderkey % 7 = 3 GROUP BY o_orderstatus"
+    ),
+)
+def etl_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum audit for the versioned table (the table-format GC path,
+    completing the snapshot surface: read -> incremental read ->
+    vacuum): files present in the table directory but referenced by NO
+    snapshot manifest are orphans — here the c0_aborted commit, whose
+    writer died between writing its files and committing its manifest.
+    The audit accounts exactly what a vacuum would reclaim (rows and
+    cents per status, straight off the orphan bytes); the oracle
+    re-derives the aborted job's deterministic content, so the hash
+    match proves manifest-set subtraction finds precisely the
+    unreferenced files — every live file excluded, every orphan found.
+    The actual delete is a trivial driver-side rm of the audited list;
+    the dataflow IS the audit (and the plan pin in tests/test_plans.py
+    asserts only orphan files are opened).
+
+    Scale shape: live-set resolution is manifest arithmetic on the
+    driver (tiny JSON, exactly how Iceberg's expire-snapshots plans);
+    the directory listing is one LIST per table (the one unavoidable
+    listing in any GC); the orphan scan is an ordinary parallel parquet
+    read of only the reclaimable bytes."""
+    snaps = _stage_versioned_orders(spark, sf_dir)
+    live = set(snaps["s1"]) | set(snaps["s2"])
+    all_files = sorted(
+        os.path.join(r, f)
+        for r, _dirs, files in os.walk(snaps["root"])
+        for f in files
+        if f.endswith(".parquet")
+    )
+    orphans = [f for f in all_files if f not in live]
+    return (
+        spark.read.parquet(*orphans)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
     )

@@ -674,6 +674,8 @@ _R11_WINDOW = [
 # _R11_BACKLOG (leading the staged r12 window).
 _R11_BACKLOG: list[str] = [
     "x_source_snapshot",
+    "x_source_snapshot_delta",
+    "x_etl_vacuum",
 ]
 
 # Staged r12 window (same-commit staging discipline).  Round-11

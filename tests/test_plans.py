@@ -770,3 +770,42 @@ def test_source_snapshot_reads_only_manifest_files(spark):
         spark.read.parquet(*snaps["s2"]).count()
     )
     assert s2_total > s1_total
+
+
+def test_source_snapshot_delta_reads_only_new_commit_files(spark):
+    # Incremental consumption must touch ONLY the s2-minus-s1 file set —
+    # re-reading base files would make the "incremental" read O(table).
+    import tests.conftest as c
+    from hbasemapreduce_spark.operators.pipeline import (
+        _stage_versioned_orders,
+        source_snapshot_delta,
+    )
+
+    df = source_snapshot_delta(spark, c.SF_DIR)
+    snaps = _stage_versioned_orders(spark, c.SF_DIR)
+    delta = set(snaps["s2"]) - set(snaps["s1"])
+    opened = {f.replace("file://", "").replace("file:", "") for f in df.inputFiles()}
+    assert opened, "scan opened no files"
+    assert opened <= delta, f"scan opened base files: {opened - delta}"
+
+
+def test_etl_vacuum_opens_only_orphan_files(spark):
+    # GC safety is two-sided: every opened file must be an orphan (no
+    # live file is ever a reclaim candidate), and the orphan set must be
+    # non-empty (the aborted commit exists) and disjoint from both
+    # manifests' live sets.
+    import os as _os
+
+    import tests.conftest as c
+    from hbasemapreduce_spark.operators.pipeline import (
+        _stage_versioned_orders,
+        etl_vacuum,
+    )
+
+    df = etl_vacuum(spark, c.SF_DIR)
+    snaps = _stage_versioned_orders(spark, c.SF_DIR)
+    live = set(snaps["s1"]) | set(snaps["s2"])
+    opened = {f.replace("file://", "").replace("file:", "") for f in df.inputFiles()}
+    assert opened, "vacuum opened no files"
+    assert not (opened & live), f"vacuum would reclaim live files: {opened & live}"
+    assert all("c0_aborted" in _os.path.dirname(f) for f in opened)
