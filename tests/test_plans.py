@@ -809,3 +809,26 @@ def test_etl_vacuum_opens_only_orphan_files(spark):
     assert opened, "vacuum opened no files"
     assert not (opened & live), f"vacuum would reclaim live files: {opened & live}"
     assert all("c0_aborted" in _os.path.dirname(f) for f in opened)
+
+
+def test_ivf_pair_blocking_is_equi_join_no_label(spark):
+    # VERDICT r10 item 2's plan-level pin: the embedding-dedup candidate
+    # stage must be a hash EQUI-join on the quantizer list id — never a
+    # cartesian/nested-loop pair generator, and never keyed on the
+    # 10-value label column (the analyzed plan must not reference label
+    # at all).  The two centroid-table broadcasts (training collapse +
+    # probe scoring) are the only broadcast nodes expected; neither may
+    # be a corpus-sized side.
+    p = plan_of(spark, "x_dedup_embedding")
+    assert "CartesianProduct" not in p
+    assert "label" not in p
+    # candidate generation shuffles on cent_id (an equi-join), and the
+    # pair dedup is a hash aggregate (map-side partials included)
+    assert "cent_id" in p
+    assert "HashAggregate" in p
+    p2 = plan_of(spark, "x_dedup_semantic")
+    assert "CartesianProduct" not in p2
+    assert "label" not in p2.split("LeftAnti")[0], (
+        "label may appear only in the final projection after the "
+        "anti-join, never in pair generation"
+    )
