@@ -783,3 +783,173 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_diff",
         )
     )
+
+
+@query(
+    "x_agg_hdr_quantiles",
+    category="agg",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority AS prio, "
+        "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM orders), "
+        "bk AS (SELECT prio, length(bin(cents)) - 1 AS b, "
+        "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+        "h AS (SELECT prio, b, sub, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "  FROM bk GROUP BY 1, 2, 3), "
+        "cu AS (SELECT prio, b, sub, cnt, "
+        "  SUM(cnt) OVER (PARTITION BY prio ORDER BY b, sub) AS cum, "
+        "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
+        "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50), (95), (99)) AS t(pct)) "
+        "SELECT prio AS o_orderpriority, CAST(pct AS BIGINT) AS pct, "
+        "CAST((16 + sub) << (b - 4) AS BIGINT) AS est_cents, "
+        "CAST(n AS BIGINT) AS n_rows "
+        "FROM p WHERE cum >= (n * pct + 99) // 100 "
+        "AND cum - cnt < (n * pct + 99) // 100"
+    ),
+)
+def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style quantile sketch (power-of-two histogram with 16
+    sub-buckets — the HdrHistogram/DDSketch family's integer-exact
+    member): per order priority, estimate p50/p95/p99 of the order
+    value from a (exponent, sub-bucket) histogram.  Bucket id is pure
+    integer arithmetic — b = floor(log2(cents)) via length(bin(cents)),
+    sub = the next four mantissa bits — so both engines bucket
+    BIT-IDENTICALLY (no float log at bucket boundaries), and the
+    estimate (the bucket's lower bound, (16+sub) << (b-4)) carries a
+    guaranteed relative error < 1/16 (values here are >= 16 cents).  Rank thresholds are integer
+    ceil(n*pct/100); the answered bucket is the unique one whose
+    cumulative count straddles the threshold.
+
+    This is the quantile twin of the KMV distinct algebra: the sketch
+    is MERGEABLE (bucket counts add — any partition/shard split of the
+    corpus merges by summing histograms, proven the same way the KMV
+    merge rule is), so at 100 TB it is ONE map-side-combined aggregate
+    of ~1024 possible buckets per group plus a per-group window over
+    those bucket rows — never a sort of the corpus, never a
+    percentile_approx black box.  The error-bound property
+    (estimate <= exact < estimate * (1 + 1/16)) is asserted in
+    tests/test_properties.py."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    )
+    b = F.length(F.bin(F.col("cents"))) - 1
+    sub = F.expr("shiftright(cents, CAST(length(bin(cents)) - 5 AS INT)) & 15")
+    h = (
+        c.select("prio", b.alias("b"), sub.alias("sub"))
+        .groupBy("prio", "b", "sub")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("prio").orderBy("b", "sub")
+    wn = Window.partitionBy("prio")
+    cu = h.select(
+        "prio",
+        "b",
+        "sub",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    p = cu.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct")
+            )
+        )
+    )
+    thr = F.expr("(n * pct + 99) DIV 100")
+    return (
+        p.filter((F.col("cum") >= thr) & (F.col("cum") - F.col("cnt") < thr))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("pct").cast("long").alias("pct"),
+            F.expr("CAST(shiftleft(16 + sub, CAST(b - 4 AS INT)) AS BIGINT)").alias(
+                "est_cents"
+            ),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_HDR_MERGE_ORACLE = (
+    "WITH c AS (SELECT o_orderpriority AS prio, "
+    "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
+    "  (o_orderkey * 2654435761) % 2 AS half FROM orders), "
+    "bk AS (SELECT prio, half, length(bin(cents)) - 1 AS b, "
+    "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+    "h_half AS (SELECT prio, half, b, sub, COUNT(*) AS cnt "
+    "  FROM bk GROUP BY 1, 2, 3, 4), "
+    "h AS (SELECT prio, b, sub, CAST(SUM(cnt) AS BIGINT) AS cnt "
+    "  FROM h_half GROUP BY 1, 2, 3), "
+    "cu AS (SELECT prio, b, sub, cnt, "
+    "  SUM(cnt) OVER (PARTITION BY prio ORDER BY b, sub) AS cum, "
+    "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
+    "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50), (95), (99)) AS t(pct)) "
+    "SELECT prio AS o_orderpriority, CAST(pct AS BIGINT) AS pct, "
+    "CAST((16 + sub) << (b - 4) AS BIGINT) AS est_cents, "
+    "CAST(n AS BIGINT) AS n_rows "
+    "FROM p WHERE cum >= (n * pct + 99) // 100 "
+    "AND cum - cnt < (n * pct + 99) // 100"
+)
+
+
+@query("x_agg_hdr_merge", category="agg", oracle=_HDR_MERGE_ORACLE)
+def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR sketch's MERGE rule as a driver-checkable query (the
+    x_agg_kmv_merge discipline applied to quantiles): two disjoint
+    corpus shards (a deterministic Knuth hash split) are sketched
+    INDEPENDENTLY, the partial histograms merge by summing bucket
+    counts, and the merged sketch answers p50/p95/p99 — byte-identical
+    to x_agg_hdr_quantiles' one-shot answer, which the shared oracle
+    derivation re-proves every window.  This is the exact dataflow of
+    a 1000-executor rollup: each executor sketches its shard with no
+    coordination, the driver-side merge is a k-bounded aggregate of
+    (group, b, sub) rows, and no corpus-sized sort or shuffle ever
+    happens."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        cents.alias("cents"),
+        F.pmod(F.col("o_orderkey") * 2654435761, F.lit(2)).alias("half"),
+    )
+    b = F.length(F.bin(F.col("cents"))) - 1
+    sub = F.expr("shiftright(cents, CAST(length(bin(cents)) - 5 AS INT)) & 15")
+    # per-shard partial sketches (independent aggregates)...
+    h_half = (
+        c.select("prio", "half", b.alias("b"), sub.alias("sub"))
+        .groupBy("prio", "half", "b", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # ...merged by summing counts — the sketch algebra under test
+    h = h_half.groupBy("prio", "b", "sub").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("prio").orderBy("b", "sub")
+    wn = Window.partitionBy("prio")
+    cu = h.select(
+        "prio",
+        "b",
+        "sub",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    p = cu.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct")
+            )
+        )
+    )
+    thr = F.expr("(n * pct + 99) DIV 100")
+    return (
+        p.filter((F.col("cum") >= thr) & (F.col("cum") - F.col("cnt") < thr))
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("pct").cast("long").alias("pct"),
+            F.expr("CAST(shiftleft(16 + sub, CAST(b - 4 AS INT)) AS BIGINT)").alias(
+                "est_cents"
+            ),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )

@@ -676,6 +676,8 @@ _R11_BACKLOG: list[str] = [
     "x_source_snapshot",
     "x_source_snapshot_delta",
     "x_etl_vacuum",
+    "x_agg_hdr_quantiles",
+    "x_agg_hdr_merge",
 ]
 
 # Staged r12 window (same-commit staging discipline).  Round-11

@@ -2568,3 +2568,67 @@ def test_dedup_embedding_ivf_blocking_supersedes_label_blocking(spark):
         assert not (ivf - allp), f"{sf_dir}: false positives {ivf - allp}"
         recall = len(ivf & allp) / len(allp)
         assert recall >= 0.85, f"{sf_dir}: all-pairs recall {recall:.2f}"
+
+
+def test_hdr_quantile_bound_and_merge(spark):
+    """x_agg_hdr_quantiles' two claims:
+
+    1. ERROR BOUND — the reported estimate is the containing bucket's
+       lower bound, so est <= exact_quantile < est * (1 + 1/16) for
+       every (priority, pct), exact computed by full sort here.
+    2. MERGEABILITY — bucket counts add: sketching two disjoint halves
+       of the corpus and SUMMING the histograms answers every quantile
+       identically to the one-shot sketch (the property that makes it
+       one map-side-combined aggregate at any shard/partition split).
+       Proven on the SQL spec; Spark == spec is the oracle test's job.
+    """
+    import duckdb
+
+    rows = SPECS["x_agg_hdr_quantiles"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 15  # 5 priorities x 3 percentiles
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    exact = {}
+    for prio, p50, p95, p99 in con.execute(
+        "WITH c AS (SELECT o_orderpriority AS prio, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT prio, CAST(quantile_disc(cents, 0.50) AS BIGINT), "
+        "CAST(quantile_disc(cents, 0.95) AS BIGINT), "
+        "CAST(quantile_disc(cents, 0.99) AS BIGINT) FROM c GROUP BY prio"
+    ).fetchall():
+        exact[(prio, 50)], exact[(prio, 95)], exact[(prio, 99)] = p50, p95, p99
+    for r in rows:
+        t = exact[(r.o_orderpriority, r.pct)]
+        assert r.est_cents <= t < r.est_cents * (1 + 1 / 16) + 1, (
+            r.o_orderpriority,
+            r.pct,
+            r.est_cents,
+            t,
+        )
+    # merge: histogram(half A) + histogram(half B) == histogram(all),
+    # so the derived quantiles match the one-shot answer exactly
+    merged = con.execute(
+        "WITH c AS (SELECT o_orderpriority AS prio, "
+        "  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents, "
+        "  (o_orderkey * 2654435761) % 2 AS half FROM orders), "
+        "bk AS (SELECT prio, half, length(bin(cents)) - 1 AS b, "
+        "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+        "h_half AS (SELECT prio, half, b, sub, COUNT(*) AS cnt "
+        "  FROM bk GROUP BY 1, 2, 3, 4), "
+        "h AS (SELECT prio, b, sub, CAST(SUM(cnt) AS BIGINT) AS cnt "
+        "  FROM h_half GROUP BY 1, 2, 3), "  # <- the merge: counts add
+        "cu AS (SELECT prio, b, sub, cnt, "
+        "  SUM(cnt) OVER (PARTITION BY prio ORDER BY b, sub) AS cum, "
+        "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
+        "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50),(95),(99)) AS t(pct)) "
+        "SELECT prio, CAST(pct AS BIGINT), CAST((16 + sub) << (b - 4) AS BIGINT) "
+        "FROM p WHERE cum >= (n * pct + 99) // 100 "
+        "AND cum - cnt < (n * pct + 99) // 100"
+    ).fetchall()
+    got = {(r.o_orderpriority, r.pct): r.est_cents for r in rows}
+    assert {(p, q): e for p, q, e in merged} == got
+    con.close()
