@@ -631,6 +631,12 @@ _R11_RECHECK = [
     "x_sim_ann_lsh_portable",
     "x_join_bucketed",
     "x_pipeline_curate",
+    # re-blocked in round 11 (VERDICT r10 item 2: candidate pairs moved
+    # from the label column to the trained IVF quantizer) — their r4
+    # driver evidence describes the OLD code, so they re-run in the r11
+    # window to land driver rows for the shipped implementation
+    "x_dedup_embedding",
+    "x_dedup_semantic",
 ]
 
 # Round-11 driver window (VERDICT r10 item 1).  The r10 driver
@@ -646,13 +652,15 @@ _R11_RECHECK = [
 # and the rows-only/twin adjacencies).  Composition: the 14 round-10
 # first-timers lead (the only registered keys with zero driver
 # evidence); then the two rows-only CONTRACT keys each immediately
-# followed by their full-hash twin (VERDICT r9 item 6); then the 11
-# re-checks; then the oldest 21 of the 35 remaining contract-refresh
-# keys.  The 14 refresh keys this trim defers lead _R12_WINDOW below.
-# Every key here ran hash-green (or clean rows-only at its staged
-# adjacency position) in the r10 pre-validation of emission keys
-# 1..100 at sf0.01 — membership is unchanged by the recomposition,
-# only order.
+# followed by their full-hash twin (VERDICT r9 item 6); then the 13
+# re-checks (the 11 staged ones plus the two keys whose candidate
+# blocking was re-built this round and whose r4 evidence therefore
+# describes retired code); then the oldest 19 of the 35 remaining
+# contract-refresh keys.  The 16 refresh keys this trim defers lead
+# _R12_WINDOW below.  Every key here ran hash-green (or clean
+# rows-only at its staged adjacency position) in this round's builder
+# replays of emission keys 1..100 through the exact driver protocol
+# at sf0.01 (BENCH_TREND round 11).
 _R11_WINDOW = [
     *_R10_BACKLOG,
     "dedup_minhash",
@@ -680,21 +688,58 @@ _R11_BACKLOG: list[str] = [
     "x_agg_hdr_merge",
 ]
 
+# Beyond-contract evidence-refresh tranche for r12: the oldest-driver-
+# evidence x_ keys not already staged (2 r3-era, then r4-era, ordered
+# (evidence round, name) — re-derived from the CORRECTNESS_r* artifacts
+# in tests/test_registry.py so the pin cannot drift from the evidence).
+_R12_X_REFRESH = [
+    "x_agg_pivot",  # r3
+    "x_contamination_ngram",  # r3
+    "x_agg_mode",  # r4
+    "x_basket_pairs",  # r4
+    "x_cell_versions",  # r4
+    "x_client_mutate",  # r4
+    "x_dedup_clusters",  # r4
+    "x_dedup_ngram_jaccard",  # r4
+    "x_dedup_url",  # r4
+    "x_emb_gram",  # r4
+    "x_embedding_quantize",  # r4
+    "x_etl_scd2",  # r4
+    "x_etl_upsert",  # r4
+    "x_index_inverted",  # r4
+    "x_join_fuzzy",  # r4
+    "x_pack_chunks",  # r4
+    "x_rank_bm25",  # r4
+    "x_sample_balanced",  # r4
+    "x_sample_split",  # r4
+    "x_sample_stratified",  # r4
+    "x_session_paths",  # r4
+    "x_sim_ivf",  # r4
+    "x_stats_corr",  # r4
+    "x_stats_outliers",  # r4
+    "x_text_pii_mask",  # r4
+    "x_time_gapfill",  # r4
+    "x_time_ohlc",  # r4
+    "x_tpch_q10",  # r4
+    "x_tpch_q14",  # r4
+]
+
 # Staged r12 window (same-commit staging discipline).  Round-11
-# first-timers lead; then the 14 contract-refresh keys the r11
-# recomposition deferred (the join/agg families, r3/r4 evidence —
-# after r12 lands, every contract key's driver evidence is ≤3 rounds
-# old, closing VERDICT r10 item 4); the rest of the 50 slots backfill
-# with the oldest-evidence beyond-contract keys at emission time (the
-# r12 rotation will pin them).  Computed, not hard-coded, so the
-# split stays true as keys join _R11_BACKLOG.  Emission positions
-# 51..100 of queries() start with this list, so a >50-key driver
-# window or an early r12 run picks it up with no further rotation
-# edit.
+# first-timers lead; then the 16 contract-refresh keys the r11
+# recomposition deferred (the join/agg families plus the two the
+# re-check expansion displaced — after r12 lands, every contract key's
+# driver evidence is ≤3 rounds old, closing VERDICT r10 item 4); then
+# the oldest-evidence beyond-contract refresh tranche filling to 50,
+# beginning the x_-key freshness rotation the contract keys already
+# get.  Computed from the pieces, not hard-coded, so the split stays
+# true as keys join _R11_BACKLOG.  Emission positions 51..100 of
+# queries() start with this list, so a >50-key driver window or an
+# early r12 run picks it up with no further rotation edit.
 _R12_WINDOW = [
     *_R11_BACKLOG,
     *[k for k in _CONTRACT_REFRESH if k not in _R10_WINDOW and k not in _R11_WINDOW],
-]
+    *_R12_X_REFRESH,
+][:50]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire

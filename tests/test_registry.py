@@ -344,3 +344,29 @@ def test_every_registered_key_analyzes(spark):
         except Exception as e:  # noqa: BLE001 — collect all, report together
             failures.append(f"{key}: {type(e).__name__}: {e}")
     assert not failures, "plan-analysis failures:\n" + "\n".join(failures)
+
+
+def test_r12_x_refresh_matches_artifacts():
+    # The r12 beyond-contract refresh tranche is the oldest-driver-
+    # evidence x_ keys not already staged in the r11 window, ordered
+    # (latest evidence round, name), filling _R12_WINDOW to the 50-key
+    # cap.  Re-derived here from the CORRECTNESS artifacts (bounded at
+    # round 11, staging time) so the hard-coded pin cannot drift.
+    from hbasemapreduce_spark.registry import _R11_BACKLOG as r11b
+    from hbasemapreduce_spark.registry import _R12_X_REFRESH
+
+    latest: dict[str, int] = {}
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(p.stem.split("_r")[1])
+        if rnd >= 11:
+            continue
+        for k in json.loads(p.read_text()):
+            latest[k] = max(latest.get(k, 0), rnd)
+    staged = set(_R11_WINDOW)
+    candidates = sorted(
+        (k for k in all_specs() if k.startswith("x_") and k in latest and k not in staged),
+        key=lambda k: (latest[k], k),
+    )
+    n_fill = DRIVER_WINDOW - len(r11b) - 16  # 16 deferred contract keys
+    assert _R12_X_REFRESH == candidates[:n_fill]
+    assert len(_R12_WINDOW) == DRIVER_WINDOW
