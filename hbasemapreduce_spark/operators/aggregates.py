@@ -828,18 +828,37 @@ def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     those bucket rows — never a sort of the corpus, never a
     percentile_approx black box.  The error-bound property
     (estimate <= exact < estimate * (1 + 1/16)) is asserted in
-    tests/test_properties.py."""
+    tests/test_properties.py, and the streaming mirror
+    (streaming/mirrors.py) executes the merge through four real
+    foreachBatch micro-batches."""
+    return hdr_quantiles(spark, hdr_histogram(_hdr_cents(spark, sf_dir)))
+
+
+def _hdr_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    c = load_table(spark, sf_dir, "orders").select(
+    return load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("prio"), cents.alias("cents")
     )
+
+
+def hdr_histogram(c: DataFrame) -> DataFrame:
+    """(prio, cents) -> the partial HDR sketch (prio, b, sub, cnt).
+    Pure integer bucketing; partials from ANY corpus split merge by
+    summing cnt (executed by x_agg_hdr_merge and the streaming
+    mirror)."""
     b = F.length(F.bin(F.col("cents"))) - 1
     sub = F.expr("shiftright(cents, CAST(length(bin(cents)) - 5 AS INT)) & 15")
-    h = (
+    return (
         c.select("prio", b.alias("b"), sub.alias("sub"))
         .groupBy("prio", "b", "sub")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def hdr_quantiles(spark: SparkSession, h: DataFrame) -> DataFrame:
+    """Derive p50/p95/p99 per group from a (prio, b, sub, cnt) sketch:
+    per-group cumulative window over the <=1024 bucket rows, integer
+    rank thresholds, the unique straddling bucket answers."""
     w = Window.partitionBy("prio").orderBy("b", "sub")
     wn = Window.partitionBy("prio")
     cu = h.select(
@@ -924,32 +943,4 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = h_half.groupBy("prio", "b", "sub").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
-    w = Window.partitionBy("prio").orderBy("b", "sub")
-    wn = Window.partitionBy("prio")
-    cu = h.select(
-        "prio",
-        "b",
-        "sub",
-        "cnt",
-        F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(wn).alias("n"),
-    )
-    p = cu.crossJoin(
-        F.broadcast(
-            spark.range(1).select(
-                F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("pct")
-            )
-        )
-    )
-    thr = F.expr("(n * pct + 99) DIV 100")
-    return (
-        p.filter((F.col("cum") >= thr) & (F.col("cum") - F.col("cnt") < thr))
-        .select(
-            F.col("prio").alias("o_orderpriority"),
-            F.col("pct").cast("long").alias("pct"),
-            F.expr("CAST(shiftleft(16 + sub, CAST(b - 4 AS INT)) AS BIGINT)").alias(
-                "est_cents"
-            ),
-            F.col("n").cast("long").alias("n_rows"),
-        )
-    )
+    return hdr_quantiles(spark, h)

@@ -965,3 +965,95 @@ def upsert_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_stream_upsert_sink"] = upsert_sink_run  # foreachBatch runner form
+
+
+def hdr_sketch_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch HDR-sketch merge mirror of x_agg_hdr_quantiles —
+    the 22nd executed streaming equality, and the one that executes the
+    sketch ALGEBRA incrementally: the orders table is staged into FOUR
+    parquet files and consumed with maxFilesPerTrigger=1, so
+    availableNow drains through four real micro-batches; each batch
+    computes its own partial histogram (prio, b, sub, cnt) with
+    operators/aggregates.hdr_histogram, and foreachBatch MERGES it into
+    a versioned parquet sketch snapshot by summing bucket counts
+    (write-new-then-swap, the x_stream_upsert_sink pattern).  After the
+    drain, hdr_quantiles derives p50/p95/p99 from the merged sketch —
+    equal to the batch key's one-shot answer because bucket counts form
+    a commutative monoid under addition, whatever the batch split.
+
+    This is the production shape for streaming percentile dashboards:
+    per-batch state is k-bounded (<=1024 buckets per group), the merge
+    is associative so late/replayed batches fold in identically, and
+    nothing ever sorts or retains the raw stream."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from ..functions.staging import fingerprinted_dir
+    from ..operators.aggregates import hdr_histogram, hdr_quantiles
+
+    configure(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch = os.path.join(repo_root, ".scratch")
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"hdr_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    stage = fingerprinted_dir(scratch, tag, src)
+    marker = os.path.join(stage, "_staged_4way")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(
+            stage
+        )
+        open(marker, "w").close()
+    raw_schema = spark.read.parquet(stage).schema
+    orders = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    cents = (FF.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    stream = orders.select(
+        FF.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    )
+
+    out_root = os.path.join(scratch, f"hdr_snap_{os.getpid()}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    snap = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = hdr_histogram(batch_df)
+        if snap["path"] is not None:
+            cur = spark.read.parquet(snap["path"])
+            part = (
+                cur.unionAll(part)
+                .groupBy("prio", "b", "sub")
+                .agg(FF.sum("cnt").cast("long").alias("cnt"))
+            )
+        new_path = os.path.join(out_root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(new_path)
+        old = snap["path"]
+        snap["path"] = new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("HDR sketch mirror did not drain within 300s")
+    finally:
+        q.stop()
+    assert snap["path"] is not None, "no micro-batch ever fired"
+    return hdr_quantiles(spark, spark.read.parquet(snap["path"]))
+
+
+MIRRORS["x_agg_hdr_quantiles"] = hdr_sketch_stream_run  # foreachBatch runner

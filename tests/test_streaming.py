@@ -364,3 +364,21 @@ def test_stream_upsert_foreachbatch_matches_batch(spark):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert g == b and len(g) > 0
+
+
+def test_hdr_sketch_foreachbatch_matches_batch(spark):
+    """The foreachBatch HDR-sketch merge mirror — four forced
+    micro-batches over a 4-file orders staging, each folding its
+    partial histogram into a versioned parquet sketch snapshot — must
+    answer p50/p95/p99 exactly like x_agg_hdr_quantiles' one-shot
+    sketch: bucket counts form a commutative monoid under addition, so
+    ANY batch split merges to the same histogram.  The 22nd executed
+    streaming equality, and the one driving the sketch algebra through
+    IncrementalExecution."""
+    from hbasemapreduce_spark.streaming.mirrors import hdr_sketch_stream_run
+
+    got = hdr_sketch_stream_run(spark, SF_DIR)
+    want = all_specs()["x_agg_hdr_quantiles"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and len(g) == 15
