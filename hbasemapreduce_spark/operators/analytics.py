@@ -2195,3 +2195,141 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("hour_cents"),
         F.count("*").over(w).cast("long").alias("n_hour"),
     )
+
+
+_LTTB_NB = 20  # interior buckets; endpoints always kept (buckets 0, 21)
+
+
+@query(
+    "x_time_downsample_lttb",
+    category="analytics",
+    oracle=(
+        "WITH ev AS (SELECT event_type, event_id, "
+        "    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM events), "
+        "r AS (SELECT *, ROW_NUMBER() OVER w AS rk, "
+        "    COUNT(*) OVER (PARTITION BY event_type) AS n, "
+        "    MIN(ts_us) OVER (PARTITION BY event_type) AS mn "
+        "  FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)), "
+        "p AS (SELECT event_type, event_id, ts_us, cents, ts_us - mn AS x, "
+        f"    CASE WHEN rk = 1 THEN 0 WHEN rk = n THEN {_LTTB_NB + 1} "
+        f"         ELSE 1 + ((rk - 2) * {_LTTB_NB}) // (n - 2) END AS bucket "
+        "  FROM r), "
+        "s AS (SELECT event_type, bucket, COUNT(*) AS cnt, "
+        "    SUM(x) AS sx, SUM(cents) AS sy FROM p GROUP BY 1, 2), "
+        "cand AS (SELECT c.event_type, c.bucket, c.event_id, c.ts_us, c.cents, c.x, "
+        "    sp.cnt AS np, sp.sx AS sxp, sp.sy AS syp, "
+        "    sn.cnt AS nn, sn.sx AS sxn, sn.sy AS syn "
+        "  FROM p c "
+        "  JOIN s sp ON sp.event_type = c.event_type AND sp.bucket = c.bucket - 1 "
+        "  JOIN s sn ON sn.event_type = c.event_type AND sn.bucket = c.bucket + 1 "
+        f"  WHERE c.bucket BETWEEN 1 AND {_LTTB_NB}), "
+        "a AS (SELECT event_type, bucket, event_id, ts_us, cents, "
+        "    abs( (CAST(sxp AS HUGEINT) * nn - CAST(sxn AS HUGEINT) * np) "
+        "         * (CAST(cents AS HUGEINT) * np - CAST(syp AS HUGEINT)) "
+        "       - (CAST(sxp AS HUGEINT) - CAST(x AS HUGEINT) * np) "
+        "         * (CAST(syn AS HUGEINT) * np - CAST(syp AS HUGEINT) * nn) "
+        "    ) AS area FROM cand), "
+        "sel AS (SELECT event_type, bucket, ts_us, cents, ROW_NUMBER() OVER ("
+        "    PARTITION BY event_type, bucket ORDER BY area DESC, event_id) AS rn "
+        "  FROM a) "
+        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, ts_us, cents "
+        "FROM sel WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT event_type, CAST(bucket AS BIGINT) AS bucket, ts_us, cents "
+        f"FROM p WHERE bucket IN (0, {_LTTB_NB + 1})"
+    ),
+)
+def time_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style time-series downsampling (largest-triangle-three-
+    buckets, Steinarsson 2013 — the dashboard downsampler): each event
+    type's series is reduced to 22 points (both endpoints + one point
+    per interior equal-count bucket) choosing, per bucket, the point
+    forming the largest triangle with the NEIGHBOUR BUCKETS' mean
+    anchors — the parallel mean-anchor variant of the original
+    sequential rule, so selection is ONE window + one argmax, no
+    point-to-point chain.
+
+    Exactness discipline: mean anchors are never divided out — each
+    candidate's triangle area is cross-multiplied by both neighbour
+    counts (a per-bucket constant, so argmax is unchanged) and
+    evaluated in exact wide-integer arithmetic (Spark DECIMAL(38,0) /
+    DuckDB HUGEINT, products bounded ~1e30), x is micros since the
+    series start so sums stay well inside the window; ties break on
+    event_id.  Both engines therefore pick the IDENTICAL point set —
+    a hash-checkable answer from a visually-motivated heuristic.
+
+    Scale shape: one rank/min/count window per series, one k-bounded
+    (series x 22) stats aggregate, two broadcastable stats joins, one
+    per-bucket argmax window — at 100 TB of ticks every corpus-sized
+    pass is a single keyed window or map-side-combined aggregate, and
+    the output is k-bounded per series regardless of input size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("ts_us", "event_id")
+    r = ev.select(
+        "*",
+        F.row_number().over(wo).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+        F.min("ts_us").over(wp).alias("mn"),
+    )
+    p = r.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        "cents",
+        (F.col("ts_us") - F.col("mn")).alias("x"),
+        F.expr(
+            f"CASE WHEN rk = 1 THEN 0 WHEN rk = n THEN {_LTTB_NB + 1} "
+            f"ELSE 1 + ((rk - 2) * {_LTTB_NB}) DIV (n - 2) END"
+        ).alias("bucket"),
+    ).localCheckpoint(eager=False)
+    s = p.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sy"),
+    )
+    sp = s.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("cnt").alias("np"),
+        F.col("sx").alias("sxp"),
+        F.col("sy").alias("syp"),
+    )
+    sn = s.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("cnt").alias("nn"),
+        F.col("sx").alias("sxn"),
+        F.col("sy").alias("syn"),
+    )
+    cand = (
+        p.filter((F.col("bucket") >= 1) & (F.col("bucket") <= _LTTB_NB))
+        .join(F.broadcast(sp), ["event_type", "bucket"])
+        .join(F.broadcast(sn), ["event_type", "bucket"])
+    )
+    area = F.expr(
+        "abs( (sxp * nn - sxn * np) "
+        "      * (CAST(cents AS DECIMAL(38,0)) * np - syp) "
+        "    - (sxp - CAST(x AS DECIMAL(38,0)) * np) "
+        "      * (syn * np - syp * nn) )"
+    )
+    wsel = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("area").desc(), F.col("event_id")
+    )
+    sel = (
+        cand.withColumn("area", area)
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").cast("long").alias("bucket"), "ts_us", "cents")
+    )
+    ends = p.filter(F.col("bucket").isin(0, _LTTB_NB + 1)).select(
+        "event_type", F.col("bucket").cast("long").alias("bucket"), "ts_us", "cents"
+    )
+    return sel.unionAll(ends)

@@ -22,6 +22,25 @@ _N_QUERIES = 10
 _K = 5
 
 
+def dataset_bytes(path: str) -> int:
+    """Data bytes of a parquet dataset path, whether a single file or a
+    directory of part files.  The r10 ADVICE finding this fixes:
+    ``os.path.getsize`` on a directory returns the inode size (~4 KB)
+    WITHOUT raising, so an input-bytes-sized Python stage silently
+    serialized at exactly the scale the sizing exists for.  Metadata
+    files (leading '_' or '.') are excluded, matching what a scan
+    actually reads.  Raises OSError for a missing path (callers treat
+    that as 'non-local source: keep full parallelism')."""
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
 @query(
     "sim_cosine_topk",
     category="llm_sim",
@@ -1030,20 +1049,7 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     try:
-        path = os.path.join(sf_dir, "embeddings.parquet")
-        if os.path.isdir(path):
-            # directory-backed dataset: getsize on the directory returns
-            # the inode size (~4 KB) WITHOUT raising, which would
-            # silently serialize the Python stage at exactly the scale
-            # the sizing exists for (r10 ADVICE) — sum the part files
-            nbytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(path)
-                for f in files
-                if not f.startswith(("_", "."))
-            )
-        else:
-            nbytes = os.path.getsize(path)
+        nbytes = dataset_bytes(os.path.join(sf_dir, "embeddings.parquet"))
         width = max(1, min(n_part, nbytes // (16 << 20)))
     except OSError:  # non-local sf_dir: keep full parallelism
         width = n_part

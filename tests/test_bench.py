@@ -225,3 +225,32 @@ def test_prior_probes_archive_is_fresh_and_monotone():
     for rnd in sorted(per_round):
         running = min(running, per_round[rnd])
         assert running <= per_round[rnd]
+
+
+def test_dataset_bytes_handles_files_dirs_and_missing(tmp_path):
+    # The r10 ADVICE fix: a directory-backed parquet dataset must size
+    # by its part files (getsize on the dir returns the inode size,
+    # ~4 KB, without raising — which silently set width=1), metadata
+    # files don't count, and a missing path raises for the caller's
+    # full-parallelism fallback.
+    import os
+
+    import pytest
+
+    from hbasemapreduce_spark.operators.llm_similarity import dataset_bytes
+
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"x" * 1000)
+    assert dataset_bytes(str(f)) == 1000
+
+    d = tmp_path / "dataset.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a" * 600)
+    (d / "part-1.parquet").write_bytes(b"b" * 400)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-0.parquet.crc").write_bytes(b"c" * 50)
+    assert dataset_bytes(str(d)) == 1000
+    assert dataset_bytes(str(d)) != os.path.getsize(str(d))  # the bug shape
+
+    with pytest.raises(OSError):
+        dataset_bytes(str(tmp_path / "missing.parquet"))

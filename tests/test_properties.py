@@ -2632,3 +2632,53 @@ def test_hdr_quantile_bound_and_merge(spark):
     got = {(r.o_orderpriority, r.pct): r.est_cents for r in rows}
     assert {(p, q): e for p, q, e in merged} == got
     con.close()
+
+
+def test_lttb_downsample_covers_buckets_and_endpoints(spark):
+    """x_time_downsample_lttb structural invariants: exactly one point
+    per (series, bucket) for all 22 buckets; the bucket-0 / bucket-21
+    points ARE the series' true first/last points (tie-broken by
+    event_id); every selected point is a real input row."""
+    from pyspark.sql import functions as FF
+
+    from hbasemapreduce_spark.catalog import load_table
+
+    rows = SPECS["x_time_downsample_lttb"].fn(spark, SF_DIR).collect()
+    per_series: dict[str, set[int]] = {}
+    for r in rows:
+        per_series.setdefault(r.event_type, set()).add(r.bucket)
+    assert len(per_series) == 5
+    for et, buckets in per_series.items():
+        assert buckets == set(range(22)), (et, sorted(buckets))
+    assert len(rows) == 5 * 22  # exactly one per bucket
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type",
+        "event_id",
+        FF.unix_micros(FF.col("ts").cast("timestamp")).alias("ts_us"),
+        (FF.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    first_last = {
+        (r.event_type, which): (r.ts_us, r.cents)
+        for which, order in (
+            ("first", [FF.col("ts_us"), FF.col("event_id")]),
+            ("last", [FF.col("ts_us").desc(), FF.col("event_id").desc()]),
+        )
+        for r in ev.withColumn(
+            "rn",
+            FF.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("event_type")
+                .orderBy(*order)
+            ),
+        )
+        .filter(FF.col("rn") == 1)
+        .collect()
+    }
+    inputs = {(r.event_type, r.ts_us, r.cents) for r in ev.collect()}
+    for r in rows:
+        assert (r.event_type, r.ts_us, r.cents) in inputs
+        if r.bucket == 0:
+            assert first_last[(r.event_type, "first")] == (r.ts_us, r.cents)
+        if r.bucket == 21:
+            assert first_last[(r.event_type, "last")] == (r.ts_us, r.cents)
