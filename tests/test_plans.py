@@ -273,6 +273,8 @@ _BNLJ_WHITELIST = {
     "x_agg_kmv_merge",       # 2x 1-row scalars (true count, shard count)
     "x_agg_kmv_intersect",   # 1-row theta/common/true scalars
     "x_agg_kmv_difference",  # same 1-row scalar shape as its twin
+    "x_agg_hdr_quantiles",   # 3-literal-row percentile table broadcast
+    "x_agg_hdr_merge",       # same 3-row percentile broadcast as its twin
     "x_sim_ivf",          # nlist-bounded centroid table
     "x_sim_knn_graph_ivf",  # 1-row centroid-ARRAY scalar (probe selection)
     "x_text_langid",      # n-languages-bounded profile table
