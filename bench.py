@@ -195,7 +195,7 @@ def sink_split_probe(spark, sf_dir: str) -> dict:
 
 
 def time_queries(
-    spark, specs, sf_dir: str
+    spark, specs, sf_dir: str, mid_sink: dict | None = None
 ) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
     """Time every spec with per-query fault isolation.
 
@@ -244,6 +244,15 @@ def time_queries(
             errors[key] = f"{type(e).__name__}: {e}"[:300]
             print(f"ERROR {key}: {errors[key]}", file=sys.stderr)
 
+    # Mid-run probe (round-11 finding): a contention window that opens
+    # AFTER the pre-probe and closes BEFORE the post-probe inflates
+    # phase-1 medians while both endpoint probes look healthy — a
+    # 433 s run with ~2x inflation across unrelated keys sailed through
+    # the r9/r10 guards exactly this way.  Record the box state at the
+    # phase boundary so box_health sees inside the run.
+    if mid_sink is not None:
+        mid_sink.update(io_probe())
+
     retime = sorted(
         (k for k, t in timings.items() if t > RETIME_THRESHOLD_SEC),
         key=lambda k: timings[k],
@@ -287,17 +296,26 @@ HEALTH_MAX_HIST_RATIO = 1.3  # probe vs best archived probe on this box
 HEALTH_OUTLIER_RATIO = 3.0  # always-retried timing inflation vs record
 
 
-def box_health(pre: dict, post: dict, hist: dict | None = None) -> dict:
-    """Classify the run's environment from the pre/post probes.
+def box_health(
+    pre: dict, post: dict, hist: dict | None = None, mid: dict | None = None
+) -> dict:
+    """Classify the run's environment from the pre/mid/post probes.
 
-    Two signals: (a) pre->post DRIFT (the r9 mid-run collapse
-    signature), and (b) ABSOLUTE comparison against the best archived
+    Three signals: (a) pre->post DRIFT (the r9 mid-run collapse
+    signature), (b) ABSOLUTE comparison against the best archived
     probes — the r10 finding: a run can START on a contended box
     (cpu_probe_mt 0.537 vs the 0.336 record at run start, recovered
     by run end), which drift alone cannot see because post/pre then
-    looks like an improvement."""
+    looks like an improvement — and (c) the MID-run probe at the
+    phase-1/phase-2 boundary — the r11 finding: a contention window
+    that opens after pre and closes before post inflates phase-1
+    medians ~2x across unrelated keys while both endpoint probes look
+    healthy."""
     reasons = []
-    for side, p in (("pre", pre), ("post", post)):
+    sides = [("pre", pre), ("post", post)]
+    if mid:
+        sides.insert(1, ("mid", mid))
+    for side, p in sides:
         if p["write_mbps"] < HEALTH_MIN_WRITE_MBPS:
             reasons.append(f"write_mbps_{side}={p['write_mbps']}")
     for probe in ("cpu_probe_sec", "cpu_probe_mt_sec"):
@@ -305,7 +323,7 @@ def box_health(pre: dict, post: dict, hist: dict | None = None) -> dict:
         if drift > HEALTH_MAX_CPU_DRIFT:
             reasons.append(f"{probe}_drift={round(drift, 2)}")
         if hist and probe in hist:
-            for side, p in (("pre", pre), ("post", post)):
+            for side, p in sides:
                 r = p[probe] / max(hist[probe], 1e-9)
                 if r > HEALTH_MAX_HIST_RATIO:
                     reasons.append(f"{probe}_{side}_vs_hist={round(r, 2)}")
@@ -476,9 +494,10 @@ def main() -> None:
     hist = prior_probes(here)
     spin = warm_spin(hist)
     probe_pre = io_probe()
-    timings, passes, errors = time_queries(spark, specs, sf_dir)
+    probe_mid: dict = {}
+    timings, passes, errors = time_queries(spark, specs, sf_dir, mid_sink=probe_mid)
     probe_post = io_probe()
-    health = box_health(probe_pre, probe_post, hist)
+    health = box_health(probe_pre, probe_post, hist, mid=probe_mid)
     # Extreme outliers (>3x their archived record) are retried even on
     # a probes-healthy run — contention windows shorter than the run
     # can poison a median-of-3 without moving the end-of-run probes.
@@ -495,7 +514,7 @@ def main() -> None:
             if k not in retried
         ]
         probe_post = io_probe()
-        health = box_health(probe_pre, probe_post, hist)
+        health = box_health(probe_pre, probe_post, hist, mid=probe_mid)
     health["retried_keys"] = retried
     # anomalies: keys STILL far above record after the retry — either a
     # real regression or a box that never recovered; named so the trend
@@ -526,6 +545,7 @@ def main() -> None:
         "n_errors": len(errors),
         "startup_sec": round(startup, 2),
         "io_probe_pre": probe_pre,
+        "io_probe_mid": probe_mid,
         "io_probe_post": probe_post,
         "sink_split": sink_split,
         "health": health,

@@ -254,3 +254,32 @@ def test_dataset_bytes_handles_files_dirs_and_missing(tmp_path):
 
     with pytest.raises(OSError):
         dataset_bytes(str(tmp_path / "missing.parquet"))
+
+
+def test_box_health_sees_mid_run_contention():
+    # The r11 blind spot: a contention window entirely inside the run —
+    # pre and post healthy, mid 2x the archived best — must flag
+    # degraded (drift and endpoint-vs-history checks both miss it).
+    ok = {"write_mbps": 300.0, "cpu_probe_sec": 0.10, "cpu_probe_mt_sec": 0.30}
+    hist = {"cpu_probe_sec": 0.099, "cpu_probe_mt_sec": 0.28}
+    bad_mid = dict(ok, cpu_probe_mt_sec=0.60)
+    h = bench.box_health(ok, dict(ok), hist, mid=bad_mid)
+    assert h["degraded"]
+    assert any("cpu_probe_mt_sec_mid_vs_hist" in r for r in h["reasons"])
+    # healthy mid changes nothing
+    assert not bench.box_health(ok, dict(ok), hist, mid=dict(ok))["degraded"]
+    # mid write collapse is also named
+    h2 = bench.box_health(ok, dict(ok), hist, mid=dict(ok, write_mbps=7.2))
+    assert h2["degraded"] and "write_mbps_mid=7.2" in h2["reasons"]
+
+
+def test_time_queries_fills_mid_sink(spark, tmp_path):
+    # The mid-run probe lands at the phase-1/phase-2 boundary via the
+    # optional sink, and the 3-tuple return contract is unchanged.
+    specs = {f"k{i}": _FakeSpec(f"k{i}", _good) for i in range(2)}
+    mid: dict = {}
+    timings, passes, errors = bench.time_queries(
+        spark, specs, str(tmp_path), mid_sink=mid
+    )
+    assert errors == {} and set(timings) == set(specs)
+    assert {"write_mbps", "cpu_probe_sec", "cpu_probe_mt_sec"} <= set(mid)
