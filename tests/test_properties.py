@@ -2556,15 +2556,25 @@ def test_dedup_embedding_ivf_blocking_supersedes_label_blocking(spark):
         (r.id_a, r.id_b)
         for r in SPECS["x_dedup_embedding"].fn(spark, SF_DIR).collect()
     }
-    for sf_dir, ivf_pairs in (
-        (SF_DIR, shipped),
-        ("/root/testdata/sf0.01", None),
+    # (sf_dir, spark pairs or None, label containment expected): with the
+    # scaled probe rule — max(7, nlist/4) lists — the probed fraction and
+    # recall hold steady as nlist grows (measured 0.97/0.95/0.93); strict
+    # label-set CONTAINMENT is measured true at the small SFs, a floored
+    # recall at sf0.1 (measured 0.953).
+    for sf_dir, ivf_pairs, contain in (
+        (SF_DIR, shipped, True),
+        ("/root/testdata/sf0.01", None, True),
+        ("/root/testdata/sf0.1", None, False),
     ):
         ivf_spec, allp, lab = truth_sets(sf_dir)
         ivf = ivf_spec if ivf_pairs is None else ivf_pairs
         if ivf_pairs is not None:  # Spark twin matches the SQL spec exactly
             assert ivf == ivf_spec
-        assert lab <= ivf, f"{sf_dir}: lost label-blocked pairs {lab - ivf}"
+        if contain:
+            assert lab <= ivf, f"{sf_dir}: lost label-blocked pairs {lab - ivf}"
+        else:
+            lab_recall = len(ivf & lab) / len(lab)
+            assert lab_recall >= 0.9, f"{sf_dir}: label recall {lab_recall:.2f}"
         assert not (ivf - allp), f"{sf_dir}: false positives {ivf - allp}"
         recall = len(ivf & allp) / len(allp)
         assert recall >= 0.85, f"{sf_dir}: all-pairs recall {recall:.2f}"
