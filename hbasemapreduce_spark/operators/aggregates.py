@@ -944,3 +944,67 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("cnt")
     )
     return hdr_quantiles(spark, h)
+
+
+@query(
+    "x_agg_hdr_cdf",
+    category="agg",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority AS prio, "
+        "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+        "  FROM orders), "
+        "bk AS (SELECT prio, cents, "
+        "  (17 + ((cents >> (length(bin(cents)) - 5)) & 15)) "
+        "    << (length(bin(cents)) - 5) AS ub FROM c) "
+        "SELECT prio AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CASE WHEN ub <= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS sk_le_20m, "
+        "CAST(SUM(CASE WHEN cents <= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS ex_le_20m, "
+        "CAST(SUM(CASE WHEN ub <= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS sk_le_30m, "
+        "CAST(SUM(CASE WHEN cents <= 30000000 THEN 1 ELSE 0 END) AS BIGINT) AS ex_le_30m, "
+        "CAST(SUM(CASE WHEN ub <= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS sk_le_40m, "
+        "CAST(SUM(CASE WHEN cents <= 40000000 THEN 1 ELSE 0 END) AS BIGINT) AS ex_le_40m "
+        "FROM bk GROUP BY prio"
+    ),
+)
+def agg_hdr_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR sketch's CDF / percentile-of-value query (the inverse of
+    x_agg_hdr_quantiles, completing the HdrHistogram API: quantile-of-
+    rank, rank-of-value, merge): per order priority, how many orders
+    fall at or under each of three fixed value thresholds — answered
+    BOTH from the sketch (count of buckets whose exact integer UPPER
+    bound, (17+sub) << (b-4), clears the threshold — a guaranteed
+    LOWER bound on the true count: cents < upper <= T implies
+    cents <= T) and exactly, so the conservative-bound relation
+    sk <= ex is visible in the row itself and asserted in
+    tests/test_properties.py.
+
+    Scale shape: ONE map-side-combined conditional aggregate — on a
+    pre-built histogram this is a k-bounded scan of (group, b, sub)
+    rows, and over raw data (as here) it is a single pass with pure
+    integer bucket arithmetic, bit-identical on both engines."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    c = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), cents.alias("cents")
+    )
+    bk = c.select(
+        "prio",
+        "cents",
+        F.expr(
+            "shiftleft(17 + (shiftright(cents, "
+            "CAST(length(bin(cents)) - 5 AS INT)) & 15), "
+            "CAST(length(bin(cents)) - 5 AS INT))"
+        ).alias("ub"),
+    )
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for t, tag in ((20_000_000, "20m"), (30_000_000, "30m"), (40_000_000, "40m")):
+        aggs.append(
+            F.sum(F.when(F.col("ub") <= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"sk_le_{tag}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("cents") <= t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"ex_le_{tag}")
+        )
+    return bk.groupBy(F.col("prio").alias("o_orderpriority")).agg(*aggs)

@@ -687,6 +687,7 @@ _R11_BACKLOG: list[str] = [
     "x_agg_hdr_quantiles",
     "x_agg_hdr_merge",
     "x_time_downsample_lttb",
+    "x_agg_hdr_cdf",
 ]
 
 # Beyond-contract evidence-refresh tranche for r12: the oldest-driver-
@@ -721,7 +722,6 @@ _R12_X_REFRESH = [
     "x_text_pii_mask",  # r4
     "x_time_gapfill",  # r4
     "x_time_ohlc",  # r4
-    "x_tpch_q10",  # r4
 ]
 
 # Staged r12 window (same-commit staging discipline).  Round-11

@@ -2692,3 +2692,17 @@ def test_lttb_downsample_covers_buckets_and_endpoints(spark):
             assert first_last[(r.event_type, "first")] == (r.ts_us, r.cents)
         if r.bucket == 21:
             assert first_last[(r.event_type, "last")] == (r.ts_us, r.cents)
+
+
+def test_hdr_cdf_sketch_is_a_conservative_lower_bound(spark):
+    # x_agg_hdr_cdf's structural claim: the sketch-side count (buckets
+    # whose exact upper bound clears T) can never exceed the exact
+    # count, and can undershoot by at most the one straddling bucket's
+    # population per threshold — i.e. the value-side error stays inside
+    # the < 1/16 relative band around T.
+    rows = SPECS["x_agg_hdr_cdf"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for tag in ("20m", "30m", "40m"):
+            sk, ex = r[f"sk_le_{tag}"], r[f"ex_le_{tag}"]
+            assert 0 <= sk <= ex <= r.n_rows, (r.o_orderpriority, tag, sk, ex)
