@@ -724,22 +724,54 @@ _R12_X_REFRESH = [
     "x_time_ohlc",  # r4
 ]
 
-# Staged r12 window (same-commit staging discipline).  Round-11
-# first-timers lead; then the 16 contract-refresh keys the r11
-# recomposition deferred (the join/agg families plus the two the
-# re-check expansion displaced — after r12 lands, every contract key's
-# driver evidence is ≤3 rounds old, closing VERDICT r10 item 4); then
-# the oldest-evidence beyond-contract refresh tranche filling to 50,
-# beginning the x_-key freshness rotation the contract keys already
-# get.  Computed from the pieces, not hard-coded, so the split stays
-# true as keys join _R11_BACKLOG.  Emission positions 51..100 of
-# queries() start with this list, so a >50-key driver window or an
-# early r12 run picks it up with no further rotation edit.
+# Keys whose RESULTS changed in round 12 (VERDICT r11 item 1 + item 6
+# family: the sub-quadratic probe/shortlist scaling rules — IVF pair
+# blocking moved from a constant probed fraction to 2·sqrt(nlist), the
+# kNN graph to nlist^0.75, IVF-PQ's ADC shortlist to 4·sqrt(n)).  Their
+# prior driver evidence proves the OLD policies, so they re-enter the
+# window ahead of the refresh tranche (the r10 ADVICE lesson: recheck
+# keys ride ahead of the [:50] trim).  x_dedup_embedding /
+# x_dedup_semantic were in the r11 window under the r11 policy — the
+# window-disjointness pin in tests/test_registry.py exempts exactly
+# this list for exactly that reason.
+_R12_RECHECK = [
+    "x_dedup_embedding",
+    "x_dedup_semantic",
+    "x_sim_knn_graph_ivf",
+    "x_sim_ivfpq",
+]
+
+# r12 window (rotated to the emission front this round).  Round-11
+# first-timers lead; then the r12 code-change re-checks; then the 16
+# contract-refresh keys the r11 recomposition deferred (the join/agg
+# families plus the two the re-check expansion displaced — after r12
+# lands, every contract key's driver evidence is ≤3 rounds old,
+# closing VERDICT r10 item 4); then the oldest-evidence
+# beyond-contract refresh tranche filling to 50 (the trim defers its
+# last 4 — x_stats_outliers, x_text_pii_mask, x_time_gapfill,
+# x_time_ohlc — to the staged r13 tail below).  Computed from the
+# pieces, not hard-coded, so the split stays true as lists evolve.
 _R12_WINDOW = [
     *_R11_BACKLOG,
+    *_R12_RECHECK,
     *[k for k in _CONTRACT_REFRESH if k not in _R10_WINDOW and k not in _R11_WINDOW],
     *_R12_X_REFRESH,
 ][:50]
+
+# New keys registered during round 12 are appended HERE so the
+# rotation-coverage invariant (tests/test_registry.py) stays true:
+# keys-without-driver-evidence == _R11_BACKLOG (leading the r12
+# window) ∪ _R12_BACKLOG (leading the staged r13 tail).
+_R12_BACKLOG: list[str] = []
+
+# Staged r13 tail (same-commit staging discipline): round-12
+# first-timers, then the refresh keys the r12 trim deferred.  Emission
+# positions 51.. start with this list, so a >50-key driver window or
+# an early r13 run picks it up with no further rotation edit.
+_R13_STAGE = [
+    *_R12_BACKLOG,
+    *[k for k in _R12_X_REFRESH if k not in set(_R12_WINDOW)],
+]
 
 # Round-7 driver window (VERDICT r6 item 2).  The r5 driver artifacts
 # never landed (no CORRECTNESS_r05/BENCH_r05 exist), so the entire
@@ -851,21 +883,20 @@ def all_specs() -> dict[str, QuerySpec]:
     ]
     if stray:
         raise RuntimeError(f"beyond-contract keys must use the x_ prefix: {stray}")
-    window = set(_R11_WINDOW)
-    # Hedge + r12 staging: emission positions 51.. lead with the staged
-    # _R12_WINDOW (round-11 first-timers, then the contract-refresh
-    # keys the r11 trim deferred), so a >50-key driver window or an
-    # early r12 run picks the staged plan up with no further rotation
-    # edit.
-    r12_tail = [k for k in _R12_WINDOW if k not in window]
-    staged = window | set(r12_tail)
+    window = set(_R12_WINDOW)
+    # Hedge + r13 staging: emission positions 51.. lead with the staged
+    # _R13_STAGE (round-12 first-timers, then the refresh keys the r12
+    # trim deferred), so a >50-key driver window or an early r13 run
+    # picks the staged plan up with no further rotation edit.
+    r13_tail = [k for k in _R13_STAGE if k not in window]
+    staged = window | set(r13_tail)
     rest_contract = [k for k in _CONTRACT_REFRESH if k not in staged]
     extras = sorted(
         k
         for k in _REGISTRY
         if k not in CONTRACT_KEYS and k not in staged
     )
-    order = [*_R11_WINDOW, *r12_tail, *rest_contract, *extras]
+    order = [*_R12_WINDOW, *r13_tail, *rest_contract, *extras]
     return {k: _REGISTRY[k] for k in order}
 
 

@@ -117,11 +117,13 @@ def test_knn_graph_ivf_recall_vs_label_blocked_exact(spark):
     # The IVF-probed kNN graph (x_sim_knn_graph_ivf) vs the EXACT
     # brute-force top-3 graph over all vectors.  With the quantizer
     # TRAINED (one exact-integer Lloyd round, VERDICT r6 item 7) and
-    # nprobe 7 of ceil(n/25) lists, measured recall on the
-    # near-isotropic synthetic corpus is 0.715 at sf0.001 / 0.720 at
-    # sf0.01 (untrained stride centroids at nprobe 6 measured 0.56);
-    # the floor guards against a
-    # regression in training/probe/assignment logic.
+    # SUBLINEAR scaled probing — nprobe = max(7, ceil(nlist^0.75)) of
+    # nlist = ceil(n/25) lists (r12, VERDICT r11 item 1) — measured
+    # recall on the near-isotropic synthetic corpus is 0.837 at
+    # sf0.001 / 0.843 at sf0.01 / 0.797 at sf0.1 (r11's fixed nprobe=7
+    # sagged to 0.446 at sf0.1); the floor guards against a
+    # regression in training/probe/assignment logic, and the
+    # cross-sf sag test below guards the scaling rule itself.
     # Every edge the IVF graph DOES report must carry the exact
     # similarity — misses come only from unprobed lists, never from a
     # wrong score.
@@ -156,7 +158,7 @@ def test_knn_graph_ivf_recall_vs_label_blocked_exact(spark):
     }
     ivf_rows = SPECS["x_sim_knn_graph_ivf"].fn(spark, SF_DIR).collect()
     recall = sum(1 for r in ivf_rows if (r.src, r.dst) in exact) / len(exact)
-    assert recall >= 0.6, f"kNN-graph IVF recall {recall:.2f}"
+    assert recall >= 0.75, f"kNN-graph IVF recall {recall:.2f}"
     for r in ivf_rows:
         if (r.src, r.dst) in exact:
             assert abs(r.sim - exact[(r.src, r.dst)]) < 1e-9
@@ -1287,8 +1289,9 @@ def test_pq_codes_bounded_and_beats_coarse_quantizer(spark):
 def test_ivfpq_refine_recall_and_exactness(spark):
     """IVF-PQ with exact refine: reported d2 equals the true integer
     L2 for every reported pair, and top-5 recall vs exact brute force
-    clears the measured floor (0.70 measured; asserted with slack —
-    the list-probe ceiling is 0.86)."""
+    clears the measured floor (0.86 measured at sf0.001 under the r12
+    scaled shortlist; asserted with slack — the list-probe ceiling is
+    0.86, and the cross-sf sag test guards the scaling rule)."""
     import numpy as np
     import pyarrow.parquet as pq_
 
@@ -1308,7 +1311,7 @@ def test_ivfpq_refine_recall_and_exactness(spark):
         assert r.d2 == exact, (r.query_id, r.neighbor_id, r.d2, exact)
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     rec = sum(len(got.get(k, set()) & true[k]) for k in true) / (5 * len(true))
-    assert rec >= 0.55, f"IVF-PQ refine recall {rec:.2f}"
+    assert rec >= 0.75, f"IVF-PQ refine recall {rec:.2f}"
 
 
 def test_incremental_dedup_consistency(spark):
@@ -2499,7 +2502,7 @@ def test_dedup_embedding_ivf_blocking_supersedes_label_blocking(spark):
        truth (recall 1.0 measured at sf0.001 and sf0.01 — nothing the
        old operator reported is lost),
     2. recall vs the UNBLOCKED all-pairs truth has a floor (measured
-       0.97 / 0.95; the label blocking managed 0.08),
+       0.970 / 0.983; the label blocking managed 0.08),
     3. zero false positives: every reported pair really clears the
        raw-cosine threshold (exact rerank guarantees it).
 
@@ -2557,10 +2560,11 @@ def test_dedup_embedding_ivf_blocking_supersedes_label_blocking(spark):
         for r in SPECS["x_dedup_embedding"].fn(spark, SF_DIR).collect()
     }
     # (sf_dir, spark pairs or None, label containment expected): with the
-    # scaled probe rule — max(7, nlist/4) lists — the probed fraction and
-    # recall hold steady as nlist grows (measured 0.97/0.95/0.93); strict
+    # r12 SUBLINEAR probe rule — max(7, ceil(2*sqrt(nlist))) lists, so
+    # pair generation is O(n^1.5) instead of r11's O(n²) constant-
+    # fraction rule — measured recall is 0.970/0.983/0.909; strict
     # label-set CONTAINMENT is measured true at the small SFs, a floored
-    # recall at sf0.1 (measured 0.953).
+    # recall at sf0.1 (measured 0.930).
     for sf_dir, ivf_pairs, contain in (
         (SF_DIR, shipped, True),
         ("/root/testdata/sf0.01", None, True),
@@ -2578,6 +2582,116 @@ def test_dedup_embedding_ivf_blocking_supersedes_label_blocking(spark):
         assert not (ivf - allp), f"{sf_dir}: false positives {ivf - allp}"
         recall = len(ivf & allp) / len(allp)
         assert recall >= 0.85, f"{sf_dir}: all-pairs recall {recall:.2f}"
+
+
+_TRAINED_STRUCTURE_SAG_CASES = [
+    # (key, select cols, exact-truth SQL, floor, max sag sf0.001 -> sf0.1)
+    #
+    # The probe-scaling lesson (BENCH_TREND r11, VERDICT r11 item 6)
+    # as a test: any key that probes a TRAINED structure (IVF lists,
+    # PQ shortlists) must scale its probe/shortlist budget with the
+    # structure, or recall silently decays as the corpus grows.  Each
+    # case runs the key's own SQL oracle at sf0.001 AND sf0.1 against
+    # exact brute-force truth and pins both an absolute floor and a
+    # maximum cross-sf sag.
+    (
+        "x_sim_knn_graph_ivf",
+        ("src", "dst"),
+        # exact top-3 cosine graph
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, "
+        "  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim "
+        "  FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+        "r AS (SELECT src, dst, row_number() OVER ("
+        "  PARTITION BY src ORDER BY sim DESC, dst) AS rk FROM p) "
+        "SELECT src, dst FROM r WHERE rk <= 3",
+        0.70,  # measured 0.837 / 0.843 / 0.797 (nprobe = nlist^0.75)
+        0.10,
+    ),
+    (
+        "x_sim_ivf_kmeans",
+        ("query_id", "neighbor_id"),
+        # exact top-5 cosine for the 10 query vectors
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10), "
+        "p AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "  round(list_cosine_similarity(q.q_emb, e.emb), 6) AS sim "
+        "  FROM q JOIN e ON e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM p) "
+        "SELECT query_id, neighbor_id FROM r WHERE rk <= 5",
+        0.75,  # measured 0.860 / 0.860 / 0.820 (nprobe 2 of FIXED k=8:
+        0.10,  # constant probed fraction of a fixed structure holds)
+    ),
+    (
+        "x_sim_ivfpq",
+        ("query_id", "neighbor_id"),
+        # exact top-5 integer-micros L2 for the 10 query vectors
+        "WITH em AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "  x -> CAST(round((round(x, 6) + 1) * 1000000) AS BIGINT)) AS m "
+        "  FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, m AS qm FROM em WHERE vec_id < 10), "
+        "p AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "  CAST(list_sum(list_transform(list_zip(q.qm, e.m), "
+        "    t -> (t[1] - t[2]) * (t[1] - t[2]))) AS BIGINT) AS d2 "
+        "  FROM q JOIN em e ON e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk FROM p) "
+        "SELECT query_id, neighbor_id FROM r WHERE rk <= 5",
+        0.65,  # measured 0.860 / 0.820 / 0.700 (shortlist = 4*sqrt(n)).
+        # The wider sag allowance is ADC quantization noise at
+        # 4x16 = 16-bit PQ codes: the scaled shortlist holds the
+        # refine-input fraction, but ADC ordering degrades with
+        # candidate count — the public fix is more PQ bits (FAISS
+        # m=8..16), not a wider refine; the old FIXED shortlist
+        # sagged to 0.400, which this bar would catch.
+        0.20,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "key,cols,exact_sql,floor,max_sag",
+    _TRAINED_STRUCTURE_SAG_CASES,
+    ids=[c[0] for c in _TRAINED_STRUCTURE_SAG_CASES],
+)
+def test_trained_structure_recall_holds_across_sf(key, cols, exact_sql, floor, max_sag):
+    """VERDICT r11 item 6: recall of every trained-structure key,
+    measured from its own SQL oracle (Spark ≡ oracle is the hash
+    gate's job), must clear an absolute floor at BOTH sf0.001 and
+    sf0.1 and sag no more than ``max_sag`` between them.  The
+    IVF-blocked dedup pair family has the same guard in
+    test_dedup_embedding_ivf_blocking_supersedes_label_blocking."""
+    import duckdb
+
+    from hbasemapreduce_spark.registry import all_specs
+
+    oracle = all_specs()[key].oracle
+    recalls = {}
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        exact = set(map(tuple, con.execute(exact_sql).fetchall()))
+        got = {
+            (r[0], r[1])
+            for r in con.execute(
+                f"SELECT {cols[0]}, {cols[1]} FROM ({oracle})"
+            ).fetchall()
+        }
+        con.close()
+        recalls[sf_dir] = len(got & exact) / len(exact)
+        assert recalls[sf_dir] >= floor, (
+            f"{key} @ {sf_dir}: recall {recalls[sf_dir]:.3f} < floor {floor}"
+        )
+    sag = recalls[SF_DIR] - recalls["/root/testdata/sf0.1"]
+    assert sag <= max_sag, (
+        f"{key}: recall sags {sag:.3f} from sf0.001 to sf0.1 "
+        f"({recalls[SF_DIR]:.3f} -> {recalls['/root/testdata/sf0.1']:.3f}) — "
+        "the probe/shortlist budget is not scaling with the structure"
+    )
 
 
 def test_hdr_quantile_bound_and_merge(spark):

@@ -37,7 +37,11 @@ from hbasemapreduce_spark.registry import (
     _R11_BACKLOG,
     _R11_RECHECK,
     _R11_WINDOW,
+    _R12_BACKLOG,
+    _R12_RECHECK,
     _R12_WINDOW,
+    _R12_X_REFRESH,
+    _R13_STAGE,
     CONTRACT_KEYS,
     all_specs,
 )
@@ -122,20 +126,26 @@ def test_r9_backlog_keys_lead_r10_window():
 def test_rotation_plan_covers_all_unchecked():
     # Every key without driver evidence is accounted for by exactly one
     # rotation list — nothing silently dropped.  New keys added during
-    # round 11 must be appended to _R11_BACKLOG to keep this invariant.
+    # round 12 must be appended to _R12_BACKLOG to keep this invariant.
     # Bounded at the staging round in each statement so the round's own
     # artifact cannot falsify it (the r7 failure mode).
+    unchecked_r12 = set(all_specs()) - _driver_checked_keys(before_round=12)
+    assert unchecked_r12 == set(_R11_BACKLOG) | set(_R12_BACKLOG)
+    assert not (set(_R12_WINDOW) & set(_R12_BACKLOG))
+    # historical staging-time statement for the r11 rotation:
     unchecked_r11 = set(all_specs()) - _driver_checked_keys(before_round=11)
-    assert unchecked_r11 == set(_R10_BACKLOG) | set(_R11_BACKLOG)
+    assert unchecked_r11 == set(_R10_BACKLOG) | set(_R11_BACKLOG) | set(_R12_BACKLOG)
     assert not (set(_R11_WINDOW) & set(_R11_BACKLOG))
     # historical staging-time statements for the r10/r9 rotations:
     unchecked_r10 = set(all_specs()) - _driver_checked_keys(before_round=10)
-    assert unchecked_r10 == set(_R9_BACKLOG) | set(_R10_BACKLOG) | set(_R11_BACKLOG)
+    assert unchecked_r10 == (
+        set(_R9_BACKLOG) | set(_R10_BACKLOG) | set(_R11_BACKLOG) | set(_R12_BACKLOG)
+    )
     assert not (set(_R10_WINDOW) & set(_R10_BACKLOG))
     unchecked_r9 = set(all_specs()) - _driver_checked_keys(before_round=9)
-    assert unchecked_r9 - set(_R10_BACKLOG) - set(_R11_BACKLOG) == set(
-        _R9_WINDOW
-    ) | set(_R9_BACKLOG)
+    assert unchecked_r9 - set(_R10_BACKLOG) - set(_R11_BACKLOG) - set(
+        _R12_BACKLOG
+    ) == set(_R9_WINDOW) | set(_R9_BACKLOG)
 
 
 def test_r10_window_is_pinned_exactly():
@@ -153,16 +163,20 @@ def test_r10_window_is_pinned_exactly():
 
 def test_r11_window_is_pinned_exactly():
     # VERDICT r10 item 1 + the r10 ADVICE recomposition: the r11 window
-    # leads with the 14 round-10 first-timers (the only registered keys
-    # with zero driver evidence), then the rows-only contract keys each
-    # directly ahead of their full-hash twins, then the 11 re-checks
-    # (moved AHEAD of the refresh remainder so the [:50] trim cannot
-    # drop them — the r10 ADVICE finding), then the oldest 21 remaining
-    # contract-refresh keys.
+    # led with the 14 round-10 first-timers (the only registered keys
+    # with zero driver evidence at staging time), then the rows-only
+    # contract keys each directly ahead of their full-hash twins, then
+    # the 13 re-checks (moved AHEAD of the refresh remainder so the
+    # [:50] trim cannot drop them — the r10 ADVICE finding), then the
+    # oldest remaining contract-refresh keys (the composition's 23/21
+    # contract slots left 16 for r12).  Rotation precondition for
+    # promoting _R12_WINDOW to the emission front:
+    # CORRECTNESS_r11.json landed and covered exactly this window.
     assert len(_R11_WINDOW) == DRIVER_WINDOW
     assert len(set(_R11_WINDOW)) == DRIVER_WINDOW
     assert not (set(_R11_WINDOW) & set(_R10_WINDOW))
-    assert list(all_specs())[:DRIVER_WINDOW] == _R11_WINDOW
+    r11 = json.loads((_REPO / "CORRECTNESS_r11.json").read_text())
+    assert set(r11) == set(_R11_WINDOW)
     # first-timers lead
     assert _R11_WINDOW[: len(_R10_BACKLOG)] == _R10_BACKLOG
     # twin adjacency: the rows-only contract key is directly followed
@@ -174,24 +188,52 @@ def test_r11_window_is_pinned_exactly():
         i = _R11_WINDOW.index(weak)
         assert _R11_WINDOW[i + 1] == twin
     # the ENTIRE re-check tail survives the trim (the r10 ADVICE bug:
-    # the old composition silently dropped all 11)
+    # the old composition silently dropped the re-checks)
     assert set(_R11_RECHECK) <= set(_R11_WINDOW)
     # re-check keys all carry prior driver evidence (they re-run for
     # perf/adjacency, not coverage)
     assert set(_R11_RECHECK) <= _driver_checked_keys(before_round=10)
 
 
-def test_r12_window_is_staged():
-    # Same-commit staging discipline (VERDICT r8 item 4): emission
-    # positions 51.. lead with the staged r12 plan — round-11
-    # first-timers, then the 14 contract-refresh keys the r11
-    # recomposition deferred (closing the 60-key refresh: r10 took 23,
-    # r11 takes 23, r12 takes the final 14).
-    assert len(set(_R12_WINDOW)) == len(_R12_WINDOW)
-    assert not (set(_R12_WINDOW) & set(_R11_WINDOW))
+def test_r12_window_is_pinned_exactly():
+    # The r12 window leads the emission front this round: round-11
+    # first-timers (the only keys with zero driver evidence), then the
+    # 4 r12 code-change re-checks (probe/shortlist scaling — VERDICT
+    # r11 items 1/6), then the final 16 contract-refresh keys
+    # (closing the 60-key refresh: r10 took 23, r11 took 21, r12 takes
+    # the final 16), then the oldest-evidence beyond-contract refresh
+    # tranche filling to 50.
+    assert len(_R12_WINDOW) == DRIVER_WINDOW
+    assert len(set(_R12_WINDOW)) == DRIVER_WINDOW
+    assert list(all_specs())[:DRIVER_WINDOW] == _R12_WINDOW
+    # first-timers lead, re-checks ride directly behind (ahead of the
+    # trim — the r10 ADVICE lesson)
     assert _R12_WINDOW[: len(_R11_BACKLOG)] == _R11_BACKLOG
+    assert (
+        _R12_WINDOW[len(_R11_BACKLOG) : len(_R11_BACKLOG) + len(_R12_RECHECK)]
+        == _R12_RECHECK
+    )
+    # window-disjointness vs r11 holds EXCEPT the code-change
+    # re-checks: x_dedup_embedding / x_dedup_semantic were r11-window
+    # keys whose r11 evidence proves the superseded probe policy
+    assert not ((set(_R12_WINDOW) - set(_R12_RECHECK)) & set(_R11_WINDOW))
+    # re-check keys all carry prior driver evidence (they re-run
+    # because their code changed, not for coverage)
+    assert set(_R12_RECHECK) <= _driver_checked_keys(before_round=12)
+
+
+def test_r13_stage_is_staged():
+    # Same-commit staging discipline (VERDICT r8 item 4): emission
+    # positions 51.. lead with the staged r13 tail — round-12
+    # first-timers (_R12_BACKLOG), then the 4 beyond-contract refresh
+    # keys the r12 re-check insertion displaced past the [:50] trim.
+    assert len(set(_R13_STAGE)) == len(_R13_STAGE)
+    assert not (set(_R13_STAGE) & set(_R12_WINDOW))
+    assert _R13_STAGE[: len(_R12_BACKLOG)] == _R12_BACKLOG
+    displaced = [k for k in _R12_X_REFRESH if k not in set(_R12_WINDOW)]
+    assert _R13_STAGE[len(_R12_BACKLOG) :] == displaced
     specs = list(all_specs())
-    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R12_WINDOW)] == _R12_WINDOW
+    assert specs[DRIVER_WINDOW : DRIVER_WINDOW + len(_R13_STAGE)] == _R13_STAGE
 
 
 def test_contract_refresh_completes_by_r12():
@@ -307,13 +349,12 @@ def test_r7_window_oracles():
 
 
 def test_out_of_window_contract_keys_are_fresh():
-    # 23 contract keys re-enter the r11 window for refresh; the 37
-    # outside it each carry existing driver evidence (23 refreshed in
-    # r10, 14 staged r12 with r3/r4 evidence) — that's why they can
-    # wait their tranche.
+    # 16 contract keys enter the r12 window for refresh (the last
+    # tranche); the 44 outside it each carry r10/r11 driver evidence —
+    # that's why they can wait.
     specs = list(all_specs())
     out = [k for k in specs[DRIVER_WINDOW:] if k in CONTRACT_KEYS]
-    assert len(out) == 60 - len([k for k in _R11_WINDOW if k in CONTRACT_KEYS])
+    assert len(out) == 60 - len([k for k in _R12_WINDOW if k in CONTRACT_KEYS])
     checked = _driver_checked_keys()
     assert all(k in checked for k in out)
 
