@@ -341,7 +341,10 @@ def prior_probes(here: str) -> dict:
             d = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
-        for side in ("io_probe_pre", "io_probe_post"):
+        # io_probe_mid exists from r11 archives on (ADVICE r11: a box's
+        # fastest-ever sample taken mid-run must tighten the record the
+        # warm-spin and the 1.3x health ratio compare against)
+        for side in ("io_probe_pre", "io_probe_mid", "io_probe_post"):
             p = d.get(side) or {}
             for probe in ("cpu_probe_sec", "cpu_probe_mt_sec"):
                 if probe in p:
@@ -409,6 +412,53 @@ def retry_inflated(
                 file=sys.stderr,
             )
     return retried
+
+
+def repair_anomalies(
+    spark,
+    specs,
+    sf_dir: str,
+    timings: dict[str, float],
+    anomalies: list[str],
+    hist: dict,
+    *,
+    spin=None,
+    runner=None,
+) -> dict[str, list[float]]:
+    """One more chance for anomaly-flagged keys (VERDICT r11 item 2):
+    the r11 artifact archived 13.36 s for a key whose quiet-box record
+    is 4.49 s because every probe window the run offered was contended
+    — the retry machinery re-timed it INSIDE the same window.  This
+    pass runs AFTER the final health verdict: wait out the contention
+    once more (bounded warm-spin against the archived best), re-time
+    each anomaly exactly once, and archive the BETTER of the two with
+    both recorded — so a future reader sees {key: [flagged, repaired]}
+    instead of trusting a single-window ghost.  ``spin`` and ``runner``
+    are injection seams for the unit tests."""
+    spin = spin or (lambda: warm_spin(hist))
+    if runner is None:
+
+        def runner(key: str) -> float:
+            t = time.perf_counter()
+            specs[key].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t
+
+    spin()
+    repairs: dict[str, list[float]] = {}
+    for key in anomalies:
+        try:
+            again = round(runner(key), 3)
+        except Exception as e:  # noqa: BLE001 — keep the flagged timing
+            print(
+                f"ANOMALY REPAIR ERROR {key}: {type(e).__name__}: {e}"[:200],
+                file=sys.stderr,
+            )
+            continue
+        repairs[key] = [timings[key], again]
+        timings[key] = min(timings[key], again)
+    return repairs
 
 
 # Pre-bench warm-spin (VERDICT r10 item 3): both r10 bench runs STARTED
@@ -520,13 +570,24 @@ def main() -> None:
     # real regression or a box that never recovered; named so the trend
     # log can attribute them instead of a future judge guessing
     records = prior_records(here)
-    health["anomalies"] = sorted(
-        k
-        for k, t in timings.items()
-        if k in records
-        and records[k] > 0.2
-        and t > HEALTH_OUTLIER_RATIO * records[k]
-    )
+
+    def _anomalies() -> list[str]:
+        return sorted(
+            k
+            for k, t in timings.items()
+            if k in records
+            and records[k] > 0.2
+            and t > HEALTH_OUTLIER_RATIO * records[k]
+        )
+
+    health["anomalies"] = _anomalies()
+    # VERDICT r11 item 2: anomaly keys get one final re-time after a
+    # fresh warm-spin; both numbers are archived, the better one wins.
+    if health["anomalies"]:
+        health["anomaly_repairs"] = repair_anomalies(
+            spark, specs, sf_dir, timings, health["anomalies"], hist
+        )
+        health["anomalies"] = _anomalies()
     sink_split = sink_split_probe(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)

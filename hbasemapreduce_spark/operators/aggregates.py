@@ -793,7 +793,7 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
         "  FROM orders), "
         "bk AS (SELECT prio, length(bin(cents)) - 1 AS b, "
-        "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+        "  (cents >> greatest(length(bin(cents)) - 5, 0)) & 15 AS sub FROM c), "
         "h AS (SELECT prio, b, sub, CAST(COUNT(*) AS BIGINT) AS cnt "
         "  FROM bk GROUP BY 1, 2, 3), "
         "cu AS (SELECT prio, b, sub, cnt, "
@@ -801,7 +801,8 @@ def agg_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
         "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50), (95), (99)) AS t(pct)) "
         "SELECT prio AS o_orderpriority, CAST(pct AS BIGINT) AS pct, "
-        "CAST((16 + sub) << (b - 4) AS BIGINT) AS est_cents, "
+        "CAST(CASE WHEN b >= 4 THEN (16 + sub) << (b - 4) ELSE sub END "
+        "  AS BIGINT) AS est_cents, "
         "CAST(n AS BIGINT) AS n_rows "
         "FROM p WHERE cum >= (n * pct + 99) // 100 "
         "AND cum - cnt < (n * pct + 99) // 100"
@@ -816,7 +817,13 @@ def agg_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = the next four mantissa bits — so both engines bucket
     BIT-IDENTICALLY (no float log at bucket boundaries), and the
     estimate (the bucket's lower bound, (16+sub) << (b-4)) carries a
-    guaranteed relative error < 1/16 (values here are >= 16 cents).  Rank thresholds are integer
+    guaranteed relative error < 1/16.  The sub-bucket shift is clamped
+    at zero (greatest(b-4, 0)) identically on both engines, so values
+    in [0, 16) land in exact single-value buckets (est = the value,
+    zero error) instead of driving a negative shift count that Spark
+    masks (count & 63) and DuckDB rejects — the sketch's domain is all
+    non-negative bigints, enforced by arithmetic rather than by the
+    corpus happening to stay large (ADVICE r11).  Rank thresholds are integer
     ceil(n*pct/100); the answered bucket is the unique one whose
     cumulative count straddles the threshold.
 
@@ -847,7 +854,9 @@ def hdr_histogram(c: DataFrame) -> DataFrame:
     summing cnt (executed by x_agg_hdr_merge and the streaming
     mirror)."""
     b = F.length(F.bin(F.col("cents"))) - 1
-    sub = F.expr("shiftright(cents, CAST(length(bin(cents)) - 5 AS INT)) & 15")
+    sub = F.expr(
+        "shiftright(cents, CAST(greatest(length(bin(cents)) - 5, 0) AS INT)) & 15"
+    )
     return (
         c.select("prio", b.alias("b"), sub.alias("sub"))
         .groupBy("prio", "b", "sub")
@@ -882,9 +891,10 @@ def hdr_quantiles(spark: SparkSession, h: DataFrame) -> DataFrame:
         .select(
             F.col("prio").alias("o_orderpriority"),
             F.col("pct").cast("long").alias("pct"),
-            F.expr("CAST(shiftleft(16 + sub, CAST(b - 4 AS INT)) AS BIGINT)").alias(
-                "est_cents"
-            ),
+            F.expr(
+                "CAST(CASE WHEN b >= 4 THEN shiftleft(16 + sub, CAST(b - 4 AS INT)) "
+                "ELSE sub END AS BIGINT)"
+            ).alias("est_cents"),
             F.col("n").cast("long").alias("n_rows"),
         )
     )
@@ -895,7 +905,7 @@ _HDR_MERGE_ORACLE = (
     "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, "
     "  (o_orderkey * 2654435761) % 2 AS half FROM orders), "
     "bk AS (SELECT prio, half, length(bin(cents)) - 1 AS b, "
-    "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+    "  (cents >> greatest(length(bin(cents)) - 5, 0)) & 15 AS sub FROM c), "
     "h_half AS (SELECT prio, half, b, sub, COUNT(*) AS cnt "
     "  FROM bk GROUP BY 1, 2, 3, 4), "
     "h AS (SELECT prio, b, sub, CAST(SUM(cnt) AS BIGINT) AS cnt "
@@ -905,7 +915,8 @@ _HDR_MERGE_ORACLE = (
     "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
     "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50), (95), (99)) AS t(pct)) "
     "SELECT prio AS o_orderpriority, CAST(pct AS BIGINT) AS pct, "
-    "CAST((16 + sub) << (b - 4) AS BIGINT) AS est_cents, "
+    "CAST(CASE WHEN b >= 4 THEN (16 + sub) << (b - 4) ELSE sub END "
+    "  AS BIGINT) AS est_cents, "
     "CAST(n AS BIGINT) AS n_rows "
     "FROM p WHERE cum >= (n * pct + 99) // 100 "
     "AND cum - cnt < (n * pct + 99) // 100"
@@ -932,7 +943,9 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("o_orderkey") * 2654435761, F.lit(2)).alias("half"),
     )
     b = F.length(F.bin(F.col("cents"))) - 1
-    sub = F.expr("shiftright(cents, CAST(length(bin(cents)) - 5 AS INT)) & 15")
+    sub = F.expr(
+        "shiftright(cents, CAST(greatest(length(bin(cents)) - 5, 0) AS INT)) & 15"
+    )
     # per-shard partial sketches (independent aggregates)...
     h_half = (
         c.select("prio", "half", b.alias("b"), sub.alias("sub"))
@@ -954,8 +967,10 @@ def agg_hdr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
         "  FROM orders), "
         "bk AS (SELECT prio, cents, "
-        "  (17 + ((cents >> (length(bin(cents)) - 5)) & 15)) "
-        "    << (length(bin(cents)) - 5) AS ub FROM c) "
+        "  CASE WHEN length(bin(cents)) >= 5 THEN "
+        "    (17 + ((cents >> (length(bin(cents)) - 5)) & 15)) "
+        "      << (length(bin(cents)) - 5) "
+        "  ELSE cents + 1 END AS ub FROM c) "
         "SELECT prio AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(CASE WHEN ub <= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS sk_le_20m, "
         "CAST(SUM(CASE WHEN cents <= 20000000 THEN 1 ELSE 0 END) AS BIGINT) AS ex_le_20m, "
@@ -990,9 +1005,11 @@ def agg_hdr_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio",
         "cents",
         F.expr(
+            "CASE WHEN length(bin(cents)) >= 5 THEN "
             "shiftleft(17 + (shiftright(cents, "
             "CAST(length(bin(cents)) - 5 AS INT)) & 15), "
-            "CAST(length(bin(cents)) - 5 AS INT))"
+            "CAST(length(bin(cents)) - 5 AS INT)) "
+            "ELSE cents + 1 END"
         ).alias("ub"),
     )
     aggs = [F.count("*").cast("long").alias("n_rows")]

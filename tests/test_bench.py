@@ -202,13 +202,22 @@ def test_prior_probes_archive_is_fresh_and_monotone():
     expected: dict[str, float] = {}
     for p in paths:
         d = json.load(open(p))
-        for side in ("io_probe_pre", "io_probe_post"):
+        # mid included since the r11 archives started carrying it
+        # (ADVICE r11: a mid-run sample can be the box's fastest ever)
+        for side in ("io_probe_pre", "io_probe_mid", "io_probe_post"):
             for probe in ("cpu_probe_sec", "cpu_probe_mt_sec"):
                 v = (d.get(side) or {}).get(probe)
                 if v is not None:
                     expected[probe] = min(expected.get(probe, float("inf")), v)
     got = bench.prior_probes(here)
     assert got == expected
+    # at least one archive actually carries a mid probe, so the
+    # three-sided scan is exercised by the real archive set
+    assert any(
+        (json.load(open(p)).get("io_probe_mid") or {}).get("cpu_probe_mt_sec")
+        is not None
+        for p in paths
+    )
     # monotonicity: the running best through rounds never increases
     per_round: dict[int, float] = {}
     for p in paths:
@@ -216,7 +225,7 @@ def test_prior_probes_archive_is_fresh_and_monotone():
         d = json.load(open(p))
         vals = [
             (d.get(side) or {}).get("cpu_probe_mt_sec")
-            for side in ("io_probe_pre", "io_probe_post")
+            for side in ("io_probe_pre", "io_probe_mid", "io_probe_post")
         ]
         vals = [v for v in vals if v is not None]
         if vals:
@@ -271,6 +280,54 @@ def test_box_health_sees_mid_run_contention():
     # mid write collapse is also named
     h2 = bench.box_health(ok, dict(ok), hist, mid=dict(ok, write_mbps=7.2))
     assert h2["degraded"] and "write_mbps_mid=7.2" in h2["reasons"]
+
+
+def test_repair_anomalies_archives_the_better_timing():
+    # VERDICT r11 item 2: a fabricated anomaly (13.36 s flagged, 4.49 s
+    # on the post-spin re-time) must end up archived at the repaired
+    # number with BOTH recorded — and a re-time that lands WORSE must
+    # not regress the archived timing.
+    spins = []
+    timings = {"x_slow": 13.36, "x_already_ok": 2.0}
+    retimes = {"x_slow": 4.49, "x_already_ok": 9.0}
+    repairs = bench.repair_anomalies(
+        spark=None,
+        specs=None,
+        sf_dir="",
+        timings=timings,
+        anomalies=["x_slow", "x_already_ok"],
+        hist={},
+        spin=lambda: spins.append(1),
+        runner=lambda k: retimes[k],
+    )
+    assert spins == [1], "exactly one warm-spin before the re-times"
+    assert repairs == {"x_slow": [13.36, 4.49], "x_already_ok": [2.0, 9.0]}
+    assert timings["x_slow"] == 4.49  # repaired
+    assert timings["x_already_ok"] == 2.0  # min keeps the original
+
+
+def test_repair_anomalies_survives_a_failing_retime():
+    # A re-time that raises keeps the flagged timing and repairs the
+    # rest — same fault-isolation contract as the bench loop.
+    def runner(k):
+        if k == "x_broken":
+            raise RuntimeError("boom")
+        return 1.0
+
+    timings = {"x_broken": 8.0, "x_fine": 7.0}
+    repairs = bench.repair_anomalies(
+        spark=None,
+        specs=None,
+        sf_dir="",
+        timings=timings,
+        anomalies=["x_broken", "x_fine"],
+        hist={},
+        spin=lambda: None,
+        runner=runner,
+    )
+    assert "x_broken" not in repairs
+    assert timings["x_broken"] == 8.0
+    assert repairs["x_fine"] == [7.0, 1.0] and timings["x_fine"] == 1.0
 
 
 def test_time_queries_fills_mid_sink(spark, tmp_path):

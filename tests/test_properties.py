@@ -2740,7 +2740,7 @@ def test_hdr_quantile_bound_and_merge(spark):
         "  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents, "
         "  (o_orderkey * 2654435761) % 2 AS half FROM orders), "
         "bk AS (SELECT prio, half, length(bin(cents)) - 1 AS b, "
-        "  (cents >> (length(bin(cents)) - 5)) & 15 AS sub FROM c), "
+        "  (cents >> greatest(length(bin(cents)) - 5, 0)) & 15 AS sub FROM c), "
         "h_half AS (SELECT prio, half, b, sub, COUNT(*) AS cnt "
         "  FROM bk GROUP BY 1, 2, 3, 4), "
         "h AS (SELECT prio, b, sub, CAST(SUM(cnt) AS BIGINT) AS cnt "
@@ -2749,13 +2749,61 @@ def test_hdr_quantile_bound_and_merge(spark):
         "  SUM(cnt) OVER (PARTITION BY prio ORDER BY b, sub) AS cum, "
         "  SUM(cnt) OVER (PARTITION BY prio) AS n FROM h), "
         "p AS (SELECT cu.*, t.pct FROM cu, (VALUES (50),(95),(99)) AS t(pct)) "
-        "SELECT prio, CAST(pct AS BIGINT), CAST((16 + sub) << (b - 4) AS BIGINT) "
+        "SELECT prio, CAST(pct AS BIGINT), "
+        "CAST(CASE WHEN b >= 4 THEN (16 + sub) << (b - 4) ELSE sub END AS BIGINT) "
         "FROM p WHERE cum >= (n * pct + 99) // 100 "
         "AND cum - cnt < (n * pct + 99) // 100"
     ).fetchall()
     got = {(r.o_orderpriority, r.pct): r.est_cents for r in rows}
     assert {(p, q): e for p, q, e in merged} == got
     con.close()
+
+
+def test_hdr_bucketing_handles_small_values_identically(spark):
+    """ADVICE r11: the HDR sub-bucket shift is clamped at zero on both
+    engines, so values in [0, 16) land in exact single-value buckets
+    instead of driving a negative shift count (which Spark masks mod 64
+    and DuckDB rejects).  Drive the shared bucketing arithmetic over
+    0..1000 — covering the sub-16 linear range, the 16..31 first
+    exponent, and multi-exponent values — and require (1) Spark ==
+    DuckDB on (b, sub) for every value, (2) the derived lower bound is
+    exact for v < 16 and within the 1/16 relative bound above."""
+    import duckdb
+
+    from pyspark.sql import functions as FF
+
+    vals = list(range(0, 1001))
+    sdf = (
+        spark.range(0, 1001)
+        .select(FF.col("id").cast("long").alias("cents"))
+        .select(
+            "cents",
+            (FF.length(FF.bin(FF.col("cents"))) - 1).alias("b"),
+            FF.expr(
+                "shiftright(cents, CAST(greatest(length(bin(cents)) - 5, 0)"
+                " AS INT)) & 15"
+            ).alias("sub"),
+        )
+    )
+    got = {r.cents: (r.b, r.sub) for r in sdf.collect()}
+    con = duckdb.connect()
+    oracle = {
+        v: (b, s)
+        for v, b, s in con.execute(
+            "SELECT v, length(bin(v)) - 1, "
+            "(v >> greatest(length(bin(v)) - 5, 0)) & 15 "
+            "FROM (SELECT CAST(range AS BIGINT) AS v FROM range(0, 1001))"
+        ).fetchall()
+    }
+    con.close()
+    assert got == oracle
+    for v in vals:
+        b, sub = got[v]
+        est = ((16 + sub) << (b - 4)) if b >= 4 else sub
+        if v < 16:
+            assert est == v, (v, est)  # exact single-value bucket
+        else:
+            assert est <= v < est * (1 + 1 / 16) + 1, (v, est)
 
 
 def test_lttb_downsample_covers_buckets_and_endpoints(spark):
