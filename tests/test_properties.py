@@ -2638,14 +2638,13 @@ _TRAINED_STRUCTURE_SAG_CASES = [
         "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
         "  PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk FROM p) "
         "SELECT query_id, neighbor_id FROM r WHERE rk <= 5",
-        0.65,  # measured 0.860 / 0.820 / 0.700 (shortlist = 4*sqrt(n)).
-        # The wider sag allowance is ADC quantization noise at
-        # 4x16 = 16-bit PQ codes: the scaled shortlist holds the
-        # refine-input fraction, but ADC ordering degrades with
-        # candidate count — the public fix is more PQ bits (FAISS
-        # m=8..16), not a wider refine; the old FIXED shortlist
-        # sagged to 0.400, which this bar would catch.
-        0.20,
+        0.70,  # measured 0.860 / 0.840 / 0.780 (shortlist = 6*sqrt(n),
+        # tuned against the measured 0.860/0.820 list-probe ceiling;
+        # the old FIXED 50 shortlist sagged to 0.400, which this bar
+        # catches.  Finer PQ codes were measured NOT to be the lever:
+        # m=8/dsub=8 at fixed-50 scored 0.460 — on a near-isotropic
+        # corpus shortlist width, not code bits, recovers recall.)
+        0.10,
     ),
 ]
 
