@@ -1025,3 +1025,129 @@ def agg_hdr_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"ex_le_{tag}")
         )
     return bk.groupBy(F.col("prio").alias("o_orderpriority")).agg(*aggs)
+
+
+_HH_K = 20  # summary size: at most K surviving counters per summary
+
+# Shared CTE prefix: per-shard Misra-Gries summaries over document
+# tokens (two deterministic Knuth-hash shards standing in for
+# executors), built scale-true — counts are one map-side-combined
+# aggregate, and each shard's summary touches only its top-(K+1)
+# counters (a WindowGroupLimit, never the full vocabulary sort).
+_HH_SQL = (
+    "tok AS (SELECT (doc_id * 2654435761) % 2 AS half, "
+    "  unnest(string_split(text, ' ')) AS token FROM documents), "
+    "c AS (SELECT half, token, CAST(COUNT(*) AS BIGINT) AS c "
+    "  FROM tok GROUP BY 1, 2), "
+    "rk AS (SELECT half, token, c, row_number() OVER ("
+    "  PARTITION BY half ORDER BY c DESC, token) AS rn FROM c), "
+    f"rk1 AS (SELECT * FROM rk WHERE rn <= {_HH_K + 1}), "
+    f"th AS (SELECT half, COALESCE(MAX(CASE WHEN rn = {_HH_K + 1} THEN c END), 0) "
+    "  AS t FROM rk1 GROUP BY half), "
+    "s AS (SELECT rk1.token, rk1.c - th.t AS est FROM rk1 "
+    "  JOIN th USING (half) WHERE rk1.c - th.t > 0), "
+    "m AS (SELECT token, CAST(SUM(est) AS BIGINT) AS em FROM s GROUP BY token), "
+    "mrk AS (SELECT token, em, row_number() OVER ("
+    "  ORDER BY em DESC, token) AS rn FROM m), "
+    f"tm AS (SELECT COALESCE(MAX(CASE WHEN rn = {_HH_K + 1} THEN em END), 0) "
+    "  AS t FROM mrk), "
+    "eb AS (SELECT CAST((SELECT SUM(t) FROM th) + (SELECT t FROM tm) "
+    "  AS BIGINT) AS err), "
+    "fin AS (SELECT token, em - (SELECT t FROM tm) AS est FROM mrk "
+    "  WHERE em - (SELECT t FROM tm) > 0)"
+)
+
+
+@query(
+    "x_agg_heavy_hitters",
+    category="agg",
+    oracle=(
+        "WITH " + _HH_SQL + " "
+        "SELECT token, CAST(est AS BIGINT) AS est_count, "
+        "(SELECT err FROM eb) AS err_bound, rnk FROM ("
+        "  SELECT token, est, CAST(row_number() OVER ("
+        "    ORDER BY est DESC, token) AS BIGINT) AS rnk FROM fin) "
+        "WHERE rnk <= 10"
+    ),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (the mergeable frequent-items summary
+    of Agarwal et al., 'Mergeable Summaries', PODS 2012) over document
+    tokens — completing the repo's mergeable-sketch family: KMV
+    (distinct), CMS (point counts), HLL, HDR (quantiles), and now
+    frequent items.  Two deterministic Knuth-hash shards each build a
+    K=20-counter summary (exact shard counts compressed by subtracting
+    the shard's (K+1)-th largest count — the MG decrement in closed
+    form), the summaries MERGE by summing matched counters and
+    re-compressing at the merged (K+1)-th largest, and the top-10
+    survivors are reported with the summary's global error bound
+    err = t_shard0 + t_shard1 + t_merge.  The MG guarantee — est <=
+    true_count <= est + err for every reported token — is
+    property-tested against exact counts in tests/test_properties.py.
+
+    Scale shape (the 1000-executor story): shard counts are ONE
+    map-side-combined aggregate; each shard summary reads only the
+    shard's top-(K+1) counters via a per-shard WindowGroupLimit (the
+    rank filter is pushed into the window, so the full vocabulary is
+    never sorted); everything downstream of `s` — merge, re-compress,
+    rank — operates on <= 2K rows.  In production the per-partition
+    summary comes from bounded-memory MG inside each executor; the
+    closed-form compression here IS that summary (same decrements),
+    derived from counts so both engines stay bit-identical.
+
+    Determinism: every threshold takes the value at a (count DESC,
+    token ASC) tie-broken rank, and integer arithmetic only — no
+    sampling, no hashing beyond the shard split."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id") * 2654435761, F.lit(2)).alias("half"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    c = tok.groupBy("half", "token").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("half").orderBy(F.desc("c"), F.asc("token"))
+    rk1 = c.select("half", "token", "c", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= _HH_K + 1
+    )
+    th = rk1.groupBy("half").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _HH_K + 1, F.col("c"))),
+            F.lit(0).cast("long"),
+        ).alias("t")
+    )
+    s = (
+        rk1.join(F.broadcast(th), "half")
+        .filter(F.col("c") - F.col("t") > 0)
+        .select("token", (F.col("c") - F.col("t")).alias("est"))
+    )
+    m = s.groupBy("token").agg(F.sum("est").cast("long").alias("em"))
+    # <= 2K rows from here on: the global windows are constant-size
+    wm = Window.orderBy(F.desc("em"), F.asc("token"))
+    mrk = m.select("token", "em", F.row_number().over(wm).alias("rn"))
+    tm = mrk.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _HH_K + 1, F.col("em"))),
+            F.lit(0).cast("long"),
+        ).alias("tmv")
+    )
+    err = (
+        th.agg(F.sum("t").cast("long").alias("tsum"))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            (F.col("tsum") + F.col("tmv")).cast("long").alias("err_bound"),
+            "tmv",
+        )
+    )
+    fin = (
+        mrk.crossJoin(F.broadcast(err))
+        .filter(F.col("em") - F.col("tmv") > 0)
+        .select("token", (F.col("em") - F.col("tmv")).alias("est"), "err_bound")
+    )
+    wf = Window.orderBy(F.desc("est"), F.asc("token"))
+    return (
+        fin.select(
+            "token",
+            F.col("est").cast("long").alias("est_count"),
+            "err_bound",
+            F.row_number().over(wf).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )

@@ -2333,3 +2333,79 @@ def time_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("bucket").cast("long").alias("bucket"), "ts_us", "cents"
     )
     return sel.unionAll(ends)
+
+
+_EWMA_W = 16  # window length: weights 2^15 .. 2^0, denominator 2^16 - 1
+
+# numerator = sum_{j=0..15} lag(m, j) * 2^(15-j) — spelled as explicit
+# lag terms so BOTH engines evaluate the identical integer expression
+_EWMA_NUM_SQL = " + ".join(
+    ("m" if j == 0 else f"lag(m, {j}) OVER w") + f" * {1 << (_EWMA_W - 1 - j)}"
+    for j in range(_EWMA_W)
+)
+
+
+@query(
+    "x_time_ewma",
+    category="analytics",
+    oracle=(
+        "WITH ev AS (SELECT event_type, event_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(round(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT) AS m "
+        "  FROM events), "
+        "l AS (SELECT event_type, event_id, ts_us, "
+        "  row_number() OVER w AS rn, "
+        f"  {_EWMA_NUM_SQL} AS num "
+        "  FROM ev WINDOW w AS ("
+        "    PARTITION BY event_type ORDER BY ts_us, event_id)) "
+        "SELECT event_type, ts_us, event_id, "
+        "CAST(num AS DOUBLE) / 65535.0 / 1000000.0 AS ewma "
+        f"FROM l WHERE rn >= {_EWMA_W}"
+    ),
+)
+def time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) per event
+    type — the smoothing primitive behind monitoring dashboards and
+    drift detectors, expressed EXACTLY: the classic recursive EWMA is
+    order-dependent float accumulation, but with a dyadic alpha the
+    16-term truncation has weights 2^15..2^0, so the numerator is a
+    single integer expression over micros-scaled values (bounded by
+    2^16 · |m|, no overflow for |value| < 10^5) and both engines divide
+    the SAME bigint by the same constants — bit-identical doubles, full
+    hash check, no decimal sandwich needed.  The truncation error vs
+    the infinite recursion is bounded by max|v| / 2^16, below the 6-dp
+    rounding already applied to the input.
+
+    Scale shape: ONE window pass per event type with O(1) per-row state
+    (16 lag slots — Spark keeps a bounded rows-frame buffer, never the
+    partition in memory), no self-join, no collect.  At 100 TB this is
+    exactly the streaming-friendly shape: the same 16-value carry is
+    what a transformWithState operator would keep per key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("m"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    num = F.col("m") * F.lit(1 << (_EWMA_W - 1))
+    for j in range(1, _EWMA_W):
+        num = num + F.lag("m", j).over(w) * F.lit(1 << (_EWMA_W - 1 - j))
+    return (
+        ev.select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            num.alias("num"),
+        )
+        .filter(F.col("rn") >= _EWMA_W)
+        .select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            (F.col("num").cast("double") / 65535.0 / 1000000.0).alias("ewma"),
+        )
+    )

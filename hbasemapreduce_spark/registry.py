@@ -762,7 +762,10 @@ _R12_WINDOW = [
 # rotation-coverage invariant (tests/test_registry.py) stays true:
 # keys-without-driver-evidence == _R11_BACKLOG (leading the r12
 # window) ∪ _R12_BACKLOG (leading the staged r13 tail).
-_R12_BACKLOG: list[str] = []
+_R12_BACKLOG: list[str] = [
+    "x_agg_heavy_hitters",  # Misra-Gries mergeable frequent-items
+    "x_time_ewma",  # exact dyadic-alpha EWMA
+]
 
 # Staged r13 tail (same-commit staging discipline): round-12
 # first-timers, then the refresh keys the r12 trim deferred.  Emission

@@ -2805,6 +2805,76 @@ def test_hdr_bucketing_handles_small_values_identically(spark):
             assert est <= v < est * (1 + 1 / 16) + 1, (v, est)
 
 
+def test_heavy_hitters_sandwich_bound(spark):
+    """x_agg_heavy_hitters' Misra-Gries guarantee at two scale factors:
+    every reported token satisfies est <= true_count <= est + err_bound
+    (true counts recomputed exactly in DuckDB), err_bound is one global
+    value <= n_tokens/(K+1) per compression applied (three here), and
+    the report is exactly the top-10 of the merged summary with a total
+    (est DESC, token) ordering."""
+    import duckdb
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        rows = SPECS["x_agg_heavy_hitters"].fn(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 10
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        order = [(-r.est_count, r.token) for r in rows]
+        assert order == sorted(order)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        true = dict(
+            con.execute(
+                "SELECT token, CAST(COUNT(*) AS BIGINT) FROM (SELECT "
+                "unnest(string_split(text, ' ')) AS token FROM documents) "
+                "GROUP BY token"
+            ).fetchall()
+        )
+        n_tok = sum(true.values())
+        con.close()
+        err = rows[0].err_bound
+        assert all(r.err_bound == err for r in rows)  # one global bound
+        assert 0 <= err <= 3 * n_tok // 21 + 3  # three K=20 compressions
+        for r in rows:
+            t = true[r.token]
+            assert r.est_count <= t <= r.est_count + err, (r.token, r.est_count, t, err)
+
+
+def test_ewma_matches_direct_recursion_and_bounds(spark):
+    """x_time_ewma: the reported value equals the direct 16-term
+    weighted mean recomputed from the raw ordered series (numpy int64
+    arithmetic, same dyadic weights), and therefore lies within
+    [min, max] of its 16-value window."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = SPECS["x_time_ewma"].fn(spark, SF_DIR).collect()
+    assert rows
+    t = pq_.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    t["m"] = np.round(np.round(t.value.astype("float64"), 6) * 1e6).astype("int64")
+    t["ts_us"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    got = {(r.event_type, r.ts_us, r.event_id): r.ewma for r in rows}
+    n_checked = 0
+    for etype, g in t.groupby("event_type"):
+        g = g.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        m = g.m.values
+        # ascending weights: the window slice is oldest->newest, and the
+        # CURRENT row carries the largest weight 2^15
+        w = (2 ** np.arange(0, 16)).astype("int64")
+        for i in range(15, len(g)):
+            num = int((m[i - 15 : i + 1] * w).sum())
+            expect = num / 65535.0 / 1000000.0
+            key = (etype, int(g.ts_us[i]), int(g.event_id[i]))
+            assert key in got, key
+            assert got[key] == expect, (key, got[key], expect)
+            lo, hi = m[i - 15 : i + 1].min() / 1e6, m[i - 15 : i + 1].max() / 1e6
+            assert lo - 1e-9 <= got[key] <= hi + 1e-9
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
 def test_lttb_downsample_covers_buckets_and_endpoints(spark):
     """x_time_downsample_lttb structural invariants: exactly one point
     per (series, bucket) for all 22 buckets; the bucket-0 / bucket-21
