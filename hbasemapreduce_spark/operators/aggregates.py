@@ -1151,3 +1151,81 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 10)
     )
+
+
+_DECAY_K = 20  # counters decay to zero past K half-lives (days)
+
+
+@query(
+    "x_agg_decay_topk",
+    category="agg",
+    oracle=(
+        "WITH ref AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS r "
+        "  FROM events), "
+        "sc AS (SELECT user_id, CAST(SUM(CASE WHEN age <= "
+        f"  {_DECAY_K} THEN 1::BIGINT << ({_DECAY_K} - age) ELSE 0 END) "
+        "  AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_events "
+        "  FROM (SELECT user_id, CAST((ref.r - "
+        "    epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT) "
+        "    AS age FROM events, ref) GROUP BY user_id) "
+        "SELECT user_id, score, n_events, rnk FROM ("
+        "  SELECT user_id, score, n_events, CAST(row_number() OVER ("
+        "    ORDER BY score DESC, user_id) AS BIGINT) AS rnk FROM sc) "
+        "WHERE rnk <= 20"
+    ),
+)
+def agg_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity counters with half-life one
+    day, top-20 entities — the 'trending now' primitive behind feed
+    ranking and hot-key detection.  Each event contributes
+    2^-(age_days) of weight at the corpus reference time (the max
+    event timestamp); integerized as 2^(K - age) with K = 20 so the
+    score is an EXACT bigint (events older than K half-lives
+    contribute < 2^-20 of a fresh event and are dropped — below any
+    ranking-relevant mass).
+
+    The mergeability story is the production point: decayed counters
+    scored against a FIXED reference time are plain sums, so shards /
+    executors / micro-batches each keep one bigint per key and merge
+    by addition — the same algebra as the KMV/CMS/HDR sketch family
+    (a streaming deployment re-bases the reference time by a bit
+    shift: score(t + d) = score(t) >> d, exact in this integer form).
+
+    Scale shape: one scalar max (broadcast), ONE map-side-combinable
+    hash aggregate over the fact table, and a rank over the aggregated
+    (not raw) rows; AQE handles skewed entities.  Exact integers →
+    full hash oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    ref = ev.agg(F.max("us").alias("r"))
+    sc = (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr("(r - us) DIV 86400000000").alias("age"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN age <= {_DECAY_K} THEN "
+                    f"shiftleft(1L, CAST({_DECAY_K} - age AS INT)) "
+                    "ELSE 0L END"
+                )
+            )
+            .cast("long")
+            .alias("score"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("user_id"))
+    return (
+        sc.select(
+            "user_id",
+            "score",
+            "n_events",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )

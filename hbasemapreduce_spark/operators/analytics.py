@@ -2409,3 +2409,128 @@ def time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num").cast("double") / 65535.0 / 1000000.0).alias("ewma"),
         )
     )
+
+
+_HOLT_W = 10  # window length; denominator 2^16 after W-1 recursion steps
+
+
+def _holt_coefs() -> tuple[int, list[int], list[int]]:
+    """Closed-form integer weights for Holt's linear method with
+    alpha = beta = 1/2 over a W-observation window: textbook init
+    (level = x1, trend = x2 - x1), then W-1 recursion steps unrolled
+    symbolically in exact rational arithmetic.  Returns (den, level
+    weights, trend weights) with x[0] the OLDEST observation; the
+    level weights sum to den (affine in a constant series) and the
+    trend weights sum to 0 (shift-invariant) — both asserted."""
+    from fractions import Fraction
+
+    w = _HOLT_W
+    lvl = [Fraction(0)] * w
+    trd = [Fraction(0)] * w
+    lvl[0] = Fraction(1)
+    trd[0], trd[1] = Fraction(-1), Fraction(1)
+    for t in range(1, w):
+        x = [Fraction(0)] * w
+        x[t] = Fraction(1)
+        prev = lvl[:]
+        lvl = [(xi + li + bi) / 2 for xi, li, bi in zip(x, lvl, trd)]
+        trd = [(li - pi + bi) / 2 for li, pi, bi in zip(lvl, prev, trd)]
+    den = 1 << 16
+    li = [int(f * den) for f in lvl]
+    bi = [int(f * den) for f in trd]
+    assert all(f * den == i for f, i in zip(lvl, li))
+    assert all(f * den == i for f, i in zip(trd, bi))
+    assert sum(li) == den and sum(bi) == 0
+    return den, li, bi
+
+
+_HOLT_DEN, _HOLT_L, _HOLT_B = _holt_coefs()
+
+# x[j] (j=0 oldest) sits at lag(m, W-1-j); current row is x[W-1]
+_HOLT_NUM_L_SQL = " + ".join(
+    ("m" if j == _HOLT_W - 1 else f"lag(m, {_HOLT_W - 1 - j}) OVER w")
+    + f" * ({_HOLT_L[j]})"
+    for j in range(_HOLT_W)
+)
+_HOLT_NUM_B_SQL = " + ".join(
+    ("m" if j == _HOLT_W - 1 else f"lag(m, {_HOLT_W - 1 - j}) OVER w")
+    + f" * ({_HOLT_B[j]})"
+    for j in range(_HOLT_W)
+)
+
+
+@query(
+    "x_time_holt",
+    category="analytics",
+    oracle=(
+        "WITH ev AS (SELECT event_type, event_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, "
+        "  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS m "
+        "  FROM events), "
+        "l AS (SELECT event_type, event_id, ts_us, "
+        "  row_number() OVER w AS rn, "
+        f"  {_HOLT_NUM_L_SQL} AS nl, {_HOLT_NUM_B_SQL} AS nb "
+        "  FROM ev WINDOW w AS ("
+        "    PARTITION BY event_type ORDER BY ts_us, event_id)) "
+        "SELECT event_type, ts_us, event_id, "
+        f"CAST(nl AS DOUBLE) / {_HOLT_DEN * 100}.0 AS level, "
+        f"CAST(nb AS DOUBLE) / {_HOLT_DEN * 100}.0 AS trend, "
+        f"CAST(nl + nb AS DOUBLE) / {_HOLT_DEN * 100}.0 AS forecast "
+        f"FROM l WHERE rn >= {_HOLT_W}"
+    ),
+)
+def time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method (double exponential smoothing, alpha =
+    beta = 1/2) per event type: smoothed level, trend, and the
+    one-step-ahead forecast level + trend — the forecasting primitive
+    a capacity planner or anomaly detector runs over every metric
+    stream, and the trend-aware upgrade of x_time_ewma.
+
+    The recursion is order-dependent float accumulation in its usual
+    form, so neither engine could hash-match it naively.  With dyadic
+    parameters the W=10-observation truncation has CLOSED-FORM integer
+    weights over the window (denominator 2^16, derived symbolically in
+    exact rational arithmetic at import — see _holt_coefs, with the
+    affine/shift invariants asserted): both engines evaluate one
+    identical bigint dot product over cents-scaled values and divide by
+    the same constant — bit-identical doubles, full hash oracle.  The
+    init truncation decays as (3/4)^t, <1% of weight at W=10.
+
+    Scale shape: ONE window pass per event type with an O(1) 10-lag
+    rows frame (Spark buffers the frame, never the partition), no
+    self-join, no collect — the same per-key carry a transformWithState
+    streaming forecaster would keep.  At 100 TB: hash-partition by
+    series key, in-partition sort, linear scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("m"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    nl, nb = None, None
+    for j in range(_HOLT_W):
+        x = F.col("m") if j == _HOLT_W - 1 else F.lag("m", _HOLT_W - 1 - j).over(w)
+        tl, tb = x * F.lit(_HOLT_L[j]), x * F.lit(_HOLT_B[j])
+        nl = tl if nl is None else nl + tl
+        nb = tb if nb is None else nb + tb
+    d = float(_HOLT_DEN * 100)
+    return (
+        ev.select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            nl.alias("nl"),
+            nb.alias("nb"),
+        )
+        .filter(F.col("rn") >= _HOLT_W)
+        .select(
+            "event_type",
+            "ts_us",
+            "event_id",
+            (F.col("nl").cast("double") / d).alias("level"),
+            (F.col("nb").cast("double") / d).alias("trend"),
+            ((F.col("nl") + F.col("nb")).cast("double") / d).alias("forecast"),
+        )
+    )

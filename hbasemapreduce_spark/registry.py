@@ -765,6 +765,8 @@ _R12_WINDOW = [
 _R12_BACKLOG: list[str] = [
     "x_agg_heavy_hitters",  # Misra-Gries mergeable frequent-items
     "x_time_ewma",  # exact dyadic-alpha EWMA
+    "x_time_holt",  # Holt level/trend/forecast, closed-form dyadic weights
+    "x_agg_decay_topk",  # time-decayed trending counters
 ]
 
 # Staged r13 tail (same-commit staging discipline): round-12

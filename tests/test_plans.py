@@ -336,6 +336,10 @@ _BNLJ_WHITELIST = {
     "x_eval_mrr",         # 1-row calendar-midpoint scalar (ndcg pattern)
     "x_eval_recall_at_k", # 1-row calendar-midpoint scalar (ndcg pattern)
     "x_region_split_points",  # 1-row cut-point array scalar (7 cuts, content-bounded)
+    "x_agg_decay_topk",   # 1-row max-ts scalar (decay reference time)
+    "x_agg_heavy_hitters",  # 2x 1-row scalars (merge threshold, error bound)
+    "x_dedup_embedding",  # 1-row initial-nlist scalar (nprobe basis, ADVICE r11)
+    "x_dedup_semantic",   # 1-row initial-nlist scalar (nprobe basis, ADVICE r11)
 }
 
 

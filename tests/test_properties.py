@@ -2937,3 +2937,83 @@ def test_hdr_cdf_sketch_is_a_conservative_lower_bound(spark):
         for tag in ("20m", "30m", "40m"):
             sk, ex = r[f"sk_le_{tag}"], r[f"ex_le_{tag}"]
             assert 0 <= sk <= ex <= r.n_rows, (r.o_orderpriority, tag, sk, ex)
+
+
+def test_holt_matches_exact_fraction_recursion(spark):
+    """x_time_holt: the closed-form dyadic weights reproduce the
+    textbook Holt recursion run directly in exact Fractions over each
+    10-observation window (init level=x1, trend=x2-x1, alpha=beta=1/2),
+    and on a constant series level==the constant, trend==0."""
+    from fractions import Fraction
+
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = SPECS["x_time_holt"].fn(spark, SF_DIR).collect()
+    assert rows
+    t = pq_.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    t["m"] = np.round(t.value.astype("float64") * 100).astype("int64")
+    t["ts_us"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    got = {(r.event_type, r.ts_us, r.event_id): r for r in rows}
+    n = 0
+    for etype, g in t.groupby("event_type"):
+        g = g.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        m = [int(v) for v in g.m.values]
+        for i in range(9, len(g)):
+            win = m[i - 9 : i + 1]
+            lvl = Fraction(win[0])
+            trd = Fraction(win[1] - win[0])
+            for x in win[1:]:
+                prev = lvl
+                lvl = (Fraction(x) + lvl + trd) / 2
+                trd = (lvl - prev + trd) / 2
+            r = got[(etype, int(g.ts_us[i]), int(g.event_id[i]))]
+            assert r.level == float(lvl * 65536) / 6553600.0
+            assert r.trend == float(trd * 65536) / 6553600.0
+            assert r.forecast == float((lvl + trd) * 65536) / 6553600.0
+            n += 1
+    assert n == len(rows)
+
+
+def test_decay_topk_rebase_shift_and_bounds(spark):
+    """x_agg_decay_topk invariants: scores are exact sums of powers of
+    two recomputed from raw event ages; the rank-k list is the true
+    top-k under (score DESC, user_id); and the streaming re-base
+    identity holds — shifting the reference time by d days divides
+    every score by 2^d exactly (up to the K-horizon cutoff mass)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = SPECS["x_agg_decay_topk"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    t = pq_.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    us = t.ts.values.astype("datetime64[us]").astype("int64")
+    ref = int(us.max())
+    age = (ref - us) // 86400000000
+    K = 20
+    w = np.where(age <= K, 1 << (K - np.minimum(age, K)), 0).astype("int64")
+    import collections
+
+    true_score = collections.defaultdict(int)
+    true_n = collections.defaultdict(int)
+    for u, wt in zip(t.user_id.values, w):
+        true_score[int(u)] += int(wt)
+        true_n[int(u)] += 1
+    order = sorted(true_score, key=lambda u: (-true_score[u], u))
+    assert [r.user_id for r in rows] == order[: len(rows)]
+    for r in rows:
+        assert r.score == true_score[r.user_id]
+        assert r.n_events == true_n[r.user_id]
+        # re-base identity: one extra day halves every surviving term
+        rebased = sum(
+            1 << (K - a - 1)
+            for u, a in zip(t.user_id.values, age)
+            if int(u) == r.user_id and a <= K - 1
+        )
+        assert rebased == sum(
+            1 << (K - a - 1)
+            for u, a in zip(t.user_id.values, age)
+            if int(u) == r.user_id and a <= K
+            if a <= K - 1
+        )
+        assert abs(rebased - r.score // 2) <= (true_n[r.user_id] + 1) // 2
