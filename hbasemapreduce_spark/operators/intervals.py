@@ -478,3 +478,81 @@ def feature_pit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts_us", "f_last_k", "f_cnt_7d", "f_sum_7d")
     )
+
+
+_OVL_CELL_US = 600_000_000  # 10-minute grid cells = the longer side's span
+
+
+@query(
+    "x_join_interval_overlap",
+    category="join",
+    oracle=(
+        # The NAIVE range join IS the spec: the Spark side's grid-cell
+        # rewrite must be provably lossless against it.
+        "WITH a AS (SELECT event_id AS error_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS sa, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS ea "
+        "  FROM events WHERE event_type = 'error'), "
+        "b AS (SELECT event_id AS purchase_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) AS sb, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS eb "
+        "  FROM events WHERE event_type = 'purchase') "
+        "SELECT error_id, purchase_id, "
+        "CAST(least(ea, eb) - greatest(sa, sb) AS BIGINT) AS overlap_us "
+        "FROM a JOIN b ON sa < eb AND sb < ea"
+    ),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap pair join: every (error-window, purchase-
+    window) pair whose intervals intersect, with the exact overlap
+    duration — errors open a 10-minute incident window, purchases a
+    5-minute checkout window, and the join answers "which checkouts
+    ran inside an incident".  Spark has no interval-join physical
+    operator, so the naive form is a BNLJ/cartesian at any scale.
+
+    Scale shape — the grid-cell blocking every distributed engine uses
+    for overlap joins: bucket time into fixed cells no shorter than
+    the longest interval, explode each interval into the cells it
+    touches (<= 2 here), EQUI-JOIN on the cell id, then apply the
+    exact overlap residual.  Exactly-once WITHOUT a dedup shuffle: a
+    candidate pair is kept only in the ATTRIBUTION cell — the cell
+    containing max(start_a, start_b) — so a pair co-resident in two
+    cells is emitted by exactly one (the standard dedup-free grid
+    join).  The oracle is the naive range join itself, which makes
+    every driver run a losslessness proof of the rewrite.  At 100 TB:
+    shuffle is equi-keyed on cell (AQE-splittable), fan-out bounded by
+    interval_len/cell + 1, and a skewed cell salts like any hot join
+    key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros(F.col("ts")).alias("s")
+    )
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("s").alias("sa"),
+        (F.col("s") + 600_000_000).alias("ea"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("s").alias("sb"),
+        (F.col("s") + 300_000_000).alias("eb"),
+    )
+    cell = _OVL_CELL_US
+    ax = a.select(
+        "*", F.explode(F.sequence(F.expr(f"sa DIV {cell}"), F.expr(f"(ea - 1) DIV {cell}"))).alias("c")
+    )
+    bx = b.select(
+        "*", F.explode(F.sequence(F.expr(f"sb DIV {cell}"), F.expr(f"(eb - 1) DIV {cell}"))).alias("c")
+    )
+    return (
+        ax.join(bx, "c")
+        .filter(
+            (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+            & (F.expr(f"greatest(sa, sb) DIV {cell}") == F.col("c"))
+        )
+        .select(
+            "error_id",
+            "purchase_id",
+            (F.least("ea", "eb") - F.greatest("sa", "sb")).cast("long").alias("overlap_us"),
+        )
+    )

@@ -3017,3 +3017,32 @@ def test_decay_topk_rebase_shift_and_bounds(spark):
             if a <= K - 1
         )
         assert abs(rebased - r.score // 2) <= (true_n[r.user_id] + 1) // 2
+
+
+def test_interval_overlap_grid_join_is_exactly_once(spark):
+    """x_join_interval_overlap: the grid-cell rewrite emits each
+    overlapping pair EXACTLY once (no dedup shuffle to hide double
+    emission), matches the O(n*m) numpy recomputation pair-for-pair,
+    and every overlap length lies in (0, 5min] — the shorter side
+    bounds the intersection."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    rows = SPECS["x_join_interval_overlap"].fn(spark, SF_DIR).collect()
+    assert rows
+    pairs = [(r.error_id, r.purchase_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # exactly-once, not deduped
+    t = pq_.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    t["us"] = t.ts.values.astype("datetime64[us]").astype("int64")
+    err = t[t.event_type == "error"]
+    pur = t[t.event_type == "purchase"]
+    want = {}
+    for eid, sa in zip(err.event_id.values, err.us.values):
+        ea = sa + 600_000_000
+        for pid, sb in zip(pur.event_id.values, pur.us.values):
+            eb = sb + 300_000_000
+            if sa < eb and sb < ea:
+                want[(int(eid), int(pid))] = int(min(ea, eb) - max(sa, sb))
+    assert {(r.error_id, r.purchase_id): r.overlap_us for r in rows} == want
+    for r in rows:
+        assert 0 < r.overlap_us <= 300_000_000
