@@ -1156,67 +1156,41 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECAY_K = 20  # counters decay to zero past K half-lives (days)
 
 
-@query(
-    "x_agg_decay_topk",
-    category="agg",
-    oracle=(
-        "WITH ref AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS r "
-        "  FROM events), "
-        "sc AS (SELECT user_id, CAST(SUM(CASE WHEN age <= "
-        f"  {_DECAY_K} THEN 1::BIGINT << ({_DECAY_K} - age) ELSE 0 END) "
-        "  AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_events "
-        "  FROM (SELECT user_id, CAST((ref.r - "
-        "    epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000 AS BIGINT) "
-        "    AS age FROM events, ref) GROUP BY user_id) "
-        "SELECT user_id, score, n_events, rnk FROM ("
-        "  SELECT user_id, score, n_events, CAST(row_number() OVER ("
-        "    ORDER BY score DESC, user_id) AS BIGINT) AS rnk FROM sc) "
-        "WHERE rnk <= 20"
-    ),
-)
-def agg_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially time-decayed activity counters with half-life one
-    day, top-20 entities — the 'trending now' primitive behind feed
-    ranking and hot-key detection.  Each event contributes
-    2^-(age_days) of weight at the corpus reference time (the max
-    event timestamp); integerized as 2^(K - age) with K = 20 so the
-    score is an EXACT bigint (events older than K half-lives
-    contribute < 2^-20 of a fresh event and are dropped — below any
-    ranking-relevant mass).
-
-    The mergeability story is the production point: decayed counters
-    scored against a FIXED reference time are plain sums, so shards /
-    executors / micro-batches each keep one bigint per key and merge
-    by addition — the same algebra as the KMV/CMS/HDR sketch family
-    (a streaming deployment re-bases the reference time by a bit
-    shift: score(t + d) = score(t) >> d, exact in this integer form).
-
-    Scale shape: one scalar max (broadcast), ONE map-side-combinable
-    hash aggregate over the fact table, and a rank over the aggregated
-    (not raw) rows; AQE handles skewed entities.  Exact integers →
-    full hash oracle."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+def decay_day_counts(df) -> DataFrame:
+    """Mergeable partial of x_agg_decay_topk: per-(user_id, day)
+    event counts over a (user_id, us) frame — the bounded per-key
+    state a streaming deployment keeps (<= K+1 live day buckets per
+    user once expired days are vacuumed).  Partials from shards or
+    micro-batches merge by SUMMING cnt; the streaming mirror executes
+    exactly that through real foreachBatch micro-batches."""
+    return (
+        df.select("user_id", F.expr("us DIV 86400000000").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    ref = ev.agg(F.max("us").alias("r"))
+
+
+def decay_topk_from_counts(counts: DataFrame) -> DataFrame:
+    """Finisher of x_agg_decay_topk: decayed scores and the top-20
+    rank derived from merged (user_id, day, cnt) partials — one scalar
+    max-day broadcast, one aggregate over day buckets (never the raw
+    stream), one rank over <= |users| aggregated rows."""
+    ref = counts.agg(F.max("day").alias("rd"))
     sc = (
-        ev.crossJoin(F.broadcast(ref))
-        .select(
-            "user_id",
-            F.expr("(r - us) DIV 86400000000").alias("age"),
-        )
+        counts.crossJoin(F.broadcast(ref))
+        .select("user_id", "cnt", (F.col("rd") - F.col("day")).alias("age"))
         .groupBy("user_id")
         .agg(
             F.sum(
                 F.expr(
                     f"CASE WHEN age <= {_DECAY_K} THEN "
-                    f"shiftleft(1L, CAST({_DECAY_K} - age AS INT)) "
+                    f"cnt * shiftleft(1L, CAST({_DECAY_K} - age AS INT)) "
                     "ELSE 0L END"
                 )
             )
             .cast("long")
             .alias("score"),
-            F.count("*").cast("long").alias("n_events"),
+            F.sum("cnt").cast("long").alias("n_events"),
         )
     )
     w = Window.orderBy(F.desc("score"), F.asc("user_id"))
@@ -1229,3 +1203,51 @@ def agg_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "x_agg_decay_topk",
+    category="agg",
+    oracle=(
+        "WITH d AS (SELECT user_id, "
+        "  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, "
+        "  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "ref AS (SELECT MAX(day) AS rd FROM d), "
+        "sc AS (SELECT user_id, CAST(SUM(CASE WHEN ref.rd - day <= "
+        f"  {_DECAY_K} THEN cnt * (1::BIGINT << ({_DECAY_K} - (ref.rd - day))) "
+        "  ELSE 0 END) AS BIGINT) AS score, "
+        "  CAST(SUM(cnt) AS BIGINT) AS n_events "
+        "  FROM d, ref GROUP BY user_id) "
+        "SELECT user_id, score, n_events, rnk FROM ("
+        "  SELECT user_id, score, n_events, CAST(row_number() OVER ("
+        "    ORDER BY score DESC, user_id) AS BIGINT) AS rnk FROM sc) "
+        "WHERE rnk <= 20"
+    ),
+)
+def agg_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity counters with half-life one
+    day, top-20 entities — the 'trending now' primitive behind feed
+    ranking and hot-key detection.  Each event contributes
+    2^-(age_days) of weight, age measured in calendar-day buckets from
+    the corpus reference day (the max event day); integerized as
+    cnt * 2^(K - age) with K = 20 so the score is an EXACT bigint
+    (events older than K half-lives contribute < 2^-20 of a fresh
+    event and are dropped — below any ranking-relevant mass).
+
+    The mergeability story is the production point: the partial is
+    per-(user, day) COUNTS (decay_day_counts) — a plain-sum monoid, so
+    shards / executors / micro-batches merge by addition like the
+    KMV/CMS/HDR sketch family, and the streaming mirror
+    (streaming/mirrors.py) EXECUTES that merge through four real
+    foreachBatch micro-batches; re-basing the reference day by d is an
+    exact bit shift, score(rd + d) = score(rd) >> d.
+
+    Scale shape: one map-side-combinable day-bucket aggregate over the
+    fact table, one scalar max-day broadcast, the decay weighting over
+    day buckets (never the raw stream), and a rank over the aggregated
+    rows; AQE handles skewed entities.  Exact integers -> full hash
+    oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    return decay_topk_from_counts(decay_day_counts(ev))

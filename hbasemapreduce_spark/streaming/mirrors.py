@@ -1057,3 +1057,94 @@ def hdr_sketch_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIRRORS["x_agg_hdr_quantiles"] = hdr_sketch_stream_run  # foreachBatch runner
+
+
+def decay_counter_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch decayed-counter merge mirror of x_agg_decay_topk —
+    the 23rd executed streaming equality, driving the decay algebra
+    through IncrementalExecution: the events table is staged into FOUR
+    parquet files and drained with maxFilesPerTrigger=1 under
+    availableNow, each micro-batch computes its own per-(user, day)
+    count partial (operators/aggregates.decay_day_counts), and
+    foreachBatch MERGES it into a versioned parquet snapshot by
+    summing counts (write-new-then-swap, the x_stream_upsert_sink
+    pattern).  After the drain, decay_topk_from_counts derives the
+    decayed scores and top-20 rank from the merged day counts — equal
+    to the batch key's one-shot answer because day counts form a
+    commutative monoid under addition, whatever the batch split.
+
+    This is the production trending-counter shape: per-key state is
+    bounded (<= K+1 live day buckets per user after vacuuming expired
+    days), the merge is associative so late/replayed batches fold in
+    identically, and the raw stream is never retained."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from ..functions.staging import fingerprinted_dir
+    from ..operators.aggregates import decay_day_counts, decay_topk_from_counts
+
+    configure(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    scratch = os.path.join(repo_root, ".scratch")
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = f"decay_src_{os.path.basename(sf_dir.rstrip('/'))}"
+    stage = fingerprinted_dir(scratch, tag, src)
+    marker = os.path.join(stage, "_staged_4way")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        spark.read.parquet(src).repartition(4).write.mode("overwrite").parquet(
+            stage
+        )
+        open(marker, "w").close()
+    raw_schema = spark.read.parquet(stage).schema
+    events = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    stream = events.select(
+        "user_id", FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us")
+    )
+
+    out_root = os.path.join(scratch, f"decay_snap_{os.getpid()}")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+    snap = {"path": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = decay_day_counts(batch_df)
+        if snap["path"] is not None:
+            cur = spark.read.parquet(snap["path"])
+            part = (
+                cur.unionAll(part)
+                .groupBy("user_id", "day")
+                .agg(FF.sum("cnt").cast("long").alias("cnt"))
+            )
+        new_path = os.path.join(out_root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(new_path)
+        old = snap["path"]
+        snap["path"] = new_path
+        if old is not None:
+            shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(out_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("decay counter mirror did not drain within 300s")
+    finally:
+        q.stop()
+    assert snap["path"] is not None, "no micro-batch ever fired"
+    return decay_topk_from_counts(spark.read.parquet(snap["path"]))
+
+
+MIRRORS["x_agg_decay_topk"] = decay_counter_stream_run  # foreachBatch runner

@@ -2988,8 +2988,8 @@ def test_decay_topk_rebase_shift_and_bounds(spark):
     assert 0 < len(rows) <= 20
     t = pq_.read_table(f"{SF_DIR}/events.parquet").to_pandas()
     us = t.ts.values.astype("datetime64[us]").astype("int64")
-    ref = int(us.max())
-    age = (ref - us) // 86400000000
+    day = us // 86400000000
+    age = int(day.max()) - day
     K = 20
     w = np.where(age <= K, 1 << (K - np.minimum(age, K)), 0).astype("int64")
     import collections

@@ -382,3 +382,20 @@ def test_hdr_sketch_foreachbatch_matches_batch(spark):
     g = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert g == b and len(g) == 15
+
+
+def test_decay_counter_foreachbatch_matches_batch(spark):
+    """The foreachBatch decayed-counter merge mirror — four forced
+    micro-batches over a 4-file events staging, each folding its
+    per-(user, day) count partial into a versioned parquet snapshot —
+    must rank the same top-20 with the same exact scores as
+    x_agg_decay_topk's one-shot answer: day counts form a commutative
+    monoid under addition, so ANY batch split merges identically.  The
+    23rd executed streaming equality."""
+    from hbasemapreduce_spark.streaming.mirrors import decay_counter_stream_run
+
+    got = decay_counter_stream_run(spark, SF_DIR)
+    want = all_specs()["x_agg_decay_topk"].fn(spark, SF_DIR)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert g == b and 0 < len(g) <= 20
