@@ -2380,7 +2380,13 @@ def time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (16 lag slots — Spark keeps a bounded rows-frame buffer, never the
     partition in memory), no self-join, no collect.  At 100 TB this is
     exactly the streaming-friendly shape: the same 16-value carry is
-    what a transformWithState operator would keep per key."""
+    what a transformWithState operator would keep per key.  The series
+    key here is low-cardinality (5 types), so a 100 TB deployment
+    splits each series into time chunks and stitches the fixed 16-row
+    halo across chunk boundaries (two-pass: per-chunk tails, then a
+    broadcast of the <= 15-row handoffs) — the frame depth being
+    BOUNDED is what makes that split exact; at this corpus the flat
+    per-series window is the right plan."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
@@ -2500,7 +2506,11 @@ def time_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows frame (Spark buffers the frame, never the partition), no
     self-join, no collect — the same per-key carry a transformWithState
     streaming forecaster would keep.  At 100 TB: hash-partition by
-    series key, in-partition sort, linear scan."""
+    series key, in-partition sort, linear scan; for the low-cardinality
+    series key here, split each series into time chunks with the
+    bounded 10-row halo stitched across boundaries (the x_time_ewma
+    note) — at this corpus the flat per-series window is the right
+    plan."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
