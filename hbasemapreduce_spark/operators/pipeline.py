@@ -2074,3 +2074,115 @@ def etl_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+
+def _stage_posdelete_table(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage the positional-delete (deletion-vector) table layout
+    behind x_source_positional_deletes — the Iceberg-v2 / Delta
+    deletion-vector read path reduced to its essence: immutable sorted
+    data files plus a sidecar of (file, position) tombstones that
+    never names a key.
+
+    - data/: orders bucketed by Knuth hash into 4 partitions
+      (one file per bucket — repartition(4, bucket) pins each bucket
+      to exactly one write task) and SORTED by o_orderkey within each
+      file, so every row's physical position is a deterministic
+      function of the data.
+    - deletes.parquet: the tombstone sidecar, computed at stage time
+      as the (bucket, pos) of every key with o_orderkey % 7 == 3 via
+      the same (bucket, o_orderkey) ordering the writer used.  The
+      sidecar stores ONLY positions — recovering which rows die is
+      the reader's job, which is exactly what the oracle's logical
+      encoding of the deletion then proves correct.
+
+    Fingerprinted on the source and idempotent (_SUCCESS marker)."""
+    from ..functions.staging import fingerprinted_dir
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    root = fingerprinted_dir(_SCRATCH, "posdelete_table", src)
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.pmod(F.col("o_orderkey") * _KNUTH, F.lit(4)).alias("bucket"),
+        )
+        (
+            orders.repartition(4, "bucket")
+            .sortWithinPartitions("bucket", "o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(root, "data"))
+        )
+        w = Window.partitionBy("bucket").orderBy("o_orderkey")
+        (
+            orders.select(
+                "bucket",
+                "o_orderkey",
+                (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            )
+            .filter(F.col("o_orderkey") % 7 == 3)
+            .select("bucket", "pos")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "deletes"))
+        )
+        open(marker, "w").close()
+    return {"root": root}
+
+
+@query(
+    "x_source_positional_deletes",
+    category="scan",
+    oracle=(
+        # The LOGICAL encoding of the deletion: the sidecar's positions
+        # were derived from o_orderkey % 7 == 3, so a hash match proves
+        # the reader's PHYSICAL (file, row_index) reconstruction landed
+        # on exactly the intended rows.
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "  AS BIGINT) AS sum_cents, "
+        "CAST(MAX(o_orderkey) AS BIGINT) AS max_key "
+        "FROM orders WHERE o_orderkey % 7 <> 3 "
+        "GROUP BY o_orderstatus"
+    ),
+)
+def source_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read (the Iceberg v2 positional-delete / Delta
+    deletion-vector shape, completing the versioned-table surface
+    beside x_source_snapshot/_delta and x_etl_vacuum): scan immutable
+    sorted data files, anti-join each row's PHYSICAL position
+    (``_metadata.row_index``, the parquet reader's row ordinal) against
+    a tombstone sidecar of (bucket, pos) pairs that never names a key,
+    and aggregate the survivors.  The oracle encodes the deletion
+    LOGICALLY (the key predicate the tombstones were derived from), so
+    the hash match is an end-to-end proof that physical row addressing
+    round-trips: writer order -> file layout -> reader row_index ->
+    tombstone join all agree, or counts, sums, and max keys all break.
+
+    Scale shape: this is why lakehouse formats use deletion vectors —
+    deletes ship as tiny position sidecars (broadcast here; a bitmap in
+    production) instead of rewriting data files, and the scan stays a
+    plain parallel parquet read with pushdown and partition pruning
+    intact.  The anti-join is equi-keyed on (bucket, pos) with the
+    small side broadcast — no shuffle of the fact scan at any scale.
+    Position-to-key recovery is differentially tested
+    (tests/test_properties.py) against the staged layout."""
+    staged = _stage_posdelete_table(spark, sf_dir)
+    data = spark.read.parquet(os.path.join(staged["root"], "data")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "bucket",
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dels = spark.read.parquet(os.path.join(staged["root"], "deletes"))
+    live = data.join(F.broadcast(dels), ["bucket", "pos"], "left_anti")
+    return live.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -768,6 +768,7 @@ _R12_BACKLOG: list[str] = [
     "x_time_holt",  # Holt level/trend/forecast, closed-form dyadic weights
     "x_agg_decay_topk",  # time-decayed trending counters
     "x_join_interval_overlap",  # grid-blocked interval-overlap pair join
+    "x_source_positional_deletes",  # deletion-vector read via _metadata.row_index
 ]
 
 # Staged r13 tail (same-commit staging discipline): round-12

@@ -3046,3 +3046,30 @@ def test_interval_overlap_grid_join_is_exactly_once(spark):
     assert {(r.error_id, r.purchase_id): r.overlap_us for r in rows} == want
     for r in rows:
         assert 0 < r.overlap_us <= 300_000_000
+
+
+def test_positional_delete_tombstones_recover_exact_keys(spark):
+    """x_source_positional_deletes: joining the tombstone sidecar's
+    (bucket, pos) pairs back onto the staged files' physical
+    _metadata.row_index recovers EXACTLY the keys the deletion was
+    derived from (o_orderkey % 7 == 3) — the position->key round-trip
+    the operator's anti-join depends on — and the survivors plus the
+    deleted rows partition the staged table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.operators.pipeline import _stage_posdelete_table
+
+    staged = _stage_posdelete_table(spark, SF_DIR)
+    data = spark.read.parquet(os.path.join(staged["root"], "data")).select(
+        "o_orderkey", "bucket", F.col("_metadata.row_index").alias("pos")
+    )
+    dels = spark.read.parquet(os.path.join(staged["root"], "deletes"))
+    hit = data.join(dels, ["bucket", "pos"]).select("o_orderkey").collect()
+    got = sorted(r.o_orderkey for r in hit)
+    allk = [r.o_orderkey for r in data.select("o_orderkey").collect()]
+    want = sorted(k for k in allk if k % 7 == 3)
+    assert got == want and len(got) == dels.count() > 0
+    live = data.join(dels, ["bucket", "pos"], "left_anti").count()
+    assert live + len(got) == len(allk)
