@@ -70,6 +70,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .sqlbuild import sql_over
+
 
 def expand_bag(
     df: DataFrame, *, id_col: str, tokens_col: str, out_col: str = "items"
@@ -173,68 +175,66 @@ def minhash_pairs_from_occurrences(
     # checkpoint lives in executor block storage, sized O(corpus tokens)
     # — the same bytes a shuffle stage would spill.
     occ = occ.localCheckpoint(eager=False)
-    sig = occ.groupBy("id").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(n_hashes)]
-    )
-    # Band hash b digests exactly its own rows_per_band permutations.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    # Banded rows are slim (id, band, bh) — the candidate self-join
+    # r12 build-cost optimization: the signature aggregate (n_hashes min
+    # accumulators), band projection, candidate self-join and verify are
+    # each ONE spark.sql call over transient views (sqlbuild.sql_over) —
+    # identical operator trees to the former DataFrame-API chain (same
+    # expressions, proven A/B bit-identical), but parsed+analyzed once
+    # per stage instead of re-analyzed on every intermediate DataFrame.
+    # The localCheckpoint boundaries are unchanged.
+    mins = ", ".join(f"MIN(xxhash64(h, {i})) AS m{i}" for i in range(n_hashes))
+    # Band hash b digests exactly its own rows_per_band permutations;
+    # banded rows are slim (id, band, bh) — the candidate self-join
     # shuffles 3 longs per row, not the element arrays.  Checkpointed for
     # the same branch-sharing reason as `occ`: both sides of the
     # candidate self-join would otherwise recompute the n_hashes-
     # accumulator signature aggregate from scratch.
-    banded_slim = (
-        sig.select("id", F.explode(bands).alias("bd"))
-        .select("id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
-        .localCheckpoint(eager=False)
-    )
-    cand = (
-        banded_slim.alias("a")
-        .join(
-            banded_slim.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+    band_structs = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        # tiny relation, but referenced by cand_ids AND the final pairs
-        # join — checkpointing stops the band self-join recomputing
-        .localCheckpoint(eager=False)
+        for b in range(n_bands)
     )
+    banded_slim = sql_over(
+        f"SELECT id, bd.band AS band, bd.bh AS bh "
+        f"FROM (SELECT id, {mins} FROM {{occ}} GROUP BY id) "
+        f"LATERAL VIEW explode(array({band_structs})) t AS bd",
+        occ=occ,
+    ).localCheckpoint(eager=False)
+    # tiny relation, but referenced by the semi-join AND the final pairs
+    # join — checkpointing stops the band self-join recomputing
+    cand = sql_over(
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b "
+        "FROM {banded} a JOIN {banded} b "
+        "ON a.band = b.band AND a.bh = b.bh AND a.id < b.id",
+        banded=banded_slim,
+    ).localCheckpoint(eager=False)
     # Multiset rebuild for verification: semi-join FIRST so collect_list
     # only aggregates candidate docs (tiny), never the full corpus.
-    # explode (not a two-branch union) keeps cand referenced once here.
-    cand_ids = cand.select(
-        F.explode(F.array("id_a", "id_b")).alias("id")
-    ).distinct()
-    cand_sets = (
-        occ.join(cand_ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_list("h").alias("hs"))
-        # referenced by both the id_a and id_b joins below; without the
-        # checkpoint each side re-scans the corpus-sized occ relation
-        .localCheckpoint(eager=False)
+    # explode (not a two-branch union) keeps cand referenced once here;
+    # referenced by both the id_a and id_b joins below — without the
+    # checkpoint each side re-scans the corpus-sized occ relation.
+    cand_sets = sql_over(
+        "SELECT o.id, collect_list(o.h) AS hs FROM {occ} o "
+        "LEFT SEMI JOIN (SELECT explode(array(id_a, id_b)) AS id "
+        "FROM {cand}) c ON o.id = c.id GROUP BY o.id",
+        occ=occ,
+        cand=cand,
+    ).localCheckpoint(eager=False)
+    return sql_over(
+        "SELECT id_a, id_b, CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) AS jaccard "
+        "FROM (SELECT c.id_a, c.id_b, "
+        "  size(array_intersect(a.hs, b.hs)) AS inter, "
+        "  size(a.hs) AS sa, size(b.hs) AS sb "
+        "  FROM {cand} c JOIN {sets} a ON a.id = c.id_a "
+        "  JOIN {sets} b ON b.id = c.id_b) "
+        f"WHERE CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE) >= {jaccard_threshold!r}",
+        cand=cand,
+        sets=cand_sets,
     )
-    pairs = (
-        cand.join(cand_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
-        .join(cand_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size("hs_a") + F.size("hs_b") - inter
-    return pairs.select(
-        "id_a", "id_b", (inter.cast("double") / union.cast("double")).alias("jaccard")
-    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def simhash_signatures(
@@ -255,21 +255,29 @@ def simhash_signatures(
     Integer sums are exact and order-independent -> the fingerprint is
     identical at any partition count.
     """
+    # r12 build-cost optimization: one sql_over call per stage in place
+    # of the 64-accumulator agg + 64-term OR chain built column-by-column
+    # (identical expressions, A/B-proven bit-identical; see sqlbuild.py).
     exploded = df.select(F.col(id_col).alias("id"), F.explode(items_col).alias("item")).select(
         "id", F.xxhash64("item").alias("h")
     )
-    bit = lambda j: F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)  # noqa: E731
-    sums = exploded.groupBy("id").agg(
-        *[F.sum(bit(j)).alias(f"s{j}") for j in range(64)]
+    sums_sql = ", ".join(
+        f"SUM(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
     )
-    sh = None
-    for j in range(64):
-        # bit 63 is the sign bit of a signed long: its set-value is
-        # -(2^63), not +2^63 (which overflows)
-        val = F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long")
-        term = F.when(F.col(f"s{j}") > 0, val).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh.bitwiseOR(term)
-    return sums.select("id", sh.alias("sh"))
+    # bit 63 is the sign bit of a signed long: its set-value is
+    # -(2^63), not +2^63 (which overflows)
+    terms = " | ".join(
+        "(CASE WHEN s{j} > 0 THEN CAST({v} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(
+            j=j, v=-(1 << 63) if j == 63 else (1 << j)
+        )
+        for j in range(64)
+    )
+    return sql_over(
+        f"SELECT id, {terms} AS sh "
+        f"FROM (SELECT id, {sums_sql} FROM {{ex}} GROUP BY id)",
+        ex=exploded,
+    )
 
 
 def simhash_pairs(
@@ -303,23 +311,16 @@ def simhash_pairs(
         # pipeline from executing twice (same fix as minhash_pairs)
         .localCheckpoint(eager=False)
     )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
-    return cand.select("id_a", "id_b", hamming.cast("long").alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    # Candidate self-join + hamming verify as one sql_over call (r12
+    # build-cost optimization; sh is functionally dependent on id, so
+    # DISTINCT over all four columns equals the former
+    # dropDuplicates([id_a, id_b])).
+    return sql_over(
+        "SELECT id_a, id_b, CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming "
+        "FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "  a.sh AS sh_a, b.sh AS sh_b "
+        "  FROM {banded} a JOIN {banded} b "
+        "  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id) "
+        f"WHERE CAST(bit_count(sh_a ^ sh_b) AS BIGINT) <= {max_hamming}",
+        banded=banded,
     )

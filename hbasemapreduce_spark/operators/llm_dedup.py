@@ -30,6 +30,7 @@ from ..functions.minhash import (
     minhash_pairs_from_occurrences,
     simhash_pairs,
 )
+from ..functions.sqlbuild import sql_over
 from ..functions.text import tokens
 from ..registry import query
 
@@ -766,95 +767,63 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a quiet box at sf0.1 — window 4.9 s vs agg 5.8 s warm for the
     # full operator (and a far cheaper cold plan), so the window stays;
     # the produced element multiset {tok#1..tok#c} is identical either
-    # way and every downstream consumer is order-independent
-    tk = al.select("doc_id", F.posexplode("a").alias("pos", "tok"))
-    wocc = Window.partitionBy("doc_id", "tok").orderBy("pos")
-    el = tk.select(
-        "doc_id",
-        F.concat_ws(
-            "#", F.col("tok"), F.row_number().over(wocc).cast("string")
-        ).alias("elem"),
+    # way and every downstream consumer is order-independent.
+    # r12 build-cost optimization: the whole pipeline is TWO sql_over
+    # calls (element table, then everything below the checkpoint) —
+    # identical operator tree to the former DataFrame chain (A/B-proven
+    # bit-identical), analyzed once per stage instead of per op.
+    el = sql_over(
+        "SELECT doc_id, concat_ws('#', tok, CAST(row_number() OVER ("
+        "  PARTITION BY doc_id, tok ORDER BY pos) AS STRING)) AS elem "
+        "FROM (SELECT doc_id, pos, tok FROM {al} "
+        "      LATERAL VIEW posexplode(a) t AS pos, tok)",
+        al=al,
     ).localCheckpoint(eager=False)
     # ONE 12-hex-char parse per element, split arithmetically into the
     # two 24-bit permutation operands (VERDICT r9 item 5: share the
     # md5-hex span parse across v1/v2, the x_agg_distinct_kmv
-    # discipline) — v1 is the high 24 bits, v2 the low 24, identical
-    # values to the former two independent 6-char parses.
-    w = F.conv(F.substring(F.md5("elem"), 1, 12), 16, 10).cast("long")
-    hv = el.select(
-        "doc_id",
-        F.shiftrightunsigned(w, 24).alias("v1"),
-        w.bitwiseAND(F.lit((1 << 24) - 1)).alias("v2"),
+    # discipline) — v1 is the high 24 bits, v2 the low 24.  The
+    # element-count rides along in the signature aggregate (same
+    # groupBy key) instead of a second full pass over el; values
+    # identical (the oracle's `sizes` CTE counts the same el rows).
+    mins = ", ".join(
+        f"MIN(pmod(v1 + {i} * v2, {_PMH_P})) AS s{i}" for i in range(_PMH_PERMS)
     )
-    # the element-count rides along in the signature aggregate (same
-    # groupBy key) instead of a second full pass over el — one fewer
-    # stage group and one fewer 1M-row scan; values identical (the
-    # oracle's `sizes` CTE counts the same el rows)
-    sig = hv.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("v1") + i * F.col("v2"), F.lit(_PMH_P))).alias(
-                f"s{i}"
-            )
-            for i in range(_PMH_PERMS)
-        ],
-        F.count("*").alias("n"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"s{i}").cast("string")
-                                for i in range(
-                                    b * _PMH_BAND_ROWS, (b + 1) * _PMH_BAND_ROWS
-                                )
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(_PMH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.key")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    band_structs = ", ".join(
+        "struct({b} AS b, concat_ws(',', {cols}) AS key)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(s{i} AS STRING)"
+                for i in range(b * _PMH_BAND_ROWS, (b + 1) * _PMH_BAND_ROWS)
+            ),
         )
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        for b in range(_PMH_BANDS)
     )
-    sizes = sig.select("doc_id", "n")
-    ea = el.select(F.col("doc_id").alias("da"), "elem")
-    eb = el.select(F.col("doc_id").alias("db"), "elem")
-    inter = (
-        cand.join(ea, "da")
-        .join(eb, ["db", "elem"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter_cnt"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .filter(
-            5 * F.col("inter_cnt")
-            >= 4 * (F.col("na") + F.col("nb") - F.col("inter_cnt"))
-        )
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            "inter_cnt",
-            (F.col("na") + F.col("nb") - F.col("inter_cnt")).alias("union_cnt"),
-        )
+    # A/B-measured (r12): checkpointing sig as well costs MORE than the
+    # duplicated in-plan aggregate it would save (4.55 s vs 3.25 s total
+    # at sf0.1) — the extra materialization + stage barrier loses; the
+    # one-SQL tree below keeps exchange reuse available to the planner.
+    return sql_over(
+        "WITH hv AS (SELECT doc_id, shiftrightunsigned(w, 24) AS v1, "
+        f"  w & {(1 << 24) - 1} AS v2 "
+        "  FROM (SELECT doc_id, CAST(conv(substring(md5(elem), 1, 12), 16, 10) AS BIGINT) AS w "
+        "        FROM {el})), "
+        f"sig AS (SELECT doc_id, {mins}, COUNT(*) AS n FROM hv GROUP BY doc_id), "
+        "bands AS (SELECT doc_id, bk.b AS b, bk.key AS key "
+        f"  FROM sig LATERAL VIEW explode(array({band_structs})) t AS bk), "
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db "
+        "  FROM bands x JOIN bands y "
+        "  ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id), "
+        "inter AS (SELECT c.da, c.db, COUNT(*) AS inter_cnt "
+        "  FROM cand c JOIN {el} ea ON ea.doc_id = c.da "
+        "  JOIN {el} eb ON eb.doc_id = c.db AND ea.elem = eb.elem "
+        "  GROUP BY c.da, c.db) "
+        "SELECT i.da AS doc_a, i.db AS doc_b, i.inter_cnt, "
+        "  sa.n + sb.n - i.inter_cnt AS union_cnt "
+        "FROM inter i JOIN sig sa ON sa.doc_id = i.da "
+        "JOIN sig sb ON sb.doc_id = i.db "
+        "WHERE 5 * i.inter_cnt >= 4 * (sa.n + sb.n - i.inter_cnt)",
+        el=el,
     )
 
 
@@ -932,66 +901,44 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus-aggregate pass: 60 signed bit-sums as COLUMNS (the
     # minhash-signature discipline) — measured 2x faster than the
     # 60-way exploded (doc, j) aggregate it replaces, and the fp/band
-    # packings become pure projections instead of second aggregates
-    sig = cnt.groupBy("doc_id").agg(
-        *[
-            F.sum((2 * F.expr(bit_expr(j)) - 1) * F.col("c")).alias(f"b{j}")
-            for j in range(_PSH_BITS)
-        ]
-    ).localCheckpoint(eager=False)  # read by fp AND bands
-    fp = sig.select(
-        "doc_id",
-        sum(
-            F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for j in range(_PSH_BITS)
-        ).alias("fp"),
+    # packings become pure projections instead of second aggregates.
+    # r12 build-cost optimization: the aggregate and everything below it
+    # are one sql_over call each (identical operator tree, A/B-proven
+    # bit-identical; see sqlbuild.py); the sig checkpoint — read by fp
+    # AND bands — is unchanged.
+    sums = ", ".join(
+        f"SUM((2 * {bit_expr(j)} - 1) * c) AS b{j}" for j in range(_PSH_BITS)
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        sum(
-                            F.when(
-                                F.col(f"b{j}") > 0,
-                                F.lit(1 << (j % _PSH_BAND_BITS)).cast("long"),
-                            ).otherwise(F.lit(0).cast("long"))
-                            for j in range(
-                                b * _PSH_BAND_BITS, (b + 1) * _PSH_BAND_BITS
-                            )
-                        ).alias("bv"),
-                    )
-                    for b in range(_PSH_BITS // _PSH_BAND_BITS)
-                ]
+    sig = sql_over(
+        f"SELECT doc_id, {sums} FROM {{cnt}} GROUP BY doc_id", cnt=cnt
+    ).localCheckpoint(eager=False)
+
+    def packed(lo: int, n: int, shift_mod: int) -> str:
+        return " + ".join(
+            "(CASE WHEN b{j} > 0 THEN CAST({v} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(
+                j=j, v=1 << (j % shift_mod)
             )
-        ).alias("bk"),
-    ).select("doc_id", "bk.b", "bk.bv")
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.b") == F.col("y.b"))
-            & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            for j in range(lo, lo + n)
         )
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
+
+    band_structs = ", ".join(
+        f"struct({b} AS b, {packed(b * _PSH_BAND_BITS, _PSH_BAND_BITS, _PSH_BAND_BITS)} AS bv)"
+        for b in range(_PSH_BITS // _PSH_BAND_BITS)
     )
-    fa = fp.select(F.col("doc_id").alias("da"), F.col("fp").alias("fpa"))
-    fb = fp.select(F.col("doc_id").alias("db"), F.col("fp").alias("fpb"))
-    return (
-        cand.join(fa, "da")
-        .join(fb, "db")
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.expr("CAST(bit_count(fpa ^ fpb) AS BIGINT)").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _PSH_MAX_HAMMING)
+    return sql_over(
+        "WITH fp AS (SELECT doc_id, "
+        f"  {packed(0, _PSH_BITS, _PSH_BITS + 1)} AS fp FROM {{sig}}), "
+        "bands AS (SELECT doc_id, bk.b AS b, bk.bv AS bv "
+        f"  FROM {{sig}} LATERAL VIEW explode(array({band_structs})) t AS bk), "
+        "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db "
+        "  FROM bands x JOIN bands y "
+        "  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id) "
+        "SELECT da AS doc_a, db AS doc_b, hamming FROM ("
+        "  SELECT c.da, c.db, CAST(bit_count(fa.fp ^ fb.fp) AS BIGINT) AS hamming "
+        "  FROM cand c JOIN fp fa ON fa.doc_id = c.da "
+        "  JOIN fp fb ON fb.doc_id = c.db) "
+        f"WHERE hamming <= {_PSH_MAX_HAMMING}",
+        sig=sig,
     )
 
 
