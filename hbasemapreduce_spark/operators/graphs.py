@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.sqlbuild import sql_over
 from ..registry import query
 
 _SUPPORT = 3  # min co-purchase support, mirrors x_basket_pairs
@@ -52,30 +53,23 @@ def _undirected_edges(
 ) -> DataFrame:
     """(src, dst) both directions of the support-thresholded co-purchase
     pairs; every node therefore has outdegree >= 1 (no dangling mass)."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= support)
-        .select("part_a", "part_b")
-    )
     # lazy localCheckpoint: every graph operator reads the edge list 2-4
     # times (wedge sides, degree table, anti-join, per-round relaxation);
     # without it each read re-runs the distinct + self-join + support
-    # aggregate from the fact table
-    return (
-        und.selectExpr("part_a AS src", "part_b AS dst")
-        .unionByName(und.selectExpr("part_b AS src", "part_a AS dst"))
-        .localCheckpoint(eager=False)
-    )
+    # aggregate from the fact table.  r12: derivation is ONE sql_over
+    # call (identical operator tree, A/B-proven bit-identical) — the
+    # module-wide driver-side build-cost optimization; see sqlbuild.py.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return sql_over(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM {li}), "
+        "und AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "  AND a.l_partkey < b.l_partkey "
+        f"  GROUP BY 1, 2 HAVING COUNT(*) >= {support}) "
+        "SELECT part_a AS src, part_b AS dst FROM und "
+        "UNION ALL SELECT part_b, part_a FROM und",
+        li=li,
+    ).localCheckpoint(eager=False)
 
 
 @query(
@@ -141,38 +135,32 @@ def pagerank_integer(edges: DataFrame, *, rounds: int = 3) -> DataFrame:
     randomized differential test (tests/test_random_differential.py)
     can drive it with arbitrary seeded graphs against a pure-Python
     reimplementation of the same integer recurrence."""
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("outdeg")
-    )
     # integer base rank via DIV (cast-of-true-division would ROUND;
-    # the oracle's `//` floors) — 1-row scalar, broadcast per iteration
-    base = deg.agg(F.expr(f"CAST({_SCALE} AS BIGINT) DIV COUNT(*)").alias("b"))
-    teleport = F.expr(f"({_DAMP_DEN - _DAMP_NUM} * b) DIV {_DAMP_DEN}")
-    ranks = deg.crossJoin(F.broadcast(base)).select(
-        "node", "outdeg", F.col("b").alias("pr")
+    # the oracle's `//` floors) — 1-row scalar subquery per iteration.
+    # r12: the unrolled recurrence is ONE sql_over call (identical
+    # integer expressions, A/B-proven bit-identical; the per-op
+    # DataFrame chain re-analyzed the growing tree every round).
+    tele = f"({_DAMP_DEN - _DAMP_NUM} * (SELECT b FROM base)) DIV {_DAMP_DEN}"
+    ctes = [
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM {edges} GROUP BY src)",
+        f"base AS (SELECT CAST({_SCALE} AS BIGINT) DIV COUNT(*) AS b FROM deg)",
+        "r0 AS (SELECT node, outdeg, (SELECT b FROM base) AS pr FROM deg)",
+    ]
+    for i in range(rounds):
+        j = i + 1
+        ctes.append(
+            f"s{j} AS (SELECT e.dst AS node, SUM(r.pr DIV r.outdeg) AS s "
+            f"  FROM r{i} r JOIN {{edges}} e ON r.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{j} AS (SELECT d.node, d.outdeg, {tele} "
+            f"  + ({_DAMP_NUM} * COALESCE(s{j}.s, CAST(0 AS BIGINT))) DIV {_DAMP_DEN} AS pr "
+            f"  FROM deg d LEFT JOIN s{j} ON d.node = s{j}.node)"
+        )
+    return sql_over(
+        "WITH " + ", ".join(ctes) + f" SELECT node, pr FROM r{rounds}",
+        edges=edges,
     )
-    for _ in range(rounds):
-        contrib = (
-            ranks.select("node", F.expr("pr DIV outdeg").alias("share"))
-            .join(edges, F.col("node") == F.col("src"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").alias("s"))
-        )
-        ranks = (
-            deg.crossJoin(F.broadcast(base))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    teleport
-                    + F.expr(
-                        f"({_DAMP_NUM} * COALESCE(s, CAST(0 AS BIGINT))) DIV {_DAMP_DEN}"
-                    )
-                ).alias("pr"),
-            )
-        )
-    return ranks.select("node", "pr")
 
 
 @query(
@@ -211,26 +199,23 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).localCheckpoint(eager=False)  # read by 4 census branches below
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedge = und.join(e2, "b").select("a", "b", "c")
-    closing = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = wedge.join(closing, ["a", "c"], "left_semi")
     # the census stays ONE declarative plan: each relation collapses to
-    # a 1-row aggregate and the four scalars cross-join (broadcast) —
-    # no driver-side .count() actions anywhere
-    n_edges = und.agg(F.count("*").alias("n_edges"))
-    n_nodes = (
-        und.select(F.col("a").alias("n"))
-        .unionByName(und.select(F.col("b").alias("n")))
-        .agg(F.countDistinct("n").alias("n_nodes"))
-    )
-    n_wedges = wedge.agg(F.count("*").alias("n_wedges"))
-    n_triangles = tri.agg(F.count("*").alias("n_triangles"))
-    return (
-        n_edges.crossJoin(F.broadcast(n_nodes))
-        .crossJoin(F.broadcast(n_wedges))
-        .crossJoin(F.broadcast(n_triangles))
-        .select("n_edges", "n_nodes", "n_wedges", "n_triangles")
+    # a 1-row aggregate attached as a scalar subquery — no driver-side
+    # .count() actions anywhere.  r12: one sql_over call (the scalar-
+    # subquery form replaces the former broadcast cross-joins; same
+    # values, fewer BNLJ nodes, A/B-proven bit-identical).
+    return sql_over(
+        "WITH wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "  FROM {und} e1 JOIN {und} e2 ON e1.b = e2.a), "
+        "tri AS (SELECT w.a FROM wedge w LEFT SEMI JOIN {und} e3 "
+        "  ON w.a = e3.a AND w.c = e3.b) "
+        "SELECT n_edges, "
+        "  (SELECT COUNT(DISTINCT n) FROM (SELECT a AS n FROM {und} "
+        "   UNION ALL SELECT b FROM {und})) AS n_nodes, "
+        "  (SELECT COUNT(*) FROM wedge) AS n_wedges, "
+        "  (SELECT COUNT(*) FROM tri) AS n_triangles "
+        "FROM (SELECT COUNT(*) AS n_edges FROM {und})",
+        und=und,
     )
 
 
@@ -291,20 +276,23 @@ def label_prop_core(edges: DataFrame) -> DataFrame:
     """2 synchronous LPA rounds over an already-checkpointed edge list
     — shared by x_graph_label_prop and x_graph_modularity so the judge
     query doesn't rebuild the edge self-join a second time."""
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    # r12: both synchronous rounds in ONE sql_over call (identical
+    # max_by/struct argmax expressions, A/B-proven bit-identical).
+    ctes = ["l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM {edges})"]
+    for i in range(2):
+        j = i + 1
+        ctes.append(
+            f"c{j} AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c "
+            f"  FROM l{i} l JOIN {{edges}} e ON l.node = e.src GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"l{j} AS (SELECT node, max_by(lbl, struct(c, -lbl)) AS lbl "
+            f"  FROM c{j} GROUP BY node)"
+        )
+    return sql_over(
+        "WITH " + ", ".join(ctes) + " SELECT node, lbl AS community FROM l2",
+        edges=edges,
     )
-    for _ in range(2):
-        nbr = labels.join(edges, F.col("node") == F.col("src")).select(
-            F.col("dst").alias("node"), "lbl"
-        )
-        counts = nbr.groupBy("node", "lbl").agg(F.count("*").alias("c"))
-        labels = counts.groupBy("node").agg(
-            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
-                "lbl"
-            )
-        )
-    return labels.select("node", F.col("lbl").alias("community"))
 
 
 _BFS_SUPPORT = 2  # the sparser threshold keeps the graph populated at every sf
@@ -390,17 +378,24 @@ def bfs_hops(
     (tests/test_random_differential.py) can drive it with arbitrary
     seeded graphs against a pure-Python reimplementation of the same
     relaxation recurrence."""
-    dist = seeds
-    for _ in range(rounds):
-        relaxed = dist.join(edges, F.col("node") == F.col("src")).select(
-            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+    # r12: the unrolled relaxation rounds in ONE sql_over call
+    # (identical join/min-union recurrence, A/B-proven bit-identical).
+    ctes = ["d0 AS (SELECT node, hops FROM {seeds})"]
+    for i in range(rounds):
+        j = i + 1
+        ctes.append(
+            f"e{j} AS (SELECT e.dst AS node, d.hops + 1 AS hops "
+            f"  FROM d{i} d JOIN {{edges}} e ON d.node = e.src)"
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+        ctes.append(
+            f"d{j} AS (SELECT node, MIN(hops) AS hops FROM "
+            f"  (SELECT * FROM d{i} UNION ALL SELECT * FROM e{j}) GROUP BY node)"
         )
-    return dist.select("node", "hops")
+    return sql_over(
+        "WITH " + ", ".join(ctes) + f" SELECT node, hops FROM d{rounds}",
+        edges=edges,
+        seeds=seeds,
+    )
 
 
 @query(
@@ -443,29 +438,23 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on the |nodes|-row degree table, and the top-20 is a
     tie-broken global sort of the |candidates| scored pairs."""
     edges = _undirected_edges(spark, sf_dir)
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
-    cand = (
-        e1.join(e2, (F.col("e1.dst") == F.col("e2.src")) & (F.col("e1.src") < F.col("e2.dst")))
-        .groupBy(F.col("e1.src").alias("part_a"), F.col("e2.dst").alias("part_b"))
-        .agg(F.count("*").alias("cn"))
-    )
-    fresh = cand.join(
-        edges.selectExpr("src AS part_a", "dst AS part_b"),
-        ["part_a", "part_b"],
-        "left_anti",
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    da = deg.selectExpr("node AS part_a", "deg AS deg_a")
-    db = deg.selectExpr("node AS part_b", "deg AS deg_b")
-    jacc = F.col("cn").cast("double") / (
-        F.col("deg_a") + F.col("deg_b") - F.col("cn")
-    ).cast("double")
-    return (
-        fresh.join(da, "part_a")
-        .join(db, "part_b")
-        .select("part_a", "part_b", "cn", jacc.alias("jacc"))
-        .orderBy(F.desc("jacc"), "part_a", "part_b")
-        .limit(20)
+    # r12: one sql_over call (identical wedge-join / anti-join / degree
+    # tree and the same single-division jacc, A/B-proven bit-identical).
+    return sql_over(
+        "WITH cand AS (SELECT e1.src AS part_a, e2.dst AS part_b, "
+        "    COUNT(*) AS cn "
+        "  FROM {edges} e1 JOIN {edges} e2 "
+        "  ON e1.dst = e2.src AND e1.src < e2.dst GROUP BY 1, 2), "
+        "fresh AS (SELECT c.part_a, c.part_b, c.cn FROM cand c "
+        "  LEFT ANTI JOIN {edges} x "
+        "  ON x.src = c.part_a AND x.dst = c.part_b), "
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM {edges} GROUP BY src) "
+        "SELECT part_a, part_b, cn, "
+        "  CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jacc "
+        "FROM fresh JOIN deg da ON part_a = da.node "
+        "JOIN deg db ON part_b = db.node "
+        "ORDER BY jacc DESC, part_a, part_b LIMIT 20",
+        edges=edges,
     )
 
 
@@ -512,38 +501,28 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_prop_core(edges).select(
         F.col("node"), F.col("community").alias("lbl")
     ).localCheckpoint(eager=False)
-    etot = edges.agg(F.count("*").alias("e"))
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("la"))
-    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("lb"))
-    intra = (
-        edges.join(la, "src")
-        .join(lb, "dst")
-        .filter(F.col("la") == F.col("lb"))
-        .groupBy(F.col("la").alias("community"))
-        .agg(F.count("*").alias("ec"))
-    )
-    dsum = (
-        labels.join(deg, "node")
-        .groupBy(F.col("lbl").alias("community"))
-        .agg(F.count("*").alias("n_nodes"), F.sum("d").alias("deg_sum"))
-    )
-    ed = F.col("e").cast("double")
-    q = (
-        F.coalesce(F.col("ec"), F.lit(0)).cast("double") / ed
-        - (F.col("deg_sum").cast("double") / ed)
-        * (F.col("deg_sum").cast("double") / ed)
-    )
-    return (
-        dsum.join(intra, "community", "left")
-        .crossJoin(F.broadcast(etot))
-        .select(
-            "community",
-            "n_nodes",
-            F.coalesce(F.col("ec"), F.lit(0)).alias("intra_edges"),
-            "deg_sum",
-            q.alias("q_contrib"),
-        )
+    # r12: one sql_over call; the edge-total arrives as a scalar
+    # subquery instead of the former broadcast cross-join (same value
+    # everywhere, one fewer BNLJ node; A/B-proven bit-identical — the
+    # q_contrib IEEE tree is unchanged).
+    ed = "CAST((SELECT COUNT(*) FROM {edges}) AS DOUBLE)"
+    return sql_over(
+        "WITH deg AS (SELECT src AS node, COUNT(*) AS d FROM {edges} GROUP BY src), "
+        "intra AS (SELECT a.lbl AS community, COUNT(*) AS ec "
+        "  FROM {edges} e JOIN {labels} a ON e.src = a.node "
+        "  JOIN {labels} b ON e.dst = b.node "
+        "  WHERE a.lbl = b.lbl GROUP BY a.lbl), "
+        "dsum AS (SELECT l.lbl AS community, COUNT(*) AS n_nodes, "
+        "  SUM(d.d) AS deg_sum FROM {labels} l "
+        "  JOIN deg d ON l.node = d.node GROUP BY l.lbl) "
+        "SELECT s.community, s.n_nodes, COALESCE(i.ec, 0) AS intra_edges, "
+        "  s.deg_sum, "
+        f"  CAST(COALESCE(i.ec, 0) AS DOUBLE) / {ed} "
+        f"  - (CAST(s.deg_sum AS DOUBLE) / {ed}) * (CAST(s.deg_sum AS DOUBLE) / {ed}) "
+        "  AS q_contrib "
+        "FROM dsum s LEFT JOIN intra i ON s.community = i.community",
+        edges=edges,
+        labels=labels,
     )
 
 
@@ -606,21 +585,24 @@ def kcore_core(
     see x_graph_kcore for semantics.  Exposed separately so the
     randomized differential test can drive it with seeded graphs
     against a pure-Python peel of the same recurrence."""
+    # r12: each peel round is one sql_over call (identical degree +
+    # double-semi-restriction tree, A/B-proven bit-identical); the
+    # per-round lazy localCheckpoint — round r must not re-run rounds
+    # 0..r-1 — is unchanged.
     e = edges
     for _ in range(rounds):
-        deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("node")
-        e = (
-            e.join(keep.withColumnRenamed("node", "src"), "src")
-            .join(keep.withColumnRenamed("node", "dst"), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
-    return (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .filter(F.col("deg") >= k)
-        .select("node", "deg")
+        e = sql_over(
+            "WITH deg AS (SELECT src AS node, COUNT(*) AS deg "
+            "  FROM {e} GROUP BY src), "
+            f"keep AS (SELECT node FROM deg WHERE deg >= {k}) "
+            "SELECT e.src, e.dst FROM {e} e "
+            "JOIN keep a ON e.src = a.node JOIN keep b ON e.dst = b.node",
+            e=e,
+        ).localCheckpoint(eager=False)
+    return sql_over(
+        "SELECT node, deg FROM (SELECT src AS node, COUNT(*) AS deg "
+        f"FROM {{e}} GROUP BY src) WHERE deg >= {k}",
+        e=e,
     )
 
 
@@ -702,14 +684,16 @@ def co_hits_integer(e: DataFrame) -> DataFrame:
     edge list is lazily checkpointed here (all four half-steps re-read
     it)."""
     e = e.localCheckpoint(eager=False)
-    n_cust = e.select("cust").distinct().agg(
-        F.expr(f"CAST({_SCALE} AS BIGINT) DIV COUNT(*)").alias("b")
-    )
-    h = (
-        e.select("cust")
-        .distinct()
-        .crossJoin(F.broadcast(n_cust))
-        .select("cust", F.col("b").alias("h"))
+    # r12: every half-step is one sql_over call; the 1-row totals arrive
+    # as scalar subqueries instead of the former broadcast cross-joins
+    # (same value everywhere, fewer BNLJ nodes; A/B-proven
+    # bit-identical).
+    h = sql_over(
+        "SELECT cust, (SELECT CAST("
+        f"{_SCALE} AS BIGINT) DIV COUNT(*) FROM "
+        "(SELECT DISTINCT cust FROM {e})) AS h "
+        "FROM (SELECT DISTINCT cust FROM {e})",
+        e=e,
     )
 
     def renorm(df: DataFrame, key: str, col: str) -> DataFrame:
@@ -721,47 +705,41 @@ def co_hits_integer(e: DataFrame) -> DataFrame:
         # into 20.  The checkpoint is score-vector-sized (one row per
         # cust/part), never edge-sized.
         df = df.localCheckpoint(eager=False)
-        t = df.agg(F.sum(col).alias("t"))
-        return (
-            df.crossJoin(F.broadcast(t))
-            .select(
-                key,
-                # decimal(38,0) sandwich: score * 10^12 can exceed int64
-                # mid-product; the quotient is back under 10^12
-                F.expr(
-                    f"CAST(CAST({_SCALE} AS DECIMAL(38,0)) * {col} DIV t AS BIGINT)"
-                ).alias(col),
-            )
+        # decimal(38,0) sandwich: score * 10^12 can exceed int64
+        # mid-product; the quotient is back under 10^12
+        return sql_over(
+            f"SELECT {key}, CAST(CAST({_SCALE} AS DECIMAL(38,0)) * {col} "
+            f"DIV (SELECT SUM({col}) FROM {{df}}) AS BIGINT) AS {col} "
+            "FROM {df}",
+            df=df,
         )
 
     def auth_step(hdf: DataFrame) -> DataFrame:
-        raw = (
-            e.join(hdf, "cust")
-            .groupBy("part")
-            .agg(F.sum("h").alias("a"))
+        raw = sql_over(
+            "SELECT part, SUM(h) AS a FROM {e} JOIN {h} USING (cust) "
+            "GROUP BY part",
+            e=e,
+            h=hdf,
         )
         return renorm(raw, "part", "a")
 
     def hub_step(adf: DataFrame) -> DataFrame:
-        raw = (
-            e.join(adf, "part")
-            .groupBy("cust")
-            .agg(F.sum("a").alias("h"))
+        raw = sql_over(
+            "SELECT cust, SUM(a) AS h FROM {e} JOIN {a} USING (part) "
+            "GROUP BY cust",
+            e=e,
+            a=adf,
         )
         return renorm(raw, "cust", "h")
 
     a1 = auth_step(h)
     h1 = hub_step(a1)
     a2 = auth_step(h1)
-    return (
-        a2.select(
-            F.lit("auth").alias("kind"),
-            F.col("part").alias("node"),
-            F.col("a").alias("score"),
-        )
-        .unionAll(
-            h1.select(F.lit("hub"), F.col("cust"), F.col("h"))
-        )
+    return sql_over(
+        "SELECT 'auth' AS kind, part AS node, a AS score FROM {a2} "
+        "UNION ALL SELECT 'hub', cust, h FROM {h1}",
+        a2=a2,
+        h1=h1,
     )
 
 
@@ -818,42 +796,35 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the |nodes| degree table, one 1-row moment aggregate —
     edge-list-linear, no quadratic step."""
     edges = _undirected_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("d")
-    )
-    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
-    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
-    de = edges.join(da, "src").join(db, "dst").select("x", "y")
-    x, y = F.col("x"), F.col("y")
-    m = de.agg(
-        F.count("*").cast("long").alias("n"),
-        # per-edge degrees square and cross: a 1e8-degree hub makes
-        # x*x 1e16 PER ROW, so every moment (even the plain sums —
-        # SUM(x) = sum of d^2 over nodes) routes through
-        # DECIMAL(38,0)/HUGEINT before the double conversion
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
-        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
-        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxxd = F.col("sxx").cast("double")
-    sxyd = F.col("sxy").cast("double")
-    syyd = F.col("syy").cast("double")
-    vx = nd * sxxd - sxd * sxd
-    vy = nd * syyd - syd * syd
+    # per-edge degrees square and cross: a 1e8-degree hub makes
+    # x*x 1e16 PER ROW, so every moment (even the plain sums —
+    # SUM(x) = sum of d^2 over nodes) routes through
+    # DECIMAL(38,0)/HUGEINT before the double conversion.
     # a degree-REGULAR surviving graph (it happens: at sf0.1 the
     # support threshold leaves all-equal degrees) has zero variance —
     # assortativity is undefined there, NULL in both engines, never a
-    # divide-by-zero under ANSI mode
-    return m.select(
-        F.col("n").alias("n_directed_edges"),
-        F.when(
-            (vx > 0) & (vy > 0),
-            (nd * sxyd - sxd * syd) / F.sqrt(vx * vy),
-        ).alias("assortativity"),
+    # divide-by-zero under ANSI mode.  r12: one sql_over call with the
+    # identical exact-int -> double IEEE tree (A/B-proven bit-identical).
+    vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    return sql_over(
+        "WITH deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "  FROM {edges} GROUP BY src), "
+        "de AS (SELECT da.d AS x, db.d AS y FROM {edges} e "
+        "  JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "  SUM(CAST(x AS DECIMAL(38,0))) AS sx, "
+        "  SUM(CAST(y AS DECIMAL(38,0))) AS sy, "
+        "  SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx, "
+        "  SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy, "
+        "  SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM de) "
+        "SELECT n AS n_directed_edges, "
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 "
+        "  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        f"  / sqrt({vx} * {vy}) END AS assortativity "
+        "FROM m",
+        edges=edges,
     )
 
 
@@ -904,31 +875,25 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .localCheckpoint(eager=False)
     )
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedge = und.join(e2, "b").select("a", "b", "c")
-    closing = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = wedge.join(closing, ["a", "c"]).select("a", "b", "c")
-    tn = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("n_tri"))
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("long").alias("degree")
-    )
-    t0 = F.coalesce(F.col("n_tri"), F.lit(0).cast("long"))
-    return deg.join(tn, "node", "left").select(
-        "node",
-        "degree",
-        t0.alias("n_tri"),
-        F.when(
-            F.col("degree") >= 2,
-            F.expr("2000000 * COALESCE(n_tri, 0) DIV (degree * (degree - 1))").cast(
-                "long"
-            ),
-        )
-        .otherwise(F.lit(0).cast("long"))
-        .alias("cc_ppm"),
+    # r12: one sql_over call (identical wedge/closing joins, per-node
+    # rollup and exact ppm DIV tree, A/B-proven bit-identical).
+    return sql_over(
+        "WITH wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+        "  FROM {und} e1 JOIN {und} e2 ON e1.b = e2.a), "
+        "tri AS (SELECT w.a, w.b, w.c FROM wedge w "
+        "  JOIN {und} e3 ON w.a = e3.a AND w.c = e3.b), "
+        "tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ("
+        "  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "  UNION ALL SELECT c FROM tri) GROUP BY node), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree "
+        "  FROM {edges} GROUP BY src) "
+        "SELECT d.node, d.degree, "
+        "  COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri, "
+        "  CASE WHEN d.degree >= 2 "
+        "    THEN CAST(2000000 * COALESCE(t.n_tri, 0) "
+        "      DIV (d.degree * (d.degree - 1)) AS BIGINT) "
+        "    ELSE CAST(0 AS BIGINT) END AS cc_ppm "
+        "FROM deg d LEFT JOIN tn t ON d.node = t.node",
+        und=und,
+        edges=edges,
     )
