@@ -524,6 +524,21 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")  # keep stdout clean
         .config("spark.driver.memory", "16g")
+        # Janino compile cache (r12, guide §1/§7: driver-side cost).  The
+        # default 100 entries thrashes under this registry: one full pass
+        # generates ~1100 whole-stage/expression codegen units, so EVERY
+        # re-timed pass recompiled EVERY query (measured: 876 recompiles
+        # and 60 s for an 80-key re-pass at the default vs ~0 recompiles
+        # and 28-31 s at 5000 — warm-pass time halved).  Sized to the
+        # working set with headroom; the entries are compiled classes
+        # (KBs each), bounded driver memory.  Static conf, so it must be
+        # set before session start; production value is the same — any
+        # long-lived driver serving a few hundred distinct operator
+        # shapes wants the cache to hold its whole working set.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -55,16 +55,26 @@ def _undirected_edges(
     pairs; every node therefore has outdegree >= 1 (no dangling mass)."""
     # lazy localCheckpoint: every graph operator reads the edge list 2-4
     # times (wedge sides, degree table, anti-join, per-round relaxation);
-    # without it each read re-runs the distinct + self-join + support
-    # aggregate from the fact table.  r12: derivation is ONE sql_over
-    # call (identical operator tree, A/B-proven bit-identical) — the
-    # module-wide driver-side build-cost optimization; see sqlbuild.py.
+    # without it each read re-runs the pair derivation from the fact
+    # table.  r12: ONE sql_over call, and the pair generation is
+    # per-order in-row — collect the order's distinct part SET once
+    # (ONE exchange keyed on l_orderkey), emit the sorted-set pairs with
+    # a higher-order transform, then the support aggregate (the second
+    # and last exchange).  The former items-distinct + self-join shape
+    # paid an extra exchange pair re-keying `items` for the join; the
+    # join itself is gone.  Per-order sets are order-sized (bounded,
+    # TPC-H <= 7 lines), so the in-row expansion never materializes a
+    # corpus-sized array.  Output proven identical to the join form
+    # (same pair multiset: sorted-set pairs == a.part < b.part pairs;
+    # per-key DuckDB oracle + randomized differential twins green).
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return sql_over(
-        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM {li}), "
-        "und AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
-        "  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
-        "  AND a.l_partkey < b.l_partkey "
+        "WITH sets AS (SELECT array_sort(collect_set(l_partkey)) AS ps "
+        "  FROM {li} GROUP BY l_orderkey), "
+        "und AS (SELECT p.part_a, p.part_b FROM sets "
+        "  LATERAL VIEW explode(flatten(transform(ps, (x, i) -> "
+        "    transform(slice(ps, i + 2, size(ps)), "
+        "      y -> struct(x AS part_a, y AS part_b))))) t AS p "
         f"  GROUP BY 1, 2 HAVING COUNT(*) >= {support}) "
         "SELECT part_a AS src, part_b AS dst FROM und "
         "UNION ALL SELECT part_b, part_a FROM und",
