@@ -279,6 +279,25 @@ def test_langid_structural(spark):
     assert {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()} <= langs
 
 
+def test_xxh64_plane_bits_match_spark(spark):
+    """The build-time ±1 plane components (functions/vectors.py
+    _xxh64_int — a pure-Python spelling of Spark's xxhash64 4-byte
+    path) must match Spark's own xxhash64(p, d) bit-for-bit over the
+    whole 32x64 (plane, dim) grid; a single drifting bit would silently
+    re-bucket the LSH and change x_eval_ann_recall's hash."""
+    from pyspark.sql import functions as F
+
+    from hbasemapreduce_spark.functions.vectors import plane_component_bit
+
+    grid = spark.createDataFrame(
+        [(p, d) for p in range(32) for d in range(64)], "p int, d int"
+    )
+    rows = grid.select(
+        "p", "d", (F.xxhash64("p", "d").bitwiseAND(F.lit(1))).alias("bit")
+    ).collect()
+    assert all(plane_component_bit(r.p, r.d) == r.bit for r in rows)
+
+
 def test_lsh_recall_vs_brute_force(spark):
     # Multi-table hyperplane LSH (8 tables x 4 planes) must recall a
     # substantial fraction of the exact top-5 (measured 0.74 on this
