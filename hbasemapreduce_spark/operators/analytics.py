@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.sqlbuild import sql_over
 from ..registry import query
 
 _KNUTH = 2654435761  # engine-portable multiplicative hash (pipeline.py)
@@ -608,26 +609,30 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -pair half of Apriori, and the shape behind "customers also
     bought".
 
-    Scale shape: collapse to DISTINCT (order, item) first, then a SELF
-    EQUI-JOIN on the order key — the quadratic blowup is bounded by
-    basket size (max 13 items/order here, so <=78 pairs per order),
-    never by table size; the pair count is a hash aggregate with
-    map-side partials, and min-support prunes the long tail before it
+    Scale shape (r12 rewrite, guide §2.4: remove shuffles outright):
+    collapse each order to its sorted distinct item SET with ONE
+    hash aggregate keyed on the order (map-side partials), emit the
+    set's ordered pairs IN-ROW with a higher-order transform, then the
+    pair-support hash aggregate — two exchanges total, no join.  The
+    former distinct + self-join shape paid the distinct's two-column
+    exchange AND re-keyed both join sides on the order key.  The
+    quadratic blowup stays bounded by basket size (max 13 items/order
+    here, so <=78 pairs per order; per-order arrays are basket-sized,
+    never corpus-sized); min-support prunes the long tail before it
     reaches the driver.  Skewed mega-baskets at 100 TB would cap or
-    salt the basket size — the standard Apriori mitigation."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 3)
+    salt the basket size — the standard Apriori mitigation.  Output
+    proven identical to the join form (sorted-set pairs == a < b join
+    pairs, same per-pair order counts; DuckDB oracle green)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return sql_over(
+        "WITH sets AS (SELECT array_sort(collect_set(l_partkey)) AS ps "
+        "  FROM {li} GROUP BY l_orderkey) "
+        "SELECT p.part_a, p.part_b, COUNT(*) AS support FROM sets "
+        "LATERAL VIEW explode(flatten(transform(ps, (x, i) -> "
+        "  transform(slice(ps, i + 2, size(ps)), "
+        "    y -> struct(x AS part_a, y AS part_b))))) t AS p "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3",
+        li=li,
     )
 
 
@@ -1203,50 +1208,39 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_ab * N * 1e6 can pass int64 at warehouse scale, so it routes
     through DECIMAL(38,0)/HUGEINT (the x_stats_cramers_v discipline).
 
-    Scale shape: the pair aggregate is basket-size-bounded (see
-    x_basket_pairs); item supports are an item-bounded dictionary
-    joined twice (size-adaptive — AQE broadcasts when small, shuffles
-    when |parts| outgrows the driver), and the basket total is a 1-row
-    broadcast scalar."""
-    items = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    n = items.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
-    isup = items.groupBy("l_partkey").agg(F.count("*").cast("long").alias("s"))
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("long").alias("s_ab"))
-        .filter(F.col("s_ab") >= 3)
-    )
-    sa = isup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
-    sb = isup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
-    return (
-        # item-support dictionary grows with |parts| (tens of millions of
-        # rows at large sf) — no forced broadcast; AQE picks the strategy
-        pairs.join(sa, "part_a")
-        .join(sb, "part_b")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "part_a",
-            "part_b",
-            "s_ab",
-            "s_a",
-            "s_b",
-            F.expr("1000000 * s_ab DIV s_a").alias("conf_a2b_ppm"),
-            F.expr("1000000 * s_ab DIV s_b").alias("conf_b2a_ppm"),
-            F.expr(
-                # the divisor is a count-by-count product too: two
-                # ~3e9-support items would overflow a bare s_a * s_b
-                "CAST(CAST(1000000 AS DECIMAL(38,0)) * s_ab * n_baskets "
-                "DIV (CAST(s_a AS DECIMAL(38,0)) * s_b) AS BIGINT)"
-            ).alias("lift_micro"),
-        )
+    Scale shape (r12 rewrite — the x_basket_pairs in-row pair
+    derivation, one order-keyed set aggregate feeding pairs, item
+    supports and the basket total): the pair aggregate is basket-size-
+    bounded; item supports are an item-bounded dictionary joined twice
+    (size-adaptive — AQE broadcasts when small, shuffles when |parts|
+    outgrows the driver); the basket total arrives as a 1-row scalar
+    subquery (former broadcast cross-join — same value, one fewer BNLJ
+    node).  Integer expressions unchanged; DuckDB oracle green."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return sql_over(
+        "WITH sets AS (SELECT array_sort(collect_set(l_partkey)) AS ps "
+        "  FROM {li} GROUP BY l_orderkey), "
+        "pairs AS (SELECT p.part_a, p.part_b, "
+        "    CAST(COUNT(*) AS BIGINT) AS s_ab FROM sets "
+        "  LATERAL VIEW explode(flatten(transform(ps, (x, i) -> "
+        "    transform(slice(ps, i + 2, size(ps)), "
+        "      y -> struct(x AS part_a, y AS part_b))))) t AS p "
+        "  GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "isup AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS s FROM sets "
+        "  LATERAL VIEW explode(ps) t AS part GROUP BY part), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM sets) "
+        "SELECT part_a, part_b, s_ab, sa.s AS s_a, sb.s AS s_b, "
+        "  1000000 * s_ab DIV sa.s AS conf_a2b_ppm, "
+        "  1000000 * s_ab DIV sb.s AS conf_b2a_ppm, "
+        # the divisor is a count-by-count product too: two ~3e9-support
+        # items would overflow a bare s_a * s_b
+        "  CAST(CAST(1000000 AS DECIMAL(38,0)) * s_ab "
+        "    * (SELECT n_baskets FROM n) "
+        "    DIV (CAST(sa.s AS DECIMAL(38,0)) * sb.s) AS BIGINT) "
+        "    AS lift_micro "
+        "FROM pairs JOIN isup sa ON pairs.part_a = sa.part "
+        "JOIN isup sb ON pairs.part_b = sb.part",
+        li=li,
     )
 
 
