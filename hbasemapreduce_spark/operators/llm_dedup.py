@@ -337,18 +337,40 @@ def dedup_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ~2M of sf0.1's pairs), while 3-gram sets separate cleanly.
 
     Scale shape — the SSJoin PREFIX FILTER (Chaudhuri et al. ICDE'06 /
-    Bayardo et al. WWW'07): if containment(A in B) >= t, then A shares
-    a gram with B among ANY floor((1-t)|A|)+1 of its grams — so only
-    each doc's first n DIV 5 + 1 SORTED grams enter the inverted-index
-    join, and the exact verify runs on the surviving candidate pairs
-    only, never all pairs.  The DuckDB oracle IS the naive all-pairs
-    definition, so the hash match proves the filter drops nothing.
-    Hot shingles are aggregate-join skew (AQE splits them); production
-    additionally orders prefixes by ascending global gram frequency
-    (rarest first), which shrinks candidates further but needs a
-    frequency pass — lexicographic order keeps this single-pass and
-    deterministic.  Threshold is the rational 4/5 and containment is
-    an int/int division — bit-identical in both engines."""
+    Bayardo et al. WWW'07): if containment(A in B) >= t, then at most
+    floor((1-t)|A|) of A's grams are absent from B, so ANY fixed
+    (n DIV 5 + 1)-gram subset of A must share a gram with B — only that
+    prefix enters the inverted-index join, and the exact verify runs on
+    the surviving candidate pairs only, never all pairs.  The DuckDB
+    oracle IS the naive all-pairs definition, so the hash match proves
+    the filter drops nothing.  Two r12 reworks, both output-identical
+    (A/B-proven at sf0.001/0.01/0.1):
+
+    - RAREST-FIRST prefixes (the Bayardo df-ordering the earlier
+      lexicographic form deferred): one vocabulary-bounded document-
+      frequency aggregate ranks each doc's grams by ascending global
+      df, and the prefix takes the rarest n DIV 5 + 1.  The pigeonhole
+      argument holds for ANY fixed subset, so the filter stays
+      lossless while the candidate join's output follows the df of the
+      PREFIX grams — measured at sf0.1: 532k -> 308k join rows, 516k
+      -> 300k candidate pairs, and the same 512 final pairs.
+    - HASH-PACKED grams (guide §2.3, narrower shuffle keys): every
+      gram crosses every exchange, broadcast, and array_intersect as
+      one xxhash64 BIGINT instead of a ~17-char shingle string.  The
+      candidate join is collision-immune by construction (a collision
+      only ADDS a candidate the exact verify rejects); the verify's
+      intersect-on-hashes equals intersect-on-strings iff the corpus
+      vocabulary is hash-distinct, which tests/test_properties.py pins
+      by asserting zero xxhash64 collisions over the full gram
+      vocabulary (27,213 distinct grams at sf0.1; a 64-bit collision
+      needs ~2^32 grams).  n_a is sized on the STRING-distinct gram
+      set before hashing, so the containment denominator is exact by
+      construction.
+
+    Hot shingles are aggregate-join skew (AQE splits them) — and the
+    rarest-first prefix keeps them out of the index side entirely.
+    Threshold is the rational 4/5 and containment is an int/int
+    division — bit-identical in both engines."""
     w = F.split("text", " ")
     grams = F.array_distinct(
         F.expr(
@@ -361,29 +383,36 @@ def dedup_gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", w.alias("w"))
         .filter(F.size("w") >= _CONT_N)
         .select("doc_id", grams.alias("grams"))
-        .withColumn("n", F.size("grams"))
+        .select(
+            "doc_id",
+            F.expr("transform(grams, x -> xxhash64(x))").alias("h"),
+            F.size("grams").alias("n"),
+        )
         .localCheckpoint(eager=False)  # feeds the index, the prefix, AND verify
     )
-    prefix = F.slice(
-        F.sort_array("grams"), 1, F.expr(f"n DIV {_CONT_T_DEN} + 1")
+    el = g.select("doc_id", "n", F.explode("h").alias("gh"))
+    df = el.groupBy("gh").agg(F.count("*").alias("df"))
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gh"))
+    # The index rows stay NARROW (id, gram hash) — measured: carrying
+    # sizes through the exploded join for the |B| >= ceil(t|A|) length
+    # prune cost more in shuffle width than the 31% candidate cut saved.
+    pa = (
+        el.join(df, "gh")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.expr(f"n DIV {_CONT_T_DEN} + 1"))
+        .select(F.col("doc_id").alias("id_a"), "gh")
     )
-    # The index rows stay NARROW (id, gram) — measured: carrying sizes
-    # through the exploded join for the |B| >= ceil(t|A|) length prune
-    # cost more in shuffle width than the 31% candidate cut saved.
-    pa = g.select(
-        F.col("doc_id").alias("id_a"), F.explode(prefix).alias("gram")
-    )
-    pb = g.select(F.col("doc_id").alias("id_b"), F.explode("grams").alias("gram"))
+    pb = g.select(F.col("doc_id").alias("id_b"), F.explode("h").alias("gh"))
     cand = (
-        pa.join(pb, "gram")
+        pa.join(pb, "gh")
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"), F.col("n").alias("n_a"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("h").alias("h_a"), F.col("n").alias("n_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("h").alias("h_b"))
     containment = (
-        F.size(F.array_intersect("grams_a", "grams_b")).cast("double") / F.col("n_a")
+        F.size(F.array_intersect("h_a", "h_b")).cast("double") / F.col("n_a")
     )
     return (
         cand.join(ga, "id_a")

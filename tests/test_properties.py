@@ -3092,3 +3092,64 @@ def test_positional_delete_tombstones_recover_exact_keys(spark):
     assert got == want and len(got) == dels.count() > 0
     live = data.join(dels, ["bucket", "pos"], "left_anti").count()
     assert live + len(got) == len(allk)
+
+
+def test_gram_containment_hash_keys_are_collision_free_and_prefix_lossless(spark):
+    """x_dedup_gram_containment (r12 optimization) moved the SSJoin
+    index and verify onto xxhash64-packed gram keys and rarest-first
+    (df-ordered) prefixes.  Exactness preconditions pinned here:
+
+    1. the corpus 3-gram vocabulary is xxhash64-COLLISION-FREE (the
+       verify's intersect-on-hashes equals intersect-on-strings only
+       then; the candidate join needs nothing — collisions there can
+       only add candidates the exact verify rejects);
+    2. the rarest-first prefix filter is LOSSLESS: every pair the
+       naive all-pairs containment accepts survives the prefix-join
+       candidate generation (pigeonhole over any fixed
+       (n DIV 5 + 1)-gram subset).
+    """
+    from hbasemapreduce_spark.operators.llm_dedup import _CONT_N
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = F.split("text", " ")
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_CONT_N - 1}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i, {_CONT_N})))"
+            )
+        ).alias("gram")
+    ).filter(F.size(w) >= _CONT_N).distinct()
+    counts = grams.agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct(F.xxhash64("gram")).alias("n_hashes"),
+    ).collect()[0]
+    assert counts.n_grams == counts.n_hashes > 0
+
+    # Prefix losslessness: the registered (prefix-filtered) output must
+    # equal the naive all-pairs containment computed right here.
+    d = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_CONT_N - 1}), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i, {_CONT_N})))"
+            )
+        ).alias("g"),
+    ).filter(F.size(w) >= _CONT_N)
+    a, b = d.alias("a"), d.alias("b")
+    naive = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.g", "b.g")).cast("double")
+                / F.size("a.g")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    want = sorted(map(tuple, naive.collect()))
+    got = sorted(map(tuple, SPECS["x_dedup_gram_containment"].fn(spark, SF_DIR).collect()))
+    assert got == want and len(got) > 0
