@@ -1026,7 +1026,17 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse the same exchange.  Hot grams (ubiquitous boilerplate) are
     aggregate/join skew — AQE splits them; a production corpus would
     additionally drop grams above a df ceiling (stop-gram floor) before
-    the rejoin.  Everything is exact integer arithmetic."""
+    the rejoin.  Everything is exact integer arithmetic.
+
+    Gram key (r12, guide §2.3): one xxhash64 BIGINT over the token
+    slice — no md5 hex string is ever built, and the dictionary
+    aggregate + rejoin shuffle 8-byte keys instead of 32-char strings
+    (A/B at sf0.1: 3.28 -> 2.45 s, byte-identical output at all three
+    scale factors).  The oracle keeps md5 — any injective gram key
+    yields the same duplicated-position set, and hash-distinctness of
+    the 8-gram vocabulary is pinned in tests/test_properties.py
+    (a 64-bit collision needs ~2^32 distinct grams; a collision could
+    only ever ADD a false duplicated mark, never lose one)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -1039,7 +1049,7 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
                     f"i -> struct(i AS pos, "
-                    f"md5(array_join(slice(w, i, {_SPAN_K}), ' ')) AS g))"
+                    f"xxhash64(slice(w, i, {_SPAN_K})) AS g))"
                 )
             ).alias("e"),
         )

@@ -3153,3 +3153,33 @@ def test_gram_containment_hash_keys_are_collision_free_and_prefix_lossless(spark
     want = sorted(map(tuple, naive.collect()))
     got = sorted(map(tuple, SPECS["x_dedup_gram_containment"].fn(spark, SF_DIR).collect()))
     assert got == want and len(got) > 0
+
+
+def test_span_gram_hash_keys_are_collision_free(spark):
+    """x_dedup_span (r12 optimization) keys the duplicated-gram
+    dictionary on xxhash64 of the 8-token slice instead of an md5 hex
+    string.  Exactness precondition: the corpus 8-gram occurrence
+    vocabulary is xxhash64-collision-free (then any injective key
+    yields the same duplicated-position set the md5 oracle derives)."""
+    from hbasemapreduce_spark.operators.llm_dedup import _SPAN_K
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = (
+        docs.filter(F.size("w") >= _SPAN_K)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SPAN_K - 1}), "
+                    f"i -> slice(w, i, {_SPAN_K}))"
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    counts = grams.agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct(F.xxhash64("g")).alias("n_hashes"),
+    ).collect()[0]
+    assert counts.n_grams == counts.n_hashes > 0
