@@ -1406,7 +1406,8 @@ def _clipped_pair_metrics(bg: DataFrame, p_alias: str, r_alias: str, f_alias: st
     nb>0 requires doc k+1 to — exactly the oracle's inner join of
     adjacent totals.  ONE source scan, no joins, two shuffles, and
     the wide one carries (k, g, side) with g already a compact key
-    (packed BIGINT for chrF, the bigram string for ROUGE)."""
+    (packed BIGINT for chrF, xxhash64 of the token slice for ROUGE —
+    never a materialized gram string)."""
     lvl2 = _pair_clipped_lvl2(bg)
     return (
         lvl2.filter((F.col("na") > 0) & (F.col("nb") > 0))
@@ -1484,12 +1485,21 @@ def eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.split("text", " ").alias("a"))
     )
+    # Gram key = xxhash64 of the 2-token slice (not the joined string):
+    # the wide (k, g, side) shuffle carries an 8-byte long instead of a
+    # materialized bigram string, and no per-occurrence concat runs.
+    # Hashing the ARRAY keeps token boundaries in the hash input (no
+    # "ab c" vs "a bc" ambiguity).  The outputs are pure counts per
+    # gram, so they are identical as long as distinct bigrams within a
+    # pair key never collide — the same 64-bit-key argument as
+    # x_dedup_span, re-proven bit-identical vs the string-gram form at
+    # sf0.001/0.01/0.1 when this was installed (r12).
     bg = al.select(
         "doc_id",
         F.explode(
             F.expr(
                 "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
-                "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))) "
+                "i -> xxhash64(slice(a, i, 2))) "
                 "ELSE array() END"
             )
         ).alias("g"),
@@ -1804,7 +1814,10 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dataflow: the chrF/ROUGE doubled-stream discipline with the gram
     key widened to (n, gram) — each of the 4 n-gram streams is
     generated in ONE pass over the token array (nested higher-order
-    transform, no per-n rescan), every occurrence is emitted under
+    transform, no per-n rescan) with each gram keyed by xxhash64 of
+    the token slice (an 8-byte shuffle key in place of a joined
+    up-to-4-token string; bit-identical outputs re-proven vs the
+    string-gram form at all three SFs), every occurrence is emitted under
     both its pair keys, one wide (k, n, g) hash-aggregate counts both
     sides, a (k, n) fold produces totals + clipped overlaps, and a
     final |pairs|-sized pivot collapses n to columns.  One source
@@ -1827,7 +1840,7 @@ def eval_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "transform(array(1, 2, 3, 4), n -> struct(n AS n, "
                     "CASE WHEN size(a) >= n THEN transform("
                     "sequence(1, size(a) - n + 1), "
-                    "i -> array_join(slice(a, i, n), ' ')) "
+                    "i -> xxhash64(slice(a, i, n))) "
                     "ELSE array() END AS gs))"
                 )
             ).alias("t"),
