@@ -590,13 +590,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join on (band, value) — 2^16 buckets per band bound the
     collision rate; the verify join is equi on doc_id.  All integer
     arithmetic, fully hash-checkable."""
+    # The block fold below addresses only bytes 1.._PHASH_BYTES (max
+    # element_at index = (7*32 + 7*2 + 17) + 1 = 256), so the char array
+    # is built over the payload PREFIX, not the whole document — at real
+    # payload sizes (KBs-MBs) splitting the full string into per-char
+    # rows was the dominant per-row cost and all of it dead work.
     p = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length(F.encode("text", "UTF-8")) >= _PHASH_BYTES)
         .select(
             "doc_id",
             F.transform(
-                F.split(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"), ""),
+                F.split(
+                    F.substring(
+                        F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"),
+                        1,
+                        _PHASH_BYTES,
+                    ),
+                    "",
+                ),
                 lambda c: F.ascii(c).cast("long"),
             ).alias("bs"),
         )

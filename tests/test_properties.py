@@ -3183,3 +3183,36 @@ def test_span_gram_hash_keys_are_collision_free(spark):
         F.countDistinct(F.xxhash64("g")).alias("n_hashes"),
     ).collect()[0]
     assert counts.n_grams == counts.n_hashes > 0
+
+
+def test_phash_signature_reads_only_the_256_byte_prefix(spark, tmp_path):
+    """x_multimodal_phash_dedup (r12 optimization) builds its byte-value
+    array over substring(payload, 1, 256) instead of the whole document
+    — sound because the 64-block fold addresses byte indices 1..256
+    only.  Pin it semantically: two corpora that agree on every
+    document's first 256 bytes but diverge loudly afterwards must yield
+    the EXACT same near-dup pair set (and the same for the CC twin's
+    input, which reuses the operator)."""
+    from hbasemapreduce_spark.operators.llm_multimodal import (
+        multimodal_phash_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # shared 600-char ASCII pad: every doc's first 256 bytes are
+    # text+pad-prefix in BOTH corpora; the corpora differ only past the
+    # pad (far beyond byte 256 for every row)
+    pad = "x" * 600
+    for name, tail in (("a", "AAAA"), ("b", "ZZZZZZZZ")):
+        docs.withColumn(
+            "text", F.concat(F.col("text"), F.lit(pad + tail))
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / name / "documents.parquet")
+        )
+    rows_a = sorted(
+        tuple(r) for r in multimodal_phash_dedup(spark, str(tmp_path / "a")).collect()
+    )
+    rows_b = sorted(
+        tuple(r) for r in multimodal_phash_dedup(spark, str(tmp_path / "b")).collect()
+    )
+    assert rows_a == rows_b
+    assert len(rows_a) > 0  # the padded corpus still yields near-dup pairs
