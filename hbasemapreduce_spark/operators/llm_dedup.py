@@ -246,7 +246,11 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://"),
         F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(F.col("source")),
         F.lit(".example.com/"),
-        F.element_at(F.split("text", " "), 1),
+        # first token only: substring_index stops at the first space
+        # instead of materializing the whole per-word array (r12 — same
+        # prefix-bound discipline as the phash signature); identical for
+        # no-space, leading-space and empty payloads.
+        F.substring_index(F.col("text"), " ", 1),
         F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
         .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?ref="), (F.col("doc_id") % 5).cast("string")))

@@ -320,7 +320,9 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.col("text"),
             F.lit(" contact "),
-            F.element_at(F.split("text", " "), 1),
+            # first token via substring_index (r12): stops at the first
+            # space instead of building the full per-word array
+            F.substring_index(F.col("text"), " ", 1),
             F.lit("@example.com phone 555-"),
             F.lpad((F.col("n_chars") % 10000).cast("string"), 4, "0"),
         ).alias("text_pii"),

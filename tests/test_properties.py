@@ -3216,3 +3216,22 @@ def test_phash_signature_reads_only_the_256_byte_prefix(spark, tmp_path):
     )
     assert rows_a == rows_b
     assert len(rows_a) > 0  # the padded corpus still yields near-dup pairs
+
+
+def test_substring_index_equals_first_split_token(spark):
+    """x_dedup_url / x_text_pii_mask (r12 optimization) take the first
+    text token via substring_index(text, ' ', 1) instead of
+    element_at(split(text, ' '), 1) — equivalent by definition
+    (everything before the first delimiter; whole string when absent),
+    pinned here over the real corpus plus the edge shapes (no space,
+    leading space, consecutive spaces, empty)."""
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    edge = spark.createDataFrame(
+        [("nospace",), (" leading",), ("a  b",), ("",)], "text string"
+    )
+    both = docs.unionByName(edge).select(
+        F.element_at(F.split("text", " "), 1).alias("a"),
+        F.substring_index(F.col("text"), " ", 1).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+    assert both.filter(F.col("a").isNull() != F.col("b").isNull()).count() == 0
