@@ -330,9 +330,24 @@ def box_health(
     return {"degraded": bool(reasons), "reasons": reasons}
 
 
-def prior_probes(here: str) -> dict:
+def _same_cpu(detail: dict, cpus: int) -> bool:
+    """True when an archived BENCH_DETAIL was taken at ``cpus`` cores.
+
+    r13 (VERDICT r12 item 6): the driver's 8-core scaling leg was
+    auto-archived by the next-round numbering rule, so an archive's
+    timings are only comparable to a run at the SAME core count —
+    records and probe history from a different-cpu artifact must not
+    tighten this run's thresholds.  Archives predating the ``cpus``
+    stamp were all 32-core except the known 8-core r13 leg (annotated
+    in-place), so a missing field means 32."""
+    return int(detail.get("cpus", 32)) == cpus
+
+
+def prior_probes(here: str, cpus: int = 32) -> dict:
     """Best (fastest) archived cpu probes — the box-speed record the
-    absolute health comparison normalizes against."""
+    absolute health comparison normalizes against.  Same-cpu archives
+    only (the probes themselves are fixed-width, but their surrounding
+    run shapes the warm-spin/health history they anchor)."""
     import glob as _glob
 
     best: dict[str, float] = {}
@@ -340,6 +355,8 @@ def prior_probes(here: str) -> dict:
         try:
             d = json.load(open(path))
         except (OSError, json.JSONDecodeError):
+            continue
+        if not _same_cpu(d, cpus):
             continue
         # io_probe_mid exists from r11 archives on (ADVICE r11: a box's
         # fastest-ever sample taken mid-run must tighten the record the
@@ -352,18 +369,25 @@ def prior_probes(here: str) -> dict:
     return best
 
 
-def prior_records(here: str) -> dict[str, float]:
-    """Per-key best timings from the newest archived BENCH_DETAIL_r*."""
+def prior_records(here: str, cpus: int = 32) -> dict[str, float]:
+    """Per-key best timings from the newest archived BENCH_DETAIL_r*
+    taken at the SAME core count (VERDICT r12 item 6: the 8-core
+    scaling leg must not define 32-core records, nor vice versa)."""
     import glob as _glob
 
     paths = sorted(_glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")))
-    best: dict[str, float] = {}
-    for p in paths[-3:]:  # last 3 rounds: newest code, but a degraded
-        try:  # newest round alone must not define the record
-            q = json.load(open(p)).get("queries", {})
+    details = []
+    for p in paths:
+        try:
+            d = json.load(open(p))
         except (OSError, json.JSONDecodeError):
             continue
-        for k, v in q.items():
+        if _same_cpu(d, cpus):
+            details.append(d)
+    best: dict[str, float] = {}
+    for d in details[-3:]:  # last 3 same-cpu rounds: newest code, but a
+        # degraded newest round alone must not define the record
+        for k, v in d.get("queries", {}).items():
             best[k] = min(best.get(k, float("inf")), v)
     return best
 
@@ -375,6 +399,7 @@ def retry_inflated(
     timings: dict[str, float],
     here: str,
     threshold: float = HEALTH_RETRY_INFLATION,
+    cpus: int = 32,
 ) -> list[str]:
     """Targeted retry: re-time the keys most inflated vs their archived
     records, most-inflated first, inside a bounded budget; keep the
@@ -385,7 +410,7 @@ def retry_inflated(
     isolated minutes later) survived a run whose end-of-run probes
     looked healthy."""
 
-    records = prior_records(here)
+    records = prior_records(here, cpus)
     inflated = sorted(
         (
             k
@@ -556,7 +581,8 @@ def main() -> None:
             print(f"WARMUP ERROR {wk}: {e}", file=sys.stderr)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    hist = prior_probes(here)
+    n_cpus = int(cpus)
+    hist = prior_probes(here, n_cpus)
     spin = warm_spin(hist)
     probe_pre = io_probe()
     probe_mid: dict = {}
@@ -567,7 +593,8 @@ def main() -> None:
     # a probes-healthy run — contention windows shorter than the run
     # can poison a median-of-3 without moving the end-of-run probes.
     retried = retry_inflated(
-        spark, specs, sf_dir, timings, here, threshold=HEALTH_OUTLIER_RATIO
+        spark, specs, sf_dir, timings, here, threshold=HEALTH_OUTLIER_RATIO,
+        cpus=n_cpus,
     )
     if health["degraded"]:
         # Broader pass on a flagged box (VERDICT r9 item 3), then
@@ -575,7 +602,7 @@ def main() -> None:
         # reported numbers actually came from.
         retried += [
             k
-            for k in retry_inflated(spark, specs, sf_dir, timings, here)
+            for k in retry_inflated(spark, specs, sf_dir, timings, here, cpus=n_cpus)
             if k not in retried
         ]
         probe_post = io_probe()
@@ -584,7 +611,7 @@ def main() -> None:
     # anomalies: keys STILL far above record after the retry — either a
     # real regression or a box that never recovered; named so the trend
     # log can attribute them instead of a future judge guessing
-    records = prior_records(here)
+    records = prior_records(here, n_cpus)
 
     def _anomalies() -> list[str]:
         return sorted(
@@ -617,6 +644,7 @@ def main() -> None:
         "passes": passes,
         "errors": errors,
         "sf": sf_val,
+        "cpus": n_cpus,  # r13: archives are only comparable same-cpu
         "n_queries": len(timings),
         "n_errors": len(errors),
         "startup_sec": round(startup, 2),

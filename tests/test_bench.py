@@ -202,6 +202,10 @@ def test_prior_probes_archive_is_fresh_and_monotone():
     expected: dict[str, float] = {}
     for p in paths:
         d = json.load(open(p))
+        # r13: same-cpu archives only (VERDICT r12 item 6 — the 8-core
+        # scaling leg must not anchor 32-core health history)
+        if not bench._same_cpu(d, 32):
+            continue
         # mid included since the r11 archives started carrying it
         # (ADVICE r11: a mid-run sample can be the box's fastest ever)
         for side in ("io_probe_pre", "io_probe_mid", "io_probe_post"):
@@ -340,3 +344,36 @@ def test_time_queries_fills_mid_sink(spark, tmp_path):
     )
     assert errors == {} and set(timings) == set(specs)
     assert {"write_mbps", "cpu_probe_sec", "cpu_probe_mt_sec"} <= set(mid)
+
+
+def test_prior_records_and_probes_filter_to_same_cpu(tmp_path):
+    # VERDICT r12 item 6: the driver's 8-core scaling leg was archived
+    # under the next-round numbering rule, so records/probe history must
+    # come only from SAME-cpu archives — a faster 8-core timing (or
+    # probe) must never tighten a 32-core record.  Archives predating
+    # the `cpus` stamp count as 32-core.
+    import json
+    import os
+
+    def write(name, cpus, key_sec, probe):
+        d = {
+            "queries": {"k": key_sec},
+            "io_probe_pre": {"cpu_probe_sec": probe, "cpu_probe_mt_sec": probe},
+        }
+        if cpus is not None:
+            d["cpus"] = cpus
+        with open(os.path.join(tmp_path, name), "w") as f:
+            json.dump(d, f)
+
+    write("BENCH_DETAIL_r11.json", None, 2.0, 0.9)   # pre-stamp -> 32
+    write("BENCH_DETAIL_r12.json", 32, 1.5, 0.8)
+    write("BENCH_DETAIL_r13.json", 8, 0.3, 0.1)      # 8-core leg: faster
+
+    rec32 = bench.prior_records(str(tmp_path), 32)
+    assert rec32 == {"k": 1.5}  # the 8-core 0.3 never defines the record
+    rec8 = bench.prior_records(str(tmp_path), 8)
+    assert rec8 == {"k": 0.3}
+    probes32 = bench.prior_probes(str(tmp_path), 32)
+    assert probes32 == {"cpu_probe_sec": 0.8, "cpu_probe_mt_sec": 0.8}
+    probes8 = bench.prior_probes(str(tmp_path), 8)
+    assert probes8 == {"cpu_probe_sec": 0.1, "cpu_probe_mt_sec": 0.1}
