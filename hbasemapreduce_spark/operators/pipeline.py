@@ -909,38 +909,15 @@ def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.levenshtein("name_a", "name_b") <= 3)
     )
-    edges = close.union(
-        close.select(F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("name_a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    # CLUSTER via the shared min-label CC harness (x_dedup_clusters'
+    # machinery — r13: two propagation rounds per checkpoint, see
+    # min_label_components); labels are strings minimized
+    # lexicographically, which the harness handles unchanged.
+    from .clustering import min_label_components
+
+    labels = min_label_components(
+        close.select(F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b"))
     )
-    converged = False
-    for it in range(20):  # diameter guard (see x_dedup_clusters)
-        neighbor_min = (
-            edges.join(labels, edges.name_b == labels.id)
-            .groupBy("name_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.name_a, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint()
-        )
-        if (it % 2 == 1 or it >= 18) and labels.filter("chg").limit(1).count() == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "entity_resolution: min-label propagation did not converge in 20 rounds"
-        )
     matched = labels.select("id", F.col("label").alias("cluster_id"))
     resolved = (
         names.join(matched, names.p_name == matched.id, "left")
