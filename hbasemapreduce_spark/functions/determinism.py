@@ -53,6 +53,46 @@ def sql_dec_avg(expr: str, alias: str, scale: int = 2) -> str:
     )
 
 
+# -- split long sums: the decimal sandwich at long-accumulation speed ----
+#
+# r13 (guide §2.3 narrower types / §1.2 per-task work): a decimal(18,s)
+# SUM widens its buffer past Spark's compact-long decimal range, so every
+# row accumulates through BigDecimal — measured 4.3x slower than a long
+# sum on the x_stats_corr moment pass (1.75 -> 0.41 s at sf0.1).  When
+# the addend is an EXACT scaled integer (money cents, 4-dp moment
+# products), the sum can instead run as TWO exact long sums — hi = SUM(c
+# DIV 1e6), lo = SUM(c % 1e6); the truncation identity c = (c DIV m)*m +
+# (c % m) holds for negatives too, lo only overflows past ~9.2e12
+# rows/group, hi is m times safer than the plain long sum — and the
+# total is reconstructed EXACTLY in DECIMAL(38,s) before the single
+# decimal->double rounding.  Bit-identical to dec_sum at ANY corpus
+# size (same exact integer, same one rounding); a plain long sum would
+# double-round past 2^53 and overflow ~1e6x earlier.
+
+_SPLIT = 1_000_000
+
+
+def split_sum_parts(col_name: str, alias: str) -> list[Column]:
+    """The two exact long partial sums for an exact-scaled-integer
+    column; feed both to the aggregate, then finish with
+    :func:`split_sum_total`."""
+    return [
+        F.sum(F.expr(f"{col_name} DIV {_SPLIT}")).alias(f"{alias}__hi"),
+        F.sum(F.expr(f"{col_name} % {_SPLIT}")).alias(f"{alias}__lo"),
+    ]
+
+
+def split_sum_total(alias: str, scale: int) -> Column:
+    """Reassemble the exact total from the hi/lo long pair and apply the
+    single decimal->double rounding dec_sum would: result is bit-equal
+    to ``CAST(SUM(CAST(x AS DECIMAL(18,scale))) AS DOUBLE)``."""
+    total = (
+        F.col(f"{alias}__hi").cast("decimal(38,0)") * _SPLIT
+        + F.col(f"{alias}__lo")
+    ).cast(f"decimal(38,{scale})")
+    return (total / F.lit(10**scale).cast("decimal(38,0)")).cast("double").alias(alias)
+
+
 def fmt_date(col: Column | str, alias: str) -> Column:
     """Date-valued timestamp -> 'yyyy-MM-dd' string (dtype-stable)."""
     return F.date_format(_c(col), "yyyy-MM-dd").alias(alias)

@@ -3235,3 +3235,56 @@ def test_substring_index_equals_first_split_token(spark):
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
     assert both.filter(F.col("a").isNull() != F.col("b").isNull()).count() == 0
+
+
+def test_split_long_sum_matches_decimal_sandwich(spark):
+    # r13 (determinism.split_sum_parts/_total): the hi/lo long-pair sum
+    # must be BIT-identical to the decimal sandwich for exact scaled
+    # integers — including negatives (truncation identity), values
+    # straddling the 1e6 split, and group sums past 2^53 where a plain
+    # long->double->divide spelling would double-round.
+    import struct
+
+    from pyspark.sql import Row
+
+    from hbasemapreduce_spark.functions.determinism import (
+        split_sum_parts,
+        split_sum_total,
+    )
+
+    rows = [
+        Row(g="a", c=123456789012345),   # > 1e6 split
+        Row(g="a", c=-987654321),        # negative
+        Row(g="a", c=999999),            # just under the split
+        Row(g="a", c=-1000001),          # just past the split, negative
+        Row(g="b", c=(1 << 55) + 3),     # group sum beyond 2^53
+        Row(g="b", c=(1 << 55) + 1),
+        Row(g="b", c=7),
+        Row(g="c", c=0),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(*split_sum_parts("c", "s"))
+        .select("g", split_sum_total("s", 4))
+        .collect()
+    }
+    want = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(
+            F.sum((F.col("c").cast("decimal(38,4)") / F.lit(10**4).cast("decimal(38,0)")))
+            .cast("double")
+            .alias("s")
+        )
+        .collect()
+    }
+    # reference: exact decimal sum of c/10^4, single rounding to double
+    assert set(got) == set(want)
+    for g in got:
+        assert struct.pack("<d", got[g]) == struct.pack("<d", want[g]), (
+            g,
+            repr(got[g]),
+            repr(want[g]),
+        )
