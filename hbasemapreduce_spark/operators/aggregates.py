@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
-from ..functions.determinism import dec_avg, dec_sum
+from ..functions.determinism import dec_avg, dec_sum, split_sum_parts, split_sum_total
 from ..registry import query
 
 
@@ -84,22 +84,63 @@ def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: multi-accumulator aggregate with derived exprs."""
+    """TPC-H Q1 shape: multi-accumulator aggregate with derived exprs.
+
+    r13: the seven decimal sums accumulate as split hi/lo LONG sums
+    (determinism.split_sum_parts — bit-equal to the decimal sandwich at
+    any corpus size, see x_stats_corr).  The addends are exact scaled
+    integers: quantity/price/discount at scale 2, and the disc_price /
+    charge products built from the SAME decimal(18,6)-cast doubles the
+    oracle casts (2-dp operand products are exact at scale <= 6 and a
+    double's |error| ~1e-11 is far inside the cast's 5e-7 half-step, so
+    the cast recovers the exact product on both engines — the SURVEY
+    scale-6 rule), scaled to integers exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    pre = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long").alias("qty_c"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long").alias("disc_c"),
+        (disc_price.cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("dprice_c"),
+        (charge.cast("decimal(18,6)") * 1_000_000).cast("long").alias("charge_c"),
+    )
+    aggs = [
+        F.count("*").alias("count_order"),
+        F.count("qty_c").alias("n_qty"),
+        F.count("price_c").alias("n_price"),
+        F.count("disc_c").alias("n_disc"),
+    ]
+    for c, a in (
+        ("qty_c", "sum_qty"),
+        ("price_c", "sum_base_price"),
+        ("dprice_c", "sum_disc_price"),
+        ("charge_c", "sum_charge"),
+        ("disc_c", "sum_disc"),
+    ):
+        aggs += split_sum_parts(c, a)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum(disc_price, "sum_disc_price", scale=6),
-            dec_sum(charge, "sum_charge", scale=6),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_extendedprice", "avg_price"),
-            dec_avg("l_discount", "avg_disc"),
-            F.count("*").alias("count_order"),
+        pre.groupBy("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            split_sum_total("sum_qty", 2),
+            split_sum_total("sum_base_price", 2),
+            split_sum_total("sum_disc_price", 6),
+            split_sum_total("sum_charge", 6),
+            (split_sum_total("sum_qty", 2) / F.col("n_qty")).alias("avg_qty"),
+            (split_sum_total("sum_base_price", 2) / F.col("n_price")).alias("avg_price"),
+            (split_sum_total("sum_disc", 2) / F.col("n_disc")).alias("avg_disc"),
+            "count_order",
         )
     )
 
