@@ -3252,14 +3252,26 @@ def ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     def split_search(src: DataFrame, cents_col: str) -> DataFrame:
-        f = None
-        for feat in ("hour", "dow", "vbucket"):
-            part = src.select(
-                F.lit(feat).alias("feature"),
-                F.col(feat).alias("bin"),
-                F.col(cents_col).alias("c"),
-            )
-            f = part if f is None else f.unionByName(part)
+        # r13 (guide §1.2/§2.3 — don't re-read what one pass can emit):
+        # the former 3-branch union scanned/recomputed `src` once PER
+        # FEATURE (3 scans of events in round 1, 3 rebuilds of the
+        # residual projection in round 2); one posexplode emits the same
+        # (feature, bin, c) rows from a single pass.  Row stream and the
+        # downstream aggregate are unchanged.
+        f = src.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(feat).alias("feature"),
+                            F.col(feat).alias("bin"),
+                        )
+                        for feat in ("hour", "dow", "vbucket")
+                    ]
+                )
+            ).alias("fb"),
+            F.col(cents_col).alias("c"),
+        ).select("fb.feature", "fb.bin", "c")
         g = f.groupBy("feature", "bin").agg(
             F.count("*").cast("long").alias("n"),
             F.sum("c").cast("long").alias("s"),
