@@ -2195,6 +2195,59 @@ def test_zonemap_layouts_tell_the_skipping_story(spark):
     assert rows["shipdate_sorted"].zones_pruned > 32
 
 
+def test_zonemap_rank_decomposition_matches_ntile(spark):
+    # r13: x_layout_zonemap derives zone ids from a two-level rank
+    # decomposition plus explicit SQL-ntile bucket arithmetic instead
+    # of a single-partition ntile window.  Pin both halves against
+    # F.ntile itself on strict total orders whose sizes exercise the
+    # uneven-bucket branch (n % 64 != 0), including n < 64.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    for n in (40, 64, 130, 1037, 4096):
+        base = spark.range(1, n + 1).select(
+            SF.col("id"), (SF.col("id") % 7).alias("g")
+        )
+        want = base.select(
+            "id", SF.ntile(64).over(Window.orderBy("id")).alias("z")
+        )
+        # two-level rank over (g, id) is just row_number when the total
+        # order key is id alone; here decompose by g to exercise the
+        # offset+within machinery, then re-rank by id arithmetic
+        off = (
+            base.groupBy("g")
+            .agg(SF.count("*").alias("c"))
+            .select(
+                "g", (SF.sum("c").over(Window.orderBy("g")) - SF.col("c")).alias("off")
+            )
+        )
+        w_in = Window.partitionBy("g").orderBy("id")
+        ranked = base.join(off, "g").select(
+            "id", (SF.row_number().over(w_in) + SF.col("off")).alias("grn")
+        )
+        # bucket-arithmetic pin: apply the CASE formula to the true
+        # global rank (= id here, ids are 1..n dense) and compare with
+        # F.ntile over the same order
+        got = base.crossJoin(
+            base.groupBy().agg(SF.count("*").alias("n"))
+        ).select(
+            "id",
+            SF.expr(
+                "CASE WHEN id <= (n % 64) * (n DIV 64 + 1) "
+                "THEN (id - 1) DIV (n DIV 64 + 1) + 1 "
+                "ELSE (n % 64) + (id - (n % 64) * (n DIV 64 + 1) - 1) "
+                "DIV (n DIV 64) + 1 END"
+            ).cast("int").alias("z"),
+        )
+        assert sorted(map(tuple, want.collect())) == sorted(
+            map(tuple, got.collect())
+        ), f"bucket arithmetic != ntile at n={n}"
+        # and the decomposed rank over (g, id) must be a permutation
+        # bijection onto 1..n (strict total order, no gaps/dups)
+        rns = [r.grn for r in ranked.collect()]
+        assert sorted(rns) == list(range(1, n + 1)), f"rank not dense at n={n}"
+
+
 def _lev(a: str, b: str) -> int:
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
