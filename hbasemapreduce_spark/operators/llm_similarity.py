@@ -1112,6 +1112,17 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     never mattered.  At 100 TB the same formula yields the cap, i.e.
     full parallelism, so the scale path is unchanged.
     """
+    return _gram_micros_tri(spark, sf_dir).select(
+        "i", "j", (F.col("micros").cast("double") / F.lit(1e6)).alias("g")
+    )
+
+
+def _gram_micros_tri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle integer-micro Gram matrix (i, j, micros: long) via
+    the numpy partial-GEMM (see emb_gram_gemm's docstring for the
+    exactness and task-width arguments).  Shared by x_emb_gram_gemm and
+    x_ml_pca_power (r13): both keys' oracles spell the same per-term
+    round(product, 6)-to-micros sum, so both consume the same partials."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1156,9 +1167,7 @@ def emb_gram_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     partials = emb.mapInPandas(partial_gram, schema="i long, j long, micros long")
-    return partials.groupBy("i", "j").agg(
-        (F.sum("micros").cast("double") / F.lit(1e6)).alias("g")
-    )
+    return partials.groupBy("i", "j").agg(F.sum("micros").alias("micros"))
 
 
 _KNNC_STRIDE = 20  # every 20th vector of the id-capped pool is held out
@@ -2133,35 +2142,30 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the step semantics exactly plus the gap-independent
     power-iteration invariant (Rayleigh monotone, bounded by
     lambda1)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # upper triangle only (x_emb_gram's slice trick: d(d+1)/2 = 2080
-    # generated elements per row instead of d^2 = 4096), mirrored to
-    # the full matrix AFTER the aggregate — G is symmetric, so the
-    # mirror costs d^2 rows once, not half the generator volume per row
-    pairs = (
-        emb.repartition(n_part)
-        .select("embedding", F.posexplode("embedding").alias("i", "xi"))
-        .select(
-            "i",
-            "xi",
-            F.posexplode(F.expr("slice(embedding, i+1, size(embedding)-i)")).alias(
-                "dj", "xj"
-            ),
-        )
+    # r13 (guide §4.2): the gram triangle comes from the shared numpy
+    # partial-GEMM (_gram_micros_tri) instead of the posexplode
+    # formulation — one corpus pass, flops vectorized, shuffle carries
+    # only n_partitions x d(d+1)/2 partial rows.  Identical int64 sums
+    # (the rint-vs-double-round equivalence x_emb_gram_gemm's oracle
+    # has pinned since r9), digest-verified at sf0.001/0.01/0.1.
+    tri = _gram_micros_tri(spark, sf_dir).select(
+        "i", "j", F.col("micros").alias("g")
     )
-    term = F.round(
-        F.round(F.col("xi").cast("double") * F.col("xj").cast("double"), 6) * 1e6, 0
-    ).cast("long")
-    tri = pairs.groupBy(
-        F.col("i").cast("long").alias("i"),
-        (F.col("i") + F.col("dj")).cast("long").alias("j"),
-    ).agg(F.sum(term).cast("long").alias("g"))
     t = tri.unionByName(
         tri.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
-    )
+        # r13 (guide §7.2/§2.4): t is referenced by v1, v2, and the
+        # Rayleigh numerator, and v1s/v2 re-expand it again — the
+        # uncheckpointed plan inlined the gram derivation THIRTY times
+        # (30 parquet scans / 108 HashAggregates measured; AQE stage
+        # reuse absorbed most copies at runtime, so the measured win is
+        # 1.55 -> 1.39 s — the checkpoint mainly keeps the plan
+        # d²-bounded and the reuse guaranteed rather than accidental).
+        # One eager-False checkpoint of the 4096-row matrix collapses
+        # every downstream consumer to joins over the materialized
+        # rows; output bit-identical.
+    ).localCheckpoint(eager=False)
     v1 = t.groupBy("i").agg(F.sum("g").cast("long").alias("v1"))
     m1 = v1.agg(F.max(F.abs("v1")).alias("m1"))
 
