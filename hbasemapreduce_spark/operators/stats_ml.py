@@ -370,6 +370,8 @@ def _centroid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_K = 8  # clusters; init = the k lowest vec_ids (deterministic seed)
+_KM_D = 64  # embedding dimensionality (the corpus constant every
+# oracle spells as generate_series(0, 63))
 
 # CTE chain ending in the trained centroid table ``c1`` (cid, cm:
 # offset-micros BIGINT[]) — one full Lloyd round: init from the k
@@ -458,6 +460,7 @@ def kmeans_centroids(
     e: DataFrame | None = None,
     *,
     checkpoint: bool = True,
+    dim: int = _KM_D,
 ) -> DataFrame:
     """The trained centroid table after one full Lloyd round — (cid,
     cm: offset-micros array<long>), the Spark twin of KMEANS_CENT_SQL's
@@ -471,7 +474,9 @@ def kmeans_centroids(
     Lloyd round) — a caller that immediately re-collapses and
     checkpoints the scalar itself (x_sim_ivfpq) passes
     ``checkpoint=False`` to skip the redundant materialization
-    barrier."""
+    barrier.  ``dim`` is the vector dimensionality (a schema constant
+    the caller owns — the corpus embeds at 64); the r13 per-dimension
+    update needs it at plan-build time."""
     if e is None:
         e = _micros_table(spark, sf_dir)
     c0 = _collapse(
@@ -480,16 +485,21 @@ def kmeans_centroids(
         )
     )
     a1 = _assign(e, c0)
+    # r13 centroid update (guide §2.3/§2.4): one groupBy(cluster) with a
+    # per-dimension sum column each instead of posexplode(m) -> 64x row
+    # blowup -> groupBy(cluster, i) -> second groupBy(cluster) with a
+    # sorted collect_list.  Same integers (per-dim long sum, DIV by the
+    # same per-cluster count, array order = dim order); one exchange and
+    # no 64x intermediate.
     out = (
-        a1.select("cluster", F.posexplode("m").alias("i", "v"))
-        .groupBy("cluster", "i")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        .select("cluster", F.struct("i", F.expr("s DIV n").alias("c")).alias("iv"))
-        .groupBy("cluster")
-        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
+        a1.groupBy("cluster")
+        .agg(
+            *[F.sum(F.col("m")[i]).alias(f"s{i}") for i in range(dim)],
+            F.count("*").alias("n"),
+        )
         .select(
             F.col("cluster").alias("cid"),
-            F.transform("ivs", lambda s: s["c"]).alias("cm"),
+            F.array(*[F.expr(f"s{i} DIV n") for i in range(dim)]).alias("cm"),
         )
     )
     return out.localCheckpoint(eager=False) if checkpoint else out
@@ -876,13 +886,16 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     the IVF-PQ probe (llm_similarity.py)."""
     from pyspark.sql import Window
 
+    # r13 (guide §2.4): the seed rows carry their vectors, so all 4 init
+    # codebooks come straight off the 16 seed rows — the former
+    # corpus-sized sub x seeds equi-join and its aggregate are gone
     seeds = (
-        e.select("vec_id")
+        e.select("vec_id", "m")
         .orderBy(F.pmod(F.col("vec_id") * 2654435761, F.lit(4294967296)), "vec_id")
         .limit(_PQ_K)
     )
     seeds = seeds.select(
-        "vec_id", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid")
+        "m", (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid")
     )
     sub = e.select(
         "vec_id",
@@ -890,16 +903,11 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
             F.array(*[_pq_sub(F.col("m"), s) for s in range(_PQ_M)])
         ).alias("s", "sm"),
     )
-    # all 4 init codebooks in one 1-row scalar: collect_list skips the
-    # NULLs the others-subspace WHEN produces
-    c0 = sub.join(F.broadcast(seeds), "vec_id").groupBy().agg(
+    c0 = seeds.groupBy().agg(
         *[
             F.sort_array(
                 F.collect_list(
-                    F.when(
-                        F.col("s") == s,
-                        F.struct(F.col("cid"), F.col("sm").alias("cm")),
-                    )
+                    F.struct(F.col("cid"), _pq_sub(F.col("m"), s).alias("cm"))
                 )
             ).alias(f"cents_{s}")
             for s in range(_PQ_M)
@@ -923,19 +931,20 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
         .withColumn("best", F.array_sort(F.transform(cents_for_s, scored))[0])
         .select("s", "sm", F.col("best.cid").alias("cluster"))
     )
+    # r13 centroid update: one groupBy(s, cluster) with 16 per-dimension
+    # sums instead of posexplode(sm) -> groupBy(s, cluster, i) ->
+    # groupBy(s, cluster) (same integers, one exchange, no 16x rows —
+    # the kmeans_centroids discipline)
     c1 = (
-        a1.select("s", "cluster", F.posexplode("sm").alias("i", "v"))
-        .groupBy("s", "cluster", "i")
-        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-        .select(
-            "s", "cluster", F.struct("i", F.expr("sv DIV n").alias("c")).alias("iv")
+        a1.groupBy("s", "cluster")
+        .agg(
+            *[F.sum(F.col("sm")[i]).alias(f"v{i}") for i in range(_PQ_DSUB)],
+            F.count("*").alias("n"),
         )
-        .groupBy("s", "cluster")
-        .agg(F.sort_array(F.collect_list("iv")).alias("ivs"))
         .select(
             "s",
             F.col("cluster").alias("cid"),
-            F.transform("ivs", lambda st: st["c"]).alias("cm"),
+            F.array(*[F.expr(f"v{i} DIV n") for i in range(_PQ_DSUB)]).alias("cm"),
         )
     )
     return (

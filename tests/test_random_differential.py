@@ -625,7 +625,7 @@ def test_kmeans_centroids_matches_pure_python_lloyd(spark):
         )
         got = {
             r.cid: list(r.cm)
-            for r in kmeans_centroids(spark, "", e=e).collect()
+            for r in kmeans_centroids(spark, "", e=e, dim=4).collect()
         }
         assert got == expected, f"trial {trial}"
 
