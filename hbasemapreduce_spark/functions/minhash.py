@@ -199,17 +199,28 @@ def minhash_pairs_from_occurrences(
         for b in range(n_bands)
     )
     banded_slim = sql_over(
-        f"SELECT id, bd.band AS band, bd.bh AS bh "
-        f"FROM (SELECT id, {mins} FROM {{occ}} GROUP BY id) "
+        f"SELECT id, n, bd.band AS band, bd.bh AS bh "
+        f"FROM (SELECT id, {mins}, COUNT(*) AS n FROM {{occ}} GROUP BY id) "
         f"LATERAL VIEW explode(array({band_structs})) t AS bd",
         occ=occ,
     ).localCheckpoint(eager=False)
     # tiny relation, but referenced by the semi-join AND the final pairs
-    # join — checkpointing stops the band self-join recomputing
+    # join — checkpointing stops the band self-join recomputing.
+    # r13 size prefilter (guide §3.2): J(a, b) >= t forces
+    # inter >= t/(1+t)*(sa+sb) and inter <= min(sa, sb), so a pair whose
+    # SMALLER side already fails the threshold against the combined size
+    # can never verify.  Spelled with the exact double division the
+    # final filter uses: IEEE division is monotone in the numerator and
+    # antitone in the denominator, so bound >= J for every candidate —
+    # dropping pairs with bound < t is lossless even at the float
+    # boundary.
     cand = sql_over(
         "SELECT DISTINCT a.id AS id_a, b.id AS id_b "
         "FROM {banded} a JOIN {banded} b "
-        "ON a.band = b.band AND a.bh = b.bh AND a.id < b.id",
+        "ON a.band = b.band AND a.bh = b.bh AND a.id < b.id "
+        "WHERE CAST(least(a.n, b.n) AS DOUBLE) / "
+        "      CAST(a.n + b.n - least(a.n, b.n) AS DOUBLE) "
+        f"      >= {jaccard_threshold!r}",
         banded=banded_slim,
     ).localCheckpoint(eager=False)
     # Multiset rebuild for verification: semi-join FIRST so collect_list

@@ -2195,6 +2195,35 @@ def test_zonemap_layouts_tell_the_skipping_story(spark):
     assert rows["shipdate_sorted"].zones_pruned > 32
 
 
+def test_minhash_size_prefilter_is_lossless():
+    # r13: both minhash verify paths drop candidate pairs whose SIZES
+    # alone rule out the Jaccard threshold, before the element-level
+    # verify.  Exhaustive grid pin of the losslessness claim: whenever
+    # the final predicate passes (for ANY feasible intersection,
+    # inter <= min(na, nb)), the prefilter must also pass.
+    # Integer-rational form (x_dedup_minhash_portable, J >= 4/5):
+    for na in range(1, 61):
+        for nb in range(1, 61):
+            feasible = any(
+                5 * inter >= 4 * (na + nb - inter)
+                for inter in range(0, min(na, nb) + 1)
+            )
+            if feasible:
+                assert 4 * max(na, nb) <= 5 * min(na, nb), (na, nb)
+    # Float form (minhash_pairs_from_occurrences, same double spelling
+    # as the final filter — Python floats are the same IEEE doubles):
+    for t in (0.5, 0.8, 0.9):
+        for na in range(1, 61):
+            for nb in range(1, 61):
+                lo = min(na, nb)
+                feasible = any(
+                    float(inter) / float(na + nb - inter) >= t
+                    for inter in range(0, lo + 1)
+                )
+                if feasible:
+                    assert float(lo) / float(na + nb - lo) >= t, (t, na, nb)
+
+
 def test_zonemap_rank_decomposition_matches_ntile(spark):
     # r13: x_layout_zonemap derives zone ids from a two-level rank
     # decomposition plus explicit SQL-ntile bucket arithmetic instead
