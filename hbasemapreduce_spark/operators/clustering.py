@@ -105,12 +105,21 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint()
-    labels = edges.select(F.col("id_a").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).localCheckpoint()
+    # r13: round 1 propagates over IDENTITY labels, so its neighbor-min
+    # join collapses to a plain groupBy over the edge list —
+    # least(id_a, min(id_b)) — and the initial (id, label=id) relation,
+    # its distinct, and its checkpoint barrier disappear (the groupBy's
+    # id_a key set IS the node set).  Bit-identical to propagating over
+    # the identity labeling by definition.
+    labels = None
     converged = False
-    for _ in range(max_rounds // 2):  # diameter guard; clusters are shallow
-        mid = _propagate_min_once(edges, labels).select("id", "label")
+    for r in range(max_rounds // 2):  # diameter guard; clusters are shallow
+        if r == 0:
+            mid = edges.groupBy("id_a").agg(
+                F.least(F.col("id_a"), F.min("id_b")).alias("label")
+            ).select(F.col("id_a").alias("id"), "label")
+        else:
+            mid = _propagate_min_once(edges, labels).select("id", "label")
         labels = _propagate_min_once(edges, mid).localCheckpoint()
         if labels.filter("chg").limit(1).count() == 0:
             converged = True
