@@ -57,24 +57,26 @@ def _undirected_edges(
     # times (wedge sides, degree table, anti-join, per-round relaxation);
     # without it each read re-runs the pair derivation from the fact
     # table.  r12: ONE sql_over call, and the pair generation is
-    # per-order in-row — collect the order's distinct part SET once
-    # (ONE exchange keyed on l_orderkey), emit the sorted-set pairs with
-    # a higher-order transform, then the support aggregate (the second
-    # and last exchange).  The former items-distinct + self-join shape
-    # paid an extra exchange pair re-keying `items` for the join; the
-    # join itself is gone.  Per-order sets are order-sized (bounded,
-    # TPC-H <= 7 lines), so the in-row expansion never materializes a
-    # corpus-sized array.  Output proven identical to the join form
-    # (same pair multiset: sorted-set pairs == a.part < b.part pairs;
-    # per-key DuckDB oracle + randomized differential twins green).
+    # per-order in-row — collect each order's parts once (ONE exchange
+    # keyed on l_orderkey), emit the sorted-set pairs, then the support
+    # aggregate (the second and last exchange); the items-distinct +
+    # self-join shape re-measured slower again this round (1.24 vs
+    # 0.97 s).  Per-order sets are order-sized (bounded, TPC-H <= 7
+    # lines), so the in-row expansion never materializes a corpus-sized
+    # array.  r13 (guide §4.1/§1.2): collect_list + one in-row
+    # array_distinct(array_sort(...)) replaces collect_set (same sorted
+    # set, cheaper ObjectHashAggregate update path), and the pair
+    # expansion is TWO stacked generators (posexplode + slice-explode)
+    # instead of the interpreted nested transform/flatten/struct chain
+    # — edge stage 1.24 -> 0.97 s interleaved at sf0.1, output pair
+    # multiset digest-identical (also vs the self-join spelling).
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return sql_over(
-        "WITH sets AS (SELECT array_sort(collect_set(l_partkey)) AS ps "
+        "WITH sets AS (SELECT array_distinct(array_sort(collect_list(l_partkey))) AS ps "
         "  FROM {li} GROUP BY l_orderkey), "
-        "und AS (SELECT p.part_a, p.part_b FROM sets "
-        "  LATERAL VIEW explode(flatten(transform(ps, (x, i) -> "
-        "    transform(slice(ps, i + 2, size(ps)), "
-        "      y -> struct(x AS part_a, y AS part_b))))) t AS p "
+        "und AS (SELECT part_a, part_b FROM ("
+        "    SELECT ps, i, part_a FROM sets LATERAL VIEW posexplode(ps) t1 AS i, part_a) "
+        "  LATERAL VIEW explode(slice(ps, i + 2, size(ps))) t2 AS part_b "
         f"  GROUP BY 1, 2 HAVING COUNT(*) >= {support}) "
         "SELECT part_a AS src, part_b AS dst FROM und "
         "UNION ALL SELECT part_b, part_a FROM und",
@@ -698,13 +700,6 @@ def co_hits_integer(e: DataFrame) -> DataFrame:
     # as scalar subqueries instead of the former broadcast cross-joins
     # (same value everywhere, fewer BNLJ nodes; A/B-proven
     # bit-identical).
-    h = sql_over(
-        "SELECT cust, (SELECT CAST("
-        f"{_SCALE} AS BIGINT) DIV COUNT(*) FROM "
-        "(SELECT DISTINCT cust FROM {e})) AS h "
-        "FROM (SELECT DISTINCT cust FROM {e})",
-        e=e,
-    )
 
     def renorm(df: DataFrame, key: str, col: str) -> DataFrame:
         # lazy checkpoint of the half-step's raw score vector: renorm
@@ -742,7 +737,22 @@ def co_hits_integer(e: DataFrame) -> DataFrame:
         )
         return renorm(raw, "cust", "h")
 
-    a1 = auth_step(h)
+    # r13: the initial hub vector is the CONSTANT SCALE DIV n_cust, so
+    # the first half-step's join degenerates to COUNT(*) per part times
+    # that scalar (SUM of a constant over a part's cust-edges) — the
+    # initial hub relation, its two distinct scans, and the first
+    # edge-score join disappear.  Bit-identical by definition; pinned by
+    # the seeded randomized differential against pure Python.
+    a1 = renorm(
+        sql_over(
+            "SELECT part, COUNT(*) * (SELECT CAST("
+            f"{_SCALE} AS BIGINT) DIV COUNT(DISTINCT cust) FROM {{e}}) AS a "
+            "FROM {e} GROUP BY part",
+            e=e,
+        ),
+        "part",
+        "a",
+    )
     h1 = hub_step(a1)
     a2 = auth_step(h1)
     return sql_over(
