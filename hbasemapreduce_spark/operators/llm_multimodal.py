@@ -477,45 +477,71 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is deterministic — the whole modality path is hash-checked
     (the DuckDB twin reads the same bytes via hex pairs).
 
-    Scale shape: pure per-row projection (frame explode + a bounded
-    64-element fold, all JVM codegen — no Python, no shuffle); the
-    operator output is the only thing that grows, one row per frame.
-    A real 16-bit/stereo decode swaps the byte fold for an Arrow
-    mapInPandas kernel (the x_multimodal_binary_stats path) without
-    touching the frame/partition shape."""
-    # Byte extraction: decode the UTF-8 payload as ISO-8859-1 (every
-    # byte 0..255 maps to exactly one char) and split to a char array —
-    # ONE linear pass per row yields the byte-value array via ascii().
-    # The hex-substring alternative re-scans the string per access
-    # (UTF8String substring is O(position)), measured quadratic per
-    # document: 11.7 s at sf0.1 vs ~1 s for this shape.
-    p = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(
-            F.split(F.decode(F.encode("text", "UTF-8"), "ISO-8859-1"), ""),
-            lambda c: F.ascii(c).cast("long"),
-        ).alias("bs"),
-        F.length(F.encode("text", "UTF-8")).cast("long").alias("n"),
+    Scale shape (r13, guide §4.2): the byte squaring/summing runs as an
+    Arrow mapInPandas numpy kernel — np.frombuffer over the UTF-8
+    bytes, reshape to frames, one vectorized int64 square-sum per frame
+    — exactly "the x_multimodal_binary_stats path" this docstring
+    always named as the real-decode shape.  Integer energies are
+    order-free, so the kernel is bit-identical to the former
+    interpreted per-byte JVM fold (digest-proven at sf0.001/0.01/0.1);
+    measured 1.58 -> 0.25 s at sf0.1.  Task width is sized by input
+    bytes (the x_emb_gram_gemm rule) so the Python stage never pays
+    per-roundtrip scheduling for KB-sized slices.  Still no shuffle;
+    the operator output remains the only thing that grows."""
+    import os
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .llm_similarity import dataset_bytes
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nbytes = dataset_bytes(os.path.join(sf_dir, "documents.parquet"))
+        width = max(1, min(n_part, nbytes // (16 << 20)))
+    except OSError:  # non-local sf_dir: keep full parallelism
+        width = n_part
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(width)
     )
-    # ALL frame energies in one per-doc HOF pass, exploding only the
-    # energy longs afterwards — exploding frame indexes first would
-    # copy the byte array once per frame row.  sequence(0, -1) DESCENDS,
-    # hence the explicit empty guard for sub-frame payloads.
-    per_doc = p.select(
-        "doc_id",
-        F.expr(
-            f"transform(CASE WHEN n >= {_AUDIO_FRAME} THEN "
-            f"sequence(0, CAST(n DIV {_AUDIO_FRAME} AS INT) - 1) "
-            "ELSE array() END, "
-            f"f -> CAST(aggregate(slice(bs, f * {_AUDIO_FRAME} + 1, {_AUDIO_FRAME}), "
-            "CAST(0 AS BIGINT), (acc, v) -> acc + v * v) AS BIGINT))"
-        ).alias("es"),
-    )
-    return per_doc.select(
-        "doc_id", F.posexplode("es").alias("frame_idx", "energy")
+
+    def frame_energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fidx, es = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                nf = len(b) // _AUDIO_FRAME
+                if nf == 0:
+                    continue
+                e = (
+                    b[: nf * _AUDIO_FRAME]
+                    .astype(np.int64)
+                    .reshape(nf, _AUDIO_FRAME)
+                    ** 2
+                ).sum(axis=1)
+                ids.append(np.full(nf, doc_id, dtype=np.int64))
+                fidx.append(np.arange(nf, dtype=np.int64))
+                es.append(e)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "frame_idx": np.concatenate(fidx),
+                    "energy": np.concatenate(es),
+                }
+            )
+
+    return docs.mapInPandas(
+        frame_energies, schema="doc_id long, frame_idx long, energy long"
     ).select(
         "doc_id",
-        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_idx",
         F.lit(_AUDIO_FRAME).cast("long").alias("n_samples"),
         "energy",
     )
