@@ -340,6 +340,7 @@ _BNLJ_WHITELIST = {
     "x_agg_heavy_hitters",  # 2x 1-row scalars (merge threshold, error bound)
     "x_dedup_embedding",  # 1-row initial-nlist scalar (nprobe basis, ADVICE r11)
     "x_dedup_semantic",   # 1-row initial-nlist scalar (nprobe basis, ADVICE r11)
+    "x_layout_zonemap",   # 2x 1-row row-count scalar (r13 ntile bucket arithmetic)
 }
 
 
